@@ -1,0 +1,583 @@
+"""From-scratch HTML -> Document parser (main-content extraction).
+
+This is the engine's analogue of PDFium's document load + page/text layout:
+``PdfDocument(bytes)`` -> ``FPDF_LoadMemDocument64`` (document.py:572-574)
+becomes ``parse_document(html_bytes)`` over a Common-Crawl-style row's
+``html:binary`` payload. Built on stdlib ``html.parser`` only (no lxml/bs4 in
+this environment); all semantics below are the docmodel spec — deterministic,
+so extracted text is byte-reproducible (the per-url invariant).
+
+Extraction spec:
+
+- **Decode**: payload must be valid UTF-8 and NUL-free, else the row fails
+  with ``ERR_FORMAT`` (the analogue of PDFium's data-format load error,
+  document.py:581-585). Empty payload -> ``ERR_FORMAT``.
+- **Encryption convention** (stand-in for PDF password protection,
+  document.py:567-568 / tests/test_opener.py:100-124): a payload starting
+  with ``<!--ENCRYPTED:<salt>:<digest>-->`` requires ``password`` with
+  ``digest == sha256(salt+password)[:16]``; wrong/missing password ->
+  ``ERR_PASSWORD``. The remainder is XOR-stream-encrypted with
+  ``sha256(salt|password|key)`` repeated. See :func:`encrypt_payload`.
+- **Boilerplate strip**: ``script style nav header footer aside noscript
+  template iframe svg form button select option object embed head`` subtrees
+  contribute no text (``<head>`` still yields metadata; ``<nav data-toc>``
+  still yields the outline). Elements with ``hidden`` or
+  ``style="display:none"`` are skipped.
+- **Main-content restriction**: if the document contains ``<main>`` (else
+  ``<article>``) elements, only text inside them is kept — the DOM-heuristic
+  boilerplate strip of the north_rule.
+- **Lines**: block-level elements and ``<br>`` delimit lines; whitespace runs
+  collapse to a single space; lines are stripped; empty lines are dropped.
+  Line breaks in page text are CRLF (textpage.py:24-26).
+- **Pages**: explicit ``<pb>`` elements break pages; without any, text flows
+  at ``LayoutParams.max_lines_per_page`` lines/page. A well-formed document
+  with no text has exactly one empty page (like ``tests/resources/empty.pdf``).
+- **Spans**: per-line runs of uniform style; h1..h6 -> font size
+  {24,18,16,14,13,12} + weight 700, b/strong -> weight 700, i/em -> italic,
+  code/pre/kbd/samp/tt -> Courier (the ``PdfTextObj``/``PdfFont`` analogue,
+  pageobjects.py:164-309).
+- **TOC**: an explicit ``<nav data-toc>`` nested-list outline (items:
+  ``<li data-page="N" id=... data-ref="#id">``) takes precedence; else the
+  h1..h6 heading outline. Flattening is pre-order with a seen-set cycle guard
+  and a max-depth cap + warnings (document.py:537-557).
+- **Metadata**: ``<title>`` -> Title; ``<meta name=... content=...>`` for
+  author/subject/keywords/creator/producer/creation-date/mod-date
+  (the 8 fixed keys, document.py:321).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+
+from pypdfium2_ray.docmodel.errors import ERR_FORMAT, ERR_PASSWORD
+from pypdfium2_ray.docmodel.layout import DEFAULT_LAYOUT, LayoutParams
+from pypdfium2_ray.docmodel.model import (
+    Document, Page, PageObject, Span, TocEntry,
+)
+
+# ---------------------------------------------------------------------------
+# encryption convention
+
+_ENC_RE = re.compile(rb"^<!--ENCRYPTED:([0-9a-f]{8}):([0-9a-f]{16})-->")
+
+
+def _enc_digest(salt: str, password: str) -> str:
+    return hashlib.sha256((salt + password).encode()).hexdigest()[:16]
+
+
+def _enc_keystream(salt: str, password: str, n: int) -> bytes:
+    key = hashlib.sha256(f"{salt}|{password}|key".encode()).digest()
+    reps = n // len(key) + 1
+    return (key * reps)[:n]
+
+
+def encrypt_payload(html: bytes, password: str, salt: str = "0f0f0f0f") -> bytes:
+    """Produce an 'encrypted' payload per the docmodel convention."""
+    header = f"<!--ENCRYPTED:{salt}:{_enc_digest(salt, password)}-->".encode()
+    body = bytes(a ^ b for a, b in zip(html, _enc_keystream(salt, password, len(html))))
+    return header + body
+
+
+# ---------------------------------------------------------------------------
+# styles
+
+@dataclass(frozen=True)
+class _Style:
+    font_size: float = 12.0
+    font_family: str = "Helvetica"
+    weight: int = 400
+    italic: bool = False
+
+
+_HEADING_SIZE = {"h1": 24.0, "h2": 18.0, "h3": 16.0, "h4": 14.0, "h5": 13.0, "h6": 12.0}
+
+_SKIP_TAGS = frozenset(
+    "script style nav header footer aside noscript template iframe svg form "
+    "button select option object embed head".split())
+
+_BLOCK_TAGS = frozenset(
+    "p div h1 h2 h3 h4 h5 h6 li ul ol table tr blockquote pre section "
+    "article main hr dl dt dd figure figcaption address details summary "
+    "center body html".split())
+
+_VOID_TAGS = frozenset("br hr img meta link input pb area base col source track wbr".split())
+
+_MONO_TAGS = frozenset("code pre kbd samp tt".split())
+_BOLD_TAGS = frozenset("b strong".split())
+_ITALIC_TAGS = frozenset("i em".split())
+
+_META_NAME_TO_KEY = {
+    "author": "Author", "subject": "Subject", "keywords": "Keywords",
+    "creator": "Creator", "producer": "Producer",
+    "creation-date": "CreationDate", "mod-date": "ModDate",
+    "dcterms.created": "CreationDate", "dcterms.modified": "ModDate",
+}
+
+_WS_RE = re.compile(r"[ \t\r\n\f\v]+")
+
+
+# ---------------------------------------------------------------------------
+# outline (TOC) nodes
+
+@dataclass
+class _NavNode:
+    title: str = ""
+    page: int = 0
+    node_id: str | None = None
+    ref: str | None = None
+    children: list["_NavNode"] = field(default_factory=list)
+
+
+def _flatten_outline(roots: list[_NavNode], max_depth: int,
+                     warnings: list[str]) -> list[TocEntry]:
+    """Pre-order flatten with seen-set cycle guard and depth cap — the
+    observable semantics of ``PdfDocument.get_toc`` (document.py:520-559:
+    circular-reference set :543-550, depth cap + warning :553-557)."""
+    by_id: dict[str, _NavNode] = {}
+
+    def index(n: _NavNode):
+        if n.node_id:
+            by_id[n.node_id] = n
+        for c in n.children:
+            index(c)
+
+    for r in roots:
+        index(r)
+
+    out: list[TocEntry] = []
+    seen: set[int] = set()
+
+    def walk(n: _NavNode, level: int):
+        if id(n) in seen:
+            warnings.append("circular bookmark reference detected")
+            return
+        seen.add(id(n))
+        if level >= max_depth:
+            warnings.append(f"maximum recursion depth {max_depth} reached")
+            return
+        out.append(TocEntry(level=level, title=n.title, page_index=n.page))
+        target = n
+        if n.ref:
+            ref_id = n.ref.lstrip("#")
+            target = by_id.get(ref_id, n)
+            if target is not n:
+                walk(target, level + 1)
+                return
+        for c in target.children:
+            walk(c, level + 1)
+
+    for r in roots:
+        walk(r, 0)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# the parser
+
+@dataclass
+class _LineItem:
+    kind: str                   # "line" | "break"
+    text: str = ""
+    spans: list[tuple[int, int, _Style]] = field(default_factory=list)
+    in_main: bool = False
+    heading_level: int | None = None
+    dom_level: int = 0
+    objects: list[PageObject] = field(default_factory=list)
+
+
+class _HtmlToDoc(HTMLParser):
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.items: list[_LineItem] = []
+        self.metadata: dict[str, str] = {}
+        self.warnings: list[str] = []
+        self.has_main = False
+        self.has_article = False
+        self.explicit_break = False
+        self.nav_roots: list[_NavNode] = []
+
+        self._tag_stack: list[str] = []
+        self._skip_depth = 0            # >0: inside a stripped subtree
+        self._head_depth = 0            # >0: inside <head> (metadata only)
+        self._main_depth = 0
+        self._article_depth = 0
+        self._style_stack: list[_Style] = [_Style()]
+        self._frags: list[tuple[str, _Style]] = []   # current line fragments
+        self._pending_objects: list[PageObject] = []
+        self._in_title = False
+        self._title_parts: list[str] = []
+        # nav-toc parsing
+        self._nav_depth = 0
+        self._nav_stack: list[_NavNode] = []
+        self._nav_current: _NavNode | None = None
+
+    # ---- helpers
+
+    def _cur_style(self) -> _Style:
+        return self._style_stack[-1]
+
+    def _flush_line(self, heading: int | None = None):
+        """Collapse whitespace across the pending fragments into one line;
+        derive per-style spans from the collapsed char/style arrays."""
+        if not self._frags and not self._pending_objects:
+            return
+        chars: list[str] = []
+        styles: list[_Style] = []
+        for txt, st in self._frags:
+            for ch in txt:
+                chars.append(ch)
+                styles.append(st)
+        # collapse whitespace runs -> single space; strip ends
+        out_c: list[str] = []
+        out_s: list[_Style] = []
+        in_ws = True  # leading ws dropped
+        for ch, st in zip(chars, styles):
+            if _WS_RE.match(ch):
+                if not in_ws:
+                    out_c.append(" ")
+                    out_s.append(st)
+                in_ws = True
+            else:
+                out_c.append(ch)
+                out_s.append(st)
+                in_ws = False
+        while out_c and out_c[-1] == " ":
+            out_c.pop(); out_s.pop()
+        text = "".join(out_c)
+        objects = self._pending_objects
+        self._frags = []
+        self._pending_objects = []
+        if not text and not objects:
+            return
+        spans: list[tuple[int, int, _Style]] = []
+        i = 0
+        while i < len(out_s):
+            j = i
+            while j < len(out_s) and out_s[j] == out_s[i]:
+                j += 1
+            spans.append((i, j, out_s[i]))
+            i = j
+        self.items.append(_LineItem(
+            kind="line", text=text, spans=spans,
+            in_main=(self._main_depth > 0 or self._article_depth > 0),
+            heading_level=heading, dom_level=len(self._tag_stack),
+            objects=objects))
+
+    # ---- HTMLParser hooks
+
+    def handle_starttag(self, tag, attrs):
+        attrd = dict(attrs)
+        is_void = tag in _VOID_TAGS
+
+        if self._nav_depth > 0:
+            self._nav_handle_start(tag, attrd, is_void)
+            return
+
+        hidden = "hidden" in attrd or \
+            ("display:none" in (attrd.get("style") or "").replace(" ", ""))
+
+        if tag == "nav" and "data-toc" in attrd and self._skip_depth == 0:
+            self._flush_line()
+            self._nav_depth = 1
+            return
+
+        if tag == "title":
+            # captured even inside the (stripped) <head> — it feeds metadata
+            self._in_title = True
+            return
+
+        if self._skip_depth > 0:
+            if not is_void:
+                self._skip_depth += 1
+            return
+
+        if tag in _SKIP_TAGS or hidden:
+            if not is_void:
+                self._skip_depth = 1
+            return
+
+        if tag == "pb":
+            self._flush_line()
+            self.explicit_break = True
+            self.items.append(_LineItem(kind="break"))
+            return
+        if tag == "br":
+            self._flush_line()
+            return
+        if tag == "img":
+            try:
+                w = int(attrd.get("width") or 0)
+                h = int(attrd.get("height") or 0)
+            except ValueError:
+                w = h = 0
+            self._pending_objects.append(PageObject(
+                type="image", level=len(self._tag_stack), bounds=(0, 0, 0, 0),
+                width=w, height=h, alt=attrd.get("alt") or "",
+                src=attrd.get("src") or ""))
+            return
+        if is_void:
+            return
+
+        if tag in _BLOCK_TAGS:
+            self._flush_line()
+
+        st = self._cur_style()
+        if tag in _HEADING_SIZE:
+            st = _Style(_HEADING_SIZE[tag], st.font_family, 700, st.italic)
+        elif tag in _BOLD_TAGS:
+            st = _Style(st.font_size, st.font_family, 700, st.italic)
+        elif tag in _ITALIC_TAGS:
+            st = _Style(st.font_size, st.font_family, st.weight, True)
+        elif tag in _MONO_TAGS:
+            st = _Style(st.font_size, "Courier", st.weight, st.italic)
+        self._style_stack.append(st)
+        self._tag_stack.append(tag)
+
+        if tag == "main":
+            self.has_main = True
+            self._main_depth += 1
+        elif tag == "article":
+            self.has_article = True
+            self._article_depth += 1
+
+    def handle_startendtag(self, tag, attrs):
+        if tag in _VOID_TAGS:
+            self.handle_starttag(tag, attrs)
+        elif self._nav_depth == 0 and self._skip_depth == 0:
+            # a self-closed non-void element contributes no content;
+            # block tags still delimit the current line
+            if tag in _BLOCK_TAGS:
+                self._flush_line()
+
+    def handle_endtag(self, tag):
+        if self._nav_depth > 0:
+            self._nav_handle_end(tag)
+            return
+        if tag == "title":
+            self._in_title = False
+            self.metadata.setdefault(
+                "Title", _WS_RE.sub(" ", "".join(self._title_parts)).strip())
+            return
+        if self._skip_depth > 0:
+            if tag not in _VOID_TAGS:
+                self._skip_depth -= 1
+            return
+        if tag in _VOID_TAGS:
+            return
+        if tag not in self._tag_stack:
+            return
+        # pop until the matching tag (tolerate misnesting)
+        while self._tag_stack:
+            top = self._tag_stack.pop()
+            self._style_stack.pop()
+            if top in _BLOCK_TAGS:
+                self._flush_line(heading=_heading_no(top) if top == tag and top in _HEADING_SIZE else None)
+            if top == "main":
+                self._main_depth -= 1
+            elif top == "article":
+                self._article_depth -= 1
+            if top == tag:
+                break
+
+    def handle_data(self, data):
+        if self._in_title:
+            self._title_parts.append(data)
+            return
+        if self._nav_depth > 0:
+            if self._nav_current is not None:
+                self._nav_current.title += data
+            return
+        if self._skip_depth > 0:
+            return
+        if data:
+            # heading text gets the heading style; record on flush
+            self._frags.append((data, self._cur_style()))
+
+    def handle_comment(self, data):
+        pass
+
+    # metadata from <meta> inside (skipped) head: html.parser still calls
+    # handle_starttag for void tags before skip bookkeeping suppresses them —
+    # we intercept here instead.
+    def handle_decl(self, decl):
+        pass
+
+    # ---- nav-toc subtree
+
+    def _nav_handle_start(self, tag, attrd, is_void):
+        if tag == "li":
+            node = _NavNode(node_id=attrd.get("id"), ref=attrd.get("data-ref"))
+            try:
+                node.page = int(attrd.get("data-page") or 0)
+            except ValueError:
+                node.page = 0
+            if self._nav_stack:
+                self._nav_stack[-1].children.append(node)
+            else:
+                self.nav_roots.append(node)
+            self._nav_stack.append(node)
+            self._nav_current = node
+        elif not is_void:
+            self._nav_depth += 1
+
+    def _nav_handle_end(self, tag):
+        if tag == "li":
+            if self._nav_stack:
+                self._nav_stack.pop()
+            self._nav_current = self._nav_stack[-1] if self._nav_stack else None
+        elif tag == "nav":
+            self._nav_depth -= 1
+            if self._nav_depth == 0:
+                self._nav_stack = []
+                self._nav_current = None
+        elif tag not in _VOID_TAGS:
+            self._nav_depth -= 1
+
+
+def _heading_no(tag: str) -> int | None:
+    return int(tag[1]) if tag in _HEADING_SIZE else None
+
+
+class _MetaGrabber(HTMLParser):
+    """Tiny pre-pass for <meta> tags (they live in the stripped <head>)."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.meta: dict[str, str] = {}
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "meta":
+            d = dict(attrs)
+            key = _META_NAME_TO_KEY.get((d.get("name") or "").lower())
+            if key and d.get("content") is not None:
+                self.meta.setdefault(key, d["content"])
+
+    handle_startendtag = handle_starttag
+
+
+# ---------------------------------------------------------------------------
+# public API
+
+def parse_document(data: bytes, password: str | None = None,
+                   layout: LayoutParams = DEFAULT_LAYOUT,
+                   max_toc_depth: int = 15) -> Document:
+    """Parse one document payload into a :class:`Document` (never raises on
+    bad input — failures become ``err_code``/``status``; document.py:564-587
+    inverted per the error-rows discipline)."""
+
+    if not data:
+        return Document(err_code=ERR_FORMAT)
+
+    m = _ENC_RE.match(data)
+    if m:
+        salt = m.group(1).decode()
+        digest = m.group(2).decode()
+        if password is None or _enc_digest(salt, password) != digest:
+            return Document(err_code=ERR_PASSWORD)
+        body = data[m.end():]
+        data = bytes(a ^ b for a, b in zip(body, _enc_keystream(salt, password, len(body))))
+
+    if b"\x00" in data:
+        return Document(err_code=ERR_FORMAT)
+    try:
+        text = data.decode("utf-8", errors="strict")
+    except UnicodeDecodeError:
+        return Document(err_code=ERR_FORMAT)
+
+    parser = _HtmlToDoc()
+    try:
+        parser.feed(text)
+        parser.close()
+    except Exception:
+        return Document(err_code=ERR_FORMAT)
+    # anything buffered at EOF is a final line
+    parser._flush_line()
+
+    meta_grab = _MetaGrabber()
+    try:
+        meta_grab.feed(text)
+        meta_grab.close()
+    except Exception:
+        pass
+    metadata = dict(meta_grab.meta)
+    metadata.update(parser.metadata)
+
+    # main-content restriction
+    items = parser.items
+    if parser.has_main or parser.has_article:
+        items = [it for it in items if it.kind == "break" or it.in_main]
+
+    # pagination
+    pages_items: list[list[_LineItem]] = [[]]
+    if parser.explicit_break:
+        for it in items:
+            if it.kind == "break":
+                pages_items.append([])
+            else:
+                pages_items[-1].append(it)
+    else:
+        lines_seen = 0
+        for it in items:
+            if it.kind != "line":
+                continue
+            if lines_seen and lines_seen % layout.max_lines_per_page == 0:
+                pages_items.append([])
+            pages_items[-1].append(it)
+            lines_seen += 1
+
+    warnings = list(parser.warnings)
+    pages: list[Page] = []
+    heading_entries: list[TocEntry] = []
+    for pi, page_lines in enumerate(pages_items):
+        lines: list[str] = []
+        spans: list[Span] = []
+        objects: list[PageObject] = []
+        for it in page_lines:
+            li = len(lines)
+            lines.append(it.text)
+            t, b = layout.line_top(li), layout.line_bottom(li)
+            for (s, e, st) in it.spans:
+                spans.append(Span(text=it.text[s:e], line_idx=li,
+                                  font_size=st.font_size, font_family=st.font_family,
+                                  weight=st.weight, italic=st.italic))
+                objects.append(PageObject(
+                    type="text", level=it.dom_level,
+                    bounds=(layout.char_x(s), b, layout.char_x(e), t)))
+            for obj in it.objects:
+                obj.bounds = (layout.margin_left, b,
+                              layout.margin_left + max(obj.width, 1) * 1.0, t)
+                objects.append(obj)
+            if it.heading_level is not None and it.text:
+                heading_entries.append(TocEntry(
+                    level=it.heading_level - 1, title=it.text, page_index=pi))
+        pages.append(Page(index=pi, lines=lines, spans=spans, objects=objects,
+                          layout=layout))
+
+    # TOC: explicit nav outline wins over the heading outline
+    if parser.nav_roots:
+        toc = _flatten_outline(parser.nav_roots, max_toc_depth, warnings)
+    else:
+        toc = heading_entries
+
+    doc = Document(pages=pages, toc=toc, metadata=metadata, warnings=warnings)
+    return doc
+
+
+def extract_document_text(doc: Document, strategy: str = "range") -> str:
+    """Document-level framed text — byte-compatible with the reference CLI
+    (``cli/extract_text.py:26-45``): per page ``"# Page {i+1}\\n" + text``
+    joined by a blank line, trailing newline (each ``print`` adds one LF;
+    page-internal line breaks stay CRLF). The byte-identical invariant
+    column."""
+    if not doc.ok:
+        return ""
+    parts = []
+    for i, page in enumerate(doc.pages):
+        tp = page.get_textpage()
+        text = tp.get_text_bounded() if strategy == "bounded" else tp.get_text_range()
+        parts.append(f"# Page {i+1}\n" + text)
+    return "\n\n".join(parts) + "\n"

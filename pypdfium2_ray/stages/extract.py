@@ -1,0 +1,165 @@
+"""The flagship extraction stage.
+
+``ExtractText`` is the engine's ``map_batches`` actor class — the Ray-native
+form of the reference's per-process worker state (mp pool initializer
+re-opening the document + holding saver state, ``cli/render.py:372-395``;
+library init-once, ``_library_scope.py:13-29``): parser tables/config are
+built once per actor in ``__init__``, each ``__call__`` processes one Arrow
+batch of ``(url, html, ...)`` rows and returns one Arrow batch of extracted
+rows. Per-row failures become ``(status, err_code)`` values, never exceptions
+(document.py:583-585 / extract_images.py:87-88 inverted — error rows, not
+errors).
+
+Usage::
+
+    ds.map_batches(ExtractText, batch_format="pyarrow",
+                   batch_size=64, concurrency=(2, 8))
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from pypdfium2_ray.docmodel.errors import ERR_UNKNOWN
+from pypdfium2_ray.docmodel.htmldoc import extract_document_text, parse_document
+from pypdfium2_ray.docmodel.layout import DEFAULT_LAYOUT, LayoutParams
+from pypdfium2_ray.docmodel.model import METADATA_KEYS
+
+_RECT_T = pa.struct([("l", pa.float32()), ("b", pa.float32()),
+                     ("r", pa.float32()), ("t", pa.float32()),
+                     ("text", pa.string())])
+_CHAR_T = pa.struct([("cp", pa.int32()), ("l", pa.float32()), ("b", pa.float32()),
+                     ("r", pa.float32()), ("t", pa.float32()),
+                     ("generated", pa.bool_())])
+_SPAN_T = pa.struct([("text", pa.string()), ("line_idx", pa.int32()),
+                     ("font_size", pa.float32()), ("font_family", pa.string()),
+                     ("weight", pa.int32()), ("italic", pa.bool_())])
+_PAGE_T = pa.struct([
+    ("page_idx", pa.int32()),
+    ("width", pa.float32()), ("height", pa.float32()),
+    ("n_chars", pa.int32()),
+    ("text", pa.string()),
+    ("rects", pa.list_(_RECT_T)),
+    ("chars", pa.list_(_CHAR_T)),
+    ("spans", pa.list_(_SPAN_T)),
+])
+_TOC_T = pa.struct([("level", pa.int32()), ("title", pa.string()),
+                    ("page_index", pa.int32())])
+_META_T = pa.struct([(k, pa.string()) for k in METADATA_KEYS])
+
+#: Output schema of the flagship stage (FIXTURES.md §2 `cc_extracted`).
+EXTRACTED_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("warc_ts", pa.timestamp("us")),
+    ("lang", pa.string()),
+    ("status", pa.string()),
+    ("err_code", pa.int32()),
+    ("n_pages", pa.int32()),
+    ("n_chars", pa.int32()),
+    ("html_len", pa.int64()),
+    ("extracted_text", pa.string()),
+    ("pages", pa.list_(_PAGE_T)),
+    ("toc", pa.list_(_TOC_T)),
+    ("metadata", _META_T),
+    ("warnings", pa.list_(pa.string())),
+])
+
+
+def add_html_len(batch: pa.Table) -> pa.Table:
+    """Cheap vectorized size column for skew routing (pc kernel, zero-copy)."""
+    if "html_len" in batch.column_names:
+        return batch
+    return batch.append_column("html_len", pc.binary_length(batch["html"]).cast(pa.int64()))
+
+
+class ExtractText:
+    """Stateful extract stage: parse ``html`` bytes -> extracted columns.
+
+    Parameters mirror the reference's per-call options surface:
+
+    - ``strategy``: "range" | "bounded" (cli/extract_text.py:35-41)
+    - ``password``: document password (document.py:567-568)
+    - ``include_pages`` / ``include_rects`` / ``include_charboxes`` /
+      ``include_spans``: opt-in detail columns — charboxes are very wide
+      (~10^3 structs/page), so they default off (SURVEY §7.4)
+    - ``max_toc_depth``: document.py:524 default 15
+    """
+
+    def __init__(self, strategy: str = "range", password: str | None = None,
+                 include_pages: bool = True, include_rects: bool = True,
+                 include_charboxes: bool = False, include_spans: bool = False,
+                 max_toc_depth: int = 15, layout: LayoutParams = DEFAULT_LAYOUT):
+        self.strategy = strategy
+        self.password = password
+        self.include_pages = include_pages
+        self.include_rects = include_rects
+        self.include_charboxes = include_charboxes
+        self.include_spans = include_spans
+        self.max_toc_depth = max_toc_depth
+        self.layout = layout
+
+    # one row
+    def _extract_one(self, url, warc_ts, lang, html: bytes) -> dict:
+        try:
+            doc = parse_document(html, password=self.password,
+                                 layout=self.layout,
+                                 max_toc_depth=self.max_toc_depth)
+        except Exception as exc:  # defensive: parser must not kill the block
+            return dict(url=url, warc_ts=warc_ts, lang=lang,
+                        status="unknown_error", err_code=ERR_UNKNOWN,
+                        n_pages=0, n_chars=0, html_len=len(html or b""),
+                        extracted_text="", pages=[], toc=[],
+                        metadata={k: "" for k in METADATA_KEYS},
+                        warnings=[f"exception: {type(exc).__name__}"])
+
+        pages_out = []
+        n_chars_total = 0
+        if doc.ok:
+            for p in doc.pages:
+                tp = p.get_textpage()
+                n_chars = tp.count_chars()
+                n_chars_total += n_chars
+                entry = dict(page_idx=p.index, width=p.width, height=p.height,
+                             n_chars=n_chars, text=tp.text, rects=[],
+                             chars=[], spans=[])
+                if self.include_rects:
+                    entry["rects"] = [
+                        dict(l=r[0], b=r[1], r=r[2], t=r[3], text=tp.rect_text(i))
+                        for i, r in enumerate(tp.rects)]
+                if self.include_charboxes:
+                    entry["chars"] = [
+                        dict(cp=ord(tp.text[i]),
+                             l=box[0], b=box[1], r=box[2], t=box[3],
+                             generated=tp.is_generated(i))
+                        for i, box in ((i, tp.get_charbox(i))
+                                       for i in range(n_chars))]
+                if self.include_spans:
+                    entry["spans"] = [
+                        dict(text=s.text, line_idx=s.line_idx,
+                             font_size=s.font_size, font_family=s.font_family,
+                             weight=s.weight, italic=s.italic)
+                        for s in p.spans]
+                pages_out.append(entry)
+
+        return dict(
+            url=url, warc_ts=warc_ts, lang=lang,
+            status=doc.status, err_code=doc.err_code,
+            n_pages=len(doc), n_chars=n_chars_total,
+            html_len=len(html or b""),
+            extracted_text=extract_document_text(doc, self.strategy),
+            pages=pages_out if self.include_pages else [],
+            toc=[dict(level=e.level, title=e.title, page_index=e.page_index)
+                 for e in doc.get_toc(self.max_toc_depth)],
+            metadata=doc.get_metadata_dict(),
+            warnings=list(doc.warnings),
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        htmls = batch["html"].to_pylist()
+        ts = batch["warc_ts"].to_pylist() if "warc_ts" in batch.column_names else [None] * len(urls)
+        langs = batch["lang"].to_pylist() if "lang" in batch.column_names else [None] * len(urls)
+        rows = [self._extract_one(u, t, lg, h)
+                for u, t, lg, h in zip(urls, ts, langs, htmls)]
+        return pa.Table.from_pylist(rows, schema=EXTRACTED_SCHEMA)

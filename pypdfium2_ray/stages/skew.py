@@ -1,0 +1,59 @@
+"""Size-based skew routing (north_rule requirement).
+
+The reference has no skew answer — its mp pool assigns pages blindly
+(``cli/render.py:521-524``), so one giant page stalls a worker. Crawl blob
+sizes are heavy-tailed; here oversized ``html`` payloads are routed to a
+dedicated heavy-doc actor pool with a small batch size while the bulk flows
+through a wide light pool (SURVEY §4 "Skew / stragglers").
+
+Two compounding mechanisms:
+
+1. Ray Data blocks are *byte*-bounded (``DataContext.target_max_block_size``),
+   so with ``batch_size=None`` heavy rows already land in small-row batches.
+2. ``split_extract`` adds an explicit two-pool split: ``filter(html_len < thr)``
+   -> light pool, ``filter(>= thr)`` -> heavy pool (fewer actors, batch_size
+   a few rows, more cpus each), then ``union``.
+
+Scale note: the two branches each re-evaluate their upstream lineage. For a
+one-shot in-memory dataset that is a double scan of the (cheap, column-pruned)
+read; at 100 TB run the ingest step first — a streaming pass that writes
+size-partitioned Parquet (see ``pypdfium2_ray.state.checkpoint``) — and point
+each pool at its own partition so every byte is read once.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pyarrow.compute as pc
+
+from pypdfium2_ray.stages.extract import ExtractText, add_html_len
+
+#: default routing threshold: 256 KiB of html
+DEFAULT_HEAVY_THRESHOLD = 256 * 1024
+
+
+def split_extract(ds, heavy_threshold: int = DEFAULT_HEAVY_THRESHOLD,
+                  light_kwargs: dict[str, Any] | None = None,
+                  heavy_kwargs: dict[str, Any] | None = None,
+                  extract_opts: dict[str, Any] | None = None):
+    """Route rows by ``html_len`` to a light and a heavy ExtractText pool and
+    union the results. ``*_kwargs`` go to ``map_batches`` (concurrency,
+    batch_size, num_cpus); ``extract_opts`` to the ExtractText constructor."""
+    light_kwargs = dict(batch_size=256, concurrency=(1, 8)) | (light_kwargs or {})
+    heavy_kwargs = dict(batch_size=4, concurrency=(1, 2)) | (heavy_kwargs or {})
+    extract_opts = extract_opts or {}
+
+    ds = ds.map_batches(add_html_len, batch_format="pyarrow")
+    light = ds.map_batches(
+        lambda t: t.filter(pc.less(t["html_len"], heavy_threshold)),
+        batch_format="pyarrow")
+    heavy = ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["html_len"], heavy_threshold)),
+        batch_format="pyarrow")
+
+    light_out = light.map_batches(ExtractText, fn_constructor_kwargs=extract_opts,
+                                  batch_format="pyarrow", **light_kwargs)
+    heavy_out = heavy.map_batches(ExtractText, fn_constructor_kwargs=extract_opts,
+                                  batch_format="pyarrow", **heavy_kwargs)
+    return light_out.union(heavy_out)

@@ -1,0 +1,29 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="session")
+def ray_session():
+    """One Ray session for the whole pytest run (driver contract)."""
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=4, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    yield ray
+    ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def fixture_parquet(tmp_path_factory):
+    """The deterministic cc_pages fixture corpus written once as parquet."""
+    from pypdfium2_ray.sources.fixtures import write_cc_parquet
+    path = str(tmp_path_factory.mktemp("ccdata") / "cc_pages.parquet")
+    write_cc_parquet(path)
+    return path
