@@ -1,44 +1,374 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship extraction pipeline on sf0.001;
+``queries()`` exposes one callable per implemented operator/pipeline
+(SURVEY.md §2 + the training-data curation ops); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible query (same column names,
+same rounding). Ray is initialised by the driver BEFORE this module is
+imported — nothing here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
+from functools import partial
 from typing import Any
 
+import pyarrow as pa
+import pyarrow.compute as pc
+
+SF0001 = "/root/testdata/sf0.001"
+
+#: literal search term for the corpus-search query (textpage.py:255-292 analogue)
+SEARCH_TERM = "data"
+#: cosine near-dup threshold (probed: no pair within 1e-4 of it at sf<=0.1)
+DUP_TAU = 0.45
+#: ANN query ids
+ANN_QUERY_IDS = (0, 1, 2)
+ANN_K = 10
+
+
+# ---------------------------------------------------------------------------
+# helpers
+
+def _docs(sf_dir: str, columns=None):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir.rstrip('/')}/documents.parquet",
+                           columns=columns)
+
+
+def _cast_i64(ds, cols: list[str]):
+    """Cast int32-ish columns to int64 so schemas match DuckDB's BIGINT."""
+    def f(t: pa.Table) -> pa.Table:
+        for c in cols:
+            i = t.schema.get_field_index(c)
+            t = t.set_column(i, c, pc.cast(t[c], pa.int64()))
+        return t
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# flagship extraction (reference semantics; SURVEY §3.1)
+
+def _extract(sf_dir: str, strategy: str = "range"):
+    from pypdfium2_ray.docmodel.layout import LayoutParams
+    from pypdfium2_ray.pipelines.extract_text import extract_pipeline
+    from pypdfium2_ray.sources.cc_from_documents import read_cc_from_documents
+    ds = read_cc_from_documents(sf_dir)
+    # wide page so single-paragraph synthetic docs never overflow the page
+    # bbox (the bounded strategy clips at the bbox, textpage.py:52-85 — with
+    # the default 595pt page a >74-char line would be truncated)
+    layout = LayoutParams(page_width=1e9)
+    out = extract_pipeline(
+        ds=ds, skew_split=True,
+        extract_opts=dict(strategy=strategy, include_pages=False,
+                          include_rects=False, layout=layout))
+    out = out.select_columns(["url", "lang", "status", "err_code",
+                              "n_pages", "n_chars", "extracted_text"])
+    return _cast_i64(out, ["err_code", "n_pages", "n_chars"])
+
+
+def q_extract_text(sf_dir: str):
+    return _extract(sf_dir, "range")
+
+
+def q_extract_bounded(sf_dir: str):
+    """Bounded-rect strategy over the full page bbox — must equal the range
+    strategy byte-for-byte (the reference's own invariant,
+    tests/test_textpage.py:26-29)."""
+    ds = _extract(sf_dir, "bounded")
+    return ds.select_columns(["url", "extracted_text"])
+
+
+# ---------------------------------------------------------------------------
+# text analysis (functions/text.py; oracle-paired)
+
+def q_token_stats(sf_dir: str):
+    from pypdfium2_ray.stages.textstats import add_quality_columns
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    ds = ds.map_batches(add_quality_columns, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "n_chars_text", "n_tokens",
+                              "n_punct", "n_stopwords"])
+
+
+def q_lang_id(sf_dir: str):
+    from pypdfium2_ray.stages.textstats import add_lang_pred
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    ds = ds.map_batches(add_lang_pred, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "lang_pred"])
+
+
+def q_fingerprint(sf_dir: str):
+    from pypdfium2_ray.stages.textstats import add_fingerprint
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    ds = ds.map_batches(add_fingerprint, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "fingerprint"])
+
+
+def q_term_search(sf_dir: str):
+    from pypdfium2_ray.stages.textstats import add_term_count
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    ds = ds.map_batches(partial(add_term_count, term=SEARCH_TERM),
+                        batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "n_matches"])
+
+
+def q_text_slice(sf_dir: str):
+    """get_text_range analogue (textpage.py:104-146): chars [10, 60)."""
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "slice_text": pc.utf8_slice_codeunits(t["text"], 10, 60)})
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+def q_doc_stats(sf_dir: str):
+    from pypdfium2_ray.stages.agg import grouped_aggregate
+    ds = _docs(sf_dir, ["lang", "n_chars"])
+    out = grouped_aggregate(ds, ["lang"], {
+        "n_docs": (None, "count"),
+        "sum_chars": ("n_chars", "sum"),
+        "max_chars": ("n_chars", "max")})
+    return _cast_i64(out, ["sum_chars", "max_chars"])
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+
+def q_dedup_exact(sf_dir: str):
+    from pypdfium2_ray.stages.agg import grouped_aggregate
+    from pypdfium2_ray.stages.textstats import add_fingerprint
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    ds = ds.map_batches(add_fingerprint, batch_format="pyarrow") \
+           .select_columns(["doc_id", "fingerprint"])
+    return grouped_aggregate(ds, ["fingerprint"], {
+        "keep_doc_id": ("doc_id", "min"),
+        "n_dups": (None, "count")})
+
+
+def q_dedup_latest_event(sf_dir: str):
+    from pypdfium2_ray.pipelines.relational import latest_event_per_user
+    return latest_event_per_user(sf_dir)
+
+
+def q_minhash_dups(sf_dir: str):
+    """MinHash+LSH near-dup pairs (rows-only check; exactness covered by
+    unit tests on planted near-dups)."""
+    import pyarrow.parquet as pq
+    from pypdfium2_ray.stages.dedup import minhash_dup_pairs
+    texts = pq.read_table(f"{sf_dir.rstrip('/')}/documents.parquet",
+                          columns=["doc_id", "text"])
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return minhash_dup_pairs(ds, texts, threshold=0.5)
+
+
+def q_simhash_dups(sf_dir: str):
+    from pypdfium2_ray.stages.dedup import simhash_dup_pairs
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return simhash_dup_pairs(ds, max_dist=3)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+
+def _embeddings(sf_dir: str):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir.rstrip('/')}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+
+
+def q_ann_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+    from pypdfium2_ray.stages.ann import ann_topk
+    emb = pq.read_table(f"{sf_dir.rstrip('/')}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    queries = emb.filter(pc.is_in(emb["vec_id"],
+                                  value_set=pa.array(ANN_QUERY_IDS)))
+    return ann_topk(_embeddings(sf_dir), queries, k=ANN_K, scale=100)
+
+
+def q_embedding_dups(sf_dir: str):
+    import pyarrow.parquet as pq
+    from pypdfium2_ray.stages.ann import embedding_dup_pairs
+    corpus = pq.read_table(f"{sf_dir.rstrip('/')}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+    return embedding_dup_pairs(_embeddings(sf_dir), corpus, tau=DUP_TAU,
+                               scale=100)
+
+
+def q_embedding_lsh_dups(sf_dir: str):
+    """LSH-bucketed variant (recall < 1 by construction -> rows-only check)."""
+    from pypdfium2_ray.stages.ann import embedding_lsh_dup_pairs
+    return embedding_lsh_dup_pairs(_embeddings(sf_dir), dim=64, tau=DUP_TAU,
+                                   n_bits=16, bands=8, round_digits=2)
+
+
+# ---------------------------------------------------------------------------
+# relational surface
+
+def q_pricing_summary(sf_dir: str):
+    from pypdfium2_ray.pipelines.relational import lineitem_pricing_summary
+    return _cast_i64(lineitem_pricing_summary(sf_dir), ["n_rows"])
+
+
+def q_orders_by_region(sf_dir: str):
+    from pypdfium2_ray.pipelines.relational import orders_by_region
+    return _cast_i64(orders_by_region(sf_dir), ["n_orders"])
+
+
+def q_top_orders(sf_dir: str):
+    from pypdfium2_ray.pipelines.relational import top_orders
+    return top_orders(sf_dir)
+
+
+def q_events_rollup(sf_dir: str):
+    from pypdfium2_ray.pipelines.relational import events_rollup
+    return _cast_i64(events_rollup(sf_dir), ["n_events"])
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (decoder stubbed — no image libs in this container)
+
+def q_decode_images(sf_dir: str):
+    from pypdfium2_ray.stages.multimodal import decode_images
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        return pa.table({"id": t["doc_id"],
+                         "data": pc.cast(t["text"], pa.binary())})
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        to_payload, batch_format="pyarrow")
+    out = decode_images(ds, fake=True)
+    return _cast_i64(out.select_columns(["id", "width", "height", "n_bytes"]),
+                     ["width", "height"])
+
+
+# ---------------------------------------------------------------------------
+# driver contract
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001 (driver smoke check)."""
+    return q_extract_text(SF0001)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "extract_text": q_extract_text,
+        "extract_bounded": q_extract_bounded,
+        "token_stats": q_token_stats,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "term_search": q_term_search,
+        "text_slice": q_text_slice,
+        "doc_stats": q_doc_stats,
+        "dedup_exact": q_dedup_exact,
+        "dedup_latest_event": q_dedup_latest_event,
+        "minhash_dups": q_minhash_dups,
+        "simhash_dups": q_simhash_dups,
+        "ann_topk": q_ann_topk,
+        "embedding_dups": q_embedding_dups,
+        "embedding_lsh_dups": q_embedding_lsh_dups,
+        "pricing_summary": q_pricing_summary,
+        "orders_by_region": q_orders_by_region,
+        "top_orders": q_top_orders,
+        "events_rollup": q_events_rollup,
+        "decode_images": q_decode_images,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pypdfium2_ray.functions.text import (
+        LANG_STOPWORDS, sql_lang_pred, sql_term_count, sql_token_count,
+    )
+    from pypdfium2_ray.sources.cc_from_documents import sql_extracted_text
+
+    en_stop = "\\b(" + "|".join(LANG_STOPWORDS["en"]) + ")\\b"
+    ext = sql_extracted_text("text")
+    collapsed = ("trim(regexp_replace(text, '[ \\t\\r\\n\\f\\v]+', ' ', 'g'), ' ')")
+
+    return {
+        "extract_text": f"""
+            SELECT 'doc://' || source || '/' || doc_id AS url,
+                   lang,
+                   'ok' AS status,
+                   0::BIGINT AS err_code,
+                   1::BIGINT AS n_pages,
+                   length({collapsed})::BIGINT AS n_chars,
+                   {ext} AS extracted_text
+            FROM documents""",
+        "extract_bounded": f"""
+            SELECT 'doc://' || source || '/' || doc_id AS url,
+                   {ext} AS extracted_text
+            FROM documents""",
+        "token_stats": f"""
+            SELECT doc_id,
+                   length(text) AS n_chars_text,
+                   {sql_token_count('text')} AS n_tokens,
+                   length(regexp_extract_all(text, '[.!?]')) AS n_punct,
+                   length(regexp_extract_all(text, '{en_stop}')) AS n_stopwords
+            FROM documents""",
+        "lang_id": f"""
+            SELECT doc_id, {sql_lang_pred('text')} AS lang_pred
+            FROM documents""",
+        "fingerprint": """
+            SELECT doc_id, md5(text) AS fingerprint FROM documents""",
+        "term_search": f"""
+            SELECT doc_id, {sql_term_count('text', SEARCH_TERM)} AS n_matches
+            FROM documents""",
+        "text_slice": """
+            SELECT doc_id, substr(text, 11, 50) AS slice_text FROM documents""",
+        "doc_stats": """
+            SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+                   max(n_chars) AS max_chars
+            FROM documents GROUP BY lang""",
+        "dedup_exact": """
+            SELECT md5(text) AS fingerprint, min(doc_id) AS keep_doc_id,
+                   count(*) AS n_dups
+            FROM documents GROUP BY 1""",
+        "dedup_latest_event": """
+            SELECT user_id, event_id, ts FROM events
+            QUALIFY row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) = 1""",
+        "ann_topk": f"""
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                       WHERE vec_id IN {ANN_QUERY_IDS}),
+            s AS (SELECT q.qid, e.vec_id,
+                         list_cosine_similarity(e.embedding, q.qe) AS sim
+                  FROM embeddings e, q WHERE e.vec_id <> q.qid)
+            SELECT qid AS query_id, vec_id AS neighbor_id,
+                   CAST(round(sim::DOUBLE * 100) AS BIGINT) AS sim_centi
+            FROM s
+            QUALIFY row_number() OVER (PARTITION BY qid
+                                       ORDER BY sim DESC, vec_id) <= {ANN_K}""",
+        "embedding_dups": f"""
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   CAST(round(list_cosine_similarity(a.embedding, b.embedding)::DOUBLE
+                              * 100) AS BIGINT) AS sim_centi
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= {DUP_TAU}""",
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty,
+                   CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS sum_price_cents,
+                   CAST(round(avg(l_discount) * 1000000) AS BIGINT) AS avg_disc_micro,
+                   count(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "orders_by_region": """
+            SELECT r_name, count(*) AS n_orders,
+                   CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS sum_price_cents
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name""",
+        "top_orders": """
+            SELECT o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS o_totalprice_cents
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+        "events_rollup": """
+            SELECT event_type, count(*) AS n_events,
+                   CAST(round(sum(value) * 10000) AS BIGINT) AS sum_value_e4,
+                   CAST(round(avg(value) * 1000000) AS BIGINT) AS avg_value_micro,
+                   CAST(round(max(value) * 10000) AS BIGINT) AS max_value_e4
+            FROM events GROUP BY event_type""",
+    }

@@ -1,0 +1,150 @@
+"""Vectorized text-analysis functions + their ANSI-SQL twins.
+
+Both sides of every pair use RE2 regex semantics (pyarrow's
+``count_substring_regex`` and DuckDB's ``regexp_*`` are both RE2), so a
+Ray result and its DuckDB oracle agree byte-for-byte. The SQL strings are
+generated from the same constants as the Python kernels.
+
+Reference lineage: the per-char/per-text scalar layer of SURVEY §2.8 (decode
+policy ``textpage.py:85,146``, whitespace/CRLF conventions ``textpage.py:24-26``)
+extended with the language-ID / quality-scoring / token-counting /
+fingerprinting operators required for training-data curation at crawl scale.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+#: one token = a maximal run of non-whitespace (RE2 \S)
+TOKEN_RE = r"\S+"
+#: sentence-ending punctuation
+PUNCT_RE = r"[.!?]"
+#: whitespace runs (the docmodel's line-collapse class, htmldoc._WS_RE)
+WS_RE = r"[ \t\r\n\f\v]+"
+
+#: tiny per-language stopword lists for the n-gram/stopword-hit language-ID
+#: heuristic. Deterministic tie-break: first language in this (ordered) dict
+#: wins; all-zero scores -> "und".
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr": ("le", "les", "des", "et", "est", "une", "dans"),
+    "es": ("el", "los", "las", "y", "es", "una", "por"),
+}
+
+
+def _stop_re(lang: str) -> str:
+    return r"\b(" + "|".join(LANG_STOPWORDS[lang]) + r")\b"
+
+
+# ---------------------------------------------------------------------------
+# counting / slicing kernels (all zero-copy Arrow in, Arrow out)
+
+def token_count(texts: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray:
+    """Whitespace-token count per string (vectorized RE2 scan)."""
+    return pc.cast(pc.count_substring_regex(texts, TOKEN_RE), pa.int64())
+
+
+def term_count(texts, term: str) -> pa.ChunkedArray:
+    """Non-overlapping occurrence count of a literal *term* per string —
+    the corpus-wide form of ``PdfTextSearcher`` (textpage.py:255-334) in its
+    default non-consecutive mode (advance by match length)."""
+    return pc.cast(pc.count_substring(texts, term), pa.int64())
+
+
+def collapse_ws(texts) -> pa.ChunkedArray:
+    """Whitespace-run collapse + strip — the docmodel line normalization
+    (htmldoc._flush_line semantics) as a standalone vectorized kernel."""
+    collapsed = pc.replace_substring_regex(texts, WS_RE, " ")
+    return pc.utf8_trim(collapsed, " ")
+
+
+def fingerprint_md5(texts: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Hex MD5 per string — the document-fingerprint operator (the engine's
+    ``get_identifier`` analogue, document.py:278-292, as a corpus column).
+    Hashing is inherently per-value; the loop stays off the per-char level."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    return pa.array(
+        [hashlib.md5(t.encode("utf-8")).hexdigest() if t is not None else None
+         for t in texts.to_pylist()],
+        type=pa.string())
+
+
+def lang_scores(texts) -> dict[str, pa.ChunkedArray]:
+    """Per-language stopword-hit counts."""
+    return {lang: pc.cast(pc.count_substring_regex(texts, _stop_re(lang)), pa.int64())
+            for lang in LANG_STOPWORDS}
+
+
+def lang_pred(texts) -> pa.Array:
+    """Predicted language: argmax of stopword hits, ties -> earlier language
+    in LANG_STOPWORDS order, all-zero -> 'und'. Strictly deterministic."""
+    scores = lang_scores(texts)
+    langs = list(LANG_STOPWORDS)
+    cols = [scores[lg].combine_chunks() if isinstance(scores[lg], pa.ChunkedArray)
+            else scores[lg] for lg in langs]
+    n = len(cols[0])
+    best = pa.nulls(n, pa.string()).to_pylist()
+    best_score = [0] * n
+    for lg, col in zip(langs, cols):
+        vals = col.to_pylist()
+        for i, v in enumerate(vals):
+            if v is not None and v > best_score[i]:
+                best_score[i] = v
+                best[i] = lg
+    return pa.array([b if b is not None else "und" for b in best], type=pa.string())
+
+
+def quality_columns(texts) -> dict[str, pa.ChunkedArray | pa.Array]:
+    """Quality-scoring counters per document (integer counts — exact,
+    shuffle-free, oracle-safe): char count, token count, sentence-punct
+    count, english-stopword count."""
+    return {
+        "n_chars_text": pc.cast(pc.utf8_length(texts), pa.int64()),
+        "n_tokens": token_count(texts),
+        "n_punct": pc.cast(pc.count_substring_regex(texts, PUNCT_RE), pa.int64()),
+        "n_stopwords": pc.cast(pc.count_substring_regex(texts, _stop_re("en")), pa.int64()),
+    }
+
+
+# ---------------------------------------------------------------------------
+# the SQL twins (DuckDB / ANSI) — generated from the same constants
+
+def sql_token_count(col: str = "text") -> str:
+    return f"length(regexp_extract_all({col}, '\\S+'))"
+
+
+def sql_term_count(col: str, term: str) -> str:
+    # literal, non-overlapping — matches pc.count_substring
+    return f"length(regexp_extract_all({col}, '{term}'))"
+
+
+def sql_collapse_ws(col: str = "text") -> str:
+    return f"trim(regexp_replace({col}, '[ \\t\\r\\n\\f\\v]+', ' ', 'g'), ' ')"
+
+
+def sql_lang_count(lang: str, col: str = "text") -> str:
+    pat = _stop_re(lang).replace("\\b", "\\b")
+    return f"length(regexp_extract_all({col}, '{pat}'))"
+
+
+def sql_lang_pred(col: str = "text") -> str:
+    """CASE chain replicating lang_pred's argmax + tie-break exactly."""
+    langs = list(LANG_STOPWORDS)
+    counts = {lg: sql_lang_count(lg, col) for lg in langs}
+    # lang i wins iff count_i > all earlier counts and >= all later counts
+    # (strictly-greater beats earlier entries == earlier entry wins ties)
+    cases = []
+    for i, lg in enumerate(langs):
+        conds = [f"{counts[lg]} > 0"]
+        for j, other in enumerate(langs):
+            if j == i:
+                continue
+            op = ">" if j < i else ">="
+            conds.append(f"{counts[lg]} {op} {counts[other]}")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lg}'")
+    return "CASE " + " ".join(cases) + " ELSE 'und' END"

@@ -1,0 +1,119 @@
+"""Relational demo pipelines over the driver's star schema.
+
+These exercise the engine's generic operator surface (SURVEY §2.5-§2.7:
+grouped aggregation with partials, broadcast dimension joins, sort/limit
+top-k, latest-per-key dedup) with DuckDB-oracle-matched column names.
+
+Scale stance: every groupby here is partial-aggregated per block first
+(:mod:`pypdfium2_ray.stages.agg`), dimension joins broadcast the small side
+(:mod:`pypdfium2_ray.stages.join`), and sorts are only taken on small/top-k
+results.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from pypdfium2_ray.stages.agg import grouped_aggregate
+from pypdfium2_ray.stages.join import broadcast_join
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir.rstrip('/')}/{table}.parquet", columns=columns)
+
+
+def _scale_cols(ds, cols: dict[str, int]):
+    """Replace float columns with scaled BIGINT (e.g. cents): hash-robust
+    across engines — double bit-patterns of 'the same' rounded decimal differ
+    by 1 ulp between pyarrow and DuckDB, scaled integers never do."""
+    def f(t: pa.Table) -> pa.Table:
+        for c, scale in cols.items():
+            i = t.schema.get_field_index(c)
+            scaled = pc.round(pc.multiply(pc.cast(t[c], pa.float64()),
+                                          float(scale)))
+            t = t.set_column(i, c, pc.cast(scaled, pa.int64()))
+        return t
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def lineitem_pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped pricing summary: per (returnflag, linestatus) sums and
+    means over lineitem. Partial per-block aggregation -> tiny final combine."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount"])
+    out = grouped_aggregate(
+        ds, ["l_returnflag", "l_linestatus"],
+        {"sum_qty": ("l_quantity", "sum"),
+         "sum_price_cents": ("l_extendedprice", "sum"),
+         "avg_disc_micro": ("l_discount", "mean"),
+         "n_rows": (None, "count")})
+    return _scale_cols(out, {"sum_qty": 1, "sum_price_cents": 100,
+                             "avg_disc_micro": 1_000_000})
+
+
+def orders_by_region(sf_dir: str):
+    """Orders rolled up to region name: broadcast the (pre-joined, tiny)
+    customer->region dimension, then partial-aggregate. The fact table is
+    never shuffled for the join."""
+    import pyarrow.parquet as pq
+    cust = pq.read_table(f"{sf_dir.rstrip('/')}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir.rstrip('/')}/nation.parquet",
+                           columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(f"{sf_dir.rstrip('/')}/region.parquet")
+    # driver-side pre-join of the dimension chain (tiny tables)
+    dim = cust.join(nation, keys=["c_nationkey"], right_keys=["n_nationkey"]) \
+              .join(region, keys=["n_regionkey"], right_keys=["r_regionkey"]) \
+              .select(["c_custkey", "r_name"])
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = broadcast_join(orders, dim, keys="o_custkey",
+                            right_keys="c_custkey")
+    out = grouped_aggregate(
+        joined, ["r_name"],
+        {"n_orders": (None, "count"),
+         "sum_price_cents": ("o_totalprice", "sum")})
+    return _scale_cols(out, {"sum_price_cents": 100})
+
+
+def top_orders(sf_dir: str, k: int = 10):
+    """Top-k orders by totalprice (deterministic tie-break on orderkey) —
+    the sort/limit surface (SURVEY §2.6)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
+    out = out.map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "o_totalprice_cents"]),
+        batch_format="pyarrow")
+    return _scale_cols(out, {"o_totalprice_cents": 100})
+
+
+def events_rollup(sf_dir: str):
+    """Per event_type counters — the run-metrics rollup shape
+    (SURVEY §2.5 A-new: counters by code/status)."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    out = grouped_aggregate(
+        ds, ["event_type"],
+        {"n_events": (None, "count"),
+         "sum_value_e4": ("value", "sum"),
+         "avg_value_micro": ("value", "mean"),
+         "max_value_e4": ("value", "max")})
+    return _scale_cols(out, {"sum_value_e4": 10_000,
+                             "avg_value_micro": 1_000_000,
+                             "max_value_e4": 10_000})
+
+
+def latest_event_per_user(sf_dir: str):
+    """Latest event per user (by ts, tie-break max event_id) — the
+    keep-latest-snapshot dedup of the flagship (stages/dedup.dedup_by_url)
+    on the driver's events table."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def keep_latest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], ascending=[False, False])
+        return g.head(1)[["user_id", "event_id", "ts"]]
+
+    return ds.groupby("user_id").map_groups(keep_latest, batch_format="pandas")

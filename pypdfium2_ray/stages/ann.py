@@ -1,0 +1,236 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+Two tiers (SURVEY-mandated training-data ops):
+
+- :func:`ann_topk` — brute-force cosine top-k: the query matrix is broadcast
+  (``ray.put`` once, fetched once per actor), each block does ONE numpy
+  matmul and emits only its per-query partial top-k, so the final combine
+  shuffles ``n_blocks x n_queries x k`` tiny rows, never the embeddings.
+- :func:`embedding_dup_pairs` — near-duplicate pairs by cosine >= tau against
+  a broadcast corpus matrix (exact; the small-side-broadcast scale path).
+- :func:`embedding_lsh_dup_pairs` — random-hyperplane LSH bucketing variant:
+  signature bands -> ``groupby(band)`` -> in-bucket exact verify. The
+  all-pairs work never materializes; only bucket-mates are compared. This is
+  the 100 TB path (the broadcast variant needs the corpus in worker heap).
+
+Embedding decode is zero-copy: the Arrow list array's flat values buffer is
+reshaped ``(n, d)`` without copying.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def stack_embeddings(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """(n, d) float64 view of a fixed-length ``list<float>`` column —
+    zero-copy reshape of the flat values buffer."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    n = len(arr)
+    d = len(flat) // n if n else 0
+    return flat.reshape(n, d).astype(np.float64)
+
+
+def _normalize(X: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return X / norms
+
+
+class _PartialTopK:
+    """Actor: per-block cosine partial top-k against broadcast queries."""
+
+    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str,
+                 exclude_self: bool):
+        import ray
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        self.qids = q[id_col].to_numpy()
+        self.Qn = _normalize(stack_embeddings(q[vec_col]))
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.exclude_self = exclude_self
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy()
+        Xn = _normalize(stack_embeddings(batch[self.vec_col]))
+        sims = Xn @ self.Qn.T                      # (n, nq)
+        if self.exclude_self:
+            mask = ids[:, None] == self.qids[None, :]
+            sims = np.where(mask, -np.inf, sims)
+        k = min(self.k, sims.shape[0])
+        out_q, out_id, out_sim = [], [], []
+        for j, qid in enumerate(self.qids):
+            col = sims[:, j]
+            if k < len(col):
+                cand = np.argpartition(-col, k - 1)[:k]
+            else:
+                cand = np.arange(len(col))
+            keep = cand[np.isfinite(col[cand])]
+            out_q.append(np.full(len(keep), qid, dtype=np.int64))
+            out_id.append(ids[keep].astype(np.int64))
+            out_sim.append(col[keep])
+        return pa.table({
+            "query_id": np.concatenate(out_q) if out_q else np.array([], np.int64),
+            "neighbor_id": np.concatenate(out_id) if out_id else np.array([], np.int64),
+            "sim": np.concatenate(out_sim) if out_sim else np.array([], np.float64),
+        })
+
+
+def ann_topk(ds, queries: pa.Table, k: int = 10, id_col: str = "vec_id",
+             vec_col: str = "embedding", exclude_self: bool = True,
+             round_digits: int | None = 4, scale: int | None = None,
+             concurrency=(1, 8), **mb_kwargs):
+    """Global cosine top-k per query row of *queries*.
+
+    Partial top-k per block (matmul), tiny final combine. Deterministic
+    tie-break: higher sim first, then lower neighbor_id. With ``scale``,
+    ``sim`` is replaced by ``sim_centi``-style scaled BIGINT (hash-robust
+    across engines; see relational._scale_cols rationale).
+    """
+    import ray
+    ref = ray.put(queries)
+    partials = ds.map_batches(
+        _PartialTopK,
+        fn_constructor_kwargs=dict(queries_ref=ref, k=k, id_col=id_col,
+                                   vec_col=vec_col, exclude_self=exclude_self),
+        batch_format="pyarrow", concurrency=concurrency, **mb_kwargs)
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        if scale is not None:
+            g = g.assign(sim_centi=(g["sim"] * scale).round().astype("int64"))
+            g = g.drop(columns=["sim"])
+        elif round_digits is not None:
+            g = g.assign(sim=g["sim"].round(round_digits))
+        return g
+
+    return partials.groupby("query_id").map_groups(finalize, batch_format="pandas")
+
+
+class _PairsVsBroadcast:
+    """Actor: block rows x broadcast corpus -> near-dup pairs (a < b)."""
+
+    def __init__(self, corpus_ref, tau: float, id_col: str, vec_col: str):
+        import ray
+        c = ray.get(corpus_ref) if isinstance(corpus_ref, ray.ObjectRef) else corpus_ref
+        self.cids = c[id_col].to_numpy().astype(np.int64)
+        self.Cn = _normalize(stack_embeddings(c[vec_col]))
+        self.tau = tau
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy().astype(np.int64)
+        Xn = _normalize(stack_embeddings(batch[self.vec_col]))
+        sims = Xn @ self.Cn.T
+        # keep only a < b so each unordered pair appears exactly once globally
+        ii, jj = np.nonzero((sims >= self.tau) & (ids[:, None] < self.cids[None, :]))
+        return pa.table({
+            "id_a": ids[ii], "id_b": self.cids[jj],
+            "sim": sims[ii, jj],
+        })
+
+
+def embedding_dup_pairs(ds, corpus: pa.Table, tau: float = 0.9,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        round_digits: int | None = 4, scale: int | None = None,
+                        concurrency=(1, 8), **mb_kwargs):
+    """Exact near-duplicate pairs (cosine >= tau), corpus broadcast once."""
+    import ray
+    import pyarrow.compute as pc
+    ref = ray.put(corpus)
+    pairs = ds.map_batches(
+        _PairsVsBroadcast,
+        fn_constructor_kwargs=dict(corpus_ref=ref, tau=tau, id_col=id_col,
+                                   vec_col=vec_col),
+        batch_format="pyarrow", concurrency=concurrency, **mb_kwargs)
+    if scale is not None:
+        def to_scaled(t: pa.Table) -> pa.Table:
+            centi = pc.cast(pc.round(pc.multiply(t["sim"], float(scale))),
+                            pa.int64())
+            return t.drop_columns(["sim"]).append_column("sim_centi", centi)
+        pairs = pairs.map_batches(to_scaled, batch_format="pyarrow")
+    elif round_digits is not None:
+        pairs = pairs.map_batches(
+            lambda t: t.set_column(t.schema.get_field_index("sim"), "sim",
+                                   pc.round(t["sim"], ndigits=round_digits)),
+            batch_format="pyarrow")
+    return pairs
+
+
+class _HyperplaneBands:
+    """Actor: random-hyperplane LSH band keys per row (signature bits are a
+    fixed seeded projection — identical across actors/batches)."""
+
+    def __init__(self, dim: int, n_bits: int = 32, bands: int = 4,
+                 seed: int = 7, id_col: str = "vec_id", vec_col: str = "embedding"):
+        rng = np.random.RandomState(seed)
+        self.H = rng.standard_normal((dim, n_bits))
+        self.bands = bands
+        self.rows = n_bits // bands
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy().astype(np.int64)
+        X = stack_embeddings(batch[self.vec_col])
+        bits = (X @ self.H) > 0                                # (n, n_bits)
+        out_band, out_key, out_id, out_vec = [], [], [], []
+        weights = (1 << np.arange(self.rows, dtype=np.int64))
+        emb = batch[self.vec_col].combine_chunks() if isinstance(batch[self.vec_col], pa.ChunkedArray) else batch[self.vec_col]
+        for b in range(self.bands):
+            chunk = bits[:, b * self.rows:(b + 1) * self.rows]
+            keys = chunk.astype(np.int64) @ weights
+            out_band.append(np.full(len(ids), b, dtype=np.int64))
+            out_key.append(keys)
+            out_id.append(ids)
+            out_vec.append(emb)
+        return pa.table({
+            "band": np.concatenate(out_band),
+            "band_key": np.concatenate(out_key),
+            "vec_id": np.concatenate(out_id),
+            "embedding": pa.concat_arrays([v.cast(emb.type) for v in out_vec]),
+        })
+
+
+def embedding_lsh_dup_pairs(ds, dim: int, tau: float = 0.9, n_bits: int = 32,
+                            bands: int = 4, seed: int = 7,
+                            id_col: str = "vec_id", vec_col: str = "embedding",
+                            round_digits: int | None = 4,
+                            concurrency=(1, 8), **mb_kwargs):
+    """Scale path: LSH-bucketed near-dup pairs. Only bucket-mates are
+    compared; recall < 1 by construction (that is the LSH trade) — band/bit
+    counts tune it. Pairs found in multiple buckets are deduped by a final
+    tiny groupby."""
+    band_rows = ds.map_batches(
+        _HyperplaneBands,
+        fn_constructor_kwargs=dict(dim=dim, n_bits=n_bits, bands=bands,
+                                   seed=seed, id_col=id_col, vec_col=vec_col),
+        batch_format="pyarrow", concurrency=concurrency, **mb_kwargs)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "sim": pd.Series([], dtype="float64")})
+        g = g.sort_values("vec_id")
+        X = _normalize(np.stack(g["embedding"].to_numpy()).astype(np.float64))
+        ids = g["vec_id"].to_numpy().astype(np.int64)
+        sims = X @ X.T
+        ii, jj = np.nonzero(np.triu(sims >= tau, k=1))
+        return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj], "sim": sims[ii, jj]})
+
+    pairs = band_rows.groupby(["band", "band_key"]).map_groups(
+        bucket_pairs, batch_format="pandas")
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.head(1)
+        if round_digits is not None:
+            out = out.assign(sim=out["sim"].round(round_digits))
+        return out
+
+    return pairs.groupby(["id_a", "id_b"]).map_groups(dedup, batch_format="pandas")

@@ -1,0 +1,141 @@
+"""Per-partition checkpointing with lineage + counters (north_rule).
+
+The reference has no resume story — a failed run reruns from scratch
+(SURVEY §4 "Checkpoint / resume"). At 10^12 rows that is unacceptable, so
+the engine processes input as named **shards** (one shard = one input
+fragment / file / key range), writes each shard's output under its own
+directory, and appends one JSON lineage record per finished shard to a
+manifest. Resume = anti-join of the manifest's done-set against the input
+shard list — finished partitions are skipped without reading a byte.
+
+Layout::
+
+    out_dir/
+      _MANIFEST.jsonl          # one record per completed shard (atomic append)
+      shard=<name>/*.parquet   # that shard's output (own directory)
+
+Manifest record: ``{shard, rows_in, rows_out, bytes_in, n_errors, wall_s,
+status}`` — the lineage counters of SURVEY §7.1 step 4.
+
+Counters come from parquet footer metadata of input and output (no extra
+data scan); ``n_errors`` counts ``status != 'ok'`` rows via a column-pruned
+scan of the just-written output only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+from typing import Callable
+
+_MANIFEST = "_MANIFEST.jsonl"
+
+
+@dataclass
+class CheckpointManifest:
+    out_dir: str
+
+    @property
+    def path(self) -> str:
+        return os.path.join(self.out_dir, _MANIFEST)
+
+    def done_shards(self) -> set[str]:
+        done = set()
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    rec = json.loads(line)
+                    if rec.get("status") == "done":
+                        done.add(rec["shard"])
+        return done
+
+    def append(self, record: dict) -> None:
+        os.makedirs(self.out_dir, exist_ok=True)
+        # single-writer append; atomic enough at line granularity (O_APPEND)
+        with open(self.path, "a") as f:
+            f.write(json.dumps(record, sort_keys=True) + "\n")
+
+    def records(self) -> list[dict]:
+        if not os.path.exists(self.path):
+            return []
+        with open(self.path) as f:
+            return [json.loads(ln) for ln in f if ln.strip()]
+
+
+def shard_inputs(input_dir: str, pattern: str = ".parquet") -> list[tuple[str, str]]:
+    """(shard_name, path) per input fragment, deterministic order."""
+    out = []
+    for name in sorted(os.listdir(input_dir)):
+        if name.endswith(pattern):
+            out.append((os.path.splitext(name)[0], os.path.join(input_dir, name)))
+    return out
+
+
+def _parquet_meta(path_or_dir: str) -> tuple[int, int]:
+    """(rows, byte_size) from parquet footers only — no data scan."""
+    import pyarrow.parquet as pq
+    paths = []
+    if os.path.isdir(path_or_dir):
+        for root, _dirs, files in os.walk(path_or_dir):
+            paths += [os.path.join(root, f) for f in files if f.endswith(".parquet")]
+    else:
+        paths = [path_or_dir]
+    rows = 0
+    size = 0
+    for p in paths:
+        rows += pq.ParquetFile(p).metadata.num_rows
+        size += os.path.getsize(p)
+    return rows, size
+
+
+def _count_errors(out_shard_dir: str, status_col: str = "status") -> int:
+    """status != 'ok' count via a column-pruned scan of one shard's output."""
+    import pyarrow.dataset as pads
+    import pyarrow.compute as pc
+    try:
+        dset = pads.dataset(out_shard_dir, format="parquet")
+        if status_col not in dset.schema.names:
+            return 0
+        n_ok = dset.count_rows(filter=pc.field(status_col) == "ok")
+        return dset.count_rows() - n_ok
+    except (OSError, ValueError, FileNotFoundError):
+        return 0
+
+
+def run_checkpointed(input_shards: list[tuple[str, str]],
+                     pipeline_fn: Callable[[str], "object"],
+                     out_dir: str, status_col: str = "status") -> dict:
+    """Run ``pipeline_fn(input_path) -> Dataset`` per shard, resumably.
+
+    Shards already marked done in the manifest are skipped. Each shard's
+    Dataset streams straight to ``out_dir/shard=<name>/`` via
+    ``write_parquet`` (never materialized on the driver). Returns a summary
+    with per-run totals.
+    """
+    manifest = CheckpointManifest(out_dir)
+    done = manifest.done_shards()
+    ran, skipped = [], []
+    for shard, path in input_shards:
+        if shard in done:
+            skipped.append(shard)
+            continue
+        t0 = time.perf_counter()
+        ds = pipeline_fn(path)
+        shard_dir = os.path.join(out_dir, f"shard={shard}")
+        ds.write_parquet(shard_dir)
+        wall = time.perf_counter() - t0
+        rows_in, bytes_in = _parquet_meta(path)
+        rows_out, _ = _parquet_meta(shard_dir)
+        manifest.append(dict(
+            shard=shard, status="done",
+            rows_in=rows_in, rows_out=rows_out, bytes_in=bytes_in,
+            n_errors=_count_errors(shard_dir, status_col),
+            wall_s=round(wall, 3)))
+        ran.append(shard)
+    return dict(ran=ran, skipped=skipped,
+                total_done=len(manifest.done_shards()))

@@ -1,0 +1,66 @@
+"""Partial-aggregation groupby and broadcast join vs in-memory oracles."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def facts():
+    rng = np.random.RandomState(11)
+    n = 5000
+    return pa.table({
+        "k1": rng.choice(["a", "b", "c"], n).tolist(),
+        "k2": rng.choice(["x", "y"], n).tolist(),
+        "v": rng.uniform(0, 100, n),
+        "fk": rng.randint(0, 20, n).astype(np.int64),
+    })
+
+
+def test_grouped_aggregate_matches_pandas(ray_session, facts):
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import grouped_aggregate
+    ds = rd.from_arrow(facts).repartition(8)
+    got = grouped_aggregate(ds, ["k1", "k2"], {
+        "sum_v": ("v", "sum"),
+        "n": (None, "count"),
+        "avg_v": ("v", "mean"),
+        "min_v": ("v", "min"),
+        "max_v": ("v", "max"),
+    }).to_pandas().sort_values(["k1", "k2"]).reset_index(drop=True)
+
+    pdf = facts.to_pandas()
+    exp = pdf.groupby(["k1", "k2"], as_index=False).agg(
+        sum_v=("v", "sum"), n=("v", "size"), avg_v=("v", "mean"),
+        min_v=("v", "min"), max_v=("v", "max"),
+    ).sort_values(["k1", "k2"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["k1", "k2", "sum_v", "n", "avg_v", "min_v", "max_v"]].astype(
+            {"n": "int64"}),
+        exp, check_dtype=False, rtol=1e-12)
+
+
+def test_grouped_aggregate_single_key_count_only(ray_session, facts):
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import grouped_aggregate
+    ds = rd.from_arrow(facts)
+    got = grouped_aggregate(ds, ["k1"], {"n": (None, "count")}).to_pandas()
+    exp = facts.to_pandas().groupby("k1").size()
+    assert dict(zip(got["k1"], got["n"])) == exp.to_dict()
+
+
+def test_broadcast_join(ray_session, facts):
+    import ray.data as rd
+    from pypdfium2_ray.stages.join import broadcast_join
+    dim = pa.table({
+        "id": pa.array(np.arange(10, dtype=np.int64)),   # only half the fks
+        "name": [f"dim{i}" for i in range(10)],
+    })
+    ds = rd.from_arrow(facts).repartition(4)
+    got = broadcast_join(ds, dim, keys="fk", right_keys="id").to_pandas()
+    exp = facts.to_pandas().merge(
+        dim.to_pandas(), left_on="fk", right_on="id")
+    assert len(got) == len(exp)                           # inner join drops
+    assert set(got["name"]) == set(exp["name"])
+    assert (got["fk"] < 10).all()

@@ -1,0 +1,87 @@
+"""Similarity-search stages: brute-force top-k (exact, vs numpy oracle) and
+LSH near-dup pairs (recall vs the exact pair set on clustered data)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _make_embeddings(n=80, d=16, seed=3):
+    rng = np.random.RandomState(seed)
+    # three tight clusters + noise -> guaranteed near-dup structure
+    centers = rng.standard_normal((3, d)) * 3
+    X = np.concatenate([
+        centers[i % 3] + 0.05 * rng.standard_normal(d) for i in range(n)
+    ]).reshape(n, d)
+    return pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([row.astype(np.float32).tolist() for row in X],
+                              pa.list_(pa.float32())),
+    })
+
+
+@pytest.fixture(scope="module")
+def emb():
+    return _make_embeddings()
+
+
+def _np_topk(emb, qids, k):
+    X = np.array([list(v) for v in emb["embedding"].to_pylist()], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    out = {}
+    for q in qids:
+        sims = Xn @ Xn[q]
+        order = sorted(range(len(sims)), key=lambda i: (-sims[i], i))
+        out[q] = [i for i in order if i != q][:k]
+    return out
+
+
+def test_ann_topk_matches_numpy(ray_session, emb):
+    import ray.data as rd
+    import pyarrow.compute as pc
+    from pypdfium2_ray.stages.ann import ann_topk
+    qids = (0, 1, 2)
+    queries = emb.filter(pc.is_in(emb["vec_id"], value_set=pa.array(qids)))
+    ds = rd.from_arrow(emb).repartition(4)
+    got = ann_topk(ds, queries, k=5, round_digits=None).to_pandas()
+    expected = _np_topk(emb, qids, 5)
+    for q in qids:
+        g = got[got["query_id"] == q].sort_values(["sim", "neighbor_id"],
+                                                  ascending=[False, True])
+        assert list(g["neighbor_id"]) == expected[q]
+
+
+def test_embedding_dup_pairs_exact(ray_session, emb):
+    import ray.data as rd
+    from pypdfium2_ray.stages.ann import embedding_dup_pairs, stack_embeddings, _normalize
+    ds = rd.from_arrow(emb).repartition(3)
+    got = embedding_dup_pairs(ds, emb, tau=0.999, round_digits=None).to_pandas()
+    # oracle
+    Xn = _normalize(stack_embeddings(emb["embedding"]))
+    sims = Xn @ Xn.T
+    ii, jj = np.nonzero(np.triu(sims >= 0.999, k=1))
+    expected = set(zip(ii.tolist(), jj.tolist()))
+    assert set(zip(got["id_a"], got["id_b"])) == expected
+    assert len(expected) > 0            # clusters guarantee pairs exist
+
+
+def test_embedding_lsh_recall(ray_session, emb):
+    import ray.data as rd
+    from pypdfium2_ray.stages.ann import (
+        embedding_lsh_dup_pairs, embedding_dup_pairs)
+    ds = rd.from_arrow(emb).repartition(3)
+    exact = embedding_dup_pairs(ds, emb, tau=0.999, round_digits=None).to_pandas()
+    lsh = embedding_lsh_dup_pairs(ds, dim=16, tau=0.999, n_bits=16, bands=8,
+                                  round_digits=None).to_pandas()
+    exact_pairs = set(zip(exact["id_a"], exact["id_b"]))
+    lsh_pairs = set(zip(lsh["id_a"], lsh["id_b"]))
+    assert lsh_pairs <= exact_pairs                       # no false positives
+    # near-identical vectors share nearly all hyperplane signs: high recall
+    assert len(lsh_pairs) >= 0.9 * len(exact_pairs)
+
+
+def test_stack_embeddings_shape(emb):
+    from pypdfium2_ray.stages.ann import stack_embeddings
+    X = stack_embeddings(emb["embedding"])
+    assert X.shape == (80, 16)
+    assert X.dtype == np.float64

@@ -1,0 +1,73 @@
+"""Corpus-level dedup stages: exact (url), MinHash+LSH, SimHash — with
+planted near-duplicates so candidate generation + verification are checked
+end-to-end through the Ray pipelines."""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+BASE = ("the quick brown fox jumps over the lazy dog and then runs far away "
+        "into the deep dark forest where nobody ever goes at night " * 3)
+NEAR = BASE.replace("lazy dog", "lazy cat")           # high-jaccard near-dup
+FAR = ("completely different content about ray data pipelines and arrow "
+       "batches flowing through actor pools with backpressure " * 3)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": [BASE, NEAR, FAR, BASE, "tiny"],
+    })
+
+
+def test_minhash_dup_pairs(ray_session, corpus):
+    import ray.data as rd
+    from pypdfium2_ray.stages.dedup import minhash_dup_pairs
+    ds = rd.from_arrow(corpus)
+    out = minhash_dup_pairs(ds, corpus, threshold=0.6).to_pandas()
+    pairs = {(a, b): j for a, b, j in
+             zip(out["id_a"], out["id_b"], out["jaccard_sim"])}
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0        # exact dup
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.6        # near dup
+    assert (2, 4) in pairs
+    assert all(a < b for (a, b) in pairs)                  # canonical order
+    assert not any(3 in p or 5 in p for p in pairs)        # no false pairs
+
+
+def test_minhash_determinism_across_batch_sizes(ray_session, corpus):
+    import ray.data as rd
+    from pypdfium2_ray.stages.dedup import minhash_dup_pairs
+
+    def run(parallelism):
+        ds = rd.from_arrow(corpus).repartition(parallelism)
+        df = minhash_dup_pairs(ds, corpus, threshold=0.6).to_pandas()
+        return sorted(map(tuple, df[["id_a", "id_b"]].to_numpy()))
+
+    assert run(1) == run(4)
+
+
+def test_simhash_dup_pairs(ray_session, corpus):
+    import ray.data as rd
+    from pypdfium2_ray.stages.dedup import simhash_dup_pairs
+    ds = rd.from_arrow(corpus)
+    out = simhash_dup_pairs(ds, max_dist=6).to_pandas()
+    pairs = {(a, b): h for a, b, h in
+             zip(out["id_a"], out["id_b"], out["hamming"])}
+    assert (1, 4) in pairs and pairs[(1, 4)] == 0          # identical text
+    assert not any((3 in p and 1 in p) for p in pairs)     # FAR not near BASE
+
+
+def test_dedup_by_url_keeps_latest(ray_session):
+    import ray.data as rd
+    from pypdfium2_ray.stages.dedup import dedup_by_url
+    t = pa.table({
+        "url": ["a", "a", "b"],
+        "warc_ts": pa.array([1000, 2000, 500], pa.timestamp("us")),
+        "payload": ["old", "new", "only"],
+    })
+    out = dedup_by_url(rd.from_arrow(t), keep="latest").to_pandas()
+    got = dict(zip(out["url"], out["payload"]))
+    assert got == {"a": "new", "b": "only"}
+    out2 = dedup_by_url(rd.from_arrow(t), keep="earliest").to_pandas()
+    assert dict(zip(out2["url"], out2["payload"])) == {"a": "old", "b": "only"}

