@@ -1,0 +1,150 @@
+"""Bitmap + page rasterization (render tier, SURVEY §2.2 M21-M23).
+
+The reference's ``PdfBitmap`` is a row-major byte buffer with
+``width/height/stride/format/rev_byteorder`` and zero-copy numpy views
+(``bitmap.py:49-67, 221-247``); ``page.render`` rasterizes via PDFium
+(``page.py:354-494``). Here the "renderer" is a deterministic rasterization
+of the docmodel's monospace layout grid: each non-whitespace char inks its
+tight charbox with a codepoint-derived gray level, so output pixels are a
+pure function of (page, scale, rotation, crop) — bit-reproducible across
+machines and actor counts, and cheap enough for corpus-scale runs.
+
+``PdfPosConv`` (bitmap.py:354-395) becomes :class:`PosConv`: page<->bitmap
+coordinate mapping under the same render args.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+from pypdfium2_ray.docmodel.model import Page
+
+#: supported pixel formats -> channel count (consts.py:31-66 analogue)
+FORMATS = {"GRAY": 1, "BGR": 3, "BGRA": 4}
+
+
+@dataclass
+class Bitmap:
+    """Row-major pixel buffer; ``data`` is a numpy array of shape
+    (height, stride_px, channels) viewed zero-copy (bitmap.py:221-247)."""
+    width: int
+    height: int
+    format: str
+    data: np.ndarray          # uint8 (h, w, c)
+
+    @property
+    def stride(self) -> int:
+        return self.width * FORMATS[self.format]
+
+    def to_numpy(self) -> np.ndarray:
+        """Zero-copy view (bitmap.py:221-247)."""
+        return self.data
+
+    def to_bytes(self) -> bytes:
+        return self.data.tobytes()
+
+    def fill_rect(self, left: int, top: int, width: int, height: int,
+                  value: int | tuple) -> None:
+        """bitmap.py:151-167 ``fill_rect`` (top-left origin, like PDFium)."""
+        self.data[top:top + height, left:left + width] = value
+
+
+class PosConv:
+    """Page <-> bitmap coordinate translation for given render args
+    (``PdfPosConv``, bitmap.py:354-395). Page origin bottom-left, bitmap
+    origin top-left; rotation in {0, 90, 180, 270} (counter-clockwise page
+    rotation, page.py:78-92 convention)."""
+
+    def __init__(self, page_width: float, page_height: float, scale: float,
+                 rotation: int = 0, crop: tuple = (0, 0, 0, 0)):
+        assert rotation in (0, 90, 180, 270)
+        self.pw, self.ph = page_width, page_height
+        self.scale, self.rotation = scale, rotation
+        self.crop = crop   # (left, bottom, right, top) in page units
+
+    @property
+    def size(self) -> tuple[int, int]:
+        cl, cb, cr, ct = self.crop
+        w = (self.pw - cl - cr) * self.scale
+        h = (self.ph - cb - ct) * self.scale
+        if self.rotation in (90, 270):
+            w, h = h, w
+        return max(1, math.ceil(w)), max(1, math.ceil(h))
+
+    @property
+    def _unrotated_size(self) -> tuple[float, float]:
+        cl, cb, cr, ct = self.crop
+        return (self.pw - cl - cr) * self.scale, (self.ph - cb - ct) * self.scale
+
+    def to_bitmap(self, x: float, y: float) -> tuple[float, float]:
+        """Page point -> bitmap (px, py), float pixels (top-left origin).
+        Rotation follows ``np.rot90(img, rotation//90)``: 90 = ccw."""
+        cl, cb, cr, ct = self.crop
+        u = (x - cl) * self.scale
+        v = (self.ph - ct - y) * self.scale      # flip to top-left origin
+        w0, h0 = self._unrotated_size
+        if self.rotation == 0:
+            return u, v
+        if self.rotation == 90:
+            return v, w0 - u
+        if self.rotation == 180:
+            return w0 - u, h0 - v
+        return h0 - v, u                          # 270
+
+    def to_page(self, px: float, py: float) -> tuple[float, float]:
+        """Bitmap pixel -> page point (inverse of :meth:`to_bitmap`)."""
+        cl, cb, cr, ct = self.crop
+        w0, h0 = self._unrotated_size
+        if self.rotation == 0:
+            u, v = px, py
+        elif self.rotation == 90:
+            u, v = w0 - py, px
+        elif self.rotation == 180:
+            u, v = w0 - px, h0 - py
+        else:
+            u, v = py, h0 - px
+        x = u / self.scale + cl
+        y = self.ph - ct - v / self.scale
+        return x, y
+
+
+def _ink_value(cp: int) -> int:
+    """Deterministic gray level for a codepoint (0 = black ink on white)."""
+    return (cp * 37) % 192
+
+
+def render_page(page: Page, scale: float = 1.0, rotation: int = 0,
+                crop: tuple = (0, 0, 0, 0), grayscale: bool = True,
+                fill_color: int = 255) -> Bitmap:
+    """Rasterize one page (page.render analogue, page.py:354-494).
+
+    Each non-space char fills its tight charbox with its codepoint-derived
+    gray value; rotation rotates the finished raster (0/90/180/270)."""
+    assert rotation in (0, 90, 180, 270)
+    conv = PosConv(page.width, page.height, scale, 0, crop)
+    w, h = conv.size
+    img = np.full((h, w), fill_color, dtype=np.uint8)
+
+    tp = page.get_textpage()
+    for idx in range(tp.count_chars()):
+        ch = tp.text[idx]
+        if ch in ("\r", "\n", " "):
+            continue
+        l, b, r, t = tp.get_charbox(idx)
+        x0, y0 = conv.to_bitmap(l, t)
+        x1, y1 = conv.to_bitmap(r, b)
+        xi0, yi0 = max(0, int(x0)), max(0, int(y0))
+        xi1, yi1 = min(w, math.ceil(x1)), min(h, math.ceil(y1))
+        if xi1 > xi0 and yi1 > yi0:
+            img[yi0:yi1, xi0:xi1] = _ink_value(ord(ch))
+
+    k = {0: 0, 90: 1, 180: 2, 270: 3}[rotation]
+    if k:
+        img = np.ascontiguousarray(np.rot90(img, k))
+    if grayscale:
+        return Bitmap(img.shape[1], img.shape[0], "GRAY", img[..., None])
+    bgr = np.repeat(img[..., None], 3, axis=2)
+    return Bitmap(bgr.shape[1], bgr.shape[0], "BGR", bgr)

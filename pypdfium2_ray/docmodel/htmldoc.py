@@ -117,6 +117,7 @@ _META_NAME_TO_KEY = {
 }
 
 _WS_RE = re.compile(r"[ \t\r\n\f\v]+")
+_WS_SET = frozenset(" \t\r\n\f\v")
 
 
 # ---------------------------------------------------------------------------
@@ -222,12 +223,43 @@ class _HtmlToDoc(HTMLParser):
 
     def _flush_line(self, heading: int | None = None):
         """Collapse whitespace across the pending fragments into one line;
-        derive per-style spans from the collapsed char/style arrays."""
+        derive per-style spans from the collapsed char/style arrays.
+
+        Fast path: when every fragment shares one style (the overwhelmingly
+        common case), collapse with one ``_WS_RE.split`` per line (the SAME
+        whitespace class as the slow path — str.split() would differ on
+        Unicode whitespace like NBSP) and emit a single span. The per-char
+        loop only runs for genuinely mixed-style lines (profiled: it was
+        ~90% of total parse time before this split)."""
         if not self._frags and not self._pending_objects:
             return
+        frags = self._frags
+        objects = self._pending_objects
+        self._frags = []
+        self._pending_objects = []
+
+        single = True
+        st0 = frags[0][1] if frags else None
+        for _t, st in frags:
+            if st is not st0 and st != st0:
+                single = False
+                break
+        if single:
+            raw = "".join(t for t, _s in frags)
+            text = " ".join(p for p in _WS_RE.split(raw) if p)
+            if not text and not objects:
+                return
+            spans = [(0, len(text), st0)] if text else []
+            self.items.append(_LineItem(
+                kind="line", text=text, spans=spans,
+                in_main=(self._main_depth > 0 or self._article_depth > 0),
+                heading_level=heading, dom_level=len(self._tag_stack),
+                objects=objects))
+            return
+
         chars: list[str] = []
         styles: list[_Style] = []
-        for txt, st in self._frags:
+        for txt, st in frags:
             for ch in txt:
                 chars.append(ch)
                 styles.append(st)
@@ -236,7 +268,7 @@ class _HtmlToDoc(HTMLParser):
         out_s: list[_Style] = []
         in_ws = True  # leading ws dropped
         for ch, st in zip(chars, styles):
-            if _WS_RE.match(ch):
+            if ch in _WS_SET:
                 if not in_ws:
                     out_c.append(" ")
                     out_s.append(st)
@@ -248,16 +280,13 @@ class _HtmlToDoc(HTMLParser):
         while out_c and out_c[-1] == " ":
             out_c.pop(); out_s.pop()
         text = "".join(out_c)
-        objects = self._pending_objects
-        self._frags = []
-        self._pending_objects = []
         if not text and not objects:
             return
         spans: list[tuple[int, int, _Style]] = []
         i = 0
         while i < len(out_s):
             j = i
-            while j < len(out_s) and out_s[j] == out_s[i]:
+            while j < len(out_s) and (out_s[j] is out_s[i] or out_s[j] == out_s[i]):
                 j += 1
             spans.append((i, j, out_s[i]))
             i = j

@@ -36,27 +36,57 @@ def extract_pipeline(ds=None, path: str | list[str] | None = None,
                      extract_opts: dict[str, Any] | None = None,
                      light_kwargs: dict[str, Any] | None = None,
                      heavy_kwargs: dict[str, Any] | None = None,
-                     output_path: str | None = None):
+                     output_path: str | None = None,
+                     mode: str = "tasks"):
     """Build (and optionally write) the flagship extraction Dataset.
 
     Returns the Dataset; if ``output_path`` is given, writes partitioned
     Parquet there (a directory of part files — resumable layout) and returns
-    None.
+    None. ``mode``: "tasks" (warm per-worker extractor, default) or
+    "actors" (explicit pools) — see :func:`split_extract`.
+
+    ``skew_split``:
+
+    - ``"blocks"`` — single stage, ``batch_size=None``: Ray Data's
+      byte-bounded dynamic block splitting means an oversized html blob
+      lands in its own small-row-count block -> its own task, so stragglers
+      are isolated WITHOUT scanning the input twice. Preferred; tune
+      ``DataContext.target_max_block_size`` for html-heavy inputs.
+    - ``True`` — explicit two-pool split on ``html_len`` (the upstream scan
+      runs once per branch; use when heavy docs also need different
+      resources, e.g. ``num_cpus=2``).
+    - ``False`` — single stage with a fixed ``batch_size``.
     """
     if ds is None:
         assert path is not None, "need ds or path"
         ds = read_cc_pages(path)
     if dedup:
         ds = dedup_by_url(ds, keep=keep)
-    if skew_split:
+    if skew_split == "blocks":
+        from pypdfium2_ray.stages.extract import make_extract_fn
+        kwargs = dict(light_kwargs or {})
+        kwargs.pop("concurrency", None)
+        kwargs.pop("batch_size", None)
+        out = ds.map_batches(add_html_len, batch_format="pyarrow").map_batches(
+            make_extract_fn(**(extract_opts or {})),
+            batch_format="pyarrow", batch_size=None, **kwargs)
+    elif skew_split:
         out = split_extract(ds, heavy_threshold=heavy_threshold,
                             light_kwargs=light_kwargs, heavy_kwargs=heavy_kwargs,
-                            extract_opts=extract_opts)
+                            extract_opts=extract_opts, mode=mode)
     else:
-        kwargs = dict(batch_size=256, concurrency=(1, 8)) | (light_kwargs or {})
-        out = ds.map_batches(add_html_len, batch_format="pyarrow").map_batches(
-            ExtractText, fn_constructor_kwargs=extract_opts or {},
-            batch_format="pyarrow", **kwargs)
+        from pypdfium2_ray.stages.extract import make_extract_fn
+        if mode == "tasks":
+            kwargs = dict(batch_size=256) | (light_kwargs or {})
+            kwargs.pop("concurrency", None)
+            out = ds.map_batches(add_html_len, batch_format="pyarrow").map_batches(
+                make_extract_fn(**(extract_opts or {})),
+                batch_format="pyarrow", **kwargs)
+        else:
+            kwargs = dict(batch_size=256, concurrency=(1, 8)) | (light_kwargs or {})
+            out = ds.map_batches(add_html_len, batch_format="pyarrow").map_batches(
+                ExtractText, fn_constructor_kwargs=extract_opts or {},
+                batch_format="pyarrow", **kwargs)
     if output_path is not None:
         out.write_parquet(output_path)
         return None

@@ -119,6 +119,19 @@ def _metadata_doc() -> bytes:
                 head_extra=head_extra)
 
 
+def _images_doc() -> bytes:
+    """Image-object fixture (mirrors tests/resources/images.pdf and the
+    extract-images CLI trace, cli/extract_images.py:55-89)."""
+    body = ('<p>Intro line</p>'
+            '<img src="a.jpg" width="100" height="50" alt="first">'
+            '<p>Between images</p>'
+            '<img src="b.png" width="20" height="30" alt="second">'
+            '<pb></pb>'
+            '<p>Second page</p>'
+            '<img src="c.gif" width="8" height="8" alt="third">')
+    return _doc(body, title="Images")
+
+
 def _boilerplate_doc() -> bytes:
     """Main-content restriction test: nav/header/footer stripped, only
     <main> kept."""
@@ -154,6 +167,7 @@ def fixture_rows() -> list[dict]:
     add("/toc-maxdepth", _toc_maxdepth_doc())
     add("/metadata", _metadata_doc())
     add("/boilerplate", _boilerplate_doc())
+    add("/images", _images_doc())
     add("/malformed", b"\x00\xff\xfe garbage not utf8 \x80\x81")
     # skew-path row: big payload (>= heavy threshold used in tests)
     add("/huge", _doc(_page(LOREM_LINES * 200)))

@@ -1,0 +1,81 @@
+"""Render stage — the Ray Data shape of ``pypdfium2 render``
+(cli/render.py:401-524, SURVEY §3.2: the reference's only parallel
+pipeline).
+
+The reference's mp pool re-opens the doc per worker and saves one image
+file per page; here each task parses the doc, rasterizes every page
+(:func:`pypdfium2_ray.docmodel.bitmap.render_page` — deterministic grid
+raster), encodes PNG (stdlib engine, ``functions/png.py``) and emits one
+ROW per page: ``(url, page_idx, width, height, format, data)``. Parquet
+rows instead of a million small files; per-row failures are status rows.
+
+Rendering is CPU-heavy with large binary outputs: keep ``batch_size``
+small (bitmaps are ~w*h bytes each — SURVEY §4 memory row).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from pypdfium2_ray.docmodel.bitmap import render_page
+from pypdfium2_ray.docmodel.htmldoc import parse_document
+from pypdfium2_ray.docmodel.layout import DEFAULT_LAYOUT, LayoutParams
+from pypdfium2_ray.functions.png import encode_png
+
+RENDERED_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("page_idx", pa.int32()),
+    ("status", pa.string()),
+    ("width", pa.int32()),
+    ("height", pa.int32()),
+    ("format", pa.string()),     # "png" | "raw-gray"
+    ("data", pa.binary()),
+])
+
+
+class RenderPages:
+    """Batch fn/actor: cc_pages rows -> one rendered row per page."""
+
+    def __init__(self, scale: float = 1.0, rotation: int = 0,
+                 encoder: str = "png", password: str | None = None,
+                 layout: LayoutParams = DEFAULT_LAYOUT):
+        self.scale = scale
+        self.rotation = rotation
+        self.encoder = encoder
+        self.password = password
+        self.layout = layout
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for url, html in zip(batch["url"].to_pylist(),
+                             batch["html"].to_pylist()):
+            doc = parse_document(html, password=self.password,
+                                 layout=self.layout)
+            if not doc.ok:
+                rows.append(dict(url=url, page_idx=-1, status=doc.status,
+                                 width=0, height=0, format="", data=b""))
+                continue
+            for page in doc.pages:
+                bmp = render_page(page, scale=self.scale,
+                                  rotation=self.rotation)
+                if self.encoder == "png":
+                    data, fmt = encode_png(bmp.to_numpy()), "png"
+                else:
+                    data, fmt = bmp.to_bytes(), "raw-gray"
+                rows.append(dict(url=url, page_idx=page.index, status="ok",
+                                 width=bmp.width, height=bmp.height,
+                                 format=fmt, data=data))
+        return pa.Table.from_pylist(rows, schema=RENDERED_SCHEMA)
+
+
+def render_pipeline(ds, scale: float = 1.0, rotation: int = 0,
+                    encoder: str = "png", batch_size: int = 16,
+                    concurrency=(1, 8), **mb_kwargs):
+    """cc_pages Dataset -> rendered page rows (actor pool: render carries
+    real per-call state cost, and small batches bound bitmap memory)."""
+    return ds.map_batches(
+        RenderPages,
+        fn_constructor_kwargs=dict(scale=scale, rotation=rotation,
+                                   encoder=encoder),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, **mb_kwargs)

@@ -36,13 +36,31 @@ DEFAULT_HEAVY_THRESHOLD = 256 * 1024
 def split_extract(ds, heavy_threshold: int = DEFAULT_HEAVY_THRESHOLD,
                   light_kwargs: dict[str, Any] | None = None,
                   heavy_kwargs: dict[str, Any] | None = None,
-                  extract_opts: dict[str, Any] | None = None):
-    """Route rows by ``html_len`` to a light and a heavy ExtractText pool and
-    union the results. ``*_kwargs`` go to ``map_batches`` (concurrency,
-    batch_size, num_cpus); ``extract_opts`` to the ExtractText constructor."""
-    light_kwargs = dict(batch_size=256, concurrency=(1, 8)) | (light_kwargs or {})
-    heavy_kwargs = dict(batch_size=4, concurrency=(1, 2)) | (heavy_kwargs or {})
+                  extract_opts: dict[str, Any] | None = None,
+                  mode: str = "tasks"):
+    """Route rows by ``html_len`` to a light and a heavy extract stage and
+    union the results. ``*_kwargs`` go to ``map_batches`` (batch_size,
+    num_cpus, concurrency); ``extract_opts`` to the ExtractText constructor.
+
+    ``mode="tasks"`` (default): stateless tasks with a per-worker-process
+    warm extractor (elastic scheduling, no pool ramp — benchmarked ~2x an
+    autoscaling actor pool here). ``mode="actors"``: explicit actor pools,
+    for when the stage holds heavyweight state.
+    """
+    from pypdfium2_ray.stages.extract import make_extract_fn
     extract_opts = extract_opts or {}
+    if mode == "tasks":
+        light_kwargs = dict(batch_size=256) | (light_kwargs or {})
+        heavy_kwargs = dict(batch_size=4, num_cpus=2) | (heavy_kwargs or {})
+        light_kwargs.pop("concurrency", None)
+        heavy_kwargs.pop("concurrency", None)
+        light_cls = heavy_cls = make_extract_fn(**extract_opts)
+        ctor = {}
+    else:
+        light_kwargs = dict(batch_size=256, concurrency=(1, 8)) | (light_kwargs or {})
+        heavy_kwargs = dict(batch_size=4, concurrency=(1, 2)) | (heavy_kwargs or {})
+        light_cls = heavy_cls = ExtractText
+        ctor = dict(fn_constructor_kwargs=extract_opts)
 
     ds = ds.map_batches(add_html_len, batch_format="pyarrow")
     light = ds.map_batches(
@@ -52,8 +70,8 @@ def split_extract(ds, heavy_threshold: int = DEFAULT_HEAVY_THRESHOLD,
         lambda t: t.filter(pc.greater_equal(t["html_len"], heavy_threshold)),
         batch_format="pyarrow")
 
-    light_out = light.map_batches(ExtractText, fn_constructor_kwargs=extract_opts,
-                                  batch_format="pyarrow", **light_kwargs)
-    heavy_out = heavy.map_batches(ExtractText, fn_constructor_kwargs=extract_opts,
-                                  batch_format="pyarrow", **heavy_kwargs)
+    light_out = light.map_batches(light_cls, batch_format="pyarrow",
+                                  **ctor, **light_kwargs)
+    heavy_out = heavy.map_batches(heavy_cls, batch_format="pyarrow",
+                                  **ctor, **heavy_kwargs)
     return light_out.union(heavy_out)

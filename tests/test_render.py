@@ -1,0 +1,103 @@
+"""Render tier: deterministic grid raster, PosConv round-trips, PNG
+encoder, and the render pipeline (cli/render.py:401-524 analogue)."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from pypdfium2_ray.docmodel.bitmap import Bitmap, PosConv, render_page
+from pypdfium2_ray.docmodel.htmldoc import parse_document
+from pypdfium2_ray.functions.png import encode_png
+
+HTML = b"<html><body><p>Hello</p><p>World wide</p></body></html>"
+
+
+@pytest.fixture(scope="module")
+def page():
+    return parse_document(HTML)[0]
+
+
+def test_render_size_and_determinism(page):
+    bmp = render_page(page, scale=0.5)
+    assert (bmp.width, bmp.height) == (298, 421)     # ceil(595*0.5), ceil(842*0.5)
+    assert bmp.format == "GRAY" and bmp.stride == bmp.width
+    again = render_page(page, scale=0.5)
+    assert np.array_equal(bmp.to_numpy(), again.to_numpy())
+    # ink exists, and only near the two text lines
+    img = bmp.to_numpy()[..., 0]
+    ink_rows = np.nonzero((img != 255).any(axis=1))[0]
+    assert len(ink_rows) > 0
+    # line 0 top = 782 -> bitmap y = (842-782)*0.5 = 30
+    assert 28 <= ink_rows.min() <= 34
+    assert ink_rows.max() <= 50                       # both lines near top
+
+
+def test_render_rotation(page):
+    b0 = render_page(page, scale=0.25)
+    b90 = render_page(page, scale=0.25, rotation=90)
+    assert (b90.width, b90.height) == (b0.height, b0.width)
+    assert np.array_equal(b90.to_numpy()[..., 0],
+                          np.rot90(b0.to_numpy()[..., 0]))
+
+
+def test_posconv_roundtrip():
+    for rot in (0, 90, 180, 270):
+        conv = PosConv(595, 842, 2.0, rot, crop=(10, 5, 20, 15))
+        for (x, y) in [(100, 200), (57.6, 782), (0, 0)]:
+            px, py = conv.to_bitmap(x, y)
+            x2, y2 = conv.to_page(px, py)
+            assert abs(x2 - x) < 1e-9 and abs(y2 - y) < 1e-9
+
+
+def test_posconv_charbox_alignment(page):
+    """A char's page-space box maps to the pixels render_page inked."""
+    tp = page.get_textpage()
+    l, b, r, t = tp.get_charbox(0)
+    conv = PosConv(page.width, page.height, 1.0)
+    x0, y0 = conv.to_bitmap(l, t)
+    bmp = render_page(page, scale=1.0)
+    img = bmp.to_numpy()[..., 0]
+    assert img[int(y0) + 1, int(x0) + 1] != 255       # inked
+
+
+def test_fill_rect():
+    bmp = Bitmap(10, 10, "GRAY", np.full((10, 10, 1), 255, np.uint8))
+    bmp.fill_rect(2, 3, 4, 5, 0)
+    img = bmp.to_numpy()[..., 0]
+    assert (img[3:8, 2:6] == 0).all()
+    assert img[0, 0] == 255
+
+
+def test_png_encoder_valid():
+    img = np.arange(100, dtype=np.uint8).reshape(10, 10)
+    png = encode_png(img)
+    assert png.startswith(b"\x89PNG\r\n\x1a\n")
+    w, h = struct.unpack(">II", png[16:24])
+    assert (w, h) == (10, 10)
+    # decode IDAT back and verify pixels survive the round trip
+    idat_start = png.index(b"IDAT") + 4
+    idat_len = struct.unpack(">I", png[png.index(b"IDAT") - 4:png.index(b"IDAT")])[0]
+    raw = zlib.decompress(png[idat_start:idat_start + idat_len])
+    rows = [raw[i * 11 + 1:(i + 1) * 11] for i in range(10)]  # strip filter byte
+    assert np.array_equal(np.frombuffer(b"".join(rows), np.uint8).reshape(10, 10), img)
+    assert encode_png(img) == png                     # deterministic
+
+
+def test_render_pipeline(ray_session, fixture_parquet):
+    import ray.data as rd
+    from pypdfium2_ray.stages.render import render_pipeline
+    ds = rd.read_parquet(fixture_parquet)
+    df = render_pipeline(ds, scale=0.25).to_pandas()
+    text_pages = df[df["url"] == "https://fixtures.test/text"]
+    assert len(text_pages) == 2 and (text_pages["status"] == "ok").all()
+    assert (text_pages["format"] == "png").all()
+    assert all(d.startswith(b"\x89PNG") for d in text_pages["data"])
+    bad = df[df["url"] == "https://fixtures.test/malformed"]
+    assert list(bad["status"]) == ["format_error"]
+    # deterministic across runs
+    df2 = render_pipeline(rd.read_parquet(fixture_parquet), scale=0.25).to_pandas()
+    a = df.sort_values(["url", "page_idx"]).reset_index(drop=True)
+    b = df2.sort_values(["url", "page_idx"]).reset_index(drop=True)
+    assert list(a["data"]) == list(b["data"])
