@@ -1,0 +1,161 @@
+"""CLI — the engine's analogue of the ``pypdfium2`` command
+(``src/pypdfium2_cli/__main__.py:25-108``, subcommand registry X5).
+
+Subcommands operate on Common-Crawl-style parquet instead of single PDFs:
+
+    python -m pypdfium2_ray extract-text  IN.parquet -o OUT_DIR [--strategy bounded]
+    python -m pypdfium2_ray extract-images IN.parquet -o OUT_DIR
+    python -m pypdfium2_ray render        IN.parquet -o OUT_DIR [--scale S] [--rotation R]
+    python -m pypdfium2_ray toc           IN.parquet            # prints outlines
+    python -m pypdfium2_ray pdfinfo      IN.parquet             # prints doc info
+    python -m pypdfium2_ray fixtures     -o cc_pages.parquet [--synthetic N]
+
+The CLI owns its Ray session (guarded init, ``ray.shutdown`` on exit) —
+library code and ``__ray_entry__`` never init Ray.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _init_ray():
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def _read(path: str):
+    import ray.data as rd
+    return rd.read_parquet(path)
+
+
+def cmd_extract_text(args) -> int:
+    ray = _init_ray()
+    from pypdfium2_ray.pipelines.extract_text import extract_pipeline
+    extract_pipeline(path=args.input, dedup=args.dedup,
+                     skew_split="blocks",
+                     extract_opts=dict(strategy=args.strategy,
+                                       password=args.password),
+                     output_path=args.output)
+    ray.shutdown()
+    return 0
+
+
+def cmd_extract_images(args) -> int:
+    ray = _init_ray()
+    from pypdfium2_ray.pipelines.extract_images import extract_images_pipeline
+    extract_images_pipeline(_read(args.input)).write_parquet(args.output)
+    ray.shutdown()
+    return 0
+
+
+def cmd_render(args) -> int:
+    ray = _init_ray()
+    from pypdfium2_ray.stages.render import render_pipeline
+    render_pipeline(_read(args.input), scale=args.scale,
+                    rotation=args.rotation).write_parquet(args.output)
+    ray.shutdown()
+    return 0
+
+
+def cmd_toc(args) -> int:
+    """Print outlines like ``pypdfium2 toc`` (cli/toc.py:61-86 format:
+    indent by level, ``[idx] title -> page``)."""
+    ray = _init_ray()
+    from pypdfium2_ray.pipelines.extract_text import extract_pipeline
+    ds = extract_pipeline(path=args.input, skew_split=False,
+                          extract_opts=dict(include_pages=False,
+                                            include_rects=False))
+    for row in ds.select_columns(["url", "toc"]).sort("url").iter_rows():
+        print(f"# {row['url']}")
+        for i, e in enumerate(row["toc"] or []):
+            print("    " * e["level"] + f"[{i + 1}] {e['title']} -> {e['page_index'] + 1}")
+    ray.shutdown()
+    return 0
+
+
+def cmd_pdfinfo(args) -> int:
+    """Doc info like ``pypdfium2 pdfinfo`` (cli/info.py): page count,
+    metadata, page sizes."""
+    ray = _init_ray()
+    from pypdfium2_ray.pipelines.extract_text import extract_pipeline
+    ds = extract_pipeline(path=args.input, skew_split=False,
+                          extract_opts=dict(include_rects=False))
+    cols = ["url", "status", "n_pages", "n_chars", "metadata", "pages"]
+    for row in ds.select_columns(cols).sort("url").iter_rows():
+        print(f"# {row['url']}  status={row['status']}  "
+              f"pages={row['n_pages']}  chars={row['n_chars']}")
+        for k, v in (row["metadata"] or {}).items():
+            if v:
+                print(f"    {k}: {v}")
+        for p in (row["pages"] or [])[:10]:
+            print(f"    page {p['page_idx'] + 1}: "
+                  f"{p['width']:.0f} x {p['height']:.0f}, {p['n_chars']} chars")
+    ray.shutdown()
+    return 0
+
+
+def cmd_fixtures(args) -> int:
+    from pypdfium2_ray.sources.fixtures import write_cc_parquet
+    write_cc_parquet(args.output, n_synthetic=args.synthetic)
+    print(args.output)
+    return 0
+
+
+def get_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="pypdfium2_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp, output=True):
+        sp.add_argument("input", help="input cc_pages parquet (file or dir)")
+        if output:
+            sp.add_argument("-o", "--output", required=True,
+                            help="output parquet directory")
+
+    sp = sub.add_parser("extract-text", help="flagship text extraction")
+    common(sp)
+    sp.add_argument("--strategy", choices=["range", "bounded"], default="range")
+    sp.add_argument("--password", default=None)
+    sp.add_argument("--dedup", action="store_true", help="url dedup first")
+    sp.set_defaults(fn=cmd_extract_text)
+
+    sp = sub.add_parser("extract-images", help="one row per image object")
+    common(sp)
+    sp.set_defaults(fn=cmd_extract_images)
+
+    sp = sub.add_parser("render", help="rasterize pages to PNG rows")
+    common(sp)
+    sp.add_argument("--scale", type=float, default=1.0)
+    sp.add_argument("--rotation", type=int, default=0,
+                    choices=[0, 90, 180, 270])
+    sp.set_defaults(fn=cmd_render)
+
+    sp = sub.add_parser("toc", help="print outlines")
+    common(sp, output=False)
+    sp.set_defaults(fn=cmd_toc)
+
+    sp = sub.add_parser("pdfinfo", help="print document info")
+    common(sp, output=False)
+    sp.set_defaults(fn=cmd_pdfinfo)
+
+    sp = sub.add_parser("fixtures", help="write the fixture corpus")
+    sp.add_argument("-o", "--output", required=True)
+    sp.add_argument("--synthetic", type=int, default=0)
+    sp.set_defaults(fn=cmd_fixtures)
+
+    return p
+
+
+def main(argv=None) -> int:
+    args = get_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

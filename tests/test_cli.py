@@ -1,0 +1,50 @@
+"""CLI tests — subprocess-free (call main() in-process against the session
+Ray), mirroring the reference's golden-output CLI layer
+(tests/test_cli.py:45-75 discipline)."""
+
+import pyarrow.parquet as pq
+import pytest
+
+from pypdfium2_ray.__main__ import main
+
+
+def test_cli_extract_text(ray_session, fixture_parquet, tmp_path, capsys):
+    out = str(tmp_path / "out")
+    assert main(["extract-text", fixture_parquet, "-o", out]) == 0
+    t = pq.read_table(out)
+    assert t.num_rows == 15
+    texts = dict(zip(t["url"].to_pylist(), t["extracted_text"].to_pylist()))
+    assert texts["https://fixtures.test/multipage"] == (
+        "# Page 1\nPage\r\n1\n\n# Page 2\nPage\r\n2\n\n# Page 3\nPage\r\n3\n")
+
+
+def test_cli_toc_output(ray_session, fixture_parquet, capsys):
+    assert main(["toc", fixture_parquet]) == 0
+    out = capsys.readouterr().out
+    assert "# https://fixtures.test/toc" in out
+    # nested outline printed with indentation and 1-based pages
+    assert "[1] One -> 1" in out
+    assert "    [2] One A -> 1" in out
+
+
+def test_cli_pdfinfo_output(ray_session, fixture_parquet, capsys):
+    assert main(["pdfinfo", fixture_parquet]) == 0
+    out = capsys.readouterr().out
+    assert "# https://fixtures.test/metadata" in out
+    assert "Producer: LibreOffice 6.4" in out
+    assert "page 1: 595 x 842" in out
+
+
+def test_cli_render(ray_session, fixture_parquet, tmp_path):
+    out = str(tmp_path / "rendered")
+    assert main(["render", fixture_parquet, "-o", out, "--scale", "0.25"]) == 0
+    t = pq.read_table(out)
+    ok = t.filter(__import__("pyarrow").compute.equal(t["status"], "ok"))
+    assert ok.num_rows > 10
+    assert all(d.as_py().startswith(b"\x89PNG") for d in ok["data"])
+
+
+def test_cli_fixtures(tmp_path, capsys):
+    out = str(tmp_path / "cc.parquet")
+    assert main(["fixtures", "-o", out, "--synthetic", "5"]) == 0
+    assert pq.read_table(out).num_rows == 20
