@@ -113,6 +113,30 @@ def q_term_search(sf_dir: str):
     return ds.select_columns(["doc_id", "n_matches"])
 
 
+def q_term_search_word(sf_dir: str):
+    """Whole-word search flag (FPDF_MATCHWHOLEWORD analogue,
+    textpage.py:268-271): both neighbours must be non-word chars."""
+    def f(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(
+            t["text"], r"\b" + SEARCH_TERM + r"\b"), pa.int64())
+        return pa.table({"doc_id": t["doc_id"], "n_word_matches": n})
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+def q_extract_status_rollup(sf_dir: str):
+    """Run-metrics rollup over the extraction output (SURVEY §2.5 A-new:
+    docs + chars by status/err_code — the lineage counters as a query)."""
+    from pypdfium2_ray.stages.agg import grouped_aggregate
+    ds = _extract(sf_dir).select_columns(["status", "err_code", "n_chars"])
+    return grouped_aggregate(ds, ["status", "err_code"], {
+        "n_docs": (None, "count"),
+        "sum_chars": ("n_chars", "sum"),
+    }).map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("sum_chars"),
+                               "sum_chars", pc.cast(t["sum_chars"], pa.int64())),
+        batch_format="pyarrow")
+
+
 def q_text_slice(sf_dir: str):
     """get_text_range analogue (textpage.py:104-146): chars [10, 60)."""
     def f(t: pa.Table) -> pa.Table:
@@ -259,6 +283,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "term_search": q_term_search,
+        "term_search_word": q_term_search_word,
+        "extract_status_rollup": q_extract_status_rollup,
         "text_slice": q_text_slice,
         "doc_stats": q_doc_stats,
         "dedup_exact": q_dedup_exact,
@@ -314,6 +340,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5(text) AS fingerprint FROM documents""",
         "term_search": f"""
             SELECT doc_id, {sql_term_count('text', SEARCH_TERM)} AS n_matches
+            FROM documents""",
+        "term_search_word": f"""
+            SELECT doc_id,
+                   length(regexp_extract_all(text, '\\b{SEARCH_TERM}\\b'))
+                     AS n_word_matches
+            FROM documents""",
+        "extract_status_rollup": f"""
+            SELECT 'ok' AS status, 0::BIGINT AS err_code,
+                   count(*) AS n_docs,
+                   sum(length({collapsed}))::BIGINT AS sum_chars
             FROM documents""",
         "text_slice": """
             SELECT doc_id, substr(text, 11, 50) AS slice_text FROM documents""",

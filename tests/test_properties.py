@@ -1,0 +1,80 @@
+"""Property-based tests (hypothesis) for the docmodel invariants the
+reference asserts only on fixtures (SURVEY §5 notes no property testing —
+we go further): bounded==range under the page bbox, rect/char count
+consistency, search soundness, parse determinism, whitespace-collapse
+parity with the slow path."""
+
+import string
+
+from hypothesis import given, settings, strategies as st
+
+from pypdfium2_ray.docmodel.htmldoc import extract_document_text, parse_document
+from pypdfium2_ray.docmodel.layout import LayoutParams
+from pypdfium2_ray.docmodel.textpage import TextPage
+
+# printable ASCII text without HTML-special chars (escaping is the
+# generator's job, not under test here)
+_plain = st.text(
+    alphabet=string.ascii_letters + string.digits + " \t.,!?-",
+    min_size=0, max_size=120)
+
+_lines = st.lists(
+    st.text(alphabet=string.ascii_letters + string.digits + " .,!?-",
+            min_size=0, max_size=80).map(str.strip),
+    min_size=0, max_size=12)
+
+WIDE = LayoutParams(page_width=1e9)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_lines)
+def test_bounded_equals_range_within_bbox(lines):
+    """tests/test_textpage.py:26-29 invariant generalized: with default
+    (page-bbox) boundaries and all chars inside, bounded == range."""
+    lines = [ln for ln in lines if ln]
+    tp = TextPage(lines, WIDE)
+    assert tp.get_text_bounded() == tp.get_text_range()
+
+
+@settings(max_examples=60, deadline=None)
+@given(_lines)
+def test_counts_consistent(lines):
+    lines = [ln for ln in lines if ln]
+    tp = TextPage(lines, WIDE)
+    assert tp.count_chars() == len(tp.text)
+    assert tp.count_rects() == len(tp.rects) == len(lines)
+    # rect text concatenation == lines
+    assert [tp.rect_text(i) for i in range(len(tp.rects))] == lines
+
+
+@settings(max_examples=60, deadline=None)
+@given(_lines, st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=4))
+def test_search_occurrences_sound(lines, needle):
+    lines = [ln for ln in lines if ln]
+    tp = TextPage(lines, WIDE)
+    for (start, count) in tp.search_all(needle):
+        assert tp.get_text_range(start, count).casefold() == needle.casefold()
+
+
+@settings(max_examples=40, deadline=None)
+@given(_plain)
+def test_parse_deterministic_and_collapsed(text):
+    html = f"<html><body><p>{text}</p></body></html>".encode()
+    d1 = parse_document(html, layout=WIDE)
+    d2 = parse_document(html, layout=WIDE)
+    assert extract_document_text(d1) == extract_document_text(d2)
+    # whitespace collapse spec: runs -> single space, stripped
+    expected = " ".join(p for p in text.replace("\t", " ").split(" ") if p)
+    assert d1[0].lines in ([expected], [] if not expected else [expected])
+
+
+@settings(max_examples=30, deadline=None)
+@given(_plain, _plain)
+def test_mixed_style_collapse_matches_single_style(a, b):
+    """The fast (single-style) and slow (mixed-style) _flush_line paths must
+    produce identical line text for identical character content."""
+    plain = f"<p>{a} {b}</p>"
+    mixed = f"<p>{a} <b>{b}</b></p>"
+    d_plain = parse_document(f"<html><body>{plain}</body></html>".encode(), layout=WIDE)
+    d_mixed = parse_document(f"<html><body>{mixed}</body></html>".encode(), layout=WIDE)
+    assert d_plain[0].lines == d_mixed[0].lines
