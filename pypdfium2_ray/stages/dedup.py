@@ -23,9 +23,25 @@ def _keep_earliest(g: pd.DataFrame) -> pd.DataFrame:
     return g.loc[[g["warc_ts"].idxmin()]]
 
 
-def dedup_by_url(ds, keep: str = "latest"):
-    """One row per ``url``; ``keep`` in {"latest", "earliest"} by ``warc_ts``."""
+def dedup_by_url(ds, keep: str = "latest", pre_combine: bool = True):
+    """One row per ``url``; ``keep`` in {"latest", "earliest"} by ``warc_ts``.
+
+    ``pre_combine``: keep-one-per-url is associative, so a per-block partial
+    dedup BEFORE the hash shuffle drops every within-block duplicate from the
+    exchange — at crawl scale (many snapshots of the same url per ingest
+    partition) this shrinks the one mandatory shuffle by the local dup
+    factor. Ties on ``warc_ts`` are broken arbitrarily (same-url same-ts
+    snapshots are pathological input).
+    """
     fn = _keep_latest if keep == "latest" else _keep_earliest
+    if pre_combine:
+        last = keep == "latest"
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.sort_values("warc_ts", kind="mergesort")
+            return df.drop_duplicates("url", keep="last" if last else "first")
+
+        ds = ds.map_batches(partial, batch_format="pandas")
     return ds.groupby("url").map_groups(fn, batch_format="pandas")
 
 

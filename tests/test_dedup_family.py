@@ -71,3 +71,28 @@ def test_dedup_by_url_keeps_latest(ray_session):
     assert got == {"a": "new", "b": "only"}
     out2 = dedup_by_url(rd.from_arrow(t), keep="earliest").to_pandas()
     assert dict(zip(out2["url"], out2["payload"])) == {"a": "old", "b": "only"}
+
+
+def test_dedup_by_url_pre_combine_equivalence(ray_session):
+    """Partial per-block dedup must not change the result (associativity),
+    regardless of how snapshots are spread across blocks."""
+    import numpy as np
+    import ray.data as rd
+    from pypdfium2_ray.stages.dedup import dedup_by_url
+    rng = np.random.RandomState(5)
+    n = 400
+    urls = [f"u{rng.randint(0, 50)}" for _ in range(n)]
+    ts = rng.permutation(n).astype("datetime64[us]")
+    t = pa.table({"url": urls,
+                  "warc_ts": pa.array(ts.astype("int64"), pa.timestamp("us")),
+                  "v": list(range(n))})
+    expected = (t.to_pandas().sort_values("warc_ts")
+                 .drop_duplicates("url", keep="last")
+                 .sort_values("url").reset_index(drop=True))
+    for parts in (1, 7):
+        for pre in (True, False):
+            got = dedup_by_url(rd.from_arrow(t).repartition(parts),
+                               pre_combine=pre).to_pandas() \
+                .sort_values("url").reset_index(drop=True)
+            pd.testing.assert_frame_equal(
+                got[["url", "warc_ts", "v"]], expected[["url", "warc_ts", "v"]])
