@@ -82,9 +82,12 @@ def orders_by_region(sf_dir: str):
 
 def top_orders(sf_dir: str, k: int = 10):
     """Top-k orders by totalprice (deterministic tie-break on orderkey) —
-    the sort/limit surface (SURVEY §2.6)."""
+    the sort/limit surface (SURVEY §2.6), via shuffle-free partial top-k
+    (stages/topk: only k rows per block reach the final selection)."""
+    from pypdfium2_ray.stages.topk import topk
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-    out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
+    out = topk(ds, ["o_totalprice", "o_orderkey"], k,
+               descending=[True, False])
     out = out.map_batches(
         lambda t: t.rename_columns(["o_orderkey", "o_totalprice_cents"]),
         batch_format="pyarrow")

@@ -33,16 +33,23 @@ class BroadcastJoiner:
 
 
 def broadcast_join(ds, small: pa.Table, keys, right_keys=None,
-                   join_type: str = "inner", concurrency=(1, 4), **mb_kwargs):
+                   join_type: str = "inner", mode: str = "tasks",
+                   concurrency=(1, 4), **mb_kwargs):
     """Join ``ds`` (big, streaming) against ``small`` (in-memory table).
 
-    The small table is put into the object store once; each join actor
-    fetches it once. Per-batch work is a vectorized Arrow hash join.
+    The small table is put into the object store once; each worker fetches
+    it once (zero-copy from the local store). Per-batch work is a
+    vectorized Arrow hash join. ``mode="tasks"`` uses a per-worker warm
+    joiner (elastic scheduling); ``mode="actors"`` an explicit pool.
     """
     import ray
     ref = ray.put(small)
+    kwargs = dict(small_ref=ref, keys=keys, right_keys=right_keys,
+                  join_type=join_type)
+    if mode == "tasks":
+        from pypdfium2_ray.stages.warm import warm_task
+        return ds.map_batches(warm_task(BroadcastJoiner, **kwargs),
+                              batch_format="pyarrow", **mb_kwargs)
     return ds.map_batches(
-        BroadcastJoiner,
-        fn_constructor_kwargs=dict(small_ref=ref, keys=keys,
-                                   right_keys=right_keys, join_type=join_type),
+        BroadcastJoiner, fn_constructor_kwargs=kwargs,
         batch_format="pyarrow", concurrency=concurrency, **mb_kwargs)

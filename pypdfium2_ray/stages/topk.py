@@ -1,0 +1,41 @@
+"""Distributed top-k without a global sort (SURVEY §2.6 O-new).
+
+``ds.sort(...).limit(k)`` is an all-to-all range exchange of EVERY row; for
+top-k the per-block partial bound means only ``k x n_blocks`` rows ever
+move: each block keeps its local top-k (vectorized pandas ``nlargest``-
+style sort-head), the tiny union is sorted once on one node.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+
+def topk(ds, cols: list[str], k: int, descending: list[bool] | bool = True):
+    """Global top-k rows by ``cols`` (ties broken by later columns).
+
+    ``descending``: bool or per-column list, as in ``Dataset.sort``.
+    """
+    if isinstance(descending, bool):
+        descending = [descending] * len(cols)
+    ascending = [not d for d in descending]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(cols, ascending=ascending, kind="mergesort").head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(cols, ascending=ascending,
+                              kind="mergesort").head(k)
+
+    # the union of partials is <= k * n_blocks rows — tiny; a single-group
+    # map_groups performs the final selection on one worker
+    return partials.map_batches(
+        lambda t: t.append_column("__g", pa.array([0] * t.num_rows, pa.int8())),
+        batch_format="pyarrow",
+    ).groupby("__g").map_groups(
+        lambda g: final(g.drop(columns="__g")), batch_format="pandas")

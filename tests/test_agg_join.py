@@ -64,3 +64,27 @@ def test_broadcast_join(ray_session, facts):
     assert len(got) == len(exp)                           # inner join drops
     assert set(got["name"]) == set(exp["name"])
     assert (got["fk"] < 10).all()
+
+
+def test_topk_matches_sort(ray_session, facts):
+    import ray.data as rd
+    from pypdfium2_ray.stages.topk import topk
+    ds = rd.from_arrow(facts).repartition(6)
+    got = topk(ds, ["v", "fk"], 7, descending=[True, False]).to_pandas()
+    exp = facts.to_pandas().sort_values(
+        ["v", "fk"], ascending=[False, True]).head(7).reset_index(drop=True)
+    got = got.reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["v", "fk"]], exp[["v", "fk"]])
+
+
+def test_broadcast_join_task_mode(ray_session, facts):
+    import numpy as np
+    import ray.data as rd
+    from pypdfium2_ray.stages.join import broadcast_join
+    dim = pa.table({"id": pa.array(np.arange(20, dtype=np.int64)),
+                    "name": [f"d{i}" for i in range(20)]})
+    ds = rd.from_arrow(facts).repartition(4)
+    a = broadcast_join(ds, dim, keys="fk", right_keys="id", mode="tasks").to_pandas()
+    b = broadcast_join(ds, dim, keys="fk", right_keys="id", mode="actors").to_pandas()
+    assert len(a) == len(b) == len(facts)
+    assert sorted(a["name"]) == sorted(b["name"])
