@@ -250,6 +250,50 @@ def q_events_rollup(sf_dir: str):
     return _cast_i64(events_rollup(sf_dir), ["n_events"])
 
 
+def q_events_hourly(sf_dir: str):
+    """Tumbling-window aggregate (stages/window): per (hour, event_type)
+    counters — the windowed-aggregate custom op."""
+    import ray.data as rd
+    from pypdfium2_ray.pipelines.relational import _scale_cols
+    from pypdfium2_ray.stages.window import tumbling_window
+    ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+    out = tumbling_window(ds, "ts", "hour", keys=["event_type"],
+                          aggs={"n_events": (None, "count"),
+                                "sum_value_e4": ("value", "sum")})
+    return _cast_i64(_scale_cols(out, {"sum_value_e4": 10_000}), ["n_events"])
+
+
+def q_asof_last_purchase(sf_dir: str):
+    """As-of join (stages/asof): each click event joined to the same
+    user's most recent strictly-earlier purchase event."""
+    import ray.data as rd
+    from pypdfium2_ray.pipelines.relational import _scale_cols
+    from pypdfium2_ray.stages.asof import asof_join
+
+    def read_type(et, rename=None):
+        ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                             columns=["event_id", "user_id", "ts",
+                                      "event_type", "value"])
+        ds = ds.map_batches(
+            lambda t, et=et: t.filter(pc.equal(t["event_type"], et))
+                              .drop_columns(["event_type"]),
+            batch_format="pyarrow")
+        if rename:
+            ds = ds.map_batches(
+                lambda t: t.rename_columns([rename.get(c, c)
+                                            for c in t.column_names]),
+                batch_format="pyarrow")
+        return ds
+
+    left = read_type("click").map_batches(
+        lambda t: t.drop_columns(["value"]), batch_format="pyarrow")
+    right = read_type("purchase",
+                      rename={"event_id": "p_event_id", "value": "p_value_e4"})
+    out = asof_join(left, right, by="user_id", on="ts")
+    return _scale_cols(out, {"p_value_e4": 10_000})
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing (decoder stubbed — no image libs in this container)
 
@@ -298,6 +342,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_region": q_orders_by_region,
         "top_orders": q_top_orders,
         "events_rollup": q_events_rollup,
+        "events_hourly": q_events_hourly,
+        "asof_last_purchase": q_asof_last_purchase,
         "decode_images": q_decode_images,
     }
 
@@ -407,4 +453,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(avg(value) * 1000000) AS BIGINT) AS avg_value_micro,
                    CAST(round(max(value) * 10000) AS BIGINT) AS max_value_e4
             FROM events GROUP BY event_type""",
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n_events,
+                   CAST(round(sum(value) * 10000) AS BIGINT) AS sum_value_e4
+            FROM events GROUP BY 1, 2""",
+        "asof_last_purchase": """
+            SELECT l.event_id, l.user_id, l.ts,
+                   r.event_id AS p_event_id,
+                   CAST(round(r.value * 10000) AS BIGINT) AS p_value_e4
+            FROM (SELECT * FROM events WHERE event_type = 'click') l
+            ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id AND l.ts > r.ts""",
     }

@@ -1,0 +1,90 @@
+"""Unit tests for the custom operators Ray Data lacks: as-of join and
+tumbling-window aggregation (stages/asof, stages/window)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _events(n=300, users=12, seed=9):
+    rng = np.random.RandomState(seed)
+    ts = np.sort(rng.randint(0, 10_000_000, n)).astype("int64")
+    return pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "user_id": pa.array(rng.randint(0, users, n).astype(np.int64)),
+        "ts": pa.array(ts * 1000, pa.timestamp("us")),
+        "value": pa.array(rng.uniform(0, 10, n)),
+    })
+
+
+def test_asof_join_matches_merge_asof(ray_session):
+    import ray.data as rd
+    from pypdfium2_ray.stages.asof import asof_join
+    t = _events()
+    df = t.to_pandas()
+    left = df[df["event_id"] % 2 == 0][["event_id", "user_id", "ts"]]
+    right = df[df["event_id"] % 2 == 1].rename(
+        columns={"event_id": "r_id", "value": "r_value"})[
+        ["r_id", "user_id", "ts", "r_value"]]
+
+    got = asof_join(
+        rd.from_arrow(pa.Table.from_pandas(left, preserve_index=False)).repartition(4),
+        rd.from_arrow(pa.Table.from_pandas(right, preserve_index=False)).repartition(3),
+        by="user_id", on="ts").to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+
+    exp = pd.merge_asof(
+        left.sort_values("ts", kind="mergesort"),
+        right.sort_values("ts", kind="mergesort"),
+        on="ts", by="user_id", direction="backward",
+        allow_exact_matches=False)
+    exp = exp[exp["r_id"].notna()].sort_values("event_id").reset_index(drop=True)
+
+    assert list(got["event_id"]) == list(exp["event_id"])
+    assert list(got["r_id"].astype("int64")) == list(exp["r_id"].astype("int64"))
+    # the matched right row is strictly earlier and the latest such
+    merged = got.merge(df[["event_id", "ts"]], left_on="r_id",
+                       right_on="event_id", suffixes=("", "_r"))
+    assert (merged["ts_r"] < merged["ts"]).all()
+
+
+def test_asof_join_left_keeps_unmatched(ray_session):
+    import ray.data as rd
+    from pypdfium2_ray.stages.asof import asof_join
+    left = pa.table({"id": pa.array([1, 2], pa.int64()),
+                     "k": pa.array([7, 8], pa.int64()),
+                     "ts": pa.array([100, 200], pa.timestamp("us"))})
+    right = pa.table({"k": pa.array([7], pa.int64()),
+                      "ts": pa.array([50], pa.timestamp("us")),
+                      "rv": pa.array([1.5])})
+    inner = asof_join(rd.from_arrow(left), rd.from_arrow(right),
+                      by="k", on="ts").to_pandas()
+    assert list(inner["id"]) == [1]
+    outer = asof_join(rd.from_arrow(left), rd.from_arrow(right),
+                      by="k", on="ts", join_type="left").to_pandas()
+    assert sorted(outer["id"]) == [1, 2]
+    assert outer.loc[outer["id"] == 2, "rv"].isna().all()
+
+
+def test_tumbling_window_matches_pandas(ray_session):
+    import ray.data as rd
+    from pypdfium2_ray.stages.window import tumbling_window
+    t = _events()
+    got = tumbling_window(rd.from_arrow(t).repartition(5), "ts", "minute",
+                          aggs={"n": (None, "count"), "sv": ("value", "sum")}) \
+        .to_pandas().sort_values("window_start").reset_index(drop=True)
+    df = t.to_pandas()
+    df["window_start"] = df["ts"].dt.floor("min")
+    exp = df.groupby("window_start", as_index=False).agg(
+        n=("value", "size"), sv=("value", "sum")) \
+        .sort_values("window_start").reset_index(drop=True)
+    assert list(got["window_start"]) == list(exp["window_start"])
+    assert list(got["n"]) == list(exp["n"])
+    assert np.allclose(got["sv"], exp["sv"])
+
+
+def test_tumbling_window_bad_unit():
+    from pypdfium2_ray.stages.window import tumbling_window
+    with pytest.raises(ValueError):
+        tumbling_window(None, "ts", "fortnight")
