@@ -264,6 +264,30 @@ def q_events_hourly(sf_dir: str):
     return _cast_i64(_scale_cols(out, {"sum_value_e4": 10_000}), ["n_events"])
 
 
+#: value buckets for the range-join query: [lo, hi) -> bucket id.
+#: SQL VALUES and the broadcast interval table are generated from THIS list
+#: so the two sides cannot drift.
+VALUE_BUCKETS = [(i, float(i * 50), float((i + 1) * 50)) for i in range(20)]
+
+
+def q_events_value_bucket(sf_dir: str):
+    """Range join (stages/rangejoin): events.value -> containing bucket
+    interval (broadcast interval table + searchsorted), then counts."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import grouped_aggregate
+    from pypdfium2_ray.stages.rangejoin import range_join
+    intervals = pa.table({
+        "bucket": pa.array([b for b, _, _ in VALUE_BUCKETS], pa.int64()),
+        "lo": pa.array([lo for _, lo, _ in VALUE_BUCKETS]),
+        "hi": pa.array([hi for _, _, hi in VALUE_BUCKETS]),
+    })
+    ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["event_id", "value"])
+    joined = range_join(ds, intervals, value_col="value")
+    return grouped_aggregate(joined, ["bucket"],
+                             {"n_events": (None, "count")})
+
+
 def q_asof_last_purchase(sf_dir: str):
     """As-of join (stages/asof): each click event joined to the same
     user's most recent strictly-earlier purchase event."""
@@ -343,6 +367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": q_top_orders,
         "events_rollup": q_events_rollup,
         "events_hourly": q_events_hourly,
+        "events_value_bucket": q_events_value_bucket,
         "asof_last_purchase": q_asof_last_purchase,
         "decode_images": q_decode_images,
     }
@@ -458,6 +483,13 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(round(sum(value) * 10000) AS BIGINT) AS sum_value_e4
             FROM events GROUP BY 1, 2""",
+        "events_value_bucket": f"""
+            SELECT b.bucket::BIGINT AS bucket, count(*) AS n_events
+            FROM events e
+            JOIN (VALUES {", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in VALUE_BUCKETS)})
+                 b(bucket, lo, hi)
+              ON e.value >= b.lo AND e.value < b.hi
+            GROUP BY b.bucket""",
         "asof_last_purchase": """
             SELECT l.event_id, l.user_id, l.ts,
                    r.event_id AS p_event_id,

@@ -38,11 +38,28 @@ def _read(path: str):
 def cmd_extract_text(args) -> int:
     ray = _init_ray()
     from pypdfium2_ray.pipelines.extract_text import extract_pipeline
-    extract_pipeline(path=args.input, dedup=args.dedup,
-                     skew_split="blocks",
-                     extract_opts=dict(strategy=args.strategy,
-                                       password=args.password),
-                     output_path=args.output)
+    opts = dict(strategy=args.strategy, password=args.password)
+    if args.checkpoint:
+        # resumable mode: one manifest record + output dir per input shard;
+        # rerunning after a failure skips finished shards (state/checkpoint)
+        import os
+        from pypdfium2_ray.state import run_checkpointed, shard_inputs
+        if os.path.isdir(args.input):
+            shards = shard_inputs(args.input)
+        else:
+            shards = [(os.path.splitext(os.path.basename(args.input))[0],
+                       args.input)]
+        summary = run_checkpointed(
+            shards,
+            lambda p: extract_pipeline(path=p, dedup=args.dedup,
+                                       skew_split="blocks", extract_opts=opts),
+            args.output)
+        print(f"ran={len(summary['ran'])} skipped={len(summary['skipped'])} "
+              f"done={summary['total_done']}")
+    else:
+        extract_pipeline(path=args.input, dedup=args.dedup,
+                         skew_split="blocks", extract_opts=opts,
+                         output_path=args.output)
     ray.shutdown()
     return 0
 
@@ -123,6 +140,8 @@ def get_parser() -> argparse.ArgumentParser:
     sp.add_argument("--strategy", choices=["range", "bounded"], default="range")
     sp.add_argument("--password", default=None)
     sp.add_argument("--dedup", action="store_true", help="url dedup first")
+    sp.add_argument("--checkpoint", action="store_true",
+                    help="resumable per-shard run with lineage manifest")
     sp.set_defaults(fn=cmd_extract_text)
 
     sp = sub.add_parser("extract-images", help="one row per image object")

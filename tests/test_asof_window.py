@@ -88,3 +88,31 @@ def test_tumbling_window_bad_unit():
     from pypdfium2_ray.stages.window import tumbling_window
     with pytest.raises(ValueError):
         tumbling_window(None, "ts", "fortnight")
+
+
+def test_range_join(ray_session):
+    import ray.data as rd
+    from pypdfium2_ray.stages.rangejoin import range_join
+    intervals = pa.table({"bucket": pa.array([0, 1, 2], pa.int64()),
+                          "lo": [0.0, 10.0, 20.0],
+                          "hi": [10.0, 20.0, 30.0]})
+    rows = pa.table({"id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                     "v": [5.0, 10.0, 19.99, 35.0, -1.0]})
+    got = range_join(rd.from_arrow(rows).repartition(2), intervals,
+                     value_col="v").to_pandas().sort_values("id")
+    assert dict(zip(got["id"], got["bucket"])) == {1: 0, 2: 1, 3: 1}
+    left = range_join(rd.from_arrow(rows), intervals, value_col="v",
+                      join_type="left").to_pandas().sort_values("id")
+    assert len(left) == 5
+    assert left.loc[left["id"] == 4, "bucket"].isna().all()
+
+
+def test_range_join_rejects_overlap(ray_session):
+    import pytest as _pt
+    import ray.data as rd
+    from pypdfium2_ray.stages.rangejoin import range_join
+    bad = pa.table({"bucket": pa.array([0, 1], pa.int64()),
+                    "lo": [0.0, 5.0], "hi": [10.0, 15.0]})
+    rows = pa.table({"id": pa.array([1], pa.int64()), "v": [1.0]})
+    with _pt.raises(Exception):
+        range_join(rd.from_arrow(rows), bad, value_col="v").to_pandas()

@@ -48,3 +48,17 @@ def test_cli_fixtures(tmp_path, capsys):
     out = str(tmp_path / "cc.parquet")
     assert main(["fixtures", "-o", out, "--synthetic", "5"]) == 0
     assert pq.read_table(out).num_rows == 20
+
+
+def test_cli_extract_text_checkpoint_resume(ray_session, fixture_parquet,
+                                            tmp_path, capsys):
+    out = str(tmp_path / "ckpt_out")
+    assert main(["extract-text", fixture_parquet, "-o", out,
+                 "--checkpoint"]) == 0
+    assert "ran=1 skipped=0" in capsys.readouterr().out
+    # second run: shard already done -> skipped
+    assert main(["extract-text", fixture_parquet, "-o", out,
+                 "--checkpoint"]) == 0
+    assert "ran=0 skipped=1" in capsys.readouterr().out
+    import os
+    assert os.path.exists(os.path.join(out, "_MANIFEST.jsonl"))
