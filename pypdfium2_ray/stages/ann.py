@@ -92,12 +92,12 @@ def ann_topk(ds, queries: pa.Table, k: int = 10, id_col: str = "vec_id",
     across engines; see relational._scale_cols rationale).
     """
     import ray
+    from pypdfium2_ray.stages.warm import warm_task
     ref = ray.put(queries)
     partials = ds.map_batches(
-        _PartialTopK,
-        fn_constructor_kwargs=dict(queries_ref=ref, k=k, id_col=id_col,
-                                   vec_col=vec_col, exclude_self=exclude_self),
-        batch_format="pyarrow", concurrency=concurrency, **mb_kwargs)
+        warm_task(_PartialTopK, queries_ref=ref, k=k, id_col=id_col,
+                  vec_col=vec_col, exclude_self=exclude_self),
+        batch_format="pyarrow", **mb_kwargs)
 
     def finalize(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
@@ -142,12 +142,12 @@ def embedding_dup_pairs(ds, corpus: pa.Table, tau: float = 0.9,
     """Exact near-duplicate pairs (cosine >= tau), corpus broadcast once."""
     import ray
     import pyarrow.compute as pc
+    from pypdfium2_ray.stages.warm import warm_task
     ref = ray.put(corpus)
     pairs = ds.map_batches(
-        _PairsVsBroadcast,
-        fn_constructor_kwargs=dict(corpus_ref=ref, tau=tau, id_col=id_col,
-                                   vec_col=vec_col),
-        batch_format="pyarrow", concurrency=concurrency, **mb_kwargs)
+        warm_task(_PairsVsBroadcast, corpus_ref=ref, tau=tau, id_col=id_col,
+                  vec_col=vec_col),
+        batch_format="pyarrow", **mb_kwargs)
     if scale is not None:
         def to_scaled(t: pa.Table) -> pa.Table:
             centi = pc.cast(pc.round(pc.multiply(t["sim"], float(scale))),
@@ -206,11 +206,11 @@ def embedding_lsh_dup_pairs(ds, dim: int, tau: float = 0.9, n_bits: int = 32,
     compared; recall < 1 by construction (that is the LSH trade) — band/bit
     counts tune it. Pairs found in multiple buckets are deduped by a final
     tiny groupby."""
+    from pypdfium2_ray.stages.warm import warm_task
     band_rows = ds.map_batches(
-        _HyperplaneBands,
-        fn_constructor_kwargs=dict(dim=dim, n_bits=n_bits, bands=bands,
-                                   seed=seed, id_col=id_col, vec_col=vec_col),
-        batch_format="pyarrow", concurrency=concurrency, **mb_kwargs)
+        warm_task(_HyperplaneBands, dim=dim, n_bits=n_bits, bands=bands,
+                  seed=seed, id_col=id_col, vec_col=vec_col),
+        batch_format="pyarrow", **mb_kwargs)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:

@@ -156,13 +156,12 @@ def minhash_dup_pairs(ds, texts: "pa.Table", id_col: str = "doc_id",
     ``(id_a, id_b, jaccard_sim)`` with ``id_a < id_b``, jaccard >= threshold.
     """
     import ray
+    from pypdfium2_ray.stages.warm import warm_task
     band_rows = ds.map_batches(
-        _MinhashBands,
-        fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col,
-                                   num_perm=num_perm, bands=bands,
-                                   shingle_k=shingle_k, seed=seed,
-                                   shingle_kind=shingle_kind),
-        batch_format="pyarrow", concurrency=concurrency, **mb_kwargs)
+        warm_task(_MinhashBands, id_col=id_col, text_col=text_col,
+                  num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+                  seed=seed, shingle_kind=shingle_kind),
+        batch_format="pyarrow", **mb_kwargs)
 
     candidates = band_rows.groupby(["band", "band_key"]).map_groups(
         lambda g: _bucket_pairs(g, max_bucket), batch_format="pandas")
@@ -171,10 +170,9 @@ def minhash_dup_pairs(ds, texts: "pa.Table", id_col: str = "doc_id",
 
     ref = ray.put(texts.select([id_col, text_col]))
     return distinct.map_batches(
-        _VerifyJaccard,
-        fn_constructor_kwargs=dict(texts_ref=ref, threshold=threshold,
-                                   shingle_k=shingle_k, shingle_kind=shingle_kind),
-        batch_format="pyarrow", concurrency=(1, 4))
+        warm_task(_VerifyJaccard, texts_ref=ref, threshold=threshold,
+                  shingle_k=shingle_k, shingle_kind=shingle_kind),
+        batch_format="pyarrow")
 
 
 class _SimhashBands:
@@ -212,11 +210,11 @@ def simhash_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     """SimHash near-duplicate pairs: 64-bit fingerprint, pigeonhole banding
     (dist <= bands-1 guaranteed to share a band), exact Hamming verify inside
     buckets. Returns (id_a, id_b, hamming) with id_a < id_b."""
+    from pypdfium2_ray.stages.warm import warm_task
     band_rows = ds.map_batches(
-        _SimhashBands,
-        fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col,
-                                   ngram_n=ngram_n, bands=bands),
-        batch_format="pyarrow", concurrency=concurrency, **mb_kwargs)
+        warm_task(_SimhashBands, id_col=id_col, text_col=text_col,
+                  ngram_n=ngram_n, bands=bands),
+        batch_format="pyarrow", **mb_kwargs)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates("doc_id").sort_values("doc_id").head(max_bucket)
