@@ -195,6 +195,7 @@ class _HtmlToDoc(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.items: list[_LineItem] = []
         self.metadata: dict[str, str] = {}
+        self.meta_tags: dict[str, str] = {}
         self.warnings: list[str] = []
         self.has_main = False
         self.has_article = False
@@ -304,6 +305,14 @@ class _HtmlToDoc(HTMLParser):
 
         if self._nav_depth > 0:
             self._nav_handle_start(tag, attrd, is_void)
+            return
+
+        if tag == "meta":
+            # captured here (even inside the stripped <head>) so no second
+            # parser pass is needed for metadata (document.py:308-337 keys)
+            key = _META_NAME_TO_KEY.get((attrd.get("name") or "").lower())
+            if key and attrd.get("content") is not None:
+                self.meta_tags.setdefault(key, attrd["content"])
             return
 
         hidden = "hidden" in attrd or \
@@ -471,23 +480,6 @@ def _heading_no(tag: str) -> int | None:
     return int(tag[1]) if tag in _HEADING_SIZE else None
 
 
-class _MetaGrabber(HTMLParser):
-    """Tiny pre-pass for <meta> tags (they live in the stripped <head>)."""
-
-    def __init__(self):
-        super().__init__(convert_charrefs=True)
-        self.meta: dict[str, str] = {}
-
-    def handle_starttag(self, tag, attrs):
-        if tag == "meta":
-            d = dict(attrs)
-            key = _META_NAME_TO_KEY.get((d.get("name") or "").lower())
-            if key and d.get("content") is not None:
-                self.meta.setdefault(key, d["content"])
-
-    handle_startendtag = handle_starttag
-
-
 # ---------------------------------------------------------------------------
 # public API
 
@@ -526,13 +518,7 @@ def parse_document(data: bytes, password: str | None = None,
     # anything buffered at EOF is a final line
     parser._flush_line()
 
-    meta_grab = _MetaGrabber()
-    try:
-        meta_grab.feed(text)
-        meta_grab.close()
-    except Exception:
-        pass
-    metadata = dict(meta_grab.meta)
+    metadata = dict(parser.meta_tags)
     metadata.update(parser.metadata)
 
     # main-content restriction
