@@ -83,7 +83,8 @@ def cmd_render(args) -> int:
 
 def cmd_toc(args) -> int:
     """Print outlines like ``pypdfium2 toc`` (cli/toc.py:61-86 format:
-    indent by level, ``[idx] title -> page``)."""
+    indent by level, ``[{count:+}|*] title -> page``; HTML outlines are
+    always 'open' so the count sign is always +)."""
     ray = _init_ray()
     from pypdfium2_ray.pipelines.extract_text import extract_pipeline
     ds = extract_pipeline(path=args.input, skew_split=False,
@@ -91,8 +92,10 @@ def cmd_toc(args) -> int:
                                             include_rects=False))
     for row in ds.select_columns(["url", "toc"]).sort("url").iter_rows():
         print(f"# {row['url']}")
-        for i, e in enumerate(row["toc"] or []):
-            print("    " * e["level"] + f"[{i + 1}] {e['title']} -> {e['page_index'] + 1}")
+        for e in row["toc"] or []:
+            count_str = f"+{e['n_children']}" if e["n_children"] else "*"
+            print("    " * e["level"]
+                  + f"[{count_str}] {e['title']} -> {e['page_index'] + 1}")
     ray.shutdown()
     return 0
 

@@ -159,14 +159,16 @@ def _flatten_outline(roots: list[_NavNode], max_depth: int,
         if level >= max_depth:
             warnings.append(f"maximum recursion depth {max_depth} reached")
             return
-        out.append(TocEntry(level=level, title=n.title, page_index=n.page))
         target = n
         if n.ref:
             ref_id = n.ref.lstrip("#")
             target = by_id.get(ref_id, n)
-            if target is not n:
-                walk(target, level + 1)
-                return
+        n_children = 1 if (n.ref and target is not n) else len(target.children)
+        out.append(TocEntry(level=level, title=n.title, page_index=n.page,
+                            n_children=n_children))
+        if n.ref and target is not n:
+            walk(target, level + 1)
+            return
         for c in target.children:
             walk(c, level + 1)
 
@@ -571,6 +573,18 @@ def parse_document(data: bytes, password: str | None = None,
                     level=it.heading_level - 1, title=it.text, page_index=pi))
         pages.append(Page(index=pi, lines=lines, spans=spans, objects=objects,
                           layout=layout))
+
+    # heading-outline child counts: entry i's immediate children are the
+    # level+1 entries before the next entry with level <= level(i)
+    for i, e in enumerate(heading_entries):
+        n = 0
+        for j in range(i + 1, len(heading_entries)):
+            lj = heading_entries[j].level
+            if lj <= e.level:
+                break
+            if lj == e.level + 1:
+                n += 1
+        e.n_children = n
 
     # TOC: explicit nav outline wins over the heading outline
     if parser.nav_roots:

@@ -50,10 +50,14 @@ class PageObject:
 
 @dataclass
 class TocEntry:
-    """Flattened pre-order TOC node (document.py:520-559 ``get_toc``)."""
+    """Flattened pre-order TOC node (document.py:520-559 ``get_toc``).
+    ``n_children`` mirrors ``PdfBookmark.get_count()`` magnitude
+    (document.py:686-699: immediate child count; HTML outlines are always
+    'open', so the reference's sign bit is always +)."""
     level: int
     title: str
     page_index: int
+    n_children: int = 0
 
 
 @dataclass

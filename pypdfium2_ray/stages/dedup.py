@@ -165,14 +165,18 @@ def minhash_dup_pairs(ds, texts: "pa.Table", id_col: str = "doc_id",
 
     candidates = band_rows.groupby(["band", "band_key"]).map_groups(
         lambda g: _bucket_pairs(g, max_bucket), batch_format="pandas")
-    distinct = candidates.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
 
+    # verify BEFORE the pair-distinct groupby: verification is idempotent
+    # and filters hard, so the dedup exchange runs on the (small) surviving
+    # set instead of every band-duplicated candidate; the per-worker shingle
+    # cache absorbs the repeated jaccard computations
     ref = ray.put(texts.select([id_col, text_col]))
-    return distinct.map_batches(
+    verified = candidates.map_batches(
         warm_task(_VerifyJaccard, texts_ref=ref, threshold=threshold,
                   shingle_k=shingle_k, shingle_kind=shingle_kind),
         batch_format="pyarrow")
+    return verified.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")
 
 
 class _SimhashBands:

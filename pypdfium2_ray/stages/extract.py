@@ -51,7 +51,7 @@ _PAGE_T = pa.struct([
     ("objects", pa.list_(_OBJ_T)),
 ])
 _TOC_T = pa.struct([("level", pa.int32()), ("title", pa.string()),
-                    ("page_index", pa.int32())])
+                    ("page_index", pa.int32()), ("n_children", pa.int32())])
 _META_T = pa.struct([(k, pa.string()) for k in METADATA_KEYS])
 
 #: Output schema of the flagship stage (FIXTURES.md §2 `cc_extracted`).
@@ -167,7 +167,8 @@ class ExtractText:
             html_len=len(html or b""),
             extracted_text=extract_document_text(doc, self.strategy),
             pages=pages_out if self.include_pages else [],
-            toc=[dict(level=e.level, title=e.title, page_index=e.page_index)
+            toc=[dict(level=e.level, title=e.title, page_index=e.page_index,
+                      n_children=e.n_children)
                  for e in doc.get_toc(self.max_toc_depth)],
             metadata=doc.get_metadata_dict(),
             warnings=list(doc.warnings),

@@ -22,9 +22,10 @@ def test_cli_toc_output(ray_session, fixture_parquet, capsys):
     assert main(["toc", fixture_parquet]) == 0
     out = capsys.readouterr().out
     assert "# https://fixtures.test/toc" in out
-    # nested outline printed with indentation and 1-based pages
-    assert "[1] One -> 1" in out
-    assert "    [2] One A -> 1" in out
+    # nested outline printed with indentation, child counts and 1-based
+    # pages (reference cli/toc.py framing: [{count:+}|*] title -> page)
+    assert "[+2] One -> 1" in out
+    assert "    [*] One A -> 1" in out
 
 
 def test_cli_pdfinfo_output(ray_session, fixture_parquet, capsys):
