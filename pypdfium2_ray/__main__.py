@@ -121,6 +121,27 @@ def cmd_pdfinfo(args) -> int:
     return 0
 
 
+def cmd_attachments(args) -> int:
+    """List attachments like ``pypdfium2 attachments list``
+    (cli/attachments.py:57-59: ``[i+1] name``), or extract to parquet rows
+    with -o."""
+    ray = _init_ray()
+    from pypdfium2_ray.pipelines.extract_attachments import (
+        extract_attachments_pipeline)
+    out = extract_attachments_pipeline(_read(args.input))
+    if args.output:
+        out.write_parquet(args.output)
+    else:
+        for row in out.select_columns(["url", "att_idx", "name"]) \
+                      .sort(["url", "att_idx"]).iter_rows():
+            print(f"# {row['url']}" if row["att_idx"] == 0 else "", end="")
+            if row["att_idx"] == 0:
+                print()
+            print(f"[{row['att_idx'] + 1}] {row['name']}")
+    ray.shutdown()
+    return 0
+
+
 def cmd_fixtures(args) -> int:
     from pypdfium2_ray.sources.fixtures import write_cc_parquet
     write_cc_parquet(args.output, n_synthetic=args.synthetic)
@@ -157,6 +178,12 @@ def get_parser() -> argparse.ArgumentParser:
     sp.add_argument("--rotation", type=int, default=0,
                     choices=[0, 90, 180, 270])
     sp.set_defaults(fn=cmd_render)
+
+    sp = sub.add_parser("attachments", help="list or extract embedded files")
+    sp.add_argument("input")
+    sp.add_argument("-o", "--output", default=None,
+                    help="write rows to parquet instead of listing")
+    sp.set_defaults(fn=cmd_attachments)
 
     sp = sub.add_parser("toc", help="print outlines")
     common(sp, output=False)

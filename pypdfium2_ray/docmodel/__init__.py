@@ -11,6 +11,6 @@ from pypdfium2_ray.docmodel.errors import (  # noqa: F401
 )
 from pypdfium2_ray.docmodel.layout import LayoutParams  # noqa: F401
 from pypdfium2_ray.docmodel.textpage import TextPage  # noqa: F401
-from pypdfium2_ray.docmodel.model import Document, Page, Span, PageObject, TocEntry, METADATA_KEYS  # noqa: F401
+from pypdfium2_ray.docmodel.model import Attachment, Document, Page, Span, PageObject, TocEntry, METADATA_KEYS  # noqa: F401
 from pypdfium2_ray.docmodel.htmldoc import parse_document, extract_document_text  # noqa: F401
 from pypdfium2_ray.docmodel.matrix import PdfMatrix  # noqa: F401

@@ -55,7 +55,7 @@ from html.parser import HTMLParser
 from pypdfium2_ray.docmodel.errors import ERR_FORMAT, ERR_PASSWORD
 from pypdfium2_ray.docmodel.layout import DEFAULT_LAYOUT, LayoutParams
 from pypdfium2_ray.docmodel.model import (
-    Document, Page, PageObject, Span, TocEntry,
+    Attachment, Document, Page, PageObject, Span, TocEntry,
 )
 
 # ---------------------------------------------------------------------------
@@ -79,6 +79,26 @@ def encrypt_payload(html: bytes, password: str, salt: str = "0f0f0f0f") -> bytes
     header = f"<!--ENCRYPTED:{salt}:{_enc_digest(salt, password)}-->".encode()
     body = bytes(a ^ b for a, b in zip(html, _enc_keystream(salt, password, len(html))))
     return header + body
+
+
+def _parse_data_uri(href: str) -> tuple[str, bytes]:
+    """``data:[<mime>][;base64],<payload>`` -> (mime, bytes); ('' , b'') on
+    anything unparsable (attachment data stays by-reference)."""
+    import base64
+    from urllib.parse import unquote_to_bytes
+    if not href.startswith("data:"):
+        return "", b""
+    head, _, payload = href[5:].partition(",")
+    if _ == "":
+        return "", b""
+    is_b64 = head.endswith(";base64")
+    mime = head[:-7] if is_b64 else head
+    try:
+        data = base64.b64decode(payload, validate=True) if is_b64 \
+            else unquote_to_bytes(payload)
+    except Exception:
+        return mime, b""
+    return mime, data
 
 
 # ---------------------------------------------------------------------------
@@ -198,6 +218,7 @@ class _HtmlToDoc(HTMLParser):
         self.items: list[_LineItem] = []
         self.metadata: dict[str, str] = {}
         self.meta_tags: dict[str, str] = {}
+        self.attachments: list[Attachment] = []
         self.warnings: list[str] = []
         self.has_main = False
         self.has_article = False
@@ -339,6 +360,20 @@ class _HtmlToDoc(HTMLParser):
             if not is_void:
                 self._skip_depth = 1
             return
+
+        if tag == "a" and "download" in attrd:
+            # embedded-file analogue (PdfAttachment, attachment.py:21-150):
+            # <a download[=name] href="data:...">; anchor text still flows
+            href = attrd.get("href") or ""
+            mime, data = _parse_data_uri(href)
+            name = attrd.get("download") or ""
+            if not name:
+                name = (href.rsplit("/", 1)[-1] or "attachment") \
+                    if not href.startswith("data:") else "attachment"
+            self.attachments.append(Attachment(
+                name=name, data=data, mime=mime,
+                src="" if href.startswith("data:") else href))
+            # falls through: <a> otherwise behaves as a normal inline tag
 
         if tag == "pb":
             self._flush_line()
@@ -592,7 +627,8 @@ def parse_document(data: bytes, password: str | None = None,
     else:
         toc = heading_entries
 
-    doc = Document(pages=pages, toc=toc, metadata=metadata, warnings=warnings)
+    doc = Document(pages=pages, toc=toc, attachments=parser.attachments,
+                   metadata=metadata, warnings=warnings)
     return doc
 
 

@@ -49,6 +49,18 @@ class PageObject:
 
 
 @dataclass
+class Attachment:
+    """Embedded file (PdfAttachment analogue, attachment.py:21-150: name +
+    raw bytes + params). For HTML the source is an ``<a download>`` element;
+    a ``data:`` URI href yields the decoded bytes, any other href is
+    recorded by reference with empty data."""
+    name: str
+    data: bytes = b""
+    mime: str = ""
+    src: str = ""
+
+
+@dataclass
 class TocEntry:
     """Flattened pre-order TOC node (document.py:520-559 ``get_toc``).
     ``n_children`` mirrors ``PdfBookmark.get_count()`` magnitude
@@ -94,6 +106,7 @@ class Document:
     docs are rows, not exceptions (document.py:583-585 inverted)."""
     pages: list[Page] = field(default_factory=list)
     toc: list[TocEntry] = field(default_factory=list)
+    attachments: list[Attachment] = field(default_factory=list)
     metadata: dict[str, str] = field(default_factory=dict)
     warnings: list[str] = field(default_factory=list)
     err_code: int = ERR_SUCCESS
@@ -127,6 +140,14 @@ class Document:
         if skip_empty:
             d = {k: v for k, v in d.items() if v}
         return d
+
+    def count_attachments(self) -> int:
+        """document.py:340-345 ``count_attachments``."""
+        return len(self.attachments)
+
+    def get_attachment(self, index: int) -> Attachment:
+        """document.py:348-356 ``get_attachment``."""
+        return self.attachments[index]
 
     def get_toc(self, max_depth: int = 15) -> list[TocEntry]:
         """Pre-order TOC capped at max_depth (document.py:520-559). Cycle

@@ -132,6 +132,17 @@ def _images_doc() -> bytes:
     return _doc(body, title="Images")
 
 
+def _attachments_doc() -> bytes:
+    """Embedded-file fixture (mirrors tests/resources/attachments.pdf and
+    the attachments CLI, cli/attachments.py:53-71)."""
+    import base64
+    a1 = base64.b64encode(b"attachment one contents").decode()
+    body = ('<p>Doc with attachments</p>'
+            f'<a download="1.txt" href="data:text/plain;base64,{a1}">one</a>'
+            '<a download="attached.bin" href="https://files.test/attached.bin">two</a>')
+    return _doc(body, title="Attachments")
+
+
 def _boilerplate_doc() -> bytes:
     """Main-content restriction test: nav/header/footer stripped, only
     <main> kept."""
@@ -168,6 +179,7 @@ def fixture_rows() -> list[dict]:
     add("/metadata", _metadata_doc())
     add("/boilerplate", _boilerplate_doc())
     add("/images", _images_doc())
+    add("/attachments", _attachments_doc())
     add("/malformed", b"\x00\xff\xfe garbage not utf8 \x80\x81")
     # skew-path row: big payload (>= heavy threshold used in tests)
     add("/huge", _doc(_page(LOREM_LINES * 200)))

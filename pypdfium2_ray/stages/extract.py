@@ -52,6 +52,9 @@ _PAGE_T = pa.struct([
 ])
 _TOC_T = pa.struct([("level", pa.int32()), ("title", pa.string()),
                     ("page_index", pa.int32()), ("n_children", pa.int32())])
+_ATT_T = pa.struct([("name", pa.string()), ("mime", pa.string()),
+                    ("n_bytes", pa.int64()), ("data", pa.binary()),
+                    ("src", pa.string())])
 _META_T = pa.struct([(k, pa.string()) for k in METADATA_KEYS])
 
 #: Output schema of the flagship stage (FIXTURES.md §2 `cc_extracted`).
@@ -67,6 +70,7 @@ EXTRACTED_SCHEMA = pa.schema([
     ("extracted_text", pa.string()),
     ("pages", pa.list_(_PAGE_T)),
     ("toc", pa.list_(_TOC_T)),
+    ("attachments", pa.list_(_ATT_T)),
     ("metadata", _META_T),
     ("warnings", pa.list_(pa.string())),
 ])
@@ -95,7 +99,7 @@ class ExtractText:
     def __init__(self, strategy: str = "range", password: str | None = None,
                  include_pages: bool = True, include_rects: bool = True,
                  include_charboxes: bool = False, include_spans: bool = False,
-                 include_objects: bool = False,
+                 include_objects: bool = False, include_attachments: bool = True,
                  max_toc_depth: int = 15, layout: LayoutParams = DEFAULT_LAYOUT):
         self.strategy = strategy
         self.password = password
@@ -104,6 +108,7 @@ class ExtractText:
         self.include_charboxes = include_charboxes
         self.include_spans = include_spans
         self.include_objects = include_objects
+        self.include_attachments = include_attachments
         self.max_toc_depth = max_toc_depth
         self.layout = layout
 
@@ -117,7 +122,7 @@ class ExtractText:
             return dict(url=url, warc_ts=warc_ts, lang=lang,
                         status="unknown_error", err_code=ERR_UNKNOWN,
                         n_pages=0, n_chars=0, html_len=len(html or b""),
-                        extracted_text="", pages=[], toc=[],
+                        extracted_text="", pages=[], toc=[], attachments=[],
                         metadata={k: "" for k in METADATA_KEYS},
                         warnings=[f"exception: {type(exc).__name__}"])
 
@@ -170,6 +175,10 @@ class ExtractText:
             toc=[dict(level=e.level, title=e.title, page_index=e.page_index,
                       n_children=e.n_children)
                  for e in doc.get_toc(self.max_toc_depth)],
+            attachments=[dict(name=a.name, mime=a.mime, n_bytes=len(a.data),
+                              data=a.data, src=a.src)
+                         for a in doc.attachments]
+                        if self.include_attachments else [],
             metadata=doc.get_metadata_dict(),
             warnings=list(doc.warnings),
         )

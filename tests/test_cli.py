@@ -12,7 +12,7 @@ def test_cli_extract_text(ray_session, fixture_parquet, tmp_path, capsys):
     out = str(tmp_path / "out")
     assert main(["extract-text", fixture_parquet, "-o", out]) == 0
     t = pq.read_table(out)
-    assert t.num_rows == 15
+    assert t.num_rows == 16
     texts = dict(zip(t["url"].to_pylist(), t["extracted_text"].to_pylist()))
     assert texts["https://fixtures.test/multipage"] == (
         "# Page 1\nPage\r\n1\n\n# Page 2\nPage\r\n2\n\n# Page 3\nPage\r\n3\n")
@@ -48,7 +48,7 @@ def test_cli_render(ray_session, fixture_parquet, tmp_path):
 def test_cli_fixtures(tmp_path, capsys):
     out = str(tmp_path / "cc.parquet")
     assert main(["fixtures", "-o", out, "--synthetic", "5"]) == 0
-    assert pq.read_table(out).num_rows == 20
+    assert pq.read_table(out).num_rows == 21
 
 
 def test_cli_extract_text_checkpoint_resume(ray_session, fixture_parquet,

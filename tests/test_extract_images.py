@@ -33,3 +33,28 @@ def test_objects_column_opt_in(ray_session, fixture_parquet):
     # text objects carry bounds; image objects carry dims
     img = [o for o in page0["objects"] if o["type"] == "image"][0]
     assert (img["width"], img["height"]) == (100, 50)
+
+
+def test_extract_attachments_rows(ray_session, fixture_parquet):
+    import ray.data as rd
+    from pypdfium2_ray.pipelines.extract_attachments import (
+        extract_attachments_pipeline)
+    ds = rd.read_parquet(fixture_parquet)
+    df = extract_attachments_pipeline(ds).to_pandas()
+    atts = df[df["url"] == "https://fixtures.test/attachments"] \
+        .sort_values("att_idx").reset_index(drop=True)
+    assert list(atts["name"]) == ["1.txt", "attached.bin"]
+    assert atts.loc[0, "data"] == b"attachment one contents"
+    assert atts.loc[0, "mime"] == "text/plain"
+    assert atts.loc[1, "n_bytes"] == 0
+    assert atts.loc[1, "src"] == "https://files.test/attached.bin"
+    # docs without attachments yield no rows
+    assert not (df["url"] == "https://fixtures.test/text").any()
+
+
+def test_attachment_docmodel_api():
+    from pypdfium2_ray.docmodel.htmldoc import parse_document
+    from pypdfium2_ray.sources.fixtures import _attachments_doc
+    doc = parse_document(_attachments_doc())
+    assert doc.count_attachments() == 2
+    assert doc.get_attachment(0).name == "1.txt"

@@ -94,7 +94,7 @@ def test_write_parquet_roundtrip(ray_session, fixture_parquet, tmp_path):
     out = str(tmp_path / "extracted")
     extract_pipeline(path=fixture_parquet, skew_split=False, output_path=out)
     table = pq.read_table(out)
-    assert table.num_rows == 15
+    assert table.num_rows == 16
     texts = dict(zip(table["url"].to_pylist(), table["extracted_text"].to_pylist()))
     assert texts[f"{BASE}/text"] == _expected_text_fixture()
 
