@@ -37,6 +37,7 @@ def extract_pipeline(ds=None, path: str | list[str] | None = None,
                      light_kwargs: dict[str, Any] | None = None,
                      heavy_kwargs: dict[str, Any] | None = None,
                      output_path: str | None = None,
+                     output_partition_cols: list[str] | None = None,
                      mode: str = "tasks"):
     """Build (and optionally write) the flagship extraction Dataset.
 
@@ -88,6 +89,11 @@ def extract_pipeline(ds=None, path: str | list[str] | None = None,
                 ExtractText, fn_constructor_kwargs=extract_opts or {},
                 batch_format="pyarrow", **kwargs)
     if output_path is not None:
-        out.write_parquet(output_path)
+        if output_partition_cols:
+            # hive-partitioned layout (e.g. by lang or status): one
+            # directory per key value — resumable/skippable at read time
+            out.write_parquet(output_path, partition_cols=output_partition_cols)
+        else:
+            out.write_parquet(output_path)
         return None
     return out

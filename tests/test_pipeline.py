@@ -112,3 +112,17 @@ def test_charboxes_opt_in(ray_session, fixture_parquet):
     crlf = [c for c in chars if c["generated"]]
     assert len(crlf) == 18  # 9 line breaks x 2 chars
     assert len(page0["spans"]) >= 10
+
+
+def test_partitioned_output(ray_session, fixture_parquet, tmp_path):
+    """Hive-partitioned parquet output (resumable layout per key value)."""
+    import os
+    out = str(tmp_path / "by_status")
+    extract_pipeline(path=fixture_parquet, skew_split=False,
+                     extract_opts=dict(include_pages=False,
+                                       include_rects=False),
+                     output_path=out, output_partition_cols=["status"])
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("status="))
+    assert "status=ok" in dirs and "status=format_error" in dirs
+    table = pq.read_table(out)
+    assert table.num_rows == 16
