@@ -67,25 +67,25 @@ def _ensure_corpus(sf_dir: str) -> tuple[str, int, int]:
             body_args.append("</p><p>")
         body_args.append(docs["text"])
     body = pc.binary_join_element_wise(*body_args, "")
-    tables = []
+    os.makedirs(path, exist_ok=True)
+    n_rows = 0
+    n_bytes = 0
+    shards_per_replica = 4          # REPLICAS x 4 shard files
+    # one replica built + written at a time: the builder's memory footprint
+    # is one replica, not the whole corpus
     for rep in range(REPLICAS):
         url = pc.binary_join_element_wise(
             "doc://bench/", did, f"?r={rep}", "")
         html = pc.cast(pc.binary_join_element_wise(
             "<html><head><title>bench</title></head><body><p>",
             body, "</p></body></html>", ""), pa.binary())
-        tables.append(pa.table({
+        table = pa.table({
             "url": url,
             "warc_ts": pa.array([0] * len(docs), pa.timestamp("us")),
             "html": html,
             "text": pa.array([""] * len(docs), pa.string()),
             "lang": docs["lang"],
-        }))
-    os.makedirs(path, exist_ok=True)
-    n_rows = 0
-    n_bytes = 0
-    shards_per_replica = 4          # REPLICAS x 4 shard files
-    for rep, table in enumerate(tables):
+        })
         n_rows += table.num_rows
         n_bytes += int(pc.sum(pc.binary_length(table["html"])).as_py())
         step = (table.num_rows + shards_per_replica - 1) // shards_per_replica
