@@ -134,9 +134,8 @@ def cmd_attachments(args) -> int:
     else:
         for row in out.select_columns(["url", "att_idx", "name"]) \
                       .sort(["url", "att_idx"]).iter_rows():
-            print(f"# {row['url']}" if row["att_idx"] == 0 else "", end="")
             if row["att_idx"] == 0:
-                print()
+                print(f"# {row['url']}")
             print(f"[{row['att_idx'] + 1}] {row['name']}")
     ray.shutdown()
     return 0

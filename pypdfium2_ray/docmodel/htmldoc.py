@@ -370,9 +370,14 @@ class _HtmlToDoc(HTMLParser):
             if not name:
                 name = (href.rsplit("/", 1)[-1] or "attachment") \
                     if not href.startswith("data:") else "attachment"
+            is_data = href.startswith("data:")
+            if is_data and not data:
+                # decode failure: keep the raw href so the payload stays
+                # recoverable, and record a warning (error-rows discipline)
+                self.warnings.append(f"attachment data decode failed: {name}")
             self.attachments.append(Attachment(
                 name=name, data=data, mime=mime,
-                src="" if href.startswith("data:") else href))
+                src="" if (is_data and data) else href))
             # falls through: <a> otherwise behaves as a normal inline tag
 
         if tag == "pb":

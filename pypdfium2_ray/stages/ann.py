@@ -83,7 +83,7 @@ class _PartialTopK:
 def ann_topk(ds, queries: pa.Table, k: int = 10, id_col: str = "vec_id",
              vec_col: str = "embedding", exclude_self: bool = True,
              round_digits: int | None = 4, scale: int | None = None,
-             concurrency=(1, 8), **mb_kwargs):
+             concurrency=None, **mb_kwargs):
     """Global cosine top-k per query row of *queries*.
 
     Partial top-k per block (matmul), tiny final combine. Deterministic
@@ -94,10 +94,16 @@ def ann_topk(ds, queries: pa.Table, k: int = 10, id_col: str = "vec_id",
     import ray
     from pypdfium2_ray.stages.warm import warm_task
     ref = ray.put(queries)
-    partials = ds.map_batches(
-        warm_task(_PartialTopK, queries_ref=ref, k=k, id_col=id_col,
-                  vec_col=vec_col, exclude_self=exclude_self),
-        batch_format="pyarrow", **mb_kwargs)
+    kw = dict(queries_ref=ref, k=k, id_col=id_col, vec_col=vec_col,
+              exclude_self=exclude_self)
+    if concurrency is not None:
+        # explicit cap -> actor pool (bounds broadcast copies / memory)
+        partials = ds.map_batches(_PartialTopK, fn_constructor_kwargs=kw,
+                                  batch_format="pyarrow",
+                                  concurrency=concurrency, **mb_kwargs)
+    else:
+        partials = ds.map_batches(warm_task(_PartialTopK, **kw),
+                                  batch_format="pyarrow", **mb_kwargs)
 
     def finalize(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
@@ -138,16 +144,20 @@ class _PairsVsBroadcast:
 def embedding_dup_pairs(ds, corpus: pa.Table, tau: float = 0.9,
                         id_col: str = "vec_id", vec_col: str = "embedding",
                         round_digits: int | None = 4, scale: int | None = None,
-                        concurrency=(1, 8), **mb_kwargs):
+                        concurrency=None, **mb_kwargs):
     """Exact near-duplicate pairs (cosine >= tau), corpus broadcast once."""
     import ray
     import pyarrow.compute as pc
     from pypdfium2_ray.stages.warm import warm_task
     ref = ray.put(corpus)
-    pairs = ds.map_batches(
-        warm_task(_PairsVsBroadcast, corpus_ref=ref, tau=tau, id_col=id_col,
-                  vec_col=vec_col),
-        batch_format="pyarrow", **mb_kwargs)
+    kw = dict(corpus_ref=ref, tau=tau, id_col=id_col, vec_col=vec_col)
+    if concurrency is not None:
+        pairs = ds.map_batches(_PairsVsBroadcast, fn_constructor_kwargs=kw,
+                               batch_format="pyarrow",
+                               concurrency=concurrency, **mb_kwargs)
+    else:
+        pairs = ds.map_batches(warm_task(_PairsVsBroadcast, **kw),
+                               batch_format="pyarrow", **mb_kwargs)
     if scale is not None:
         def to_scaled(t: pa.Table) -> pa.Table:
             centi = pc.cast(pc.round(pc.multiply(t["sim"], float(scale))),
@@ -201,16 +211,21 @@ def embedding_lsh_dup_pairs(ds, dim: int, tau: float = 0.9, n_bits: int = 32,
                             bands: int = 4, seed: int = 7,
                             id_col: str = "vec_id", vec_col: str = "embedding",
                             round_digits: int | None = 4,
-                            concurrency=(1, 8), **mb_kwargs):
+                            concurrency=None, **mb_kwargs):
     """Scale path: LSH-bucketed near-dup pairs. Only bucket-mates are
     compared; recall < 1 by construction (that is the LSH trade) — band/bit
     counts tune it. Pairs found in multiple buckets are deduped by a final
     tiny groupby."""
     from pypdfium2_ray.stages.warm import warm_task
-    band_rows = ds.map_batches(
-        warm_task(_HyperplaneBands, dim=dim, n_bits=n_bits, bands=bands,
-                  seed=seed, id_col=id_col, vec_col=vec_col),
-        batch_format="pyarrow", **mb_kwargs)
+    kw = dict(dim=dim, n_bits=n_bits, bands=bands, seed=seed,
+              id_col=id_col, vec_col=vec_col)
+    if concurrency is not None:
+        band_rows = ds.map_batches(_HyperplaneBands, fn_constructor_kwargs=kw,
+                                   batch_format="pyarrow",
+                                   concurrency=concurrency, **mb_kwargs)
+    else:
+        band_rows = ds.map_batches(warm_task(_HyperplaneBands, **kw),
+                                   batch_format="pyarrow", **mb_kwargs)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:

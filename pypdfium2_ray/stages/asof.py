@@ -61,13 +61,26 @@ def asof_join(left_ds, right_ds, by: str, on: str,
 
     left_cols = list(ls.names)
     right_cols = list(rs.names)
+    # right integer payload columns: restore after the merge (a left join's
+    # unmatched rows introduce NaN, which pandas widens to float64)
+    right_int_cols = [f.name for f in rs
+                     if f.name not in (by, on) and pa.types.is_integer(f.type)]
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        left = g.loc[g["__side"] == 0, left_cols] \
-                .sort_values(on, kind="mergesort")
-        right = g.loc[g["__side"] == 1, right_cols] \
-                 .sort_values(on, kind="mergesort") \
+    def per_key(g) -> pd.DataFrame:
+        # the group arrives as an Arrow table; each SIDE is converted to
+        # pandas separately so its own columns are null-free and integer
+        # dtypes survive (a joint conversion would see the pad-nulls of the
+        # other side and widen int64 ids to lossy float64)
+        import pyarrow.compute as _pc
+        left = g.filter(_pc.equal(g["__side"], 0)).select(left_cols) \
+                .to_pandas().sort_values(on, kind="mergesort")
+        right = g.filter(_pc.equal(g["__side"], 1)).select(right_cols) \
+                 .to_pandas().sort_values(on, kind="mergesort") \
                  .assign(__matched=True)
+        # nullable Int64 BEFORE the merge: unmatched left rows produce
+        # pd.NA, never a lossy float64 widening (int64 ids > 2^53 survive)
+        for c in right_int_cols:
+            right[c] = right[c].astype("Int64")
         out = pd.merge_asof(left, right.drop(columns=[by]), on=on,
                             direction="backward",
                             allow_exact_matches=allow_exact,
@@ -76,4 +89,4 @@ def asof_join(left_ds, right_ds, by: str, on: str,
             out = out[out["__matched"].notna()]
         return out.drop(columns="__matched")
 
-    return tagged.groupby(by).map_groups(per_key, batch_format="pandas")
+    return tagged.groupby(by).map_groups(per_key, batch_format="pyarrow")

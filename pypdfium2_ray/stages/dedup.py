@@ -37,11 +37,17 @@ def dedup_by_url(ds, keep: str = "latest", pre_combine: bool = True):
     if pre_combine:
         last = keep == "latest"
 
-        def partial(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.sort_values("warc_ts", kind="mergesort")
-            return df.drop_duplicates("url", keep="last" if last else "first")
+        def partial(t):
+            # compute kept row indices on the two key columns only, then
+            # take() — the (large binary) html column never converts to
+            # pandas, just a zero-copy Arrow gather
+            import pyarrow as _pa
+            keys = t.select(["url", "warc_ts"]).to_pandas()
+            keys = keys.sort_values("warc_ts", kind="mergesort")
+            kept = keys.drop_duplicates("url", keep="last" if last else "first")
+            return t.take(_pa.array(sorted(kept.index)))
 
-        ds = ds.map_batches(partial, batch_format="pandas")
+        ds = ds.map_batches(partial, batch_format="pyarrow")
     return ds.groupby("url").map_groups(fn, batch_format="pandas")
 
 
@@ -148,7 +154,7 @@ def minhash_dup_pairs(ds, texts: "pa.Table", id_col: str = "doc_id",
                       bands: int = 16, shingle_k: int = 5,
                       shingle_kind: str = "char", threshold: float = 0.7,
                       seed: int = 1, max_bucket: int = 500,
-                      concurrency=(1, 8), **mb_kwargs):
+                      concurrency=None, **mb_kwargs):
     """MinHash+LSH near-duplicate pairs over a text column.
 
     shingle -> minhash -> band bucket ``groupby`` -> candidate pairs ->
@@ -157,11 +163,16 @@ def minhash_dup_pairs(ds, texts: "pa.Table", id_col: str = "doc_id",
     """
     import ray
     from pypdfium2_ray.stages.warm import warm_task
-    band_rows = ds.map_batches(
-        warm_task(_MinhashBands, id_col=id_col, text_col=text_col,
-                  num_perm=num_perm, bands=bands, shingle_k=shingle_k,
-                  seed=seed, shingle_kind=shingle_kind),
-        batch_format="pyarrow", **mb_kwargs)
+    kw = dict(id_col=id_col, text_col=text_col, num_perm=num_perm,
+              bands=bands, shingle_k=shingle_k, seed=seed,
+              shingle_kind=shingle_kind)
+    if concurrency is not None:
+        band_rows = ds.map_batches(_MinhashBands, fn_constructor_kwargs=kw,
+                                   batch_format="pyarrow",
+                                   concurrency=concurrency, **mb_kwargs)
+    else:
+        band_rows = ds.map_batches(warm_task(_MinhashBands, **kw),
+                                   batch_format="pyarrow", **mb_kwargs)
 
     candidates = band_rows.groupby(["band", "band_key"]).map_groups(
         lambda g: _bucket_pairs(g, max_bucket), batch_format="pandas")
@@ -210,15 +221,19 @@ class _SimhashBands:
 
 def simhash_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                       ngram_n: int = 3, bands: int = 4, max_dist: int = 3,
-                      max_bucket: int = 500, concurrency=(1, 8), **mb_kwargs):
+                      max_bucket: int = 500, concurrency=None, **mb_kwargs):
     """SimHash near-duplicate pairs: 64-bit fingerprint, pigeonhole banding
     (dist <= bands-1 guaranteed to share a band), exact Hamming verify inside
     buckets. Returns (id_a, id_b, hamming) with id_a < id_b."""
     from pypdfium2_ray.stages.warm import warm_task
-    band_rows = ds.map_batches(
-        warm_task(_SimhashBands, id_col=id_col, text_col=text_col,
-                  ngram_n=ngram_n, bands=bands),
-        batch_format="pyarrow", **mb_kwargs)
+    kw = dict(id_col=id_col, text_col=text_col, ngram_n=ngram_n, bands=bands)
+    if concurrency is not None:
+        band_rows = ds.map_batches(_SimhashBands, fn_constructor_kwargs=kw,
+                                   batch_format="pyarrow",
+                                   concurrency=concurrency, **mb_kwargs)
+    else:
+        band_rows = ds.map_batches(warm_task(_SimhashBands, **kw),
+                                   batch_format="pyarrow", **mb_kwargs)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates("doc_id").sort_values("doc_id").head(max_bucket)

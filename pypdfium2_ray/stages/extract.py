@@ -193,28 +193,15 @@ class ExtractText:
         return pa.Table.from_pylist(rows, schema=EXTRACTED_SCHEMA)
 
 
-#: per-worker-process warm extractor cache (the Ray-task analogue of the
-#: reference's mp-pool initializer state, cli/render.py:372-383: state is
-#: built once per worker process and reused across tasks). Benchmarked ~2x
-#: faster than an autoscaling actor pool for this workload — task scheduling
-#: is elastic, no pool ramp-up, no dispatch queue.
-_WARM_EXTRACTORS: dict = {}
-
-
 def make_extract_fn(**opts):
-    """A picklable batch fn holding a per-process warm :class:`ExtractText`.
-
-    Use with ``ds.map_batches(make_extract_fn(**opts))`` (stateless task
-    form). Prefer this unless the stage needs heavyweight per-actor state
-    (models, big lookup tables) — then use the ExtractText class directly
-    with ``concurrency=``.
+    """A picklable batch fn holding a per-process warm :class:`ExtractText`
+    (the Ray-task analogue of the reference's mp-pool initializer state,
+    cli/render.py:372-383; benchmarked ~2x an autoscaling actor pool here).
+    Thin wrapper over the shared :func:`pypdfium2_ray.stages.warm.warm_task`
+    cache. Prefer this unless the stage needs heavyweight per-actor state —
+    then use the ExtractText class directly with ``concurrency=``.
     """
-    key = repr(sorted(opts.items()))
-
-    def extract_fn(batch: pa.Table) -> pa.Table:
-        actor = _WARM_EXTRACTORS.get(key)
-        if actor is None:
-            actor = _WARM_EXTRACTORS[key] = ExtractText(**opts)
-        return actor(batch)
-
-    return extract_fn
+    from pypdfium2_ray.stages.warm import warm_task
+    fn = warm_task(ExtractText, **opts)
+    fn.__name__ = "extract_fn"
+    return fn

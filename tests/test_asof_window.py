@@ -116,3 +116,20 @@ def test_range_join_rejects_overlap(ray_session):
     rows = pa.table({"id": pa.array([1], pa.int64()), "v": [1.0]})
     with _pt.raises(Exception):
         range_join(rd.from_arrow(rows), bad, value_col="v").to_pandas()
+
+
+def test_asof_join_preserves_big_int64_ids(ray_session):
+    """int64 ids beyond 2^53 must survive (no float64 widening)."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.asof import asof_join
+    big = 9_223_372_036_854_775_000   # near int64 max, not float-representable
+    left = pa.table({"id": pa.array([big + 1, big + 2], pa.int64()),
+                     "k": pa.array([1, 1], pa.int64()),
+                     "ts": pa.array([100, 200], pa.timestamp("us"))})
+    right = pa.table({"rid": pa.array([big + 3], pa.int64()),
+                      "k": pa.array([1], pa.int64()),
+                      "ts": pa.array([50], pa.timestamp("us"))})
+    out = asof_join(rd.from_arrow(left), rd.from_arrow(right),
+                    by="k", on="ts").to_pandas().sort_values("id")
+    assert list(out["id"]) == [big + 1, big + 2]
+    assert list(out["rid"]) == [big + 3, big + 3]
