@@ -137,6 +137,27 @@ def q_extract_status_rollup(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_bpe_tokens(sf_dir: str):
+    """BPE-ish subword token count (functions.text.bpe_token_count) —
+    approximate LLM token counting per document."""
+    from pypdfium2_ray.functions.text import bpe_token_count
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_bpe_tokens": bpe_token_count(t["text"])})
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+def q_sessions(sf_dir: str):
+    """Gap-based sessionization (stages/sessionize): per-event session ids
+    with a 30-minute inactivity gap."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.sessionize import sessionize
+    ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+    return sessionize(ds, key="user_id", ts_col="ts", gap_s=1800)
+
+
 def q_text_slice(sf_dir: str):
     """get_text_range analogue (textpage.py:104-146): chars [10, 60)."""
     def f(t: pa.Table) -> pa.Table:
@@ -354,6 +375,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_search_word": q_term_search_word,
         "extract_status_rollup": q_extract_status_rollup,
         "text_slice": q_text_slice,
+        "bpe_tokens": q_bpe_tokens,
+        "sessions": q_sessions,
         "doc_stats": q_doc_stats,
         "dedup_exact": q_dedup_exact,
         "dedup_latest_event": q_dedup_latest_event,
@@ -375,7 +398,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from pypdfium2_ray.functions.text import (
-        LANG_STOPWORDS, sql_lang_pred, sql_term_count, sql_token_count,
+        LANG_STOPWORDS, sql_bpe_token_count, sql_lang_pred, sql_term_count,
+        sql_token_count,
     )
     from pypdfium2_ray.sources.cc_from_documents import sql_extracted_text
 
@@ -424,6 +448,22 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "text_slice": """
             SELECT doc_id, substr(text, 11, 50) AS slice_text FROM documents""",
+        "bpe_tokens": f"""
+            SELECT doc_id, {sql_bpe_token_count('text')} AS n_bpe_tokens
+            FROM documents""",
+        "sessions": """
+            WITH d AS (
+              SELECT event_id, user_id, ts,
+                     CASE WHEN ts - lag(ts) OVER w > INTERVAL 1800 SECONDS
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            )
+            SELECT event_id, user_id, ts,
+                   CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     AS session_id
+            FROM d""",
         "doc_stats": """
             SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
                    max(n_chars) AS max_chars

@@ -20,6 +20,11 @@ import pyarrow.compute as pc
 
 #: one token = a maximal run of non-whitespace (RE2 \S)
 TOKEN_RE = r"\S+"
+#: BPE-ish subword tokenization (GPT-2-style pre-tokenizer pattern, RE2
+#: subset: contraction suffixes | space-prefixed letter runs | digit runs |
+#: punctuation runs | whitespace). Counts approximate LLM token counts far
+#: better than whitespace tokens.
+BPE_RE = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
 #: sentence-ending punctuation
 PUNCT_RE = r"[.!?]"
 #: whitespace runs (the docmodel's line-collapse class, htmldoc._WS_RE)
@@ -46,6 +51,17 @@ def _stop_re(lang: str) -> str:
 def token_count(texts: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray:
     """Whitespace-token count per string (vectorized RE2 scan)."""
     return pc.cast(pc.count_substring_regex(texts, TOKEN_RE), pa.int64())
+
+
+def bpe_token_count(texts) -> pa.ChunkedArray:
+    """Approximate LLM token count: non-overlapping matches of the BPE-ish
+    pre-tokenizer pattern (vectorized RE2 scan)."""
+    return pc.cast(pc.count_substring_regex(texts, BPE_RE), pa.int64())
+
+
+def sql_bpe_token_count(col: str = "text") -> str:
+    pat = BPE_RE.replace("'", "''")
+    return f"length(regexp_extract_all({col}, '{pat}'))"
 
 
 def term_count(texts, term: str) -> pa.ChunkedArray:

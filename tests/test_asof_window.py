@@ -133,3 +133,33 @@ def test_asof_join_preserves_big_int64_ids(ray_session):
                     by="k", on="ts").to_pandas().sort_values("id")
     assert list(out["id"]) == [big + 1, big + 2]
     assert list(out["rid"]) == [big + 3, big + 3]
+
+
+def test_sessionize(ray_session):
+    import ray.data as rd
+    from pypdfium2_ray.stages.sessionize import sessionize
+    base = 1_700_000_000_000_000  # us
+    t = pa.table({
+        "event_id": pa.array(list(range(6)), pa.int64()),
+        "user_id": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+        # user 1: gaps 10min, 40min (new session), 5min; user 2: one gap 2h
+        "ts": pa.array([base, base + 600_000_000, base + 3_000_000_000,
+                        base + 3_300_000_000, base, base + 7_200_000_000],
+                       pa.timestamp("us")),
+    })
+    out = sessionize(rd.from_arrow(t).repartition(3), gap_s=1800) \
+        .to_pandas().sort_values("event_id")
+    assert list(out["session_id"]) == [0, 0, 1, 1, 0, 1]
+
+
+def test_bpe_token_count_parity_and_sanity():
+    import duckdb
+    from pypdfium2_ray.functions.text import bpe_token_count, sql_bpe_token_count
+    texts = pa.array(["Hello world, it's 2024!", "don't stop", "", "   ", "a1b2"])
+    ours = bpe_token_count(texts).to_pylist()
+    con = duckdb.connect(); con.register("t", pa.table({"text": texts}))
+    theirs = [r[0] for r in con.sql(
+        f"SELECT {sql_bpe_token_count('text')} FROM t").fetchall()]
+    assert ours == theirs
+    assert ours[0] >= 6          # Hello/world/,/it/'s/2024/!
+    assert ours[2] == 0
