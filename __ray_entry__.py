@@ -232,6 +232,19 @@ def q_ann_topk(sf_dir: str):
     return ann_topk(_embeddings(sf_dir), queries, k=ANN_K, scale=100)
 
 
+def q_ann_ivf_topk(sf_dir: str):
+    """IVF (coarse-quantizer) approximate top-k — recall < 1 by
+    construction, rows-only check (recall asserted in unit tests)."""
+    import pyarrow.parquet as pq
+    from pypdfium2_ray.stages.ann import ivf_topk
+    emb = pq.read_table(f"{sf_dir.rstrip('/')}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    queries = emb.filter(pc.is_in(emb["vec_id"],
+                                  value_set=pa.array(ANN_QUERY_IDS)))
+    return ivf_topk(_embeddings(sf_dir), queries, emb, k=ANN_K,
+                    n_centroids=16, nprobe=4, scale=100)
+
+
 def q_embedding_dups(sf_dir: str):
     import pyarrow.parquet as pq
     from pypdfium2_ray.stages.ann import embedding_dup_pairs
@@ -383,6 +396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dups": q_minhash_dups,
         "simhash_dups": q_simhash_dups,
         "ann_topk": q_ann_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_dups": q_embedding_dups,
         "embedding_lsh_dups": q_embedding_lsh_dups,
         "pricing_summary": q_pricing_summary,

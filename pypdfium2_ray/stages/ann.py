@@ -249,3 +249,108 @@ def embedding_lsh_dup_pairs(ds, dim: int, tau: float = 0.9, n_bits: int = 32,
         return out
 
     return pairs.groupby(["id_a", "id_b"]).map_groups(dedup, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) variant — the coarse-quantizer scale path
+
+def train_centroids(train: pa.Table, n_centroids: int = 16, n_iter: int = 10,
+                    seed: int = 11, vec_col: str = "embedding") -> np.ndarray:
+    """Spherical k-means on (normalized) training vectors — seeded lloyd
+    iterations, pure numpy, deterministic. Train on a driver-side sample
+    (``ds.random_sample`` upstream at scale)."""
+    X = _normalize(stack_embeddings(train[vec_col]))
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(n_iter):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                c = members.sum(axis=0)
+                n = np.linalg.norm(c)
+                if n > 0:
+                    C[j] = c / n
+    return C
+
+
+class _IvfPartialTopK:
+    """Per-block IVF-restricted partial top-k: rows are assigned to their
+    nearest centroid; a row is a candidate for a query only if its centroid
+    is in that query's probe list — the bulk of the corpus is skipped."""
+
+    def __init__(self, queries_ref, centroids_ref, probe_ref, k: int,
+                 id_col: str, vec_col: str, exclude_self: bool):
+        import ray
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        self.C = ray.get(centroids_ref) if isinstance(centroids_ref, ray.ObjectRef) else centroids_ref
+        self.probe = ray.get(probe_ref) if isinstance(probe_ref, ray.ObjectRef) else probe_ref
+        self.qids = q[id_col].to_numpy()
+        self.Qn = _normalize(stack_embeddings(q[vec_col]))
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.exclude_self = exclude_self
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy()
+        Xn = _normalize(stack_embeddings(batch[self.vec_col]))
+        assign = np.argmax(Xn @ self.C.T, axis=1)            # (n,)
+        # allowed[i, j]: row i's centroid is probed by query j
+        allowed = self.probe[:, assign].T                    # (n, nq)
+        sims = Xn @ self.Qn.T
+        sims = np.where(allowed, sims, -np.inf)
+        if self.exclude_self:
+            sims = np.where(ids[:, None] == self.qids[None, :], -np.inf, sims)
+        out_q, out_id, out_sim = [], [], []
+        k = min(self.k, sims.shape[0])
+        for j, qid in enumerate(self.qids):
+            col = sims[:, j]
+            cand = np.argpartition(-col, k - 1)[:k] if k < len(col) \
+                else np.arange(len(col))
+            keep = cand[np.isfinite(col[cand])]
+            out_q.append(np.full(len(keep), qid, dtype=np.int64))
+            out_id.append(ids[keep].astype(np.int64))
+            out_sim.append(col[keep])
+        return pa.table({
+            "query_id": np.concatenate(out_q) if out_q else np.array([], np.int64),
+            "neighbor_id": np.concatenate(out_id) if out_id else np.array([], np.int64),
+            "sim": np.concatenate(out_sim) if out_sim else np.array([], np.float64),
+        })
+
+
+def ivf_topk(ds, queries: pa.Table, train: pa.Table, k: int = 10,
+             n_centroids: int = 16, nprobe: int = 4, seed: int = 11,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             exclude_self: bool = True, round_digits: int | None = 4,
+             scale: int | None = None, **mb_kwargs):
+    """IVF approximate top-k: train a coarse quantizer (seeded spherical
+    k-means), probe each query's ``nprobe`` nearest centroids, and only
+    score rows assigned to probed centroids. Recall < 1 by construction —
+    nprobe/n_centroids tune it; with nprobe == n_centroids this equals the
+    brute-force :func:`ann_topk`."""
+    import ray
+    from pypdfium2_ray.stages.warm import warm_task
+    C = train_centroids(train, n_centroids, seed=seed, vec_col=vec_col)
+    Qn = _normalize(stack_embeddings(queries[vec_col]))
+    order = np.argsort(-(Qn @ C.T), axis=1)[:, :nprobe]      # (nq, nprobe)
+    probe = np.zeros((len(Qn), len(C)), dtype=bool)
+    for j in range(len(Qn)):
+        probe[j, order[j]] = True
+
+    partials = ds.map_batches(
+        warm_task(_IvfPartialTopK, queries_ref=ray.put(queries),
+                  centroids_ref=ray.put(C), probe_ref=ray.put(probe), k=k,
+                  id_col=id_col, vec_col=vec_col, exclude_self=exclude_self),
+        batch_format="pyarrow", **mb_kwargs)
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        if scale is not None:
+            g = g.assign(sim_centi=(g["sim"] * scale).round().astype("int64"))
+            g = g.drop(columns=["sim"])
+        elif round_digits is not None:
+            g = g.assign(sim=g["sim"].round(round_digits))
+        return g
+
+    return partials.groupby("query_id").map_groups(finalize, batch_format="pandas")

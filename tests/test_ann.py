@@ -85,3 +85,39 @@ def test_stack_embeddings_shape(emb):
     X = stack_embeddings(emb["embedding"])
     assert X.shape == (80, 16)
     assert X.dtype == np.float64
+
+
+def test_ivf_topk_recall(ray_session, emb):
+    """IVF with clustered data: high recall vs exact at modest nprobe, and
+    exact equivalence when probing every centroid."""
+    import ray.data as rd
+    import pyarrow.compute as pc
+    from pypdfium2_ray.stages.ann import ann_topk, ivf_topk
+    qids = (0, 1, 2)
+    queries = emb.filter(pc.is_in(emb["vec_id"], value_set=pa.array(qids)))
+    ds = rd.from_arrow(emb).repartition(4)
+
+    exact = ann_topk(ds, queries, k=5, round_digits=None).to_pandas()
+    ivf_all = ivf_topk(ds, queries, emb, k=5, n_centroids=6, nprobe=6,
+                       round_digits=None).to_pandas()
+    for q in qids:
+        e = set(exact[exact["query_id"] == q]["neighbor_id"])
+        a = set(ivf_all[ivf_all["query_id"] == q]["neighbor_id"])
+        assert a == e                                   # full probe == exact
+
+    ivf = ivf_topk(ds, queries, emb, k=5, n_centroids=6, nprobe=2,
+                   round_digits=None).to_pandas()
+    hits = 0
+    for q in qids:
+        e = set(exact[exact["query_id"] == q]["neighbor_id"])
+        a = set(ivf[ivf["query_id"] == q]["neighbor_id"])
+        hits += len(a & e)
+    assert hits >= 0.8 * 3 * 5           # tight clusters -> high recall
+
+
+def test_train_centroids_deterministic(emb):
+    from pypdfium2_ray.stages.ann import train_centroids
+    import numpy as np
+    c1 = train_centroids(emb, 6)
+    c2 = train_centroids(emb, 6)
+    assert np.array_equal(c1, c2)
