@@ -88,3 +88,25 @@ def test_broadcast_join_task_mode(ray_session, facts):
     b = broadcast_join(ds, dim, keys="fk", right_keys="id", mode="actors").to_pandas()
     assert len(a) == len(b) == len(facts)
     assert sorted(a["name"]) == sorted(b["name"])
+
+
+def test_warm_task_cache_bounded_and_reused():
+    from pypdfium2_ray.stages import warm
+
+    class Counting:
+        built = 0
+        def __init__(self, tag):
+            Counting.built += 1
+            self.tag = tag
+        def __call__(self, batch):
+            return batch
+
+    warm._INSTANCES.clear()
+    fn = warm.warm_task(Counting, tag="a")
+    fn(None); fn(None)
+    assert Counting.built == 1                    # reused per process
+    # eviction keeps the cache bounded
+    for i in range(20):
+        warm.warm_task(Counting, tag=f"t{i}")(None)
+    assert len(warm._INSTANCES) <= 16
+    warm._INSTANCES.clear()
