@@ -233,8 +233,10 @@ def q_ann_topk(sf_dir: str):
 
 
 def q_ann_ivf_topk(sf_dir: str):
-    """IVF (coarse-quantizer) approximate top-k — recall < 1 by
-    construction, rows-only check (recall asserted in unit tests)."""
+    """IVF (coarse-quantizer) top-k, driven at nprobe == n_centroids so the
+    probe set covers every cell and the result provably equals brute force
+    (unit-tested equivalence, tests/test_ann.py) — which makes the exact
+    ``ann_topk`` SQL its oracle. Modest-probe recall stays unit-tested."""
     import pyarrow.parquet as pq
     from pypdfium2_ray.stages.ann import ivf_topk
     emb = pq.read_table(f"{sf_dir.rstrip('/')}/embeddings.parquet",
@@ -242,7 +244,7 @@ def q_ann_ivf_topk(sf_dir: str):
     queries = emb.filter(pc.is_in(emb["vec_id"],
                                   value_set=pa.array(ANN_QUERY_IDS)))
     return ivf_topk(_embeddings(sf_dir), queries, emb, k=ANN_K,
-                    n_centroids=16, nprobe=4, scale=100)
+                    n_centroids=16, nprobe=16, scale=100)
 
 
 def q_embedding_dups(sf_dir: str):
@@ -369,6 +371,20 @@ def q_decode_images(sf_dir: str):
                      ["width", "height"])
 
 
+#: exact cosine top-k oracle — shared by ann_topk and full-probe ann_ivf_topk
+_ANN_TOPK_SQL = f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+               WHERE vec_id IN {ANN_QUERY_IDS}),
+    s AS (SELECT q.qid, e.vec_id,
+                 list_cosine_similarity(e.embedding, q.qe) AS sim
+          FROM embeddings e, q WHERE e.vec_id <> q.qid)
+    SELECT qid AS query_id, vec_id AS neighbor_id,
+           CAST(round(sim::DOUBLE * 100) AS BIGINT) AS sim_centi
+    FROM s
+    QUALIFY row_number() OVER (PARTITION BY qid
+                               ORDER BY sim DESC, vec_id) <= {ANN_K}"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -479,8 +495,9 @@ def oracle_sql() -> dict[str, str]:
                      AS session_id
             FROM d""",
         "doc_stats": """
-            SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
-                   max(n_chars) AS max_chars
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(max(n_chars) AS BIGINT) AS max_chars
             FROM documents GROUP BY lang""",
         "dedup_exact": """
             SELECT md5(text) AS fingerprint, min(doc_id) AS keep_doc_id,
@@ -490,17 +507,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_id, ts FROM events
             QUALIFY row_number() OVER (PARTITION BY user_id
                                        ORDER BY ts DESC, event_id DESC) = 1""",
-        "ann_topk": f"""
-            WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
-                       WHERE vec_id IN {ANN_QUERY_IDS}),
-            s AS (SELECT q.qid, e.vec_id,
-                         list_cosine_similarity(e.embedding, q.qe) AS sim
-                  FROM embeddings e, q WHERE e.vec_id <> q.qid)
-            SELECT qid AS query_id, vec_id AS neighbor_id,
-                   CAST(round(sim::DOUBLE * 100) AS BIGINT) AS sim_centi
-            FROM s
-            QUALIFY row_number() OVER (PARTITION BY qid
-                                       ORDER BY sim DESC, vec_id) <= {ANN_K}""",
+        "ann_topk": _ANN_TOPK_SQL,
+        # full-probe IVF == brute force (tests/test_ann.py equivalence), so
+        # the exact top-k SQL is a true oracle for the IVF code path too
+        "ann_ivf_topk": _ANN_TOPK_SQL,
         "embedding_dups": f"""
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    CAST(round(list_cosine_similarity(a.embedding, b.embedding)::DOUBLE

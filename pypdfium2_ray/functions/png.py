@@ -23,13 +23,21 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
 
 
-def encode_png(img: np.ndarray, compress_level: int = 6) -> bytes:
-    """uint8 array (h, w) or (h, w, 1) -> grayscale PNG; (h, w, 3) -> RGB."""
+def encode_png(img: np.ndarray, compress_level: int = 6,
+               pixel_format: str = "RGB") -> bytes:
+    """uint8 array (h, w) or (h, w, 1) -> grayscale PNG; (h, w, 3) -> RGB.
+
+    ``pixel_format="BGR"`` reverses the channel axis first, so a
+    BGR-labeled render buffer (docmodel/bitmap.py FORMATS, the PDFium-native
+    order) encodes with correct colors instead of swapped red/blue.
+    """
     if img.ndim == 3 and img.shape[2] == 1:
         img = img[:, :, 0]
     if img.ndim == 2:
         colortype = 0
     elif img.ndim == 3 and img.shape[2] == 3:
+        if pixel_format == "BGR":
+            img = np.ascontiguousarray(img[:, :, ::-1])
         colortype = 2
     else:
         raise ValueError(f"unsupported shape {img.shape}")

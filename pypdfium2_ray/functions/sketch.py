@@ -111,7 +111,15 @@ def hamming64(a: int, b: int) -> int:
 
 def simhash_band_keys(h: int, bands: int = 4) -> list[int]:
     """Split a 64-bit simhash into *bands* equal bit-chunks (pigeonhole
-    blocking: two hashes within hamming distance < bands share >= 1 band)."""
+    blocking: two hashes within hamming distance < bands share >= 1 band).
+
+    The band id is packed at a fixed shift of 58 (not ``width*2``, which
+    overflowed int64 for bands=2 and could collide band bits for wide
+    chunks), so keys stay distinct across bands and int64-safe for any
+    bands >= 2 (chunk width <= 32 < 58 bits). Keys are grouped together
+    with the ``band`` column anyway; the packing is belt-and-braces.
+    """
+    assert 2 <= bands <= 32, "int64-safe packing needs 2 <= bands <= 32"
     width = 64 // bands
     mask = (1 << width) - 1
-    return [(i << width * 2) | ((h >> (i * width)) & mask) for i in range(bands)]
+    return [(i << 58) | ((h >> (i * width)) & mask) for i in range(bands)]

@@ -135,8 +135,18 @@ def sql_token_count(col: str = "text") -> str:
 
 
 def sql_term_count(col: str, term: str) -> str:
-    # literal, non-overlapping — matches pc.count_substring
-    return f"length(regexp_extract_all({col}, '{term}'))"
+    """Literal, non-overlapping — matches ``pc.count_substring``.
+
+    The term is regex-escaped (RE2 semantics, via ``re.escape`` which only
+    backslashes ASCII specials) and SQL-quote-escaped, so metacharacters or
+    quotes in the term cannot diverge from the literal Python kernel or
+    break the generated SQL. Backslashes are NOT doubled: DuckDB's
+    single-quoted strings pass them through verbatim (same convention as
+    the other patterns in this module).
+    """
+    import re
+    pat = re.escape(term).replace("'", "''")
+    return f"length(regexp_extract_all({col}, '{pat}'))"
 
 
 def sql_collapse_ws(col: str = "text") -> str:

@@ -35,14 +35,18 @@ def grouped_aggregate(ds, keys: list[str], specs: dict[str, tuple[str | None, st
             raise ValueError(f"unsupported agg kind {kind!r} for {out!r}")
 
     # --- partial: one pyarrow group_by per block -------------------------
-    # partial columns: __p_{out}_{sum|count|min|max} (means need sum+count)
+    # partial columns: "{col}_{fn}" (means need sum + per-column valid count:
+    # SQL AVG skips nulls, so dividing by the all-rows count would diverge
+    # on null-bearing columns)
     partial_aggs: list[tuple[str, str]] = []   # (col, fn) for pa group_by, unique
-    need_count_all = any(kind in ("count", "mean") for (_c, kind) in specs.values())
+    need_count_all = any(kind == "count" for (_c, kind) in specs.values())
 
     for out, (col, kind) in specs.items():
         fn = {"sum": "sum", "mean": "sum", "min": "min", "max": "max"}.get(kind)
         if fn and (col, fn) not in partial_aggs:
             partial_aggs.append((col, fn))
+        if kind == "mean" and (col, "count") not in partial_aggs:
+            partial_aggs.append((col, "count"))   # valid (non-null) count
 
     def partial(batch: pa.Table) -> pa.Table:
         aggs = list(partial_aggs)
@@ -62,7 +66,7 @@ def grouped_aggregate(ds, keys: list[str], specs: dict[str, tuple[str | None, st
             elif kind == "count":
                 row[out] = [int(g["count_all"].sum())]
             elif kind == "mean":
-                row[out] = [g[f"{col}_sum"].sum() / g["count_all"].sum()]
+                row[out] = [g[f"{col}_sum"].sum() / g[f"{col}_count"].sum()]
             elif kind == "min":
                 row[out] = [g[f"{col}_min"].min()]
             elif kind == "max":

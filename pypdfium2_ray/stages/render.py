@@ -59,7 +59,8 @@ class RenderPages:
                 bmp = render_page(page, scale=self.scale,
                                   rotation=self.rotation)
                 if self.encoder == "png":
-                    data, fmt = encode_png(bmp.to_numpy()), "png"
+                    data = encode_png(bmp.to_numpy(), pixel_format=bmp.format)
+                    fmt = "png"
                 else:
                     data, fmt = bmp.to_bytes(), "raw-gray"
                 rows.append(dict(url=url, page_idx=page.index, status="ok",

@@ -117,6 +117,7 @@ def run_checkpointed(input_shards: list[tuple[str, str]],
     ``write_parquet`` (never materialized on the driver). Returns a summary
     with per-run totals.
     """
+    import shutil
     manifest = CheckpointManifest(out_dir)
     done = manifest.done_shards()
     ran, skipped = [], []
@@ -127,7 +128,17 @@ def run_checkpointed(input_shards: list[tuple[str, str]],
         t0 = time.perf_counter()
         ds = pipeline_fn(path)
         shard_dir = os.path.join(out_dir, f"shard={shard}")
-        ds.write_parquet(shard_dir)
+        tmp_dir = os.path.join(out_dir, f"_tmp.shard={shard}")
+        # a shard not marked done may have partial output from a crashed
+        # run (mid-write failure leaves part files; write_parquet APPENDS
+        # uniquely-named files, so a naive rerun would duplicate rows).
+        # Write to a temp dir and atomically rename into place on success;
+        # clear any stale temp/partial dirs first.
+        for stale in (tmp_dir, shard_dir):
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
+        ds.write_parquet(tmp_dir)
+        os.replace(tmp_dir, shard_dir)
         wall = time.perf_counter() - t0
         rows_in, bytes_in = _parquet_meta(path)
         rows_out, _ = _parquet_meta(shard_dir)
