@@ -196,21 +196,31 @@ def q_dedup_latest_event(sf_dir: str):
     return latest_event_per_user(sf_dir)
 
 
+#: minhash query params — shared with the oracle SQL generator below.
+#: threshold 0.5 sits in a wide empirical gap of the corpus's pair-Jaccard
+#: distribution (background <= 0.31, planted near-dups >= 0.93 at sf0.01),
+#: so LSH recall at the threshold is 1.0 with huge margin: a J=0.93 pair
+#: misses all 16 bands (8 rows each) w.p. (1 - 0.93^8)^16 ~ 3e-6.
+MINHASH = dict(threshold=0.5, shingle_k=5, num_perm=128, bands=16)
+
+
 def q_minhash_dups(sf_dir: str):
-    """MinHash+LSH near-dup pairs (rows-only check; exactness covered by
-    unit tests on planted near-dups)."""
-    import pyarrow.parquet as pq
+    """MinHash+LSH near-dup pairs, verified to EXACT integer
+    (n_inter, n_union) shingle overlap via repartition joins — matches the
+    all-pairs exact-Jaccard SQL oracle (no driver-side corpus read, no
+    text broadcast)."""
     from pypdfium2_ray.stages.dedup import minhash_dup_pairs
-    texts = pq.read_table(f"{sf_dir.rstrip('/')}/documents.parquet",
-                          columns=["doc_id", "text"])
     ds = _docs(sf_dir, ["doc_id", "text"])
-    return minhash_dup_pairs(ds, texts, threshold=0.5)
+    return minhash_dup_pairs(ds, **MINHASH)
 
 
 def q_simhash_dups(sf_dir: str):
+    """SimHash near-dup pairs. bands=4 pigeonhole banding makes recall at
+    max_dist=3 EXACT by construction, and the md5-based fingerprint is
+    SQL-expressible — the all-pairs Hamming oracle is a true oracle."""
     from pypdfium2_ray.stages.dedup import simhash_dup_pairs
     ds = _docs(sf_dir, ["doc_id", "text"])
-    return simhash_dup_pairs(ds, max_dist=3)
+    return simhash_dup_pairs(ds, ngram_n=3, bands=4, max_dist=3)
 
 
 # ---------------------------------------------------------------------------
@@ -257,10 +267,14 @@ def q_embedding_dups(sf_dir: str):
 
 
 def q_embedding_lsh_dups(sf_dir: str):
-    """LSH-bucketed variant (recall < 1 by construction -> rows-only check)."""
+    """LSH-bucketed near-dup variant. With 8 bands of 2 bits the per-pair
+    detection probability at tau=0.45 is ~0.99 and the corpus's true pairs
+    all sit far above tau (empirically recall 1.0 at sf<=0.1, deterministic
+    seeded hyperplanes) — so the exact-pairs SQL is a true oracle here;
+    vectors never enter the band shuffle (ids only + verify joins)."""
     from pypdfium2_ray.stages.ann import embedding_lsh_dup_pairs
     return embedding_lsh_dup_pairs(_embeddings(sf_dir), dim=64, tau=DUP_TAU,
-                                   n_bits=16, bands=8, round_digits=2)
+                                   n_bits=16, bands=8, scale=100)
 
 
 # ---------------------------------------------------------------------------
@@ -370,6 +384,23 @@ def q_decode_images(sf_dir: str):
     return _cast_i64(out.select_columns(["id", "width", "height", "n_bytes"]),
                      ["width", "height"])
 
+
+def _simhash_fp_sql() -> str:
+    from pypdfium2_ray.functions.sketch import sql_simhash_fingerprints
+    return sql_simhash_fingerprints(ngram_n=3)
+
+
+#: per-doc simhash fingerprint SQL (engine-exact, see sketch.py)
+_SIMHASH_FP_SQL = _simhash_fp_sql()
+
+#: exact cosine near-dup pairs — shared by embedding_dups (broadcast tier)
+#: and embedding_lsh_dups (bucketed tier at recall-1 config)
+_EMB_DUPS_SQL = f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(round(list_cosine_similarity(a.embedding, b.embedding)::DOUBLE
+                      * 100) AS BIGINT) AS sim_centi
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= {DUP_TAU}"""
 
 #: exact cosine top-k oracle — shared by ann_topk and full-probe ann_ivf_topk
 _ANN_TOPK_SQL = f"""
@@ -507,16 +538,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_id, ts FROM events
             QUALIFY row_number() OVER (PARTITION BY user_id
                                        ORDER BY ts DESC, event_id DESC) = 1""",
+        # exact all-pairs char-shingle Jaccard (integer n_inter/n_union —
+        # no float hashing); the size prefilter (J>=t => min >= t*max) only
+        # drops provably-below-threshold pairs. LSH recall at the threshold
+        # is 1.0 on this corpus (see MINHASH note).
+        "minhash_dups": f"""
+            WITH norm AS (
+              SELECT doc_id,
+                     trim(regexp_replace(text, '[ \\t\\r\\n\\f\\v]+', ' ', 'g'),
+                          ' ') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id, CASE
+                WHEN length(t) = 0 THEN CAST([] AS VARCHAR[])
+                WHEN length(t) < {MINHASH["shingle_k"]} THEN [t]
+                ELSE list_distinct([substr(t, i, {MINHASH["shingle_k"]})
+                       for i in range(1, length(t) - {MINHASH["shingle_k"]} + 2)])
+              END AS s FROM norm),
+            cand AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+               AND least(len(a.s), len(b.s))
+                   >= {MINHASH["threshold"]} * greatest(len(a.s), len(b.s))),
+            sim AS (
+              SELECT id_a, id_b,
+                     len(list_intersect(sa, sb))::BIGINT AS n_inter,
+                     (len(sa) + len(sb) - len(list_intersect(sa, sb)))::BIGINT
+                       AS n_union
+              FROM cand)
+            SELECT id_a, id_b, n_inter, n_union FROM sim
+            WHERE n_union = 0 OR n_inter / n_union >= {MINHASH["threshold"]}""",
+        # exact all-pairs Hamming over the md5-based simhash fingerprint
+        # (sql_simhash_fingerprints == simhash64 bit-for-bit); pigeonhole
+        # banding with bands=4 > max_dist=3 makes engine recall exact.
+        "simhash_dups": f"""
+            WITH fp AS ({_SIMHASH_FP_SQL})
+            SELECT a.id AS id_a, b.id AS id_b,
+                   bit_count(xor(a.fp, b.fp))::BIGINT AS hamming
+            FROM fp a JOIN fp b ON a.id < b.id
+            WHERE bit_count(xor(a.fp, b.fp)) <= 3""",
         "ann_topk": _ANN_TOPK_SQL,
         # full-probe IVF == brute force (tests/test_ann.py equivalence), so
         # the exact top-k SQL is a true oracle for the IVF code path too
         "ann_ivf_topk": _ANN_TOPK_SQL,
-        "embedding_dups": f"""
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   CAST(round(list_cosine_similarity(a.embedding, b.embedding)::DOUBLE
-                              * 100) AS BIGINT) AS sim_centi
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(a.embedding, b.embedding) >= {DUP_TAU}""",
+        "embedding_dups": _EMB_DUPS_SQL,
+        # the LSH-bucketed variant reaches recall 1.0 on this corpus
+        # (q_embedding_lsh_dups note), so the exact-pairs SQL is its oracle
+        "embedding_lsh_dups": _EMB_DUPS_SQL,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty,

@@ -15,10 +15,17 @@ across machines, batch boundaries and actor counts.
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 
 _MERSENNE = (1 << 31) - 1  # universal-hash modulus; 31-bit so a*h+b fits in uint64
+
+#: ASCII whitespace run — the engine's spec class (htmldoc._WS_RE / text.WS_RE),
+#: NOT str.split(): Python's split is Unicode-aware and silently diverges from
+#: the RE2/SQL `[ \t\r\n\f\v]` class the oracles use.
+_WS_RE = re.compile(r"[ \t\r\n\f\v]+")
+_TOKEN_RE = re.compile(r"[^ \t\r\n\f\v]+")
 
 
 def _hash64(data: bytes) -> int:
@@ -26,17 +33,28 @@ def _hash64(data: bytes) -> int:
     return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "little")
 
 
+def md5_hash64(data: bytes) -> int:
+    """64-bit hash with an exact SQL twin: first 8 MD5-digest bytes,
+    little-endian == DuckDB ``md5_number_upper(s)`` (verified empirically on
+    DuckDB 1.0). Used where the hash value itself must be reproducible in
+    the oracle (simhash fingerprints)."""
+    return int.from_bytes(hashlib.md5(data).digest()[:8], "little")
+
+
 def char_shingles(text: str, k: int = 5) -> set[bytes]:
-    """Character k-shingles of a whitespace-normalized text."""
-    t = " ".join(text.split())
+    """Character k-shingles of a whitespace-normalized text (ASCII-ws
+    collapse + strip, the same normalization as ``text.collapse_ws`` and its
+    SQL twin)."""
+    t = _WS_RE.sub(" ", text).strip(" ")
     if len(t) < k:
         return {t.encode("utf-8")} if t else set()
     return {t[i:i + k].encode("utf-8") for i in range(len(t) - k + 1)}
 
 
 def word_ngrams(text: str, n: int = 3) -> set[bytes]:
-    """Word n-grams (token shingles)."""
-    toks = text.split()
+    """Word n-grams (token shingles; tokens = ASCII-non-ws runs, matching
+    the SQL twin's ``[^ \\t\\r\\n\\f\\v]+``)."""
+    toks = _TOKEN_RE.findall(text)
     if len(toks) < n:
         return {" ".join(toks).encode("utf-8")} if toks else set()
     return {" ".join(toks[i:i + n]).encode("utf-8") for i in range(len(toks) - n + 1)}
@@ -95,10 +113,15 @@ def jaccard(a: set, b: set) -> float:
 
 
 def simhash64(features: set[bytes]) -> int:
-    """64-bit SimHash: sign of the per-bit sum of feature hashes."""
+    """64-bit SimHash: sign of the per-bit sum of feature hashes.
+
+    Feature hash is :func:`md5_hash64` so the whole fingerprint has an
+    exact DuckDB twin (``md5_number_upper`` + per-bit sign sums) — the
+    simhash near-dup query is oracle-checkable end-to-end.
+    """
     if not features:
         return 0
-    hv = np.fromiter((_hash64(f) for f in features), dtype=np.uint64,
+    hv = np.fromiter((md5_hash64(f) for f in features), dtype=np.uint64,
                      count=len(features))
     bits = (hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
     acc = np.where(bits.astype(bool), 1, -1).sum(axis=0)
@@ -107,6 +130,61 @@ def simhash64(features: set[bytes]) -> int:
 
 def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount over a uint64 array (numpy<2 has no
+    ``bitwise_count``): unpack to bits per 8-byte word and sum."""
+    if len(x) == 0:
+        return np.zeros(0, dtype=np.int64)
+    bits = np.unpackbits(x.astype(np.uint64).view(np.uint8).reshape(-1, 8),
+                         axis=1)
+    return bits.sum(axis=1).astype(np.int64)
+
+
+def sql_simhash_fingerprints(ngram_n: int = 3, table: str = "documents",
+                             id_col: str = "doc_id",
+                             text_col: str = "text") -> str:
+    """DuckDB CTE body computing the EXACT :func:`simhash64` fingerprint per
+    row of *table* — word ``ngram_n``-grams over ASCII-ws tokens, feature
+    hash ``md5_number_upper`` (== :func:`md5_hash64`), per-bit sign sums.
+    Returns a query selecting ``(id, fp UBIGINT)``.
+    """
+    # token list; n-grams (DuckDB list slicing is 1-based inclusive);
+    # short texts collapse to one joined feature, empty to none — mirroring
+    # word_ngrams() exactly
+    return f"""
+    WITH toks AS (
+      SELECT {id_col} AS id,
+             regexp_extract_all({text_col}, '[^ \\t\\r\\n\\f\\v]+') AS w
+      FROM {table}
+    ),
+    grams AS (
+      SELECT id, CASE
+        WHEN len(w) = 0 THEN []
+        WHEN len(w) < {ngram_n} THEN [array_to_string(w, ' ')]
+        ELSE list_distinct([array_to_string(w[i:i+{ngram_n - 1}], ' ')
+                            for i in range(1, len(w) - {ngram_n} + 2)])
+      END AS gs FROM toks
+    ),
+    feat AS (
+      SELECT id, md5_number_upper(unnest(gs)) AS hv FROM grams
+    ),
+    bits AS (
+      SELECT id, b.bit,
+             CASE WHEN (hv >> b.bit) & 1 = 1 THEN 1 ELSE -1 END AS s
+      FROM feat, (SELECT unnest(range(64)) AS bit) b
+    ),
+    acc AS (SELECT id, bit, sum(s) AS tot FROM bits GROUP BY id, bit),
+    fp0 AS (
+      SELECT id,
+             sum(CASE WHEN tot > 0 THEN (1::UBIGINT << bit) ELSE 0::UBIGINT
+                 END)::UBIGINT AS fp
+      FROM acc GROUP BY id
+    )
+    -- docs whose gram list is empty never reach feat; restore them as fp=0
+    SELECT g.id, coalesce(fp0.fp, 0::UBIGINT) AS fp
+    FROM grams g LEFT JOIN fp0 ON g.id = fp0.id"""
 
 
 def simhash_band_keys(h: int, bands: int = 4) -> list[int]:

@@ -112,11 +112,16 @@ def events_rollup(sf_dir: str):
 def latest_event_per_user(sf_dir: str):
     """Latest event per user (by ts, tie-break max event_id) — the
     keep-latest-snapshot dedup of the flagship (stages/dedup.dedup_by_url)
-    on the driver's events table."""
+    on the driver's events table. One vectorized per-partition kernel after
+    a hash exchange (exchange.partition_map) — no per-group Python."""
+    from pypdfium2_ray.stages.exchange import partition_map
     ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
 
-    def keep_latest(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], ascending=[False, False])
-        return g.head(1)[["user_id", "event_id", "ts"]]
+    def keep_latest(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        return df.drop_duplicates("user_id", keep="last")[
+            ["user_id", "event_id", "ts"]]
 
-    return ds.groupby("user_id").map_groups(keep_latest, batch_format="pandas")
+    # partial per block shrinks the exchange to <= one row per (block, user)
+    ds = ds.map_batches(keep_latest, batch_format="pandas")
+    return partition_map(ds, ["user_id"], keep_latest, batch_format="pandas")

@@ -5,8 +5,10 @@ The reference aggregates only trivially (per-run counters,
 ``ds.groupby(keys).aggregate(...)`` shuffles every row. This stage pushes the
 aggregation *partial* into a ``map_batches`` combiner (pyarrow ``group_by``
 per block — vectorized, zero Python rows), so the wide exchange only moves
-``n_blocks x n_groups`` partial rows; the final combine is a tiny
-``groupby().map_groups``.
+``n_blocks x n_groups`` partial rows; the final combine is a hash-partitioned
+``map_batches`` running ONE pyarrow ``group_by`` per partition — vectorized
+even at billions of groups (no per-group Python calls; see
+``stages/exchange.partition_map``).
 
 SURVEY §2.5 A-new ("partial+final: per-batch partials in the actor ->
 groupby") and the guide's pre-aggregation pattern.
@@ -14,15 +16,18 @@ groupby") and the guide's pre-aggregation pattern.
 
 from __future__ import annotations
 
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
-#: supported aggregation kinds -> (partial pyarrow agg fns, combine, finalize)
+from pypdfium2_ray.stages.exchange import partition_map
+
+#: supported aggregation kinds
 _KINDS = ("sum", "count", "min", "max", "mean")
 
 
 def grouped_aggregate(ds, keys: list[str], specs: dict[str, tuple[str | None, str]],
-                      batch_format: str = "pyarrow"):
+                      batch_format: str = "pyarrow",
+                      num_partitions: int | None = None):
     """Grouped aggregation with per-block partials.
 
     ``specs``: ``out_name -> (column, kind)`` with kind in
@@ -52,25 +57,37 @@ def grouped_aggregate(ds, keys: list[str], specs: dict[str, tuple[str | None, st
         aggs = list(partial_aggs)
         if need_count_all:
             aggs.append(([], "count_all"))
-        gb = batch.group_by(keys, use_threads=False).aggregate(aggs)
-        return gb
+        return batch.group_by(keys, use_threads=False).aggregate(aggs)
 
     partials = ds.map_batches(partial, batch_format=batch_format)
 
-    # pyarrow names aggregates "{col}_{fn}" and "count_all"
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
-        row = {k: [g[k].iloc[0]] for k in keys}
+    # --- combine: hash-partition partials on keys, then one vectorized
+    # pyarrow group_by per partition (pyarrow names partials "{col}_{fn}";
+    # re-aggregating appends the combine fn: "{col}_sum_sum" etc.)
+    combine_aggs: list[tuple[str, str]] = []
+    for col, fn in partial_aggs:
+        comb = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}[fn]
+        combine_aggs.append((f"{col}_{fn}", comb))
+    if need_count_all:
+        combine_aggs.append(("count_all", "sum"))
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(keys, use_threads=False).aggregate(combine_aggs)
+        cols = {k: g[k] for k in keys}
         for out, (col, kind) in specs.items():
             if kind == "sum":
-                row[out] = [g[f"{col}_sum"].sum()]
+                cols[out] = g[f"{col}_sum_sum"]
             elif kind == "count":
-                row[out] = [int(g["count_all"].sum())]
+                cols[out] = pc.cast(g["count_all_sum"], pa.int64())
             elif kind == "mean":
-                row[out] = [g[f"{col}_sum"].sum() / g[f"{col}_count"].sum()]
+                cols[out] = pc.divide(
+                    pc.cast(g[f"{col}_sum_sum"], pa.float64()),
+                    pc.cast(g[f"{col}_count_sum"], pa.float64()))
             elif kind == "min":
-                row[out] = [g[f"{col}_min"].min()]
+                cols[out] = g[f"{col}_min_min"]
             elif kind == "max":
-                row[out] = [g[f"{col}_max"].max()]
-        return pd.DataFrame(row)
+                cols[out] = g[f"{col}_max_max"]
+        return pa.table(cols)
 
-    return partials.groupby(keys).map_groups(combine, batch_format="pandas")
+    return partition_map(partials, keys, combine,
+                         num_partitions=num_partitions)

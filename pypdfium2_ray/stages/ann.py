@@ -189,21 +189,20 @@ class _HyperplaneBands:
         ids = batch[self.id_col].to_numpy().astype(np.int64)
         X = stack_embeddings(batch[self.vec_col])
         bits = (X @ self.H) > 0                                # (n, n_bits)
-        out_band, out_key, out_id, out_vec = [], [], [], []
+        out_band, out_key, out_id = [], [], []
         weights = (1 << np.arange(self.rows, dtype=np.int64))
-        emb = batch[self.vec_col].combine_chunks() if isinstance(batch[self.vec_col], pa.ChunkedArray) else batch[self.vec_col]
         for b in range(self.bands):
             chunk = bits[:, b * self.rows:(b + 1) * self.rows]
             keys = chunk.astype(np.int64) @ weights
             out_band.append(np.full(len(ids), b, dtype=np.int64))
             out_key.append(keys)
             out_id.append(ids)
-            out_vec.append(emb)
+        # ids + two small ints ONLY — the embedding column never enters the
+        # band exchange (a bands x replication of the vector data otherwise)
         return pa.table({
             "band": np.concatenate(out_band),
             "band_key": np.concatenate(out_key),
             "vec_id": np.concatenate(out_id),
-            "embedding": pa.concat_arrays([v.cast(emb.type) for v in out_vec]),
         })
 
 
@@ -211,12 +210,20 @@ def embedding_lsh_dup_pairs(ds, dim: int, tau: float = 0.9, n_bits: int = 32,
                             bands: int = 4, seed: int = 7,
                             id_col: str = "vec_id", vec_col: str = "embedding",
                             round_digits: int | None = 4,
+                            scale: int | None = None,
+                            num_partitions: int | None = None,
                             concurrency=None, **mb_kwargs):
     """Scale path: LSH-bucketed near-dup pairs. Only bucket-mates are
-    compared; recall < 1 by construction (that is the LSH trade) — band/bit
-    counts tune it. Pairs found in multiple buckets are deduped by a final
-    tiny groupby."""
+    compared; recall is tuned by band/bit counts (exhaustive enough configs
+    reach recall 1 on a given corpus, which is how the driver query matches
+    the exact-pairs SQL oracle). Candidate pairs carry ids only; vectors are
+    resolved AFTER pair-distinct via two repartition joins against the
+    corpus, then verified with one vectorized row-wise cosine kernel —
+    no vector replication through the band shuffle, no broadcast."""
+    from pypdfium2_ray.stages.dedup import _bucket_pairs_partition, distinct_rows
+    from pypdfium2_ray.stages.exchange import lookup_join, partition_map
     from pypdfium2_ray.stages.warm import warm_task
+    import pyarrow.compute as pc
     kw = dict(dim=dim, n_bits=n_bits, bands=bands, seed=seed,
               id_col=id_col, vec_col=vec_col)
     if concurrency is not None:
@@ -227,28 +234,53 @@ def embedding_lsh_dup_pairs(ds, dim: int, tau: float = 0.9, n_bits: int = 32,
         band_rows = ds.map_batches(warm_task(_HyperplaneBands, **kw),
                                    batch_format="pyarrow", **mb_kwargs)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                 "id_b": pd.Series([], dtype="int64"),
-                                 "sim": pd.Series([], dtype="float64")})
-        g = g.sort_values("vec_id")
-        X = _normalize(np.stack(g["embedding"].to_numpy()).astype(np.float64))
-        ids = g["vec_id"].to_numpy().astype(np.int64)
-        sims = X @ X.T
-        ii, jj = np.nonzero(np.triu(sims >= tau, k=1))
-        return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj], "sim": sims[ii, jj]})
+    candidates = partition_map(
+        band_rows, ["band", "band_key"],
+        lambda t: _bucket_pairs_partition(t.to_pandas(), "vec_id", 500),
+        num_partitions=num_partitions)
+    pairs = distinct_rows(candidates, ["id_a", "id_b"],
+                          num_partitions=num_partitions)
 
-    pairs = band_rows.groupby(["band", "band_key"]).map_groups(
-        bucket_pairs, batch_format="pandas")
+    vec_type = pa.list_(pa.float32())
+    pair_cols = {"id_a": pa.int64(), "id_b": pa.int64()}
+    j = lookup_join(pairs, pair_cols, ds, source_key=id_col, key_col="id_a",
+                    payload_cols={"__vec_a": vec_type},
+                    source_payload={"__vec_a": vec_col},
+                    num_partitions=num_partitions)
+    j = lookup_join(j, {**pair_cols, "__vec_a": vec_type}, ds,
+                    source_key=id_col, key_col="id_b",
+                    payload_cols={"__vec_b": vec_type},
+                    source_payload={"__vec_b": vec_col},
+                    num_partitions=num_partitions)
 
-    def dedup(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.head(1)
-        if round_digits is not None:
-            out = out.assign(sim=out["sim"].round(round_digits))
-        return out
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        A = _normalize(stack_embeddings(t["__vec_a"]))
+        B = _normalize(stack_embeddings(t["__vec_b"]))
+        sims = np.einsum("ij,ij->i", A, B)
+        keep = sims >= tau
+        return pa.table({
+            "id_a": pc.cast(t["id_a"], pa.int64()).filter(pa.array(keep)),
+            "id_b": pc.cast(t["id_b"], pa.int64()).filter(pa.array(keep)),
+            "sim": pa.array(sims[keep], pa.float64()),
+        })
 
-    return pairs.groupby(["id_a", "id_b"]).map_groups(dedup, batch_format="pandas")
+    out = j.map_batches(verify, batch_format="pyarrow")
+    if scale is not None:
+        def to_scaled(t: pa.Table) -> pa.Table:
+            centi = pc.cast(pc.round(pc.multiply(t["sim"], float(scale))),
+                            pa.int64())
+            return t.drop_columns(["sim"]).append_column("sim_centi", centi)
+        out = out.map_batches(to_scaled, batch_format="pyarrow")
+    elif round_digits is not None:
+        out = out.map_batches(
+            lambda t: t.set_column(t.schema.get_field_index("sim"), "sim",
+                                   pc.round(t["sim"], ndigits=round_digits)),
+            batch_format="pyarrow")
+    return out
 
 
 # ---------------------------------------------------------------------------

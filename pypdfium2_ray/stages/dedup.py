@@ -5,25 +5,36 @@ No reference analogue (the closest is font dedup by address,
 ``cli/fonts.py:66-72``); at crawl scale the same url appears in many WARC
 snapshots and must be collapsed to one row before the expensive parse.
 
-Implementation: hash-partition on ``url`` via ``groupby("url")`` and keep one
-row per group by ``warc_ts`` (default: latest snapshot wins). The group fn is
-vectorized pandas (idxmax/idxmin), not a Python row loop.
+Implementation: per-block partial dedup (combiner), then ONE hash exchange
+on ``url`` (``exchange.partition_map``) with a vectorized per-partition
+keep-one kernel — no per-group Python calls even at billions of urls.
 """
 
 from __future__ import annotations
 
 import pandas as pd
 
-
-def _keep_latest(g: pd.DataFrame) -> pd.DataFrame:
-    return g.loc[[g["warc_ts"].idxmax()]]
+from pypdfium2_ray.stages.exchange import partition_map
 
 
-def _keep_earliest(g: pd.DataFrame) -> pd.DataFrame:
-    return g.loc[[g["warc_ts"].idxmin()]]
+def _keep_one_kernel(key_cols: list[str], ts_col: str, last: bool):
+    """Vectorized keep-one-per-key over a whole Arrow block: kept row
+    indices are computed on the (small) key/ts columns only, then gathered
+    with a zero-copy Arrow ``take`` — large payload columns (html) never
+    convert to pandas."""
+    import pyarrow as _pa
+
+    def kernel(t):
+        keys = t.select(key_cols + [ts_col]).to_pandas()
+        keys = keys.sort_values(ts_col, kind="mergesort")
+        kept = keys.drop_duplicates(key_cols, keep="last" if last else "first")
+        return t.take(_pa.array(sorted(kept.index)))
+
+    return kernel
 
 
-def dedup_by_url(ds, keep: str = "latest", pre_combine: bool = True):
+def dedup_by_url(ds, keep: str = "latest", pre_combine: bool = True,
+                 num_partitions: int | None = None):
     """One row per ``url``; ``keep`` in {"latest", "earliest"} by ``warc_ts``.
 
     ``pre_combine``: keep-one-per-url is associative, so a per-block partial
@@ -33,22 +44,11 @@ def dedup_by_url(ds, keep: str = "latest", pre_combine: bool = True):
     factor. Ties on ``warc_ts`` are broken arbitrarily (same-url same-ts
     snapshots are pathological input).
     """
-    fn = _keep_latest if keep == "latest" else _keep_earliest
+    last = keep == "latest"
+    kernel = _keep_one_kernel(["url"], "warc_ts", last)
     if pre_combine:
-        last = keep == "latest"
-
-        def partial(t):
-            # compute kept row indices on the two key columns only, then
-            # take() — the (large binary) html column never converts to
-            # pandas, just a zero-copy Arrow gather
-            import pyarrow as _pa
-            keys = t.select(["url", "warc_ts"]).to_pandas()
-            keys = keys.sort_values("warc_ts", kind="mergesort")
-            kept = keys.drop_duplicates("url", keep="last" if last else "first")
-            return t.take(_pa.array(sorted(kept.index)))
-
-        ds = ds.map_batches(partial, batch_format="pyarrow")
-    return ds.groupby("url").map_groups(fn, batch_format="pandas")
+        ds = ds.map_batches(kernel, batch_format="pyarrow")
+    return partition_map(ds, ["url"], kernel, num_partitions=num_partitions)
 
 
 # ===========================================================================
@@ -59,25 +59,84 @@ import numpy as np
 import pyarrow as pa
 
 from pypdfium2_ray.functions.sketch import (
-    band_keys, char_shingles, hamming64, jaccard, minhash_signature,
+    band_keys, char_shingles, minhash_signature, popcount64,
     simhash64, simhash_band_keys, word_ngrams,
 )
+from pypdfium2_ray.stages.exchange import lookup_join
 
 
-def _empty_pairs() -> pd.DataFrame:
-    return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                         "id_b": pd.Series([], dtype="int64")})
+def _run_starts(*key_arrays: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(starts, lengths) of equal-key runs over pre-sorted parallel arrays —
+    the vectorized group detector used by the per-partition pair kernels."""
+    n = len(key_arrays[0])
+    if n == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    new = np.zeros(n, dtype=bool)
+    new[0] = True
+    for a in key_arrays:
+        new[1:] |= a[1:] != a[:-1]
+    starts = np.flatnonzero(new)
+    lengths = np.diff(np.append(starts, n))
+    return starts, lengths
 
 
-def _bucket_pairs(g: pd.DataFrame, max_bucket: int) -> pd.DataFrame:
-    """All unordered id pairs within one LSH bucket (ids sorted so a < b).
-    Oversized buckets are truncated (logged via a flag column upstream is
-    overkill here; the cap bounds quadratic blowup on degenerate data)."""
-    ids = np.sort(g["doc_id"].unique().astype(np.int64))[:max_bucket]
-    if len(ids) < 2:
-        return _empty_pairs()
-    ii, jj = np.triu_indices(len(ids), k=1)
-    return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj]})
+def _bucket_pairs_partition(df: pd.DataFrame, id_col: str, max_bucket: int,
+                            with_hamming: bool = False,
+                            max_dist: int | None = None):
+    """All unordered id pairs within each LSH bucket of ONE hash partition.
+
+    The partition arrives with complete buckets (hash exchange on
+    (band, band_key)) but unsorted; it is sorted once (vectorized), runs
+    are detected vectorized, and only buckets with >= 2 members (the rare,
+    real candidate work) are looped — each loop iteration is itself a
+    vectorized ``triu_indices`` pair expansion. Oversized buckets are
+    truncated at ``max_bucket`` to bound quadratic blowup on degenerate
+    data. With ``with_hamming`` the rows must carry ``simhash_hi/lo``;
+    per-pair Hamming distance is computed (vectorized popcount) and
+    filtered at ``max_dist`` in place.
+    """
+    df = df.sort_values(["band", "band_key", id_col], kind="mergesort")
+    band = df["band"].to_numpy()
+    key = df["band_key"].to_numpy()
+    ids = df[id_col].to_numpy().astype(np.int64)
+    hashes = None
+    if with_hamming:
+        hashes = ((df["simhash_hi"].to_numpy().astype(np.uint64) << np.uint64(1))
+                  | df["simhash_lo"].to_numpy().astype(np.uint64))
+    starts, lengths = _run_starts(band, key)
+    out_a, out_b, out_d = [], [], []
+    for r in np.flatnonzero(lengths >= 2):
+        s = starts[r]
+        m = int(min(lengths[r], max_bucket))
+        sub = ids[s:s + m]
+        ii, jj = np.triu_indices(m, k=1)
+        a, b = sub[ii], sub[jj]
+        if hashes is not None:
+            d = popcount64(hashes[s + ii] ^ hashes[s + jj])
+            keep = d <= max_dist
+            a, b, d = a[keep], b[keep], d[keep]
+            out_d.append(d)
+        out_a.append(a)
+        out_b.append(b)
+    cat = (lambda xs: np.concatenate(xs) if xs else np.zeros(0, np.int64))
+    cols = {"id_a": cat(out_a), "id_b": cat(out_b)}
+    if hashes is not None:
+        cols["hamming"] = cat(out_d)
+    return pa.table({k: pa.array(v, pa.int64()) for k, v in cols.items()})
+
+
+def distinct_rows(ds, keys: list[str], num_partitions: int | None = None):
+    """Exactly-one-row-per-key via hash exchange + vectorized per-partition
+    ``drop_duplicates`` — the pair-dedup step of every LSH family (a pair
+    found in multiple bands appears once), with zero per-group Python."""
+    from pypdfium2_ray.stages.exchange import partition_map
+
+    def kernel(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return pa.Table.from_pandas(df.drop_duplicates(keys),
+                                    preserve_index=False, schema=t.schema)
+
+    return partition_map(ds, keys, kernel, num_partitions=num_partitions)
 
 
 class _MinhashBands:
@@ -114,54 +173,79 @@ class _MinhashBands:
                          "band_key": pa.array(out_key, pa.int64())})
 
 
-class _VerifyJaccard:
-    """Actor: verify candidate pairs with exact shingle Jaccard against a
-    broadcast id->text map. Broadcast is the small-side pattern; at corpus
-    sizes beyond worker heap, repartition-join texts onto pairs instead."""
+class _VerifyJaccardJoined:
+    """Batch fn: rows already carry BOTH texts (from the repartition join);
+    compute exact shingle Jaccard per pair. Shingle sets are memoized per
+    worker (bounded) — candidate ids repeat across pairs within a
+    partition. No corpus broadcast, no driver materialization."""
 
-    def __init__(self, texts_ref, threshold: float, shingle_k: int,
+    _MAX_CACHE = 4096
+
+    def __init__(self, threshold: float, shingle_k: int,
                  shingle_kind: str = "char"):
-        import ray
-        t = ray.get(texts_ref) if isinstance(texts_ref, ray.ObjectRef) else texts_ref
         self.threshold = threshold
         self.shingle_k = shingle_k
         self.shingle_fn = char_shingles if shingle_kind == "char" else word_ngrams
-        ids = t.column(0).to_pylist()
-        texts = t.column(1).to_pylist()
-        self.texts = dict(zip(ids, texts))
         self._cache: dict[int, set] = {}
 
-    def _shingles(self, i: int) -> set:
+    def _shingles(self, i: int, text: str | None) -> set:
         s = self._cache.get(i)
         if s is None:
-            s = self.shingle_fn(self.texts.get(i) or "", self.shingle_k)
+            s = self.shingle_fn(text or "", self.shingle_k)
+            if len(self._cache) >= self._MAX_CACHE:
+                self._cache.clear()
             self._cache[i] = s
         return s
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ia = batch["id_a"].to_pylist()
         ib = batch["id_b"].to_pylist()
-        sims = [jaccard(self._shingles(a), self._shingles(b)) for a, b in zip(ia, ib)]
-        t = pa.table({"id_a": pa.array(ia, pa.int64()),
-                      "id_b": pa.array(ib, pa.int64()),
-                      "jaccard_sim": pa.array([round(s, 6) for s in sims], pa.float64())})
-        import pyarrow.compute as pc
-        return t.filter(pc.greater_equal(t["jaccard_sim"], self.threshold))
+        ta = batch["__text_a"].to_pylist()
+        tb = batch["__text_b"].to_pylist()
+        rows = {"id_a": [], "id_b": [], "n_inter": [], "n_union": []}
+        for a, b, xa, xb in zip(ia, ib, ta, tb):
+            sa, sb = self._shingles(a, xa), self._shingles(b, xb)
+            inter = len(sa & sb)
+            union = len(sa | sb)
+            # float-division compare: BOTH the engine and the SQL oracle
+            # divide the same two int64s in IEEE double, so the comparison
+            # is bit-identical across the two (0/0 counts as a dup, matching
+            # jaccard()'s empty-empty convention)
+            if union == 0 or inter / union >= self.threshold:
+                rows["id_a"].append(a)
+                rows["id_b"].append(b)
+                rows["n_inter"].append(inter)
+                rows["n_union"].append(union)
+        return pa.table({
+            "id_a": pa.array(rows["id_a"], pa.int64()),
+            "id_b": pa.array(rows["id_b"], pa.int64()),
+            "n_inter": pa.array(rows["n_inter"], pa.int64()),
+            "n_union": pa.array(rows["n_union"], pa.int64()),
+        })
 
 
-def minhash_dup_pairs(ds, texts: "pa.Table", id_col: str = "doc_id",
+def minhash_dup_pairs(ds, id_col: str = "doc_id",
                       text_col: str = "text", num_perm: int = 128,
                       bands: int = 16, shingle_k: int = 5,
                       shingle_kind: str = "char", threshold: float = 0.7,
                       seed: int = 1, max_bucket: int = 500,
+                      num_partitions: int | None = None,
                       concurrency=None, **mb_kwargs):
     """MinHash+LSH near-duplicate pairs over a text column.
 
-    shingle -> minhash -> band bucket ``groupby`` -> candidate pairs ->
-    pair-dedup -> exact-Jaccard verify (broadcast texts). Returns
-    ``(id_a, id_b, jaccard_sim)`` with ``id_a < id_b``, jaccard >= threshold.
+    shingle -> minhash -> band rows (ids only — no text ever enters the
+    band exchange) -> hash-partitioned vectorized bucket pairing ->
+    pair-distinct -> repartition JOIN back to ``(id, text)`` -> exact
+    shingle-Jaccard verify. Returns ``(id_a, id_b, n_inter, n_union)``
+    (exact integers — oracle-robust) with ``id_a < id_b`` and
+    ``n_inter/n_union >= threshold``.
+
+    Scale: the only full-corpus exchanges are the band-row shuffle (ids +
+    two small ints per band) and the two text joins, each restricted to an
+    inner join against the (tiny) candidate-pair set. No broadcast of the
+    corpus, no driver-side materialization.
     """
-    import ray
+    from pypdfium2_ray.stages.exchange import partition_map
     from pypdfium2_ray.stages.warm import warm_task
     kw = dict(id_col=id_col, text_col=text_col, num_perm=num_perm,
               bands=bands, shingle_k=shingle_k, seed=seed,
@@ -174,20 +258,29 @@ def minhash_dup_pairs(ds, texts: "pa.Table", id_col: str = "doc_id",
         band_rows = ds.map_batches(warm_task(_MinhashBands, **kw),
                                    batch_format="pyarrow", **mb_kwargs)
 
-    candidates = band_rows.groupby(["band", "band_key"]).map_groups(
-        lambda g: _bucket_pairs(g, max_bucket), batch_format="pandas")
+    candidates = partition_map(
+        band_rows, ["band", "band_key"],
+        lambda t: _bucket_pairs_partition(t.to_pandas(), "doc_id", max_bucket),
+        num_partitions=num_partitions)
+    pairs = distinct_rows(candidates, ["id_a", "id_b"],
+                          num_partitions=num_partitions)
 
-    # verify BEFORE the pair-distinct groupby: verification is idempotent
-    # and filters hard, so the dedup exchange runs on the (small) surviving
-    # set instead of every band-duplicated candidate; the per-worker shingle
-    # cache absorbs the repeated jaccard computations
-    ref = ray.put(texts.select([id_col, text_col]))
-    verified = candidates.map_batches(
-        warm_task(_VerifyJaccard, texts_ref=ref, threshold=threshold,
+    pair_cols = {"id_a": pa.int64(), "id_b": pa.int64()}
+    j = lookup_join(pairs, pair_cols, ds, source_key=id_col, key_col="id_a",
+                    payload_cols={"__text_a": pa.string()},
+                    source_payload={"__text_a": text_col},
+                    num_partitions=num_partitions)
+    j = lookup_join(j, {**pair_cols, "__text_a": pa.string()}, ds,
+                    source_key=id_col, key_col="id_b",
+                    payload_cols={"__text_b": pa.string()},
+                    source_payload={"__text_b": text_col},
+                    num_partitions=num_partitions)
+
+    verified = j.map_batches(
+        warm_task(_VerifyJaccardJoined, threshold=threshold,
                   shingle_k=shingle_k, shingle_kind=shingle_kind),
         batch_format="pyarrow")
-    return verified.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    return verified
 
 
 class _SimhashBands:
@@ -221,10 +314,15 @@ class _SimhashBands:
 
 def simhash_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                       ngram_n: int = 3, bands: int = 4, max_dist: int = 3,
-                      max_bucket: int = 500, concurrency=None, **mb_kwargs):
+                      max_bucket: int = 500, num_partitions: int | None = None,
+                      concurrency=None, **mb_kwargs):
     """SimHash near-duplicate pairs: 64-bit fingerprint, pigeonhole banding
-    (dist <= bands-1 guaranteed to share a band), exact Hamming verify inside
-    buckets. Returns (id_a, id_b, hamming) with id_a < id_b."""
+    (dist <= bands-1 guaranteed to share a band => with the default
+    ``max_dist <= bands - 1`` recall is EXACT by construction, which is what
+    lets the all-pairs SQL fingerprint oracle check this query), exact
+    Hamming verify inside buckets (vectorized popcount). Returns
+    (id_a, id_b, hamming) with id_a < id_b."""
+    from pypdfium2_ray.stages.exchange import partition_map
     from pypdfium2_ray.stages.warm import warm_task
     kw = dict(id_col=id_col, text_col=text_col, ngram_n=ngram_n, bands=bands)
     if concurrency is not None:
@@ -235,29 +333,11 @@ def simhash_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         band_rows = ds.map_batches(warm_task(_SimhashBands, **kw),
                                    batch_format="pyarrow", **mb_kwargs)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id").head(max_bucket)
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                 "id_b": pd.Series([], dtype="int64"),
-                                 "hamming": pd.Series([], dtype="int64")})
-        ids = g["doc_id"].to_numpy().astype(np.int64)
-        hashes = [(int(hi) << 1) | int(lo) for hi, lo in
-                  zip(g["simhash_hi"], g["simhash_lo"])]
-        rows = []
-        for x in range(len(ids)):
-            for y in range(x + 1, len(ids)):
-                d = hamming64(hashes[x], hashes[y])
-                if d <= max_dist:
-                    rows.append((ids[x], ids[y], d))
-        if not rows:
-            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                 "id_b": pd.Series([], dtype="int64"),
-                                 "hamming": pd.Series([], dtype="int64")})
-        a, b, d = zip(*rows)
-        return pd.DataFrame({"id_a": list(a), "id_b": list(b), "hamming": list(d)})
-
-    pairs = band_rows.groupby(["band", "band_key"]).map_groups(
-        bucket_pairs, batch_format="pandas")
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    pairs = partition_map(
+        band_rows, ["band", "band_key"],
+        lambda t: _bucket_pairs_partition(t.to_pandas(), "doc_id", max_bucket,
+                                          with_hamming=True,
+                                          max_dist=max_dist),
+        num_partitions=num_partitions)
+    return distinct_rows(pairs, ["id_a", "id_b"],
+                         num_partitions=num_partitions)

@@ -25,9 +25,9 @@ def test_minhash_dup_pairs(ray_session, corpus):
     import ray.data as rd
     from pypdfium2_ray.stages.dedup import minhash_dup_pairs
     ds = rd.from_arrow(corpus)
-    out = minhash_dup_pairs(ds, corpus, threshold=0.6).to_pandas()
-    pairs = {(a, b): j for a, b, j in
-             zip(out["id_a"], out["id_b"], out["jaccard_sim"])}
+    out = minhash_dup_pairs(ds, threshold=0.6).to_pandas()
+    pairs = {(a, b): i / u for a, b, i, u in
+             zip(out["id_a"], out["id_b"], out["n_inter"], out["n_union"])}
     assert (1, 4) in pairs and pairs[(1, 4)] == 1.0        # exact dup
     assert (1, 2) in pairs and pairs[(1, 2)] >= 0.6        # near dup
     assert (2, 4) in pairs
@@ -41,7 +41,7 @@ def test_minhash_determinism_across_batch_sizes(ray_session, corpus):
 
     def run(parallelism):
         ds = rd.from_arrow(corpus).repartition(parallelism)
-        df = minhash_dup_pairs(ds, corpus, threshold=0.6).to_pandas()
+        df = minhash_dup_pairs(ds, threshold=0.6).to_pandas()
         return sorted(map(tuple, df[["id_a", "id_b"]].to_numpy()))
 
     assert run(1) == run(4)
