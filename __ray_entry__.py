@@ -369,9 +369,12 @@ def q_asof_last_purchase(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
-# multimodal plumbing (decoder stubbed — no image libs in this container)
+# multimodal: binary payload columns through actor-pool decode stages
 
 def q_decode_images(sf_dir: str):
+    """Deterministic md5-derived decode stub over binary payloads — the
+    dims are pure functions of the payload digest with an exact DuckDB
+    twin (md5_number_upper), so the stub path itself is oracle-checked."""
     from pypdfium2_ray.stages.multimodal import decode_images
 
     def to_payload(t: pa.Table) -> pa.Table:
@@ -380,9 +383,37 @@ def q_decode_images(sf_dir: str):
 
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         to_payload, batch_format="pyarrow")
-    out = decode_images(ds, fake=True)
+    out = decode_images(ds, mode="fake")
     return _cast_i64(out.select_columns(["id", "width", "height", "n_bytes"]),
                      ["width", "height"])
+
+
+def q_image_meta(sf_dir: str):
+    """REAL image decode end-to-end: synthesize a PNG per document (dims
+    derived from the text — stdlib encoder, functions/png.py), then parse
+    the header back with the from-scratch parser (functions/imagemeta).
+    The oracle recomputes the dims directly from the text."""
+    import numpy as np
+    from pypdfium2_ray.functions.png import encode_png
+    from pypdfium2_ray.functions.text import token_count
+    from pypdfium2_ray.stages.multimodal import decode_images
+
+    def to_png(t: pa.Table) -> pa.Table:
+        toks = token_count(t["text"]).to_pylist()
+        payloads = []
+        for txt, ntok in zip(t["text"].to_pylist(), toks):
+            w = 1 + len(txt or "") % 64
+            h = 1 + int(ntok) % 64
+            payloads.append(encode_png(np.zeros((h, w), dtype=np.uint8)))
+        return pa.table({"id": t["doc_id"],
+                         "data": pa.array(payloads, pa.binary())})
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        to_png, batch_format="pyarrow")
+    out = decode_images(ds, mode="headers")
+    return _cast_i64(
+        out.select_columns(["id", "status", "format", "width", "height"]),
+        ["width", "height"])
 
 
 def _simhash_fp_sql() -> str:
@@ -454,6 +485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_bucket": q_events_value_bucket,
         "asof_last_purchase": q_asof_last_purchase,
         "decode_images": q_decode_images,
+        "image_meta": q_image_meta,
     }
 
 
@@ -629,4 +661,23 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'click') l
             ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
               ON l.user_id = r.user_id AND l.ts > r.ts""",
+        # md5-derived fake decode: dims are digest bytes 0/1 ==
+        # (md5_number_upper >> 0/8) & 255 (DuckDB packs the first 8 digest
+        # bytes little-endian; verified empirically)
+        "decode_images": """
+            SELECT doc_id AS id,
+                   CAST(64 + (md5_number_upper(text) & 255) % 192 AS BIGINT)
+                     AS width,
+                   CAST(64 + ((md5_number_upper(text) >> 8) & 255) % 192
+                        AS BIGINT) AS height,
+                   octet_length(encode(text))::BIGINT AS n_bytes
+            FROM documents""",
+        # real PNG round-trip: the engine encodes (1 + len % 64) x
+        # (1 + tokens % 64) PNGs and header-parses them back; the oracle
+        # recomputes the dims straight from the text
+        "image_meta": f"""
+            SELECT doc_id AS id, 'ok' AS status, 'png' AS format,
+                   CAST(1 + length(text) % 64 AS BIGINT) AS width,
+                   CAST(1 + {sql_token_count('text')} % 64 AS BIGINT) AS height
+            FROM documents""",
     }

@@ -1,11 +1,13 @@
-"""Minimal deterministic PNG encoder (stdlib zlib/struct only).
+"""Minimal deterministic PNG encoder AND decoder (stdlib zlib/struct only).
 
 The saver-engine tier of the reference (``cli/render.py:242-369``) needs
 PIL/cv2, absent from this container — but PNG itself is just zlib over
 filtered scanlines, so the "PIL engine" role is filled by ~40 lines of
-stdlib. Fixed compression level => byte-deterministic output.
-
-Supports 8-bit grayscale (colortype 0) and RGB (colortype 2).
+stdlib each way. Fixed compression level => byte-deterministic output.
+The decoder is the real-image path behind the multimodal decode stage
+(``pageobjects.py:433-515`` ``get_bitmap`` analogue for PNG payloads):
+8-bit grayscale (colortype 0) and RGB (colortype 2), all five scanline
+filters.
 """
 
 from __future__ import annotations
@@ -51,3 +53,80 @@ def encode_png(img: np.ndarray, compress_level: int = 6,
     return (_MAGIC + _chunk(b"IHDR", ihdr)
             + _chunk(b"IDAT", zlib.compress(raw, compress_level))
             + _chunk(b"IEND", b""))
+
+
+def _iter_chunks(data: bytes):
+    i = 8
+    while i + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[i:i + 4])
+        tag = data[i + 4:i + 8]
+        yield tag, data[i + 8:i + 8 + length]
+        i += 12 + length                      # len + tag + payload + crc
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    p = a.astype(np.int16) + b - c
+    pa_, pb, pc_ = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa_ <= pb) & (pa_ <= pc_), a, np.where(pb <= pc_, b, c))
+    return out.astype(np.uint8)
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> uint8 array (h, w) gray or (h, w, 3) RGB.
+
+    Supports bit depth 8, colortypes 0/2, no interlace — the full inverse
+    of :func:`encode_png` plus all five PNG scanline filters (the encoder
+    only emits filter 0, but foreign PNGs use the rest).
+    """
+    if not data.startswith(_MAGIC):
+        raise ValueError("not a PNG")
+    w = h = None
+    channels = 0
+    idat = []
+    for tag, payload in _iter_chunks(data):
+        if tag == b"IHDR":
+            w, h, depth, colortype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", payload)
+            if depth != 8 or colortype not in (0, 2) or interlace:
+                raise ValueError(
+                    f"unsupported PNG (depth={depth} colortype={colortype}"
+                    f" interlace={interlace})")
+            channels = 1 if colortype == 0 else 3
+        elif tag == b"IDAT":
+            idat.append(payload)
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("missing IHDR")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("scanline size mismatch")
+    rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    filters = rows[:, 0]
+    img = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels
+    for y in range(h):
+        line = rows[y, 1:].copy()
+        f = filters[y]
+        prev = img[y - 1] if y else np.zeros(stride, np.uint8)
+        if f == 0:
+            img[y] = line
+        elif f == 2:                                   # Up
+            img[y] = line + prev
+        elif f in (1, 3, 4):                           # Sub/Average/Paeth
+            cur = img[y]
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                if f == 1:
+                    cur[x] = line[x] + left
+                elif f == 3:
+                    cur[x] = line[x] + ((int(left) + int(prev[x])) >> 1)
+                else:
+                    ul = prev[x - bpp] if x >= bpp else 0
+                    cur[x] = line[x] + _paeth(
+                        np.uint8(left), prev[x], np.uint8(ul))
+        else:
+            raise ValueError(f"bad filter {f}")
+    out = img.reshape(h, w, channels)
+    return out[:, :, 0] if channels == 1 else out

@@ -1,13 +1,20 @@
 """Multimodal columns: opaque ``binary`` payloads + typed metadata.
 
-The Ray-side plumbing (schemas, actor signatures, batch sizing, output
-layout) is real and tested; the *decoders* are STUBS — the image/audio
-libraries (PIL, cv2, soundfile) are not in this container. Each actor
-follows the reference's saver-engine pattern (lazy heavy imports in the
-worker initializer, ``cli/render.py:266-276, 319-339``): ``__init__`` tries
-the real import once per actor; without it, either a clearly-marked
-``NotImplementedError`` (``fake=False``) or a deterministic fake derived
-from the payload bytes (``fake=True``, default — keeps pipelines testable).
+Three decode tiers (the reference's image-object surface,
+``pageobjects.py:433-515`` ``get_data``/``get_bitmap``, re-expressed as
+corpus stages):
+
+- ``mode="headers"`` (default): REAL from-scratch header parsing
+  (``functions/imagemeta``: PNG/GIF/BMP/JPEG dims via struct unpack) plus
+  real PNG *pixel* decode (``functions/png.decode_png``) for the feature
+  stub (mean/std per channel). No external libraries involved.
+- ``mode="fake"``: deterministic md5-derived metadata — the dims/features
+  are pure functions of the payload digest with an exact DuckDB twin
+  (``md5_number_upper``), which is what lets the driver's
+  ``decode_images`` query be oracle-checked.
+- ``mode="pil"``: the real-library path, gated on import (PIL absent in
+  this container -> ``NotImplementedError``), following the reference's
+  lazy saver-engine import pattern (``cli/render.py:266-276``).
 
 Batch-size guidance (SURVEY §4 memory row): binary payloads are large —
 size ``batch_size`` so ``batch_size x avg_payload x concurrency`` fits the
@@ -21,62 +28,92 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
+from pypdfium2_ray.functions.imagemeta import parse_image_meta
+
 #: output schema of DecodeImage
 IMAGE_META_SCHEMA = pa.schema([
     ("id", pa.int64()),
+    ("status", pa.string()),                # "ok" | "unknown-format"
+    ("format", pa.string()),
     ("width", pa.int32()),
     ("height", pa.int32()),
     ("mode", pa.string()),
     ("n_bytes", pa.int64()),
-    ("features", pa.list_(pa.float32())),   # 8-dim feature stub
+    ("features", pa.list_(pa.float32())),
 ])
 
 
 def _fake_meta(payload: bytes) -> tuple[int, int, str, list[float]]:
-    """Deterministic fake decode: dims/features from the payload digest."""
-    h = hashlib.blake2b(payload or b"", digest_size=16).digest()
-    width = 64 + h[0] % 192
-    height = 64 + h[1] % 192
-    feats = (np.frombuffer(h[8:], dtype=np.uint8).astype(np.float32) / 255.0)
+    """Deterministic fake decode with an exact SQL twin: dims from the
+    first two MD5-digest bytes (``md5_number_upper & 255`` etc. in
+    DuckDB), features from digest bytes 8..16."""
+    d = hashlib.md5(payload or b"").digest()
+    width = 64 + d[0] % 192
+    height = 64 + d[1] % 192
+    feats = (np.frombuffer(d[8:16], dtype=np.uint8).astype(np.float32) / 255.0)
     return width, height, "RGB", feats.tolist()
 
 
+def _png_features(payload: bytes) -> list[float] | None:
+    """Real pixel features for PNG payloads: per-channel mean+std of the
+    decoded image (from-scratch zlib decode, functions/png.decode_png)."""
+    from pypdfium2_ray.functions.png import decode_png
+    try:
+        img = decode_png(payload)
+    except Exception:
+        return None
+    arr = img.reshape(img.shape[0], img.shape[1], -1).astype(np.float32)
+    mean = arr.mean(axis=(0, 1)) / 255.0
+    std = arr.std(axis=(0, 1)) / 255.0
+    return np.concatenate([mean, std]).tolist()
+
+
 class DecodeImage:
-    """Actor: ``(id:int64, data:binary)`` -> image metadata + features.
+    """Actor: ``(id:int64, data:binary)`` -> image metadata + features."""
 
-    Real path requires PIL (absent here); ``fake=True`` produces the
-    deterministic stub so schema/batching/actor plumbing is exercised.
-    """
-
-    def __init__(self, fake: bool = True, id_col: str = "id",
-                 data_col: str = "data"):
+    def __init__(self, mode: str = "headers", id_col: str = "id",
+                 data_col: str = "data", fake: bool | None = None,
+                 png_pixels: bool = False):
+        if fake is not None:                   # back-compat flag
+            mode = "fake" if fake else mode
+        self.mode = mode
         self.id_col = id_col
         self.data_col = data_col
-        try:                                   # once per actor (ST3 pattern)
-            from PIL import Image               # noqa: F401
-            self._pil = Image
-        except ImportError:
-            self._pil = None
-        if self._pil is None and not fake:
-            raise NotImplementedError(
-                "real image decode needs PIL, which is not in this container;"
-                " use fake=True for the deterministic stub")
-        self.fake = fake or self._pil is None
+        self.png_pixels = png_pixels
+        if mode == "pil":                      # once per actor (ST3 pattern)
+            try:
+                from PIL import Image
+                self._pil = Image
+            except ImportError:
+                raise NotImplementedError(
+                    "mode='pil' needs PIL, which is not in this container;"
+                    " use mode='headers' (real from-scratch parsers) or"
+                    " mode='fake' (deterministic md5 stub)")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_pylist()
         payloads = batch[self.data_col].to_pylist()
         rows = []
         for i, p in zip(ids, payloads):
-            if self.fake:
-                w, h, mode, feats = _fake_meta(p or b"")
-            else:                               # pragma: no cover (no PIL here)
-                import io
-                img = self._pil.open(io.BytesIO(p))
-                w, h, mode = img.width, img.height, img.mode
-                feats = [0.0] * 8
-            rows.append(dict(id=i, width=w, height=h, mode=mode,
-                             n_bytes=len(p or b""), features=feats))
+            p = p or b""
+            if self.mode == "fake":
+                w, h, mode, feats = _fake_meta(p)
+                rows.append(dict(id=i, status="ok", format="fake", width=w,
+                                 height=h, mode=mode, n_bytes=len(p),
+                                 features=feats))
+                continue
+            meta = parse_image_meta(p)
+            if meta is None:
+                rows.append(dict(id=i, status="unknown-format", format="",
+                                 width=0, height=0, mode="", n_bytes=len(p),
+                                 features=[]))
+                continue
+            fmt, w, h = meta
+            feats = (_png_features(p) if self.png_pixels and fmt == "png"
+                     else []) or []
+            rows.append(dict(id=i, status="ok", format=fmt, width=w,
+                             height=h, mode="RGB", n_bytes=len(p),
+                             features=feats))
         return pa.Table.from_pylist(rows, schema=IMAGE_META_SCHEMA)
 
 
@@ -107,12 +144,15 @@ class SampleFrames:
                          "frame": pa.array(out["frame"], pa.binary())})
 
 
-def decode_images(ds, fake: bool = True, id_col: str = "id",
+def decode_images(ds, mode: str = "headers", id_col: str = "id",
                   data_col: str = "data", batch_size: int = 64,
-                  concurrency=(1, 8), **mb_kwargs):
+                  concurrency=(1, 8), fake: bool | None = None,
+                  png_pixels: bool = False, **mb_kwargs):
     """Image-decode stage with payload-aware batch sizing."""
     return ds.map_batches(
         DecodeImage,
-        fn_constructor_kwargs=dict(fake=fake, id_col=id_col, data_col=data_col),
+        fn_constructor_kwargs=dict(mode=mode, id_col=id_col,
+                                   data_col=data_col, fake=fake,
+                                   png_pixels=png_pixels),
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, **mb_kwargs)

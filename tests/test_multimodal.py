@@ -1,12 +1,19 @@
-"""Multimodal stage plumbing: schemas, actor wiring, deterministic stubs.
+"""Multimodal stage: real from-scratch header/pixel decode + md5 stub.
 
-The decoders are stubs (no PIL/cv2 in this container) — what IS real and
-tested here: the Arrow schemas, actor-pool execution, batch flow, and
-determinism of the fake decode."""
+What IS real and tested here: the Arrow schemas, actor-pool execution,
+batch flow, PNG/GIF/BMP/JPEG header parsing (functions/imagemeta), PNG
+pixel decode round-trip (functions/png), and determinism of the fake
+decode (PIL itself is absent from this container, so mode='pil' raises)."""
 
+import struct
+import zlib
+
+import numpy as np
 import pyarrow as pa
 import pytest
 
+from pypdfium2_ray.functions.imagemeta import parse_image_meta
+from pypdfium2_ray.functions.png import decode_png, encode_png
 from pypdfium2_ray.stages.multimodal import (
     IMAGE_META_SCHEMA, DecodeImage, SampleFrames, decode_images)
 
@@ -18,6 +25,103 @@ def payloads():
         "data": pa.array([b"\x89PNG fake one", b"JFIF fake two", b""],
                          pa.binary()),
     })
+
+
+def _gif(w, h):
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 8
+
+
+def _bmp(w, h):
+    return (b"BM" + b"\x00" * 12 + struct.pack("<I", 40)
+            + struct.pack("<ii", w, h) + b"\x00" * 8)
+
+
+def _jpeg(w, h):
+    # SOI, APP0 stub, SOF0 with dims, EOI
+    app0 = b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
+    sof = (b"\xff\xc0" + struct.pack(">H", 8)
+           + b"\x08" + struct.pack(">HH", h, w) + b"\x01")
+    return b"\xff\xd8" + app0 + sof + b"\xff\xd9"
+
+
+def test_parse_image_meta_formats():
+    png = encode_png(np.zeros((7, 11), np.uint8))
+    assert parse_image_meta(png) == ("png", 11, 7)
+    assert parse_image_meta(_gif(321, 45)) == ("gif", 321, 45)
+    assert parse_image_meta(_bmp(33, 44)) == ("bmp", 33, 44)
+    assert parse_image_meta(_bmp(33, -44)) == ("bmp", 33, 44)  # top-down BMP
+    assert parse_image_meta(_jpeg(640, 480)) == ("jpeg", 640, 480)
+    assert parse_image_meta(b"not an image") is None
+    assert parse_image_meta(b"") is None
+    assert parse_image_meta(b"\x89PNG\r\n\x1a\n\x00") is None  # truncated
+
+
+def test_png_decode_roundtrip_gray_and_rgb():
+    rng = np.random.RandomState(3)
+    gray = rng.randint(0, 256, size=(13, 17), dtype=np.uint8)
+    assert (decode_png(encode_png(gray)) == gray).all()
+    rgb = rng.randint(0, 256, size=(5, 9, 3), dtype=np.uint8)
+    assert (decode_png(encode_png(rgb)) == rgb).all()
+
+
+def test_png_decode_all_filters():
+    """Foreign encoders use filters 1-4; build scanlines by hand."""
+    rng = np.random.RandomState(4)
+    img = rng.randint(0, 256, size=(5, 6), dtype=np.uint8)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else c)
+
+    raw = b""
+    filters = [0, 1, 2, 3, 4]
+    for y, f in enumerate(filters):
+        line = img[y]
+        prev = img[y - 1] if y else np.zeros(6, np.uint8)
+        enc = np.zeros(6, np.uint8)
+        for x in range(6):
+            left = int(line[x - 1]) if x else 0
+            up = int(prev[x])
+            ul = int(prev[x - 1]) if x else 0
+            v = int(line[x])
+            if f == 0:
+                enc[x] = v
+            elif f == 1:
+                enc[x] = (v - left) % 256
+            elif f == 2:
+                enc[x] = (v - up) % 256
+            elif f == 3:
+                enc[x] = (v - ((left + up) >> 1)) % 256
+            else:
+                enc[x] = (v - paeth(left, up, ul)) % 256
+        raw += bytes([f]) + enc.tobytes()
+
+    def chunk(tag, payload):
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+    data = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 6, 5, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    assert (decode_png(data) == img).all()
+
+
+def test_decode_image_headers_mode():
+    png = encode_png(np.full((3, 4), 7, np.uint8))
+    batch = pa.table({
+        "id": pa.array([1, 2, 3], pa.int64()),
+        "data": pa.array([png, _gif(20, 10), b"junk"], pa.binary()),
+    })
+    out = DecodeImage(mode="headers", png_pixels=True)(batch)
+    assert out.schema.equals(IMAGE_META_SCHEMA)
+    assert out["status"].to_pylist() == ["ok", "ok", "unknown-format"]
+    assert out["format"].to_pylist() == ["png", "gif", ""]
+    assert out["width"].to_pylist() == [4, 20, 0]
+    assert out["height"].to_pylist() == [3, 10, 0]
+    feats = out["features"].to_pylist()
+    assert feats[0] == pytest.approx([7 / 255.0, 0.0])   # mean, std
+    assert feats[1] == [] and feats[2] == []
 
 
 def test_decode_image_stub_schema_and_determinism(payloads):
@@ -32,13 +136,37 @@ def test_decode_image_stub_schema_and_determinism(payloads):
     assert all(0.0 <= v <= 1.0 for f in feats for v in f)
 
 
+def test_decode_image_md5_twin():
+    """The fake dims must equal the DuckDB md5_number_upper derivation —
+    the invariant the decode_images oracle rests on (DuckDB 1.0 md5 is
+    VARCHAR-only, so the oracle path always hashes UTF-8 text payloads)."""
+    import duckdb
+    texts = ["hello world", "", "Grüße, 世界"]
+    batch = pa.table({
+        "id": pa.array([1, 2, 3], pa.int64()),
+        "data": pa.array([t.encode("utf-8") for t in texts], pa.binary()),
+    })
+    out = DecodeImage(fake=True)(batch)
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        upper = con.execute(
+            "select md5_number_upper(?)", [t]).fetchone()[0]
+        assert out["width"][i].as_py() == 64 + (upper & 255) % 192
+        assert out["height"][i].as_py() == 64 + ((upper >> 8) & 255) % 192
+
+
+def test_decode_image_pil_mode_gated():
+    with pytest.raises(NotImplementedError):
+        DecodeImage(mode="pil")
+
+
 def test_decode_images_dataset(ray_session, payloads):
     import ray.data as rd
     ds = rd.from_arrow(payloads)
-    out = decode_images(ds, fake=True, batch_size=2).to_pandas()
+    out = decode_images(ds, mode="fake", batch_size=2).to_pandas()
     assert len(out) == 3
-    assert set(out.columns) == {"id", "width", "height", "mode", "n_bytes",
-                                "features"}
+    assert set(out.columns) == {"id", "status", "format", "width", "height",
+                                "mode", "n_bytes", "features"}
     assert (out["width"] >= 64).all() and (out["width"] < 256).all()
 
 
