@@ -26,6 +26,21 @@ from pypdfium2_ray.docmodel.model import Page
 FORMATS = {"GRAY": 1, "BGR": 3, "BGRA": 4}
 
 
+def color_tohex(color: tuple[int, int, int, int], rev_byteorder: bool = False) -> int:
+    """Pack an (r, g, b, a) 0-255 color into the 32-bit ARGB word the
+    render API takes (reference ``internal/utils.py:9-24`` ``color_tohex``;
+    with ``rev_byteorder`` the RGB channels are swapped to ABGR, matching
+    the reference's FPDF_REVERSE_BYTE_ORDER interpretation)."""
+    if not all(0 <= c <= 255 for c in color):
+        raise ValueError("Color value exceeds boundaries.")
+    r, g, b, a = color
+    channels = (a, b, g, r) if rev_byteorder else (a, r, g, b)
+    packed = 0
+    for c in channels:
+        packed = (packed << 8) | c
+    return packed
+
+
 @dataclass
 class Bitmap:
     """Row-major pixel buffer; ``data`` is a numpy array of shape

@@ -226,6 +226,7 @@ class _HtmlToDoc(HTMLParser):
         self.nav_roots: list[_NavNode] = []
 
         self._tag_stack: list[str] = []
+        self.saw_form = False           # a <form> was present (stripped)
         self._skip_depth = 0            # >0: inside a stripped subtree
         self._head_depth = 0            # >0: inside <head> (metadata only)
         self._main_depth = 0
@@ -357,6 +358,10 @@ class _HtmlToDoc(HTMLParser):
             return
 
         if tag in _SKIP_TAGS or hidden:
+            if tag == "form":
+                # forms are stripped (SURVEY M25 out of scope) but their
+                # PRESENCE feeds get_formtype (document.py:222-228)
+                self.saw_form = True
             if not is_void:
                 self._skip_depth = 1
             return
@@ -632,8 +637,25 @@ def parse_document(data: bytes, password: str | None = None,
     else:
         toc = heading_entries
 
+    # doc-level flags (document.py:222-244): tagged = semantic structure
+    # present (headings or an explicit outline); pagemode mirrors the PDF
+    # catalog convention (outlines > attachments > none); formtype records
+    # stripped-form presence
+    from pypdfium2_ray.docmodel.model import (
+        FORMTYPE_ACRO_FORM, FORMTYPE_NONE, PAGEMODE_USEATTACHMENTS,
+        PAGEMODE_USENONE, PAGEMODE_USEOUTLINES)
+    if toc:
+        pagemode = PAGEMODE_USEOUTLINES
+    elif parser.attachments:
+        pagemode = PAGEMODE_USEATTACHMENTS
+    else:
+        pagemode = PAGEMODE_USENONE
     doc = Document(pages=pages, toc=toc, attachments=parser.attachments,
-                   metadata=metadata, warnings=warnings)
+                   metadata=metadata, warnings=warnings,
+                   tagged=bool(toc) or bool(heading_entries),
+                   formtype=FORMTYPE_ACRO_FORM if parser.saw_form
+                            else FORMTYPE_NONE,
+                   pagemode=pagemode)
     return doc
 
 

@@ -18,6 +18,33 @@ from pypdfium2_ray.docmodel.textpage import TextPage
 METADATA_KEYS = ("Title", "Author", "Subject", "Keywords", "Creator",
                  "Producer", "CreationDate", "ModDate")
 
+#: MediaBox fallback when a page defines no box at all and carries no
+#: layout — ANSI A, the reference's ``get_mediabox`` default
+#: (page.py:103-115).
+FALLBACK_MEDIABOX = (0.0, 0.0, 612.0, 792.0)
+
+#: form types (document.py:222-228; raw FORMTYPE_* constants)
+FORMTYPE_NONE, FORMTYPE_ACRO_FORM, FORMTYPE_XFA_FULL, FORMTYPE_XFA_FOREGROUND = \
+    0, 1, 2, 3
+FORMTYPE_TO_STR = {FORMTYPE_NONE: "none", FORMTYPE_ACRO_FORM: "acro_form",
+                   FORMTYPE_XFA_FULL: "xfa_full",
+                   FORMTYPE_XFA_FOREGROUND: "xfa_foreground"}
+
+#: page modes (document.py:231-236; raw PAGEMODE_* constants)
+(PAGEMODE_UNKNOWN, PAGEMODE_USENONE, PAGEMODE_USEOUTLINES, PAGEMODE_USETHUMBS,
+ PAGEMODE_FULLSCREEN, PAGEMODE_USEOC, PAGEMODE_USEATTACHMENTS) = range(-1, 6)
+PAGEMODE_TO_STR = {PAGEMODE_UNKNOWN: "unknown", PAGEMODE_USENONE: "use_none",
+                   PAGEMODE_USEOUTLINES: "use_outlines",
+                   PAGEMODE_USETHUMBS: "use_thumbs",
+                   PAGEMODE_FULLSCREEN: "fullscreen",
+                   PAGEMODE_USEOC: "use_oc",
+                   PAGEMODE_USEATTACHMENTS: "use_attachments"}
+
+#: names of the five page boxes and their fallback parent
+#: (media <- crop <- {bleed, trim, art}; page.py:95-185)
+_BOX_FALLBACK = {"crop": "media", "bleed": "crop", "trim": "crop",
+                 "art": "crop"}
+
 
 @dataclass
 class Span:
@@ -53,11 +80,36 @@ class Attachment:
     """Embedded file (PdfAttachment analogue, attachment.py:21-150: name +
     raw bytes + params). For HTML the source is an ``<a download>`` element;
     a ``data:`` URI href yields the decoded bytes, any other href is
-    recorded by reference with empty data."""
+    recorded by reference with empty data.
+
+    ``params`` mirrors the reference's attachment params dictionary
+    (attachment.py:96-145 ``has_key``/``get_str_value``): the PDF-spec
+    embedded-file keys Size / CreationDate / ModDate / CheckSum (CheckSum
+    is the hex MD5 of the data, per PDF 1.7 §7.11.4)."""
     name: str
     data: bytes = b""
     mime: str = ""
     src: str = ""
+    params: dict[str, str] = field(default_factory=dict)
+
+    def standard_params(self) -> dict[str, str]:
+        """Size/CheckSum derived from the data; dates from ``params``."""
+        import hashlib
+        out = dict(self.params)
+        out.setdefault("Size", str(len(self.data)))
+        out.setdefault("CheckSum",
+                       hashlib.md5(self.data).hexdigest() if self.data else "")
+        return out
+
+    def has_key(self, key: str) -> bool:
+        """attachment.py:96-104."""
+        return key in self.standard_params()
+
+    def get_str_value(self, key: str) -> str:
+        """attachment.py:115-131 — '' for keys absent from the params dict
+        (the reference returns '' for non-string values and raises only on
+        API failure, which has no analogue here)."""
+        return self.standard_params().get(key, "")
 
 
 @dataclass
@@ -74,26 +126,118 @@ class TocEntry:
 
 @dataclass
 class Page:
-    """One page: text lines in reading order + derived views."""
+    """One page: text lines in reading order + derived views.
+
+    Geometry surface (reference ``page.py:78-185``): the five page boxes
+    with the PDF fallback chain (media <- crop <- {bleed, trim, art}),
+    ``get_bbox`` = media ∩ crop, and clockwise page rotation in
+    {0, 90, 180, 270}. Rotation is a *view* property exactly as in PDFium:
+    reported width/height swap at 90/270, rendering rotates the raster,
+    but charboxes/rects and ``get_text_bounded`` defaults stay in native
+    page coordinates (the reference's BUG(149) regression,
+    tests/test_textpage.py:144-156 — rotating must NOT truncate bounded
+    extraction defaults)."""
     index: int
     lines: list[str]
     spans: list[Span] = field(default_factory=list)
     objects: list[PageObject] = field(default_factory=list)
     layout: LayoutParams = DEFAULT_LAYOUT
+    rotation: int = 0
+    #: explicitly-set boxes by name ("media", "crop", "bleed", "trim",
+    #: "art"); unset boxes resolve through the fallback chain
+    boxes: dict[str, tuple] = field(default_factory=dict)
+
+    # ---- rotation (page.py:78-92) -----------------------------------------
+
+    def get_rotation(self) -> int:
+        return self.rotation
+
+    def set_rotation(self, rotation: int) -> None:
+        if rotation not in (0, 90, 180, 270):
+            raise ValueError(f"Invalid rotation {rotation}")
+        self.rotation = rotation
+
+    # ---- the five boxes (page.py:95-185) ----------------------------------
+
+    def _default_mediabox(self) -> tuple[float, float, float, float]:
+        """The page's intrinsic (layout-derived) box; ANSI A only for a
+        page with no layout — our pages always carry a layout, which plays
+        the role of a PDF with /MediaBox defined."""
+        if self.layout is not None:
+            return (0.0, 0.0, self.layout.page_width, self.layout.page_height)
+        return FALLBACK_MEDIABOX
+
+    def get_mediabox(self, fallback_ok: bool = True):
+        box = self.boxes.get("media")
+        if box is not None:
+            return box
+        return self._default_mediabox() if fallback_ok else None
+
+    def set_mediabox(self, l, b, r, t) -> None:
+        self.boxes["media"] = (float(l), float(b), float(r), float(t))
+
+    def _get_box(self, name: str, fallback_ok: bool):
+        box = self.boxes.get(name)
+        if box is not None:
+            return box
+        if not fallback_ok:
+            return None
+        parent = _BOX_FALLBACK[name]
+        if parent == "media":
+            return self.get_mediabox(fallback_ok=True)
+        return self._get_box(parent, fallback_ok=True)
+
+    def get_cropbox(self, fallback_ok: bool = True):
+        return self._get_box("crop", fallback_ok)
+
+    def set_cropbox(self, l, b, r, t) -> None:
+        self.boxes["crop"] = (float(l), float(b), float(r), float(t))
+
+    def get_bleedbox(self, fallback_ok: bool = True):
+        return self._get_box("bleed", fallback_ok)
+
+    def set_bleedbox(self, l, b, r, t) -> None:
+        self.boxes["bleed"] = (float(l), float(b), float(r), float(t))
+
+    def get_trimbox(self, fallback_ok: bool = True):
+        return self._get_box("trim", fallback_ok)
+
+    def set_trimbox(self, l, b, r, t) -> None:
+        self.boxes["trim"] = (float(l), float(b), float(r), float(t))
+
+    def get_artbox(self, fallback_ok: bool = True):
+        return self._get_box("art", fallback_ok)
+
+    def set_artbox(self, l, b, r, t) -> None:
+        self.boxes["art"] = (float(l), float(b), float(r), float(t))
+
+    def get_bbox(self) -> tuple[float, float, float, float]:
+        """Media ∩ crop intersection (page.py:176-185
+        ``FPDF_GetPageBoundingBox``), in native (unrotated) coordinates."""
+        ml, mb, mr, mt = self.get_mediabox()
+        cl, cb, cr, ct = self.get_cropbox()
+        return (max(ml, cl), max(mb, cb), min(mr, cr), min(mt, ct))
+
+    # ---- size (rotation-aware, page.py:40-72) ------------------------------
 
     @property
     def width(self) -> float:
-        return self.layout.page_width
+        """Horizontal size as displayed — swaps with height at 90/270
+        (``FPDF_GetPageWidthF`` accounts for /Rotate)."""
+        l, b, r, t = self.get_bbox()
+        return (t - b) if self.rotation in (90, 270) else (r - l)
 
     @property
     def height(self) -> float:
-        return self.layout.page_height
+        l, b, r, t = self.get_bbox()
+        return (r - l) if self.rotation in (90, 270) else (t - b)
 
     def get_textpage(self) -> TextPage:
         """Analogue of ``page.get_textpage()`` (page.py:191-201) — here a
         cheap pure construction (state ST5's cached bbox is a plain
-        attribute)."""
-        return TextPage(self.lines, self.layout)
+        attribute). The textpage bbox is the NATIVE page bbox, not the
+        rotation-swapped size (BUG(149) semantics)."""
+        return TextPage(self.lines, self.layout, bbox=self.get_bbox())
 
     def get_size(self) -> tuple[float, float]:
         """(width, height) — document.py:490-497 ``get_page_size``."""
@@ -111,6 +255,17 @@ class Document:
     warnings: list[str] = field(default_factory=list)
     err_code: int = ERR_SUCCESS
     version: int = 1
+    #: structure-tagged flag (document.py:239-244 ``is_tagged``): True when
+    #: the source carries semantic structure (HTML: headings/outline)
+    tagged: bool = False
+    #: FORMTYPE_* (document.py:222-228); forms are out of scope (SURVEY
+    #: M25) so parsers only distinguish none vs acro_form presence
+    formtype: int = FORMTYPE_NONE
+    #: PAGEMODE_* (document.py:231-236)
+    pagemode: int = PAGEMODE_USENONE
+    #: explicit page labels by index (document.py:476-487); missing ->
+    #: '' exactly like a PDF without /PageLabels
+    page_labels: list[str] = field(default_factory=list)
 
     @property
     def status(self) -> str:
@@ -158,6 +313,32 @@ class Document:
     def get_version(self) -> int:
         """document.py:240-249 analogue (HTML: always 1 unless declared)."""
         return self.version
+
+    def is_tagged(self) -> bool:
+        """document.py:239-244."""
+        return self.tagged
+
+    def get_formtype(self) -> int:
+        """document.py:222-228 (FORMTYPE_*; see FORMTYPE_TO_STR)."""
+        return self.formtype
+
+    def get_pagemode(self) -> int:
+        """document.py:231-236 (PAGEMODE_*; see PAGEMODE_TO_STR)."""
+        return self.pagemode
+
+    def get_page_label(self, index: int) -> str:
+        """document.py:476-487: the page's display label, '' when the
+        document defines no label for it (PDFium returns an empty string
+        for PDFs without /PageLabels)."""
+        if not 0 <= index < len(self.pages):
+            raise IndexError(f"page index {index} out of range")
+        if index < len(self.page_labels):
+            return self.page_labels[index]
+        return ""
+
+    def get_page_size(self, index: int) -> tuple[float, float]:
+        """document.py:470-485 ``get_page_size`` by index."""
+        return self.pages[index].get_size()
 
     def get_identifier(self, permanent: bool = True) -> bytes:
         """document.py:278-292 analogue: permanent id = stable content hash;

@@ -44,12 +44,17 @@ class TextPage:
     in reading order (no embedded newlines), geometry per ``LayoutParams``."""
 
     def __init__(self, lines: list[str], layout: LayoutParams = DEFAULT_LAYOUT,
-                 page_width: float | None = None, page_height: float | None = None):
+                 page_width: float | None = None, page_height: float | None = None,
+                 bbox: tuple[float, float, float, float] | None = None):
         assert all("\n" not in ln and "\r" not in ln for ln in lines)
         self.lines = lines
         self.layout = layout
         self.width = layout.page_width if page_width is None else page_width
         self.height = layout.page_height if page_height is None else page_height
+        #: page bbox (l, b, r, t) in native coords — the default boundary of
+        #: bounded extraction; (0, 0, w, h) unless the owning Page passes
+        #: its media∩crop box (page.py:176-185)
+        self._bbox = bbox
 
     # ---- text ------------------------------------------------------------
 
@@ -167,6 +172,8 @@ class TextPage:
     def bbox(self) -> tuple[float, float, float, float]:
         """Page bbox (l, b, r, t) — the default boundary of
         ``get_text_bounded`` (textpage.py:48-50, page.py:176-185)."""
+        if self._bbox is not None:
+            return self._bbox
         return (0.0, 0.0, self.width, self.height)
 
     def get_text_bounded(self, left=None, bottom=None, right=None, top=None) -> str:
