@@ -494,11 +494,12 @@ def oracle_sql() -> dict[str, str]:
         LANG_STOPWORDS, sql_bpe_token_count, sql_lang_pred, sql_term_count,
         sql_token_count,
     )
-    from pypdfium2_ray.sources.cc_from_documents import sql_extracted_text
+    from pypdfium2_ray.sources.cc_from_documents import (
+        sql_extracted_text, sql_n_chars)
 
     en_stop = "\\b(" + "|".join(LANG_STOPWORDS["en"]) + ")\\b"
     ext = sql_extracted_text("text")
-    collapsed = ("trim(regexp_replace(text, '[ \\t\\r\\n\\f\\v]+', ' ', 'g'), ' ')")
+    n_chars_sql = sql_n_chars("text")
 
     return {
         "extract_text": f"""
@@ -506,8 +507,8 @@ def oracle_sql() -> dict[str, str]:
                    lang,
                    'ok' AS status,
                    0::BIGINT AS err_code,
-                   1::BIGINT AS n_pages,
-                   length({collapsed})::BIGINT AS n_chars,
+                   2::BIGINT AS n_pages,
+                   {n_chars_sql}::BIGINT AS n_chars,
                    {ext} AS extracted_text
             FROM documents""",
         "extract_bounded": f"""
@@ -537,7 +538,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_status_rollup": f"""
             SELECT 'ok' AS status, 0::BIGINT AS err_code,
                    count(*) AS n_docs,
-                   sum(length({collapsed}))::BIGINT AS sum_chars
+                   sum({n_chars_sql})::BIGINT AS sum_chars
             FROM documents""",
         "text_slice": """
             SELECT doc_id, substr(text, 11, 50) AS slice_text FROM documents""",

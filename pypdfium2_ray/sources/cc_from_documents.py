@@ -3,12 +3,20 @@
 
 The driver's star schema carries no ``html:binary`` payload, so the flagship
 pipeline's input (BASELINE.json ``input_hint`` schema) is synthesized
-deterministically: each document becomes one HTML page whose body is the
-document text in a single ``<p>``. All transforms are vectorized Arrow
-string kernels — the construction is pure and oracle-invertible: after the
-docmodel's whitespace collapse, the extracted page text equals
-``trim(regexp_replace(text, ws, ' '))`` of the source text, so the whole
-extraction pipeline has an ANSI-SQL oracle.
+deterministically — and NOT as a trivial one-``<p>`` page: each document
+becomes a two-page site-shaped HTML file exercising the extraction
+pipeline's real work:
+
+- ``<nav>``/``<header>``/``<footer>`` boilerplate that MUST be stripped
+  (its text would corrupt the oracle otherwise),
+- a ``<main>`` wrapper triggering the main-content restriction,
+- an ``<h1>`` heading line + the document text + a templated paragraph,
+- an explicit ``<pb>`` page break and a second page with an ``<h2>``
+  (which also exercises the heading outline / tagged flag).
+
+All transforms are vectorized Arrow string kernels, and every non-``text``
+fragment is a fixed template over (doc_id, lang, source) — so the exact
+extracted bytes remain ANSI-SQL-composable (:func:`sql_extracted_text`).
 
 ``url = doc://{source}/{doc_id}``; ``warc_ts = 2026-01-01 + doc_id sec``.
 """
@@ -20,9 +28,11 @@ import pyarrow.compute as pc
 
 _BASE_EPOCH_S = 1_767_225_600  # 2026-01-01T00:00:00Z
 
-_PRE = "<html><head><title>"
-_MID = "</title></head><body><p>"
-_POST = "</p></body></html>"
+#: fixed boilerplate the parser must strip (nav/header before main,
+#: footer after) — deliberately containing link text and punctuation
+_BOILER_TOP = ('<nav><a href="/">Home</a> <a href="/about">About</a></nav>'
+               "<header>Example Site — all pages</header>")
+_BOILER_BOTTOM = "<footer>(c) example.org — generated page</footer>"
 
 
 def documents_to_cc(batch: pa.Table) -> pa.Table:
@@ -32,7 +42,15 @@ def documents_to_cc(batch: pa.Table) -> pa.Table:
         "doc://", batch["source"], "/", doc_id_str, "")
     title = pc.binary_join_element_wise("doc ", doc_id_str, "")
     html = pc.cast(pc.binary_join_element_wise(
-        _PRE, title, _MID, batch["text"], _POST, ""), pa.binary())
+        "<html><head><title>", title, "</title></head><body>",
+        _BOILER_TOP,
+        "<main><h1>Doc ", doc_id_str, "</h1><p>", batch["text"],
+        "</p><p>Language: ", batch["lang"], ".</p>",
+        "<pb>",
+        "<h2>Appendix ", doc_id_str, "</h2><p>End of ", batch["source"],
+        " document ", doc_id_str, ".</p></main>",
+        _BOILER_BOTTOM,
+        "</body></html>", ""), pa.binary())
     ts = pc.cast(pc.multiply(
         pc.add(pc.cast(batch["doc_id"], pa.int64()), _BASE_EPOCH_S),
         1_000_000), pa.timestamp("us"))
@@ -54,10 +72,35 @@ def read_cc_from_documents(sf_dir: str):
     return ds.map_batches(documents_to_cc, batch_format="pyarrow")
 
 
-def sql_extracted_text(text_col: str = "text") -> str:
-    """The DuckDB oracle for the flagship ``extracted_text`` of a
-    one-paragraph synthesized page: ``"# Page 1\\n" + collapsed + "\\n"``
-    (cli/extract_text.py:30-45 framing; htmldoc whitespace collapse)."""
+# ---------------------------------------------------------------------------
+# SQL twins — compose the exact extracted bytes from (doc_id, text, lang,
+# source); the construction above guarantees invertibility
+
+_CRLF = "chr(13) || chr(10)"
+
+
+def _sql_page_texts(text_col: str = "text") -> tuple[str, str]:
+    """Per-page textpage text (CRLF between lines within a page)."""
     collapsed = (f"trim(regexp_replace({text_col}, "
                  "'[ \\t\\r\\n\\f\\v]+', ' ', 'g'), ' ')")
-    return f"'# Page 1' || chr(10) || {collapsed} || chr(10)"
+    p1 = (f"'Doc ' || doc_id || {_CRLF} || {collapsed} || {_CRLF} || "
+          "'Language: ' || lang || '.'")
+    p2 = (f"'Appendix ' || doc_id || {_CRLF} || "
+          "'End of ' || source || ' document ' || doc_id || '.'")
+    return p1, p2
+
+
+def sql_extracted_text(text_col: str = "text") -> str:
+    """The DuckDB oracle for the flagship ``extracted_text``:
+    ``"# Page {i}\\n" + page_text`` per page, pages joined by a blank line,
+    trailing newline (cli/extract_text.py:26-45 framing)."""
+    p1, p2 = _sql_page_texts(text_col)
+    return (f"'# Page 1' || chr(10) || {p1} || chr(10) || chr(10) || "
+            f"'# Page 2' || chr(10) || {p2} || chr(10)")
+
+
+def sql_n_chars(text_col: str = "text") -> str:
+    """Sum of per-page ``count_chars()`` (page text incl. intra-page CRLF,
+    excl. the document framing)."""
+    p1, p2 = _sql_page_texts(text_col)
+    return f"(length({p1}) + length({p2}))"
