@@ -37,6 +37,20 @@ def _docs(sf_dir: str, columns=None):
                            columns=columns)
 
 
+def _hint(sf_dir: str, table: str = "documents"):
+    """Size the query's hash-exchange partitions from its input bytes
+    (exchange.partitions_for_bytes) — at test/bench scale this keeps
+    exchanges small (the per-partition fixed cost dominates tiny inputs);
+    at 100 TB the same rule yields ~64 MB partitions."""
+    import os
+    from pypdfium2_ray.stages.exchange import partition_hint, partitions_for_bytes
+    try:
+        sz = os.path.getsize(f"{sf_dir.rstrip('/')}/{table}.parquet")
+    except OSError:
+        sz = 0
+    return partition_hint(partitions_for_bytes(sz))
+
+
 def _cast_i64(ds, cols: list[str]):
     """Cast int32-ish columns to int64 so schemas match DuckDB's BIGINT."""
     def f(t: pa.Table) -> pa.Table:
@@ -128,10 +142,12 @@ def q_extract_status_rollup(sf_dir: str):
     docs + chars by status/err_code — the lineage counters as a query)."""
     from pypdfium2_ray.stages.agg import grouped_aggregate
     ds = _extract(sf_dir).select_columns(["status", "err_code", "n_chars"])
-    return grouped_aggregate(ds, ["status", "err_code"], {
-        "n_docs": (None, "count"),
-        "sum_chars": ("n_chars", "sum"),
-    }).map_batches(
+    with _hint(sf_dir):
+        out = grouped_aggregate(ds, ["status", "err_code"], {
+            "n_docs": (None, "count"),
+            "sum_chars": ("n_chars", "sum"),
+        })
+    return out.map_batches(
         lambda t: t.set_column(t.schema.get_field_index("sum_chars"),
                                "sum_chars", pc.cast(t["sum_chars"], pa.int64())),
         batch_format="pyarrow")
@@ -170,10 +186,11 @@ def q_text_slice(sf_dir: str):
 def q_doc_stats(sf_dir: str):
     from pypdfium2_ray.stages.agg import grouped_aggregate
     ds = _docs(sf_dir, ["lang", "n_chars"])
-    out = grouped_aggregate(ds, ["lang"], {
-        "n_docs": (None, "count"),
-        "sum_chars": ("n_chars", "sum"),
-        "max_chars": ("n_chars", "max")})
+    with _hint(sf_dir):
+        out = grouped_aggregate(ds, ["lang"], {
+            "n_docs": (None, "count"),
+            "sum_chars": ("n_chars", "sum"),
+            "max_chars": ("n_chars", "max")})
     return _cast_i64(out, ["sum_chars", "max_chars"])
 
 
@@ -186,14 +203,16 @@ def q_dedup_exact(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text"])
     ds = ds.map_batches(add_fingerprint, batch_format="pyarrow") \
            .select_columns(["doc_id", "fingerprint"])
-    return grouped_aggregate(ds, ["fingerprint"], {
-        "keep_doc_id": ("doc_id", "min"),
-        "n_dups": (None, "count")})
+    with _hint(sf_dir):
+        return grouped_aggregate(ds, ["fingerprint"], {
+            "keep_doc_id": ("doc_id", "min"),
+            "n_dups": (None, "count")})
 
 
 def q_dedup_latest_event(sf_dir: str):
     from pypdfium2_ray.pipelines.relational import latest_event_per_user
-    return latest_event_per_user(sf_dir)
+    with _hint(sf_dir, "events"):
+        return latest_event_per_user(sf_dir)
 
 
 #: minhash query params — shared with the oracle SQL generator below.
@@ -211,7 +230,8 @@ def q_minhash_dups(sf_dir: str):
     text broadcast)."""
     from pypdfium2_ray.stages.dedup import minhash_dup_pairs
     ds = _docs(sf_dir, ["doc_id", "text"])
-    return minhash_dup_pairs(ds, **MINHASH)
+    with _hint(sf_dir):
+        return minhash_dup_pairs(ds, **MINHASH)
 
 
 def q_simhash_dups(sf_dir: str):
@@ -220,7 +240,8 @@ def q_simhash_dups(sf_dir: str):
     SQL-expressible — the all-pairs Hamming oracle is a true oracle."""
     from pypdfium2_ray.stages.dedup import simhash_dup_pairs
     ds = _docs(sf_dir, ["doc_id", "text"])
-    return simhash_dup_pairs(ds, ngram_n=3, bands=4, max_dist=3)
+    with _hint(sf_dir):
+        return simhash_dup_pairs(ds, ngram_n=3, bands=4, max_dist=3)
 
 
 # ---------------------------------------------------------------------------
@@ -273,8 +294,10 @@ def q_embedding_lsh_dups(sf_dir: str):
     seeded hyperplanes) — so the exact-pairs SQL is a true oracle here;
     vectors never enter the band shuffle (ids only + verify joins)."""
     from pypdfium2_ray.stages.ann import embedding_lsh_dup_pairs
-    return embedding_lsh_dup_pairs(_embeddings(sf_dir), dim=64, tau=DUP_TAU,
-                                   n_bits=16, bands=8, scale=100)
+    with _hint(sf_dir, "embeddings"):
+        return embedding_lsh_dup_pairs(_embeddings(sf_dir), dim=64,
+                                       tau=DUP_TAU, n_bits=16, bands=8,
+                                       scale=100)
 
 
 # ---------------------------------------------------------------------------
@@ -282,12 +305,14 @@ def q_embedding_lsh_dups(sf_dir: str):
 
 def q_pricing_summary(sf_dir: str):
     from pypdfium2_ray.pipelines.relational import lineitem_pricing_summary
-    return _cast_i64(lineitem_pricing_summary(sf_dir), ["n_rows"])
+    with _hint(sf_dir, "lineitem"):
+        return _cast_i64(lineitem_pricing_summary(sf_dir), ["n_rows"])
 
 
 def q_orders_by_region(sf_dir: str):
     from pypdfium2_ray.pipelines.relational import orders_by_region
-    return _cast_i64(orders_by_region(sf_dir), ["n_orders"])
+    with _hint(sf_dir, "orders"):
+        return _cast_i64(orders_by_region(sf_dir), ["n_orders"])
 
 
 def q_top_orders(sf_dir: str):
@@ -297,7 +322,8 @@ def q_top_orders(sf_dir: str):
 
 def q_events_rollup(sf_dir: str):
     from pypdfium2_ray.pipelines.relational import events_rollup
-    return _cast_i64(events_rollup(sf_dir), ["n_events"])
+    with _hint(sf_dir, "events"):
+        return _cast_i64(events_rollup(sf_dir), ["n_events"])
 
 
 def q_events_hourly(sf_dir: str):
@@ -308,9 +334,10 @@ def q_events_hourly(sf_dir: str):
     from pypdfium2_ray.stages.window import tumbling_window
     ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
                          columns=["ts", "event_type", "value"])
-    out = tumbling_window(ds, "ts", "hour", keys=["event_type"],
-                          aggs={"n_events": (None, "count"),
-                                "sum_value_e4": ("value", "sum")})
+    with _hint(sf_dir, "events"):
+        out = tumbling_window(ds, "ts", "hour", keys=["event_type"],
+                              aggs={"n_events": (None, "count"),
+                                    "sum_value_e4": ("value", "sum")})
     return _cast_i64(_scale_cols(out, {"sum_value_e4": 10_000}), ["n_events"])
 
 
@@ -334,8 +361,9 @@ def q_events_value_bucket(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
                          columns=["event_id", "value"])
     joined = range_join(ds, intervals, value_col="value")
-    return grouped_aggregate(joined, ["bucket"],
-                             {"n_events": (None, "count")})
+    with _hint(sf_dir, "events"):
+        return grouped_aggregate(joined, ["bucket"],
+                                 {"n_events": (None, "count")})
 
 
 def q_asof_last_purchase(sf_dir: str):

@@ -115,10 +115,15 @@ def _extract_corpus(path: str):
 
 
 def _warmup():
-    """Spin the Ray worker pool so the timed run measures steady state."""
+    """Spin the Ray worker pool (map tasks AND one hash exchange, so the
+    hash-shuffle aggregator worker processes exist) — the timed runs then
+    measure steady state, which is what a long-running corpus job sees."""
     import ray.data as rd
     rd.range(100_000, override_num_blocks=64).map_batches(
         lambda b: b, batch_format="pyarrow").count()
+    from pypdfium2_ray.stages.exchange import partition_map
+    ds = rd.range(1_000).map_batches(lambda b: b, batch_format="pyarrow")
+    partition_map(ds, ["id"], lambda t: t).count()
 
 
 def _headline(sf_dir: str, num_cpus: int, repeats: int = 2) -> dict:

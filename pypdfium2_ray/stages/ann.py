@@ -220,7 +220,7 @@ def embedding_lsh_dup_pairs(ds, dim: int, tau: float = 0.9, n_bits: int = 32,
     resolved AFTER pair-distinct via two repartition joins against the
     corpus, then verified with one vectorized row-wise cosine kernel —
     no vector replication through the band shuffle, no broadcast."""
-    from pypdfium2_ray.stages.dedup import _bucket_pairs_partition, distinct_rows
+    from pypdfium2_ray.stages.dedup import _bucket_pairs_partition
     from pypdfium2_ray.stages.exchange import lookup_join, partition_map
     from pypdfium2_ray.stages.warm import warm_task
     import pyarrow.compute as pc
@@ -238,14 +238,16 @@ def embedding_lsh_dup_pairs(ds, dim: int, tau: float = 0.9, n_bits: int = 32,
         band_rows, ["band", "band_key"],
         lambda t: _bucket_pairs_partition(t.to_pandas(), "vec_id", 500),
         num_partitions=num_partitions)
-    pairs = distinct_rows(candidates, ["id_a", "id_b"],
-                          num_partitions=num_partitions)
 
+    # pair-distinct fused into the first join's exchange (pairs sharing
+    # id_a co-partition) — one exchange saved
     vec_type = pa.list_(pa.float32())
     pair_cols = {"id_a": pa.int64(), "id_b": pa.int64()}
-    j = lookup_join(pairs, pair_cols, ds, source_key=id_col, key_col="id_a",
+    j = lookup_join(candidates, pair_cols, ds, source_key=id_col,
+                    key_col="id_a",
                     payload_cols={"__vec_a": vec_type},
                     source_payload={"__vec_a": vec_col},
+                    distinct_target_on=["id_a", "id_b"],
                     num_partitions=num_partitions)
     j = lookup_join(j, {**pair_cols, "__vec_a": vec_type}, ds,
                     source_key=id_col, key_col="id_b",

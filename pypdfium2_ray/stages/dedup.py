@@ -262,13 +262,15 @@ def minhash_dup_pairs(ds, id_col: str = "doc_id",
         band_rows, ["band", "band_key"],
         lambda t: _bucket_pairs_partition(t.to_pandas(), "doc_id", max_bucket),
         num_partitions=num_partitions)
-    pairs = distinct_rows(candidates, ["id_a", "id_b"],
-                          num_partitions=num_partitions)
 
+    # pair-distinct is FUSED into the first join's exchange (equal pairs
+    # share id_a, so they co-partition) — one exchange saved
     pair_cols = {"id_a": pa.int64(), "id_b": pa.int64()}
-    j = lookup_join(pairs, pair_cols, ds, source_key=id_col, key_col="id_a",
+    j = lookup_join(candidates, pair_cols, ds, source_key=id_col,
+                    key_col="id_a",
                     payload_cols={"__text_a": pa.string()},
                     source_payload={"__text_a": text_col},
+                    distinct_target_on=["id_a", "id_b"],
                     num_partitions=num_partitions)
     j = lookup_join(j, {**pair_cols, "__text_a": pa.string()}, ds,
                     source_key=id_col, key_col="id_b",

@@ -35,16 +35,68 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+from contextlib import contextmanager
+from contextvars import ContextVar
+
+#: scoped override for the exchange partition count (see partition_hint)
+_PARTITION_HINT: ContextVar[int | None] = ContextVar("partition_hint",
+                                                     default=None)
+
+
+@contextmanager
+def partition_hint(n: int | None):
+    """Scope a partition-count hint over pipeline CONSTRUCTION: every
+    exchange built inside uses *n* partitions unless given an explicit
+    ``num_partitions``. Callers that know their input size set this from
+    :func:`partitions_for_bytes` — partition count is a property of the
+    data volume, not of the cluster."""
+    tok = _PARTITION_HINT.set(n)
+    try:
+        yield
+    finally:
+        _PARTITION_HINT.reset(tok)
+
+
+def partitions_for_bytes(n_bytes: int, target_bytes: int = 64 << 20,
+                         floor: int = 8, cap: int = 200) -> int:
+    """Shuffle-partition count from input size: ~one partition per
+    ``target_bytes`` of input (the standard shuffle sizing rule), floored
+    for small inputs and capped for this sandbox — a real multi-node run
+    raises ``cap`` so partitions stay ~64-256 MB at any scale."""
+    return max(floor, min(cap, -(-int(n_bytes) // target_bytes)))
+
+
 def default_partitions(cap: int = 200) -> int:
-    """Partition count tied to cluster size: ~1 partition per CPU (each
-    hash-shuffle partition gets an aggregator slot; more would queue, many
-    more would deadlock small clusters), capped for giant clusters."""
+    """Exchange partition count when the caller gave no explicit value and
+    no :func:`partition_hint` is active: ~1 partition per CPU. Hash
+    exchanges carry a fixed per-partition cost (this Ray 2.49: ~0.1-0.3 s
+    per partition cold at 32 CPUs), so oversizing hurts small jobs —
+    size-aware callers should prefer :func:`partitions_for_bytes`."""
+    hint = _PARTITION_HINT.get()
+    if hint is not None:
+        return hint
     import ray
     try:
         cpus = int(ray.cluster_resources().get("CPU", 4))
     except Exception:
         cpus = 4
     return max(2, min(cap, cpus))
+
+
+def default_aggregators() -> int:
+    """Aggregator-actor cap per exchange. Empirically (this Ray 2.49,
+    32-CPU node) each exchange pays ~0.15 s of actor spawn PER AGGREGATOR
+    cold, so cpus-many aggregators cost more in startup than they return
+    in finalize parallelism until partitions carry serious data; cpus/4
+    is the sweet spot at bench scale and still gives a cluster-sized pool
+    at 100 TB (partitions stay cpus-many — an aggregator serves several
+    partitions, which also smooths skew)."""
+    import ray
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(4, cpus // 4)
 
 
 def _enable_hash(ds, num_partitions: int | None) -> int:
@@ -55,7 +107,8 @@ def _enable_hash(ds, num_partitions: int | None) -> int:
     n = num_partitions or default_partitions()
     ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     ds.context.max_hash_shuffle_aggregators = max(
-        ds.context.max_hash_shuffle_aggregators or 0, n)
+        ds.context.max_hash_shuffle_aggregators or 0,
+        min(n, default_aggregators()))
     return n
 
 
@@ -81,6 +134,7 @@ def lookup_join(target, target_cols: dict[str, pa.DataType],
                 source, source_key: str, key_col: str,
                 payload_cols: dict[str, pa.DataType],
                 source_payload: dict[str, str] | None = None,
+                distinct_target_on: list[str] | None = None,
                 num_partitions: int | None = None):
     """Repartition (hash) join: attach *source*'s payload columns onto
     *target* rows where ``target[key_col] == source[source_key]`` (inner).
@@ -102,7 +156,14 @@ def lookup_join(target, target_cols: dict[str, pa.DataType],
     sides (callers know them by construction); ``key_col`` must be one of
     ``target_cols``. ``source_payload`` maps an output payload name to the
     source column it comes from (default: same name).
+
+    ``distinct_target_on``: dedupe target rows on these columns inside the
+    join partition (valid iff ``key_col`` is one of them, so equal rows
+    are guaranteed co-partitioned) — fuses an LSH pair-distinct into the
+    join's exchange instead of paying a separate one.
     """
+    if distinct_target_on is not None:
+        assert key_col in distinct_target_on
     t_names = list(target_cols)
     p_names = list(payload_cols)
     src_of = source_payload or {}
@@ -136,6 +197,9 @@ def lookup_join(target, target_cols: dict[str, pa.DataType],
         side = t["__side"]
         tgt = t.filter(pc.equal(side, 0))
         src = t.filter(pc.equal(side, 1))
+        if distinct_target_on is not None and tgt.num_rows:
+            dup = tgt.select(distinct_target_on).to_pandas().duplicated()
+            tgt = tgt.filter(pa.array(~dup.to_numpy()))
         idx = pc.index_in(tgt[key_col].combine_chunks(),
                           value_set=src[key_col].combine_chunks())
         mask = pc.is_valid(idx)
