@@ -171,7 +171,8 @@ def q_sessions(sf_dir: str):
     from pypdfium2_ray.stages.sessionize import sessionize
     ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
                          columns=["event_id", "user_id", "ts"])
-    return sessionize(ds, key="user_id", ts_col="ts", gap_s=1800)
+    with _hint(sf_dir, "events"):
+        return sessionize(ds, key="user_id", ts_col="ts", gap_s=1800)
 
 
 def q_text_slice(sf_dir: str):
@@ -392,7 +393,8 @@ def q_asof_last_purchase(sf_dir: str):
         lambda t: t.drop_columns(["value"]), batch_format="pyarrow")
     right = read_type("purchase",
                       rename={"event_id": "p_event_id", "value": "p_value_e4"})
-    out = asof_join(left, right, by="user_id", on="ts")
+    with _hint(sf_dir, "events"):
+        out = asof_join(left, right, by="user_id", on="ts")
     return _scale_cols(out, {"p_value_e4": 10_000})
 
 

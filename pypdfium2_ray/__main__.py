@@ -76,7 +76,8 @@ def cmd_render(args) -> int:
     ray = _init_ray()
     from pypdfium2_ray.stages.render import render_pipeline
     render_pipeline(_read(args.input), scale=args.scale,
-                    rotation=args.rotation).write_parquet(args.output)
+                    rotation=args.rotation,
+                    pages=args.pages).write_parquet(args.output)
     ray.shutdown()
     return 0
 
@@ -176,6 +177,8 @@ def get_parser() -> argparse.ArgumentParser:
     sp.add_argument("--scale", type=float, default=1.0)
     sp.add_argument("--rotation", type=int, default=0,
                     choices=[0, 90, 180, 270])
+    sp.add_argument("--pages", default=None,
+                    help="1-based page selection, e.g. '1,3-5'")
     sp.set_defaults(fn=cmd_render)
 
     sp = sub.add_parser("attachments", help="list or extract embedded files")

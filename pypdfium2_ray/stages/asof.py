@@ -1,13 +1,16 @@
 """As-of join — an operator Ray Data lacks (custom-op path (a) of the
-build brief: composition of union + groupby().map_groups).
+build brief: composition of union + one hash exchange + a per-partition
+vectorized kernel).
 
 For each left row, attach the single right row with the greatest
 ``on``-value satisfying ``right.on < left.on`` (backward direction;
 ``allow_exact`` makes it ``<=``), within the same ``by`` key.
 
-Implementation: tag the two inputs, union them (no data movement beyond
-the one hash exchange), ``groupby(by)`` so each key's rows colocate, and
-run vectorized ``pandas.merge_asof`` per group.
+Implementation: tag the two inputs, union them, hash-partition on ``by``
+(``exchange.partition_map``) so each key's rows colocate, and run ONE
+``pandas.merge_asof(by=...)`` per partition — the grouped as-of logic is
+pandas' vectorized C path, with zero per-key Python calls (billions of
+keys cost billions of interpreter calls under ``map_groups``).
 
 Partitioning assumptions (documented per the brief):
 - all rows of one ``by`` key fit in one worker's memory (true for
@@ -66,8 +69,8 @@ def asof_join(left_ds, right_ds, by: str, on: str,
     right_int_cols = [f.name for f in rs
                      if f.name not in (by, on) and pa.types.is_integer(f.type)]
 
-    def per_key(g) -> pd.DataFrame:
-        # the group arrives as an Arrow table; each SIDE is converted to
+    def per_partition(g: "pa.Table") -> pd.DataFrame:
+        # whole hash partition (complete keys); each SIDE is converted to
         # pandas separately so its own columns are null-free and integer
         # dtypes survive (a joint conversion would see the pad-nulls of the
         # other side and widen int64 ids to lossy float64)
@@ -81,7 +84,8 @@ def asof_join(left_ds, right_ds, by: str, on: str,
         # pd.NA, never a lossy float64 widening (int64 ids > 2^53 survive)
         for c in right_int_cols:
             right[c] = right[c].astype("Int64")
-        out = pd.merge_asof(left, right.drop(columns=[by]), on=on,
+        # one vectorized grouped as-of over the whole partition
+        out = pd.merge_asof(left, right, on=on, by=by,
                             direction="backward",
                             allow_exact_matches=allow_exact,
                             suffixes=("", right_suffix))
@@ -89,4 +93,5 @@ def asof_join(left_ds, right_ds, by: str, on: str,
             out = out[out["__matched"].notna()]
         return out.drop(columns="__matched")
 
-    return tagged.groupby(by).map_groups(per_key, batch_format="pyarrow")
+    from pypdfium2_ray.stages.exchange import partition_map
+    return partition_map(tagged, [by], per_partition)

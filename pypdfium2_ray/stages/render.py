@@ -38,12 +38,22 @@ class RenderPages:
 
     def __init__(self, scale: float = 1.0, rotation: int = 0,
                  encoder: str = "png", password: str | None = None,
-                 layout: LayoutParams = DEFAULT_LAYOUT):
+                 layout: LayoutParams = DEFAULT_LAYOUT,
+                 pages: str | None = None):
         self.scale = scale
         self.rotation = rotation
         self.encoder = encoder
         self.password = password
         self.layout = layout
+        # CLI-style page selection ("1,3-5", 1-based; functions/units);
+        # indices beyond a document's page count are skipped per doc
+        # (corpus rows have varying page counts — an error would poison
+        # whole batches for a per-doc condition)
+        if pages:
+            from pypdfium2_ray.functions.units import parse_page_range
+            self.page_set: set[int] | None = set(parse_page_range(pages))
+        else:
+            self.page_set = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = []
@@ -56,6 +66,8 @@ class RenderPages:
                                  width=0, height=0, format="", data=b""))
                 continue
             for page in doc.pages:
+                if self.page_set is not None and page.index not in self.page_set:
+                    continue
                 bmp = render_page(page, scale=self.scale,
                                   rotation=self.rotation)
                 if self.encoder == "png":
@@ -71,12 +83,13 @@ class RenderPages:
 
 def render_pipeline(ds, scale: float = 1.0, rotation: int = 0,
                     encoder: str = "png", batch_size: int = 16,
-                    concurrency=(1, 8), **mb_kwargs):
+                    concurrency=(1, 8), pages: str | None = None,
+                    **mb_kwargs):
     """cc_pages Dataset -> rendered page rows (actor pool: render carries
     real per-call state cost, and small batches bound bitmap memory)."""
     return ds.map_batches(
         RenderPages,
         fn_constructor_kwargs=dict(scale=scale, rotation=rotation,
-                                   encoder=encoder),
+                                   encoder=encoder, pages=pages),
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, **mb_kwargs)
