@@ -44,15 +44,40 @@ def color_tohex(color: tuple[int, int, int, int], rev_byteorder: bool = False) -
 @dataclass
 class Bitmap:
     """Row-major pixel buffer; ``data`` is a numpy array of shape
-    (height, stride_px, channels) viewed zero-copy (bitmap.py:221-247)."""
+    (height, stride_px, channels) viewed zero-copy (bitmap.py:221-247).
+
+    ``rev_byteorder`` mirrors the reference's FPDF_REVERSE_BYTE_ORDER
+    interpretation (bitmap.py:49-67): the color channels of a BGR(A)
+    buffer are stored R..B instead of B..R — :attr:`mode` reports the
+    effective channel order."""
     width: int
     height: int
     format: str
     data: np.ndarray          # uint8 (h, w, c)
+    rev_byteorder: bool = False
 
     @property
     def stride(self) -> int:
         return self.width * FORMATS[self.format]
+
+    @property
+    def mode(self) -> str:
+        """PIL-style mode string (reference ``bitmap.py`` get_info/mode):
+        GRAY -> L; BGR/BGRA flip to RGB/RGBA under ``rev_byteorder``."""
+        if self.format == "GRAY":
+            return "L"
+        base = {"BGR": ("BGR", "RGB"), "BGRA": ("BGRA", "RGBA")}[self.format]
+        return base[1] if self.rev_byteorder else base[0]
+
+    @classmethod
+    def new(cls, width: int, height: int, format: str = "GRAY",
+            fill: int | tuple = 255, rev_byteorder: bool = False) -> "Bitmap":
+        """Allocate + fill (``PdfBitmap.new_native`` + ``fill_rect`` whole
+        canvas, bitmap.py:79-117)."""
+        c = FORMATS[format]
+        buf = np.empty((height, width, c), dtype=np.uint8)
+        buf[:] = fill
+        return cls(width, height, format, buf, rev_byteorder)
 
     def to_numpy(self) -> np.ndarray:
         """Zero-copy view (bitmap.py:221-247)."""
@@ -65,6 +90,16 @@ class Bitmap:
                   value: int | tuple) -> None:
         """bitmap.py:151-167 ``fill_rect`` (top-left origin, like PDFium)."""
         self.data[top:top + height, left:left + width] = value
+
+    def invert(self) -> "Bitmap":
+        """Color-inverted copy (the reference render's inverted color
+        scheme, ``page.py`` color_scheme post-processing analogue); the
+        alpha channel, if any, is preserved."""
+        out = self.data.copy()
+        n_color = 1 if self.format == "GRAY" else 3
+        out[..., :n_color] = 255 - out[..., :n_color]
+        return Bitmap(self.width, self.height, self.format, out,
+                      self.rev_byteorder)
 
 
 class PosConv:
@@ -131,17 +166,38 @@ def _ink_value(cp: int) -> int:
     return (cp * 37) % 192
 
 
+def _ink_color(cp: int) -> tuple[int, int, int]:
+    """Deterministic (b, g, r) ink color for a codepoint — the color path's
+    analogue of :func:`_ink_value` (same value in the green channel so a
+    color render's luminance tracks the gray render)."""
+    return ((cp * 83) % 192, (cp * 37) % 192, (cp * 59) % 192)
+
+
 def render_page(page: Page, scale: float = 1.0, rotation: int = 0,
                 crop: tuple = (0, 0, 0, 0), grayscale: bool = True,
-                fill_color: int = 255) -> Bitmap:
+                fill_color: int | tuple = 255, alpha: bool = False,
+                rev_byteorder: bool = False, invert: bool = False,
+                bitmap_maker=None) -> Bitmap:
     """Rasterize one page (page.render analogue, page.py:354-494).
 
     Each non-space char fills its tight charbox with its codepoint-derived
-    gray value; rotation rotates the finished raster (0/90/180/270)."""
+    gray value (GRAY) or color (BGR/BGRA); rotation rotates the finished
+    raster (0/90/180/270). ``rev_byteorder`` stores color channels R..B
+    (the FPDF_REVERSE_BYTE_ORDER render path); ``invert`` applies the
+    inverted color scheme. ``bitmap_maker`` is the X1 buffer-strategy
+    callback (reference page.py ``bitmap_maker=PdfBitmap.new_*``): called
+    as ``maker(width, height, format, rev_byteorder)`` with the FINAL
+    (post-rotation) dims, must return a :class:`Bitmap` whose buffer the
+    rendered pixels are written into."""
     assert rotation in (0, 90, 180, 270)
     conv = PosConv(page.width, page.height, scale, 0, crop)
     w, h = conv.size
-    img = np.full((h, w), fill_color, dtype=np.uint8)
+    fmt = "GRAY" if grayscale else ("BGRA" if alpha else "BGR")
+    c = FORMATS[fmt]
+    img = np.empty((h, w, c), dtype=np.uint8)
+    img[:] = fill_color
+    if fmt == "BGRA" and np.isscalar(fill_color):
+        img[..., 3] = 255
 
     tp = page.get_textpage()
     for idx in range(tp.count_chars()):
@@ -154,12 +210,24 @@ def render_page(page: Page, scale: float = 1.0, rotation: int = 0,
         xi0, yi0 = max(0, int(x0)), max(0, int(y0))
         xi1, yi1 = min(w, math.ceil(x1)), min(h, math.ceil(y1))
         if xi1 > xi0 and yi1 > yi0:
-            img[yi0:yi1, xi0:xi1] = _ink_value(ord(ch))
+            if fmt == "GRAY":
+                ink: int | tuple = _ink_value(ord(ch))
+            else:
+                col = _ink_color(ord(ch))
+                if rev_byteorder:
+                    col = col[::-1]
+                ink = col if fmt == "BGR" else (*col, 255)
+            img[yi0:yi1, xi0:xi1] = ink
 
     k = {0: 0, 90: 1, 180: 2, 270: 3}[rotation]
     if k:
         img = np.ascontiguousarray(np.rot90(img, k))
-    if grayscale:
-        return Bitmap(img.shape[1], img.shape[0], "GRAY", img[..., None])
-    bgr = np.repeat(img[..., None], 3, axis=2)
-    return Bitmap(bgr.shape[1], bgr.shape[0], "BGR", bgr)
+    if invert:
+        n_color = 1 if fmt == "GRAY" else 3
+        img[..., :n_color] = 255 - img[..., :n_color]
+    fh, fw = img.shape[:2]
+    if bitmap_maker is not None:
+        bmp = bitmap_maker(fw, fh, fmt, rev_byteorder)
+        bmp.data[:] = img
+        return bmp
+    return Bitmap(fw, fh, fmt, img, rev_byteorder and fmt != "GRAY")

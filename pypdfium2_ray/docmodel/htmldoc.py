@@ -172,12 +172,16 @@ def _flatten_outline(roots: list[_NavNode], max_depth: int,
     seen: set[int] = set()
 
     def walk(n: _NavNode, level: int):
+        from pypdfium2_ray.docmodel.unsupported import (
+            KIND_CIRCULAR_TOC, KIND_TOC_DEPTH, notify_unsupported)
         if id(n) in seen:
             warnings.append("circular bookmark reference detected")
+            notify_unsupported(KIND_CIRCULAR_TOC, n.title or "")
             return
         seen.add(id(n))
         if level >= max_depth:
             warnings.append(f"maximum recursion depth {max_depth} reached")
+            notify_unsupported(KIND_TOC_DEPTH, str(max_depth))
             return
         target = n
         if n.ref:
@@ -380,6 +384,9 @@ class _HtmlToDoc(HTMLParser):
                 # decode failure: keep the raw href so the payload stays
                 # recoverable, and record a warning (error-rows discipline)
                 self.warnings.append(f"attachment data decode failed: {name}")
+                from pypdfium2_ray.docmodel.unsupported import (
+                    KIND_ATTACHMENT_DECODE, notify_unsupported)
+                notify_unsupported(KIND_ATTACHMENT_DECODE, name)
             self.attachments.append(Attachment(
                 name=name, data=data, mime=mime,
                 src="" if (is_data and data) else href))

@@ -21,6 +21,7 @@ from pypdfium2_ray.docmodel.bitmap import render_page
 from pypdfium2_ray.docmodel.htmldoc import parse_document
 from pypdfium2_ray.docmodel.layout import DEFAULT_LAYOUT, LayoutParams
 from pypdfium2_ray.functions.png import encode_png
+from pypdfium2_ray.functions.pnm import encode_pnm
 
 RENDERED_SCHEMA = pa.schema([
     ("url", pa.string()),
@@ -28,9 +29,23 @@ RENDERED_SCHEMA = pa.schema([
     ("status", pa.string()),
     ("width", pa.int32()),
     ("height", pa.int32()),
-    ("format", pa.string()),     # "png" | "raw-gray"
+    ("format", pa.string()),     # an ENGINES key
     ("data", pa.binary()),
 ])
+
+#: saver-engine registry (X2 — the reference's engine hierarchy,
+#: cli/render.py engine selection): name -> Bitmap -> payload bytes.
+#: Register custom engines with :func:`register_engine`.
+ENGINES = {
+    "png": lambda bmp: encode_png(bmp.to_numpy(), pixel_format=bmp.mode),
+    "pnm": lambda bmp: encode_pnm(bmp.to_numpy()),
+    "raw": lambda bmp: bmp.to_bytes(),
+}
+
+
+def register_engine(name: str, fn) -> None:
+    """Add/override a saver engine (``fn(bitmap) -> bytes``)."""
+    ENGINES[name] = fn
 
 
 class RenderPages:
@@ -70,14 +85,10 @@ class RenderPages:
                     continue
                 bmp = render_page(page, scale=self.scale,
                                   rotation=self.rotation)
-                if self.encoder == "png":
-                    data = encode_png(bmp.to_numpy(), pixel_format=bmp.format)
-                    fmt = "png"
-                else:
-                    data, fmt = bmp.to_bytes(), "raw-gray"
+                data = ENGINES[self.encoder](bmp)
                 rows.append(dict(url=url, page_idx=page.index, status="ok",
                                  width=bmp.width, height=bmp.height,
-                                 format=fmt, data=data))
+                                 format=self.encoder, data=data))
         return pa.Table.from_pylist(rows, schema=RENDERED_SCHEMA)
 
 

@@ -65,3 +65,32 @@ def test_checkpointed_run_and_resume(ray_session, sharded_input, tmp_path):
             f.write(json.dumps(r) + "\n")
     r3 = run_checkpointed(shards, _pipeline, out)
     assert r3["ran"] == ["shard2"]
+
+
+def test_resume_after_midwrite_crash_does_not_duplicate(
+        ray_session, sharded_input, tmp_path):
+    """A crash mid-write leaves partial part files in the shard dir with NO
+    manifest record; the rerun must replace them, not append (write_parquet
+    appends uniquely-named files, so a naive rerun doubles rows)."""
+    import pyarrow.dataset as pads
+    from pypdfium2_ray.state import run_checkpointed, shard_inputs
+    out = str(tmp_path / "out")
+    shards = shard_inputs(sharded_input)
+
+    # simulate the crashed run: a partial (and even a stale temp) output
+    # for shard1, manifest absent/not recording it
+    crashed = os.path.join(out, "shard=shard1")
+    os.makedirs(crashed)
+    pq.write_table(pa.table({"doc_id": pa.array([999], pa.int64()),
+                             "text": ["partial row from crashed run"],
+                             "status": ["ok"]}),
+                   os.path.join(crashed, "stale-part.parquet"))
+    os.makedirs(os.path.join(out, "_tmp.shard=shard1"))
+
+    r = run_checkpointed(shards, _pipeline, out)
+    assert r["ran"] == ["shard0", "shard1", "shard2"]
+    got = pads.dataset(os.path.join(out, "shard=shard1"),
+                       format="parquet").to_table()
+    assert got.num_rows == 10                       # no stale row, no dupes
+    assert 999 not in got["doc_id"].to_pylist()
+    assert not os.path.exists(os.path.join(out, "_tmp.shard=shard1"))

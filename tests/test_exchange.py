@@ -1,0 +1,128 @@
+"""Exchange layer: hash partition_map, lookup_join, partition sizing.
+
+These are the primitives every billions-of-groups finalize and
+large-x-large join in the engine rides on — tested directly, not just
+through the dedup pipelines."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from pypdfium2_ray.stages.exchange import (
+    lookup_join, partition_hint, partition_map, partitions_for_bytes)
+
+
+def _table(n=500, keys=29):
+    rng = np.random.RandomState(7)
+    return pa.table({
+        "k": pa.array(rng.randint(0, keys, size=n), pa.int64()),
+        "v": pa.array(rng.randint(0, 1000, size=n), pa.int64()),
+    })
+
+
+def test_partition_map_keys_complete_and_vectorized(ray_session):
+    """Every key's rows arrive complete in exactly one kernel call."""
+    import ray.data as rd
+    t = _table()
+    seen_per_call = []
+
+    def kernel(b: pa.Table) -> pa.Table:
+        # per-partition max per key — only correct if keys are complete
+        g = b.group_by(["k"], use_threads=False).aggregate([("v", "max")])
+        seen_per_call.append(set(b["k"].to_pylist()))
+        return g.rename_columns(["k", "v_max"])
+
+    out = partition_map(rd.from_arrow(t).repartition(7), ["k"], kernel,
+                        num_partitions=5).to_pandas()
+    expected = (t.to_pandas().groupby("k")["v"].max()
+                 .reset_index().rename(columns={"v": "v_max"}))
+    pd.testing.assert_frame_equal(
+        out.sort_values("k").reset_index(drop=True),
+        expected.sort_values("k").reset_index(drop=True),
+        check_dtype=False)
+
+
+def test_partition_map_respects_hint(ray_session):
+    import ray.data as rd
+    t = _table(100, keys=5)
+    with partition_hint(3):
+        ds = partition_map(rd.from_arrow(t), ["k"], lambda b: b)
+    # 3 partitions -> at most 3 non-empty output blocks, all rows preserved
+    assert ds.count() == 100
+
+
+def test_lookup_join_matches_pandas_merge(ray_session):
+    import ray.data as rd
+    rng = np.random.RandomState(11)
+    target = pa.table({
+        "id": pa.array(rng.randint(0, 60, size=300), pa.int64()),
+        "x": pa.array(rng.randint(0, 9, size=300), pa.int64()),
+    })
+    # unique-key source with a payload, some ids absent -> inner semantics
+    src_ids = np.arange(0, 50, dtype=np.int64)
+    source = pa.table({
+        "sid": pa.array(src_ids),
+        "payload": pa.array([f"p{i}" for i in src_ids]),
+    })
+    out = lookup_join(
+        rd.from_arrow(target).repartition(5),
+        {"id": pa.int64(), "x": pa.int64()},
+        rd.from_arrow(source), source_key="sid", key_col="id",
+        payload_cols={"payload": pa.string()},
+        num_partitions=4).to_pandas()
+    expected = target.to_pandas().merge(
+        source.to_pandas().rename(columns={"sid": "id"}), on="id")
+    sort = lambda d: d.sort_values(["id", "x", "payload"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(sort(out), sort(expected), check_dtype=False)
+
+
+def test_lookup_join_list_payload_and_empty_target(ray_session):
+    """list<float> payloads (pyarrow Table.join rejects these) and a
+    fully-empty target must both work."""
+    import ray.data as rd
+    source = pa.table({
+        "sid": pa.array([1, 2, 3], pa.int64()),
+        "vec": pa.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]],
+                        pa.list_(pa.float32())),
+    })
+    target = pa.table({"id": pa.array([2, 3, 9], pa.int64())})
+    out = lookup_join(rd.from_arrow(target), {"id": pa.int64()},
+                      rd.from_arrow(source), source_key="sid", key_col="id",
+                      payload_cols={"vec": pa.list_(pa.float32())},
+                      num_partitions=3).to_pandas()
+    got = {int(r["id"]): list(r["vec"]) for _, r in out.iterrows()}
+    assert got == {2: [3.0, 4.0], 3: [5.0, 6.0]}
+
+    empty = pa.table({"id": pa.array([], pa.int64())})
+    out2 = lookup_join(rd.from_arrow(empty), {"id": pa.int64()},
+                       rd.from_arrow(source), source_key="sid", key_col="id",
+                       payload_cols={"vec": pa.list_(pa.float32())},
+                       num_partitions=3).to_pandas()
+    assert len(out2) == 0
+
+
+def test_lookup_join_distinct_fusion(ray_session):
+    import ray.data as rd
+    target = pa.table({
+        "id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "b": pa.array([10, 10, 11, 20, 20], pa.int64()),
+    })
+    source = pa.table({"sid": pa.array([1, 2], pa.int64()),
+                       "p": ["a", "b"]})
+    out = lookup_join(rd.from_arrow(target).repartition(3),
+                      {"id": pa.int64(), "b": pa.int64()},
+                      rd.from_arrow(source), source_key="sid", key_col="id",
+                      payload_cols={"p": pa.string()},
+                      distinct_target_on=["id", "b"],
+                      num_partitions=2).to_pandas()
+    rows = sorted(map(tuple, out[["id", "b", "p"]].to_numpy()))
+    assert rows == [(1, 10, "a"), (1, 11, "a"), (2, 20, "b")]
+
+
+def test_partitions_for_bytes():
+    assert partitions_for_bytes(0) == 8                      # floor
+    assert partitions_for_bytes(10 << 20) == 8
+    assert partitions_for_bytes(640 << 20) == 10             # 64 MB each
+    assert partitions_for_bytes(1 << 50) == 200              # sandbox cap
+    assert partitions_for_bytes(1 << 50, cap=5000) == 5000   # raisable

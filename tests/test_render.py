@@ -101,3 +101,110 @@ def test_render_pipeline(ray_session, fixture_parquet):
     a = df.sort_values(["url", "page_idx"]).reset_index(drop=True)
     b = df2.sort_values(["url", "page_idx"]).reset_index(drop=True)
     assert list(a["data"]) == list(b["data"])
+
+
+# ---------------------------------------------------------------------------
+# round-2 additions: color formats, inversion, maker callback, engines,
+# unsupported-handler registry
+
+
+def _demo_page():
+    from pypdfium2_ray.docmodel.model import Page
+    return Page(index=0, lines=["ab", "cd"])
+
+
+def test_render_color_formats_and_rev_byteorder():
+    import numpy as np
+    from pypdfium2_ray.docmodel.bitmap import render_page
+    gray = render_page(_demo_page())
+    bgr = render_page(_demo_page(), grayscale=False)
+    rgb = render_page(_demo_page(), grayscale=False, rev_byteorder=True)
+    bgra = render_page(_demo_page(), grayscale=False, alpha=True)
+    assert gray.format == "GRAY" and gray.mode == "L"
+    assert bgr.format == "BGR" and bgr.mode == "BGR"
+    assert rgb.format == "BGR" and rgb.mode == "RGB"
+    assert bgra.format == "BGRA" and bgra.mode == "BGRA"
+    # rev_byteorder stores the same pixels with R/B swapped
+    assert (rgb.data[..., ::-1] == bgr.data).all()
+    # alpha channel fully opaque
+    assert (bgra.data[..., 3] == 255).all()
+    assert (bgra.data[..., :3] == bgr.data).all()
+    assert np.ascontiguousarray(bgr.data).shape[2] == 3
+
+
+def test_render_invert_and_bitmap_invert():
+    from pypdfium2_ray.docmodel.bitmap import Bitmap, render_page
+    base = render_page(_demo_page())
+    inv = render_page(_demo_page(), invert=True)
+    assert (inv.data == 255 - base.data).all()
+    bgra = render_page(_demo_page(), grayscale=False, alpha=True)
+    inv2 = bgra.invert()
+    assert (inv2.data[..., :3] == 255 - bgra.data[..., :3]).all()
+    assert (inv2.data[..., 3] == 255).all()              # alpha preserved
+    b = Bitmap.new(4, 3, "GRAY", fill=10)
+    assert (b.invert().data == 245).all()
+
+
+def test_render_bitmap_maker_callback():
+    from pypdfium2_ray.docmodel.bitmap import Bitmap, render_page
+    made = []
+
+    def maker(w, h, fmt, rev):
+        bmp = Bitmap.new(w, h, fmt, fill=0, rev_byteorder=rev)
+        made.append(bmp)
+        return bmp
+
+    out = render_page(_demo_page(), rotation=90, bitmap_maker=maker)
+    assert out is made[0]
+    ref = render_page(_demo_page(), rotation=90)
+    assert (out.data == ref.data).all()
+
+
+def test_saver_engine_registry():
+    import numpy as np
+    from pypdfium2_ray.docmodel.bitmap import render_page
+    from pypdfium2_ray.functions.pnm import decode_pnm
+    from pypdfium2_ray.stages.render import ENGINES, register_engine
+    bmp = render_page(_demo_page())
+    assert set(ENGINES) >= {"png", "pnm", "raw"}
+    pnm = ENGINES["pnm"](bmp)
+    assert (decode_pnm(pnm) == bmp.data[..., 0]).all()
+    assert ENGINES["raw"](bmp) == bmp.to_bytes()
+
+    register_engine("null", lambda b: b"")
+    try:
+        assert ENGINES["null"](bmp) == b""
+    finally:
+        del ENGINES["null"]
+
+
+def test_pnm_roundtrip_rgb():
+    import numpy as np
+    from pypdfium2_ray.functions.pnm import decode_pnm, encode_pnm
+    rng = np.random.RandomState(2)
+    img = rng.randint(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    assert (decode_pnm(encode_pnm(img)) == img).all()
+
+
+def test_unsupported_handler_registry():
+    from pypdfium2_ray.docmodel.htmldoc import parse_document
+    from pypdfium2_ray.docmodel.unsupported import (
+        KIND_CIRCULAR_TOC, clear_unsupported_handlers,
+        set_unsupported_handler)
+    hits = []
+    set_unsupported_handler(lambda k, d: hits.append((k, d)))
+    try:
+        html = (b'<html><body><nav data-toc><ul>'
+                b'<li data-page="0" id="a">A<ul>'
+                b'<li data-page="0" id="b" data-ref="#a">B loops to A</li>'
+                b'</ul></li></ul></nav><p>x</p></body></html>')
+        doc = parse_document(html)
+        assert any("circular" in w for w in doc.warnings)
+        assert any(k == KIND_CIRCULAR_TOC for k, _ in hits)
+        # a failing handler must not fail the parse
+        clear_unsupported_handlers()
+        set_unsupported_handler(lambda k, d: 1 / 0)
+        doc2 = parse_document(html)
+        assert doc2.ok
+    finally:
+        clear_unsupported_handlers()
