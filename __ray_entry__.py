@@ -254,6 +254,54 @@ def _embeddings(sf_dir: str):
                            columns=["vec_id", "embedding"])
 
 
+def q_ngram_dups(sf_dir: str):
+    """Word-trigram Jaccard near-dup pairs — the n-gram variant of the
+    MinHash family (shingle_kind="word"). bands=32 x 4 rows: a J=0.9 pair
+    is missed w.p. (1 - 0.9^4)^32 ~ 7e-16; background pairs sit below
+    J=0.15 on this corpus, so the exact all-pairs SQL is a true oracle."""
+    from pypdfium2_ray.stages.dedup import minhash_dup_pairs
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    with _hint(sf_dir):
+        return minhash_dup_pairs(ds, shingle_kind="word", shingle_k=3,
+                                 num_perm=128, bands=32, threshold=0.5)
+
+
+def q_winnow_fingerprint(sf_dir: str):
+    """Rolling-hash (winnowing) document fingerprint: min md5-window hash
+    + distinct-window count per document (functions.sketch.winnow_min_hash,
+    exact SQL twin)."""
+    from pypdfium2_ray.functions.sketch import winnow_min_hash
+
+    def f(t: pa.Table) -> pa.Table:
+        mins, ns = [], []
+        for txt in t["text"].to_pylist():
+            m, n = winnow_min_hash(txt or "", k=8)
+            mins.append(m)
+            ns.append(n)
+        return pa.table({"id": t["doc_id"],
+                         "winnow_min": pa.array(mins, pa.int64()),
+                         "n_windows": pa.array(ns, pa.int64())})
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")
+
+
+def q_events_hourly_sliding(sf_dir: str):
+    """Hopping-window aggregate (stages/window.hopping_window): 2-hour
+    windows every hour — each event fans out to 2 windows (vectorized
+    repeat before the partial aggregation)."""
+    import ray.data as rd
+    from pypdfium2_ray.pipelines.relational import _scale_cols
+    from pypdfium2_ray.stages.window import hopping_window
+    ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+    with _hint(sf_dir, "events"):
+        out = hopping_window(ds, "ts", size_s=7200, hop_s=3600,
+                             keys=["event_type"],
+                             aggs={"n_events": (None, "count"),
+                                   "sum_value_e4": ("value", "sum")})
+    return _cast_i64(_scale_cols(out, {"sum_value_e4": 10_000}), ["n_events"])
+
+
 def q_ann_topk(sf_dir: str):
     import pyarrow.parquet as pq
     from pypdfium2_ray.stages.ann import ann_topk
@@ -446,6 +494,15 @@ def q_image_meta(sf_dir: str):
         ["width", "height"])
 
 
+def _winnow_sql() -> str:
+    from pypdfium2_ray.functions.sketch import sql_winnow_fingerprint
+    return sql_winnow_fingerprint(k=8)
+
+
+#: winnowing-fingerprint SQL twin (engine-exact, see sketch.py)
+_WINNOW_SQL = _winnow_sql()
+
+
 def _simhash_fp_sql() -> str:
     from pypdfium2_ray.functions.sketch import sql_simhash_fingerprints
     return sql_simhash_fingerprints(ngram_n=3)
@@ -503,6 +560,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_latest_event": q_dedup_latest_event,
         "minhash_dups": q_minhash_dups,
         "simhash_dups": q_simhash_dups,
+        "ngram_dups": q_ngram_dups,
+        "winnow_fingerprint": q_winnow_fingerprint,
         "ann_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_dups": q_embedding_dups,
@@ -512,6 +571,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": q_top_orders,
         "events_rollup": q_events_rollup,
         "events_hourly": q_events_hourly,
+        "events_hourly_sliding": q_events_hourly_sliding,
         "events_value_bucket": q_events_value_bucket,
         "asof_last_purchase": q_asof_last_purchase,
         "decode_images": q_decode_images,
@@ -631,6 +691,33 @@ def oracle_sql() -> dict[str, str]:
               FROM cand)
             SELECT id_a, id_b, n_inter, n_union FROM sim
             WHERE n_union = 0 OR n_inter / n_union >= {MINHASH["threshold"]}""",
+        # word-trigram variant of the exact all-pairs Jaccard oracle
+        "ngram_dups": """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(text, '[^ \t\r\n\f\v]+') AS w
+              FROM documents),
+            sh AS (
+              SELECT doc_id, CASE
+                WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+                WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+                                    for i in range(1, len(w) - 1)])
+              END AS s FROM toks),
+            cand AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+               AND least(len(a.s), len(b.s))
+                   >= 0.5 * greatest(len(a.s), len(b.s))),
+            sim AS (
+              SELECT id_a, id_b,
+                     len(list_intersect(sa, sb))::BIGINT AS n_inter,
+                     (len(sa) + len(sb) - len(list_intersect(sa, sb)))::BIGINT
+                       AS n_union
+              FROM cand)
+            SELECT id_a, id_b, n_inter, n_union FROM sim
+            WHERE n_union = 0 OR n_inter / n_union >= 0.5""",
+        "winnow_fingerprint": _WINNOW_SQL,
         # exact all-pairs Hamming over the md5-based simhash fingerprint
         # (sql_simhash_fingerprints == simhash64 bit-for-bit); pigeonhole
         # banding with bands=4 > max_dist=3 makes engine recall exact.
@@ -678,6 +765,17 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(round(sum(value) * 10000) AS BIGINT) AS sum_value_e4
             FROM events GROUP BY 1, 2""",
+        # hopping windows: every event belongs to size/hop = 2 windows;
+        # window starts via integer epoch-microsecond arithmetic, exactly
+        # the engine's numpy construction
+        "events_hourly_sliding": """
+            SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000
+                                  - k.k * 3600000000) AS window_start,
+                   event_type,
+                   count(*) AS n_events,
+                   CAST(round(sum(value) * 10000) AS BIGINT) AS sum_value_e4
+            FROM events, (SELECT unnest(range(2)) AS k) k
+            GROUP BY 1, 2""",
         "events_value_bucket": f"""
             SELECT b.bucket::BIGINT AS bucket, count(*) AS n_events
             FROM events e

@@ -142,6 +142,48 @@ def popcount64(x: np.ndarray) -> np.ndarray:
     return bits.sum(axis=1).astype(np.int64)
 
 
+def winnow_min_hash(text: str, k: int = 8) -> tuple[int | None, int]:
+    """Rolling-window document fingerprint: ``(min-hash, n_distinct)`` over
+    all character *k*-windows of the ws-collapsed text — the 1-of-n
+    winnowing sketch (Schleimer et al. '03 reduced to a whole-document
+    window). Hash is :func:`md5_hash64` ``>> 1`` so the value is int64-safe
+    AND equals the SQL twin's ``min(md5_number_upper(w) >> 1)`` (>> is
+    monotonic, so min commutes with it). Empty text -> ``(None, 0)``."""
+    t = _WS_RE.sub(" ", text).strip(" ")
+    if not t:
+        return None, 0
+    windows = {t} if len(t) < k else {t[i:i + k] for i in range(len(t) - k + 1)}
+    return (min(md5_hash64(w.encode("utf-8")) for w in windows) >> 1,
+            len(windows))
+
+
+def sql_winnow_fingerprint(k: int = 8, table: str = "documents",
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> str:
+    """DuckDB twin of :func:`winnow_min_hash` per row of *table*:
+    ``(id, winnow_min BIGINT, n_windows BIGINT)``."""
+    return f"""
+    WITH norm AS (
+      SELECT {id_col} AS id,
+             trim(regexp_replace({text_col}, '[ \\t\\r\\n\\f\\v]+', ' ', 'g'),
+                  ' ') AS t
+      FROM {table}),
+    w AS (
+      SELECT id, CASE
+        WHEN length(t) = 0 THEN CAST([] AS VARCHAR[])
+        WHEN length(t) < {k} THEN [t]
+        ELSE list_distinct([substr(t, i, {k})
+                            for i in range(1, length(t) - {k} + 2)])
+      END AS ws FROM norm),
+    u AS (SELECT id, unnest(ws) AS g FROM w),
+    agg AS (SELECT id, min(md5_number_upper(g) >> 1) AS m,
+                   count(DISTINCT g) AS n
+            FROM u GROUP BY id)
+    SELECT w.id, CAST(agg.m AS BIGINT) AS winnow_min,
+           coalesce(agg.n, 0)::BIGINT AS n_windows
+    FROM w LEFT JOIN agg ON w.id = agg.id"""
+
+
 def sql_simhash_fingerprints(ngram_n: int = 3, table: str = "documents",
                              id_col: str = "doc_id",
                              text_col: str = "text") -> str:

@@ -36,3 +36,44 @@ def tumbling_window(ds, ts_col: str, unit: str = "hour",
 
     windowed = ds.map_batches(assign, batch_format="pyarrow")
     return grouped_aggregate(windowed, [window_col] + keys, aggs)
+
+
+def hopping_window(ds, ts_col: str, size_s: int, hop_s: int,
+                   keys: list[str] | None = None,
+                   aggs: dict[str, tuple[str | None, str]] | None = None,
+                   window_col: str = "window_start"):
+    """Hopping (sliding) window aggregate: windows of ``size_s`` seconds
+    every ``hop_s`` seconds (``size_s % hop_s == 0``); each event lands in
+    ``size_s / hop_s`` windows. The fan-out is a vectorized numpy repeat
+    inside ``map_batches`` (each row replicated once per covering window
+    with its window start attached), then the same partial+combine grouped
+    aggregation as the tumbling path — the replication happens BEFORE the
+    partial, so the exchange still only moves per-block aggregates.
+
+    Window starts are epoch-aligned (``floor(ts / hop) * hop`` walking
+    back ``size/hop`` hops), identical to the SQL oracle's
+    ``to_timestamp(floor(epoch(ts)/hop)*hop - k*hop)`` construction.
+    """
+    if size_s % hop_s != 0:
+        raise ValueError("size_s must be a multiple of hop_s")
+    n_windows = size_s // hop_s
+    keys = keys or []
+    aggs = aggs or {"n_rows": (None, "count")}
+
+    import numpy as np
+
+    def fan_out(t: pa.Table) -> pa.Table:
+        ts = t[ts_col].combine_chunks()
+        epoch_us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hop_us = hop_s * 1_000_000
+        last_start = (epoch_us // hop_us) * hop_us
+        # starts for k = 0..n_windows-1: last_start - k*hop (vectorized grid)
+        ks = np.arange(n_windows, dtype=np.int64) * hop_us
+        starts = (last_start[:, None] - ks[None, :]).reshape(-1)
+        idx = np.repeat(np.arange(len(epoch_us), dtype=np.int64), n_windows)
+        out = t.take(pa.array(idx))
+        return out.append_column(
+            window_col, pa.array(starts, pa.int64()).cast(ts.type))
+
+    fanned = ds.map_batches(fan_out, batch_format="pyarrow")
+    return grouped_aggregate(fanned, [window_col] + keys, aggs)

@@ -163,3 +163,63 @@ def test_bpe_token_count_parity_and_sanity():
     assert ours == theirs
     assert ours[0] >= 6          # Hello/world/,/it/'s/2024/!
     assert ours[2] == 0
+
+
+def test_hopping_window_counts(ray_session):
+    """Each event must land in exactly size/hop windows, counts matching a
+    brute-force pandas fan-out."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from pypdfium2_ray.stages.window import hopping_window
+    rng = np.random.RandomState(9)
+    ts = pd.to_datetime(rng.randint(0, 3600 * 24, size=400), unit="s")
+    t = pa.table({"ts": pa.array(ts.astype("datetime64[us]")),
+                  "v": pa.array(rng.rand(400))})
+    out = hopping_window(rd.from_arrow(t).repartition(4), "ts",
+                         size_s=7200, hop_s=3600,
+                         aggs={"n": (None, "count"), "s": ("v", "sum")}
+                         ).to_pandas()
+    assert out["n"].sum() == 800                     # 2 windows per event
+    # brute force
+    df = t.to_pandas()
+    rows = []
+    for k in (0, 1):
+        w = df["ts"].dt.floor("h") - pd.Timedelta(hours=k)
+        rows.append(pd.DataFrame({"window_start": w, "v": df["v"]}))
+    exp = (pd.concat(rows).groupby("window_start")
+           .agg(n=("v", "size"), s=("v", "sum")).reset_index())
+    got = out.sort_values("window_start").reset_index(drop=True)
+    exp = exp.sort_values("window_start").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["window_start", "n"]],
+                                  exp[["window_start", "n"]],
+                                  check_dtype=False)
+    assert np.allclose(got["s"], exp["s"])
+
+
+def test_hopping_window_validates_hop():
+    import pytest
+    from pypdfium2_ray.stages.window import hopping_window
+    with pytest.raises(ValueError):
+        hopping_window(None, "ts", size_s=100, hop_s=33)
+
+
+def test_winnow_min_hash():
+    import duckdb
+    from pypdfium2_ray.functions.sketch import winnow_min_hash
+    m, n = winnow_min_hash("hello world rolling hash", k=8)
+    assert winnow_min_hash("hello world rolling hash", k=8) == (m, n)
+    assert n == len("hello world rolling hash") - 8 + 1
+    assert winnow_min_hash("", k=8) == (None, 0)
+    assert winnow_min_hash("   \t ", k=8) == (None, 0)
+    assert winnow_min_hash("tiny", k=8)[1] == 1      # whole-text window
+    # whitespace-collapse normalization
+    assert winnow_min_hash("a  b\tc", k=3) == winnow_min_hash("a b c", k=3)
+    # SQL twin agreement on one value
+    con = duckdb.connect()
+    got = con.execute(
+        "select min(md5_number_upper(s) >> 1) from "
+        "(select unnest([substr('hello world rolling hash', i, 8) "
+        " for i in range(1, 18)]) as s)").fetchone()[0]
+    assert got == m
