@@ -69,9 +69,10 @@ def _extract(sf_dir: str, strategy: str = "range"):
     from pypdfium2_ray.pipelines.extract_text import extract_pipeline
     from pypdfium2_ray.sources.cc_from_documents import read_cc_from_documents
     ds = read_cc_from_documents(sf_dir)
-    # wide page so single-paragraph synthetic docs never overflow the page
-    # bbox (the bounded strategy clips at the bbox, textpage.py:52-85 — with
-    # the default 595pt page a >74-char line would be truncated)
+    # wide page so the synthesized documents' long text lines never
+    # overflow the page bbox (the bounded strategy clips at the bbox,
+    # textpage.py:52-85 — with the default 595pt page a >74-char line
+    # would be truncated)
     layout = LayoutParams(page_width=1e9)
     out = extract_pipeline(
         ds=ds, skew_split=True,
@@ -96,6 +97,23 @@ def q_extract_bounded(sf_dir: str):
 
 # ---------------------------------------------------------------------------
 # text analysis (functions/text.py; oracle-paired)
+
+def q_doc_flags(sf_dir: str):
+    """Doc-level flags through the flagship extraction (SURVEY M17:
+    is_tagged / formtype / pagemode as scalar columns). The synthesized
+    corpus gives every doc a heading outline and no forms, so the oracle
+    is the constant row the parser must reproduce."""
+    from pypdfium2_ray.docmodel.layout import LayoutParams
+    from pypdfium2_ray.pipelines.extract_text import extract_pipeline
+    from pypdfium2_ray.sources.cc_from_documents import read_cc_from_documents
+    ds = read_cc_from_documents(sf_dir)
+    out = extract_pipeline(
+        ds=ds, skew_split=True,
+        extract_opts=dict(include_pages=False, include_rects=False,
+                          layout=LayoutParams(page_width=1e9)))
+    out = out.select_columns(["url", "is_tagged", "formtype", "pagemode"])
+    return _cast_i64(out, ["formtype", "pagemode"])
+
 
 def q_token_stats(sf_dir: str):
     from pypdfium2_ray.stages.textstats import add_quality_columns
@@ -546,6 +564,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": q_extract_text,
         "extract_bounded": q_extract_bounded,
+        "doc_flags": q_doc_flags,
         "token_stats": q_token_stats,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -604,6 +623,15 @@ def oracle_sql() -> dict[str, str]:
         "extract_bounded": f"""
             SELECT 'doc://' || source || '/' || doc_id AS url,
                    {ext} AS extracted_text
+            FROM documents""",
+        # the synthesized corpus: h1/h2 outline => tagged + use_outlines
+        # (PAGEMODE_USEOUTLINES = 1, the PDFium constant), forms
+        # stripped-absent => formtype none (0)
+        "doc_flags": """
+            SELECT 'doc://' || source || '/' || doc_id AS url,
+                   true AS is_tagged,
+                   0::BIGINT AS formtype,
+                   1::BIGINT AS pagemode
             FROM documents""",
         "token_stats": f"""
             SELECT doc_id,

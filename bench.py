@@ -157,7 +157,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     queries = {}
     bench_queries = ["token_stats", "lang_id", "dedup_exact", "ann_topk",
                      "pricing_summary", "orders_by_region", "events_rollup",
-                     "minhash_dups"]
+                     "minhash_dups", "embedding_lsh_dups",
+                     "events_hourly_sliding"]
     qs = E.queries()
     for name in bench_queries:
         t0 = time.perf_counter()

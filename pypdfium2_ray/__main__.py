@@ -108,10 +108,15 @@ def cmd_pdfinfo(args) -> int:
     from pypdfium2_ray.pipelines.extract_text import extract_pipeline
     ds = extract_pipeline(path=args.input, skew_split=False,
                           extract_opts=dict(include_rects=False))
-    cols = ["url", "status", "n_pages", "n_chars", "metadata", "pages"]
+    cols = ["url", "status", "n_pages", "n_chars", "metadata", "pages",
+            "is_tagged", "formtype", "pagemode"]
+    from pypdfium2_ray.docmodel.model import FORMTYPE_TO_STR, PAGEMODE_TO_STR
     for row in ds.select_columns(cols).sort("url").iter_rows():
         print(f"# {row['url']}  status={row['status']}  "
               f"pages={row['n_pages']}  chars={row['n_chars']}")
+        print(f"    tagged={row['is_tagged']}  "
+              f"formtype={FORMTYPE_TO_STR.get(row['formtype'], '?')}  "
+              f"pagemode={PAGEMODE_TO_STR.get(row['pagemode'], '?')}")
         for k, v in (row["metadata"] or {}).items():
             if v:
                 print(f"    {k}: {v}")

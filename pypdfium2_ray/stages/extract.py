@@ -73,6 +73,11 @@ EXTRACTED_SCHEMA = pa.schema([
     ("attachments", pa.list_(_ATT_T)),
     ("metadata", _META_T),
     ("warnings", pa.list_(pa.string())),
+    # doc-level flags (document.py:222-244): tagged structure, FORMTYPE_*,
+    # PAGEMODE_* — scalar columns per SURVEY M17
+    ("is_tagged", pa.bool_()),
+    ("formtype", pa.int32()),
+    ("pagemode", pa.int32()),
 ])
 
 
@@ -124,7 +129,8 @@ class ExtractText:
                         n_pages=0, n_chars=0, html_len=len(html or b""),
                         extracted_text="", pages=[], toc=[], attachments=[],
                         metadata={k: "" for k in METADATA_KEYS},
-                        warnings=[f"exception: {type(exc).__name__}"])
+                        warnings=[f"exception: {type(exc).__name__}"],
+                        is_tagged=False, formtype=0, pagemode=0)
 
         pages_out = []
         n_chars_total = 0
@@ -181,6 +187,8 @@ class ExtractText:
                         if self.include_attachments else [],
             metadata=doc.get_metadata_dict(),
             warnings=list(doc.warnings),
+            is_tagged=doc.is_tagged(), formtype=doc.get_formtype(),
+            pagemode=doc.get_pagemode(),
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
