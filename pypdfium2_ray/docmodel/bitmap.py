@@ -25,6 +25,12 @@ from pypdfium2_ray.docmodel.model import Page
 #: supported pixel formats -> channel count (consts.py:31-66 analogue)
 FORMATS = {"GRAY": 1, "BGR": 3, "BGRA": 4}
 
+#: degrees <-> raw rotation constants (the reference's RotationToConst /
+#: RotationToDegrees, internal/consts.py:20-27; raw values are PDFium's
+#: 0..3 quarter-turn encoding)
+ROTATION_TO_CONST = {0: 0, 90: 1, 180: 2, 270: 3}
+ROTATION_TO_DEGREES = {v: k for k, v in ROTATION_TO_CONST.items()}
+
 
 def color_tohex(color: tuple[int, int, int, int], rev_byteorder: bool = False) -> int:
     """Pack an (r, g, b, a) 0-255 color into the 32-bit ARGB word the

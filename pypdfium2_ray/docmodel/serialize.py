@@ -1,0 +1,129 @@
+"""Document -> canonical HTML bytes (the save path).
+
+The reference's ``PdfDocument.save`` (document.py:247-276
+``FPDF_SaveAsCopy``/``SaveWithVersion``) re-serializes the in-memory
+document; the docmodel analogue emits canonical HTML that
+:func:`pypdfium2_ray.docmodel.htmldoc.parse_document` parses back to the
+same observable state: extracted text (byte-identical, all pages), page
+boundaries (explicit ``<pb>``), TOC (explicit ``<nav data-toc>``
+outline), the 8 metadata keys, and attachments (``data:`` URIs).
+
+What does NOT round-trip (documented, like a PDF save dropping
+incremental-update history): span styling (lines re-parse with default
+style), formtype (forms were stripped at parse), and the original page
+boxes/rotation (view properties, not content).
+"""
+
+from __future__ import annotations
+
+import base64
+from html import escape
+
+from pypdfium2_ray.docmodel.model import METADATA_KEYS, Document, TocEntry
+
+#: metadata key -> <meta name=...> (inverse of htmldoc._META_NAME_TO_KEY)
+_KEY_TO_META_NAME = {
+    "Author": "author", "Subject": "subject", "Keywords": "keywords",
+    "Creator": "creator", "Producer": "producer",
+    "CreationDate": "creation-date", "ModDate": "mod-date",
+}
+
+
+def _toc_nav(entries: list[TocEntry]) -> str:
+    """Flat pre-order (level, title, page) entries -> nested
+    ``<nav data-toc>`` list the parser flattens back identically
+    (explicit open-tag bookkeeping; robust for any level sequence the
+    flattener can emit)."""
+    if not entries:
+        return ""
+    parts = ['<nav data-toc><ul>']
+    prev_level = 0
+    for i, e in enumerate(entries):
+        if i == 0:
+            pass
+        elif e.level > prev_level:
+            parts.append("<ul>" * (e.level - prev_level))
+        else:
+            parts.append("</li>")
+            if e.level < prev_level:
+                parts.append("</ul></li>" * (prev_level - e.level))
+        parts.append(f'<li data-page="{e.page_index}">{escape(e.title)}')
+        prev_level = e.level
+    parts.append("</li>")
+    parts.append("</ul></li>" * prev_level)
+    parts.append("</ul></nav>")
+    return "".join(parts)
+
+
+def serialize_document(doc: Document) -> bytes:
+    """Canonical HTML for *doc* (see module docstring for the contract)."""
+    if not doc.ok:
+        raise ValueError(f"cannot serialize a failed document "
+                         f"(status={doc.status!r})")
+    head = ["<html><head>"]
+    title = doc.metadata.get("Title", "")
+    head.append(f"<title>{escape(title)}</title>")
+    for key in METADATA_KEYS:
+        if key == "Title":
+            continue
+        val = doc.metadata.get(key, "")
+        if val:
+            head.append(f'<meta name="{_KEY_TO_META_NAME[key]}" '
+                        f'content="{escape(val, quote=True)}">')
+    head.append("</head><body>")
+
+    body = [_toc_nav(doc.toc)]
+    for i, page in enumerate(doc.pages):
+        if i:
+            body.append("<pb>")
+        for line in page.lines:
+            body.append(f"<p>{escape(line)}</p>")
+    for att in doc.attachments:
+        if att.data:
+            payload = base64.b64encode(att.data).decode("ascii")
+            href = f"data:{att.mime};base64,{payload}"
+        else:
+            href = att.src
+        # empty anchor text: the attachment records without touching the
+        # text flow (htmldoc: anchor text flows into lines)
+        body.append(f'<a download="{escape(att.name, quote=True)}" '
+                    f'href="{escape(href, quote=True)}"></a>')
+    tail = "</body></html>"
+    return ("".join(head) + "".join(body) + tail).encode("utf-8")
+
+
+def document_from_images(images, one_per_page: bool = True) -> bytes:
+    """Build a new document from images — the reference's images->PDF
+    builder surface (``PdfDocument.new()`` + one image page each; SURVEY
+    S10). *images*: iterables of dicts with ``src`` and optional
+    ``alt``/``width``/``height``. Parsing the result yields one page per
+    image (``one_per_page``) carrying the image's :class:`PageObject`
+    metadata (M14)."""
+    parts = ["<html><head><title></title></head><body>"]
+    for i, im in enumerate(images):
+        if i and one_per_page:
+            parts.append("<pb>")
+        attrs = [f'src="{escape(im.get("src", ""), quote=True)}"']
+        if im.get("alt"):
+            attrs.append(f'alt="{escape(im["alt"], quote=True)}"')
+        for dim in ("width", "height"):
+            if im.get(dim):
+                attrs.append(f'{dim}="{int(im[dim])}"')
+        parts.append(f'<img {" ".join(attrs)}>')
+    parts.append("</body></html>")
+    return "".join(parts).encode("utf-8")
+
+
+def save_document(doc: Document, dest, password: str | None = None) -> None:
+    """Write the serialized document to a path or binary stream
+    (``PdfDocument.save`` surface, document.py:247-276); with *password*
+    the payload is wrapped in the docmodel encryption convention."""
+    data = serialize_document(doc)
+    if password is not None:
+        from pypdfium2_ray.docmodel.htmldoc import encrypt_payload
+        data = encrypt_payload(data, password)
+    if hasattr(dest, "write"):
+        dest.write(data)
+    else:
+        with open(dest, "wb") as f:
+            f.write(data)
