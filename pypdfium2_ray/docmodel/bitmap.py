@@ -32,6 +32,21 @@ ROTATION_TO_CONST = {0: 0, 90: 1, 180: 2, 270: 3}
 ROTATION_TO_DEGREES = {v: k for k, v in ROTATION_TO_CONST.items()}
 
 
+def auto_bitmap_format(fill_color: tuple[int, int, int, int] = (255, 255, 255, 255),
+                       grayscale: bool = False,
+                       has_transparency: bool = False) -> str:
+    """Pick the render bitmap format the way the reference does
+    (``page.py:495-505`` ``_auto_bitmap_format``): a non-opaque fill or a
+    transparent page needs the alpha channel (BGRA); otherwise grayscale
+    wins if requested, else BGR (the BGRx variant has no analogue here —
+    our buffers have no padding channel)."""
+    if fill_color[3] < 255 or has_transparency:
+        return "BGRA"
+    if grayscale:
+        return "GRAY"
+    return "BGR"
+
+
 def color_tohex(color: tuple[int, int, int, int], rev_byteorder: bool = False) -> int:
     """Pack an (r, g, b, a) 0-255 color into the 32-bit ARGB word the
     render API takes (reference ``internal/utils.py:9-24`` ``color_tohex``;

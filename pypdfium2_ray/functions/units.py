@@ -31,6 +31,13 @@ def from_pt(value: float, unit: str) -> float:
                          f"{sorted(_PT_PER)})") from None
 
 
+def round_coords(values, n_digits: int = 4) -> tuple:
+    """Round a coordinate tuple for printing (the reference CLI's
+    coordinate-rounding helper; formatting only — never feed rounded
+    values back into geometry)."""
+    return tuple(round(float(v), n_digits) for v in values)
+
+
 def parse_page_range(spec: str, n_pages: int | None = None) -> list[int]:
     """``"1,3-5,7"`` -> ``[0, 2, 3, 4, 6]`` (1-based inclusive input,
     0-based output, order preserved, duplicates kept — the CLI passes the

@@ -193,3 +193,18 @@ def test_color_tohex():
     assert color_tohex((255, 255, 255, 255)) == 0xFFFFFFFF
     with pytest.raises(ValueError):
         color_tohex((256, 0, 0, 0))
+
+
+def test_auto_bitmap_format():
+    from pypdfium2_ray.docmodel.bitmap import auto_bitmap_format
+    assert auto_bitmap_format() == "BGR"
+    assert auto_bitmap_format(grayscale=True) == "GRAY"
+    assert auto_bitmap_format((0, 0, 0, 128)) == "BGRA"           # translucent fill
+    assert auto_bitmap_format(has_transparency=True) == "BGRA"
+    assert auto_bitmap_format((1, 2, 3, 128), grayscale=True) == "BGRA"
+
+
+def test_round_coords():
+    from pypdfium2_ray.functions.units import round_coords
+    assert round_coords((1.23456789, 2.0, 3.999999), 4) == (1.2346, 2.0, 4.0)
+    assert round_coords((1.5,), 0) == (2.0,)
