@@ -211,11 +211,25 @@ def render_page(page: Page, scale: float = 1.0, rotation: int = 0,
     (post-rotation) dims, must return a :class:`Bitmap` whose buffer the
     rendered pixels are written into."""
     assert rotation in (0, 90, 180, 270)
-    conv = PosConv(page.width, page.height, scale, 0, crop)
+    # the page's own /Rotate view property composes with the render arg
+    # (PDFium renders the page pre-rotated; the arg adds on top)
+    rotation = (rotation + getattr(page, "rotation", 0)) % 360
+    # NATIVE (unrotated) page dims: charboxes live in native coordinates,
+    # and Page.width/height swap under /Rotate — using them here would
+    # flip the canvas out from under the glyph geometry and silently
+    # render nothing
+    l0, b0, r0, t0 = page.get_bbox()
+    conv = PosConv(r0 - l0, t0 - b0, scale, 0, crop)
     w, h = conv.size
     fmt = "GRAY" if grayscale else ("BGRA" if alpha else "BGR")
     c = FORMATS[fmt]
     img = np.empty((h, w, c), dtype=np.uint8)
+    if (not np.isscalar(fill_color) and rev_byteorder and fmt != "GRAY"):
+        # a tuple fill is (b, g, r[, a]) like the ink colors — store its
+        # color channels reversed too, or background and glyphs would
+        # disagree on channel order within one buffer
+        fc = tuple(fill_color)
+        fill_color = tuple(reversed(fc[:3])) + fc[3:]
     img[:] = fill_color
     if fmt == "BGRA" and np.isscalar(fill_color):
         img[..., 3] = 255

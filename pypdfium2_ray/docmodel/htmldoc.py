@@ -149,6 +149,12 @@ class _NavNode:
     page: int = 0
     node_id: str | None = None
     ref: str | None = None
+    #: explicit level override (``<li data-level="N">``): lets a FLAT nav
+    #: list express any pre-order level sequence — li nesting can only
+    #: encode outlines whose first entry is level 0 and whose levels jump
+    #: by at most +1, which a heading outline (h2 before any h1) violates.
+    #: The serializer (docmodel/serialize) emits this for exact round-trips.
+    level_attr: int | None = None
     children: list["_NavNode"] = field(default_factory=list)
 
 
@@ -188,8 +194,9 @@ def _flatten_outline(roots: list[_NavNode], max_depth: int,
             ref_id = n.ref.lstrip("#")
             target = by_id.get(ref_id, n)
         n_children = 1 if (n.ref and target is not n) else len(target.children)
-        out.append(TocEntry(level=level, title=n.title, page_index=n.page,
-                            n_children=n_children))
+        out.append(TocEntry(
+            level=n.level_attr if n.level_attr is not None else level,
+            title=n.title, page_index=n.page, n_children=n_children))
         if n.ref and target is not n:
             walk(target, level + 1)
             return
@@ -198,6 +205,21 @@ def _flatten_outline(roots: list[_NavNode], max_depth: int,
 
     for r in roots:
         walk(r, 0)
+
+    # explicit data-level entries carry no structural children; recompute
+    # their n_children from the level sequence (immediate children = the
+    # following level+1 entries before the next <=level entry — the same
+    # rule as the heading outline)
+    if any(getattr(r, "level_attr", None) is not None for r in roots):
+        for i, e in enumerate(out):
+            n = 0
+            for j in range(i + 1, len(out)):
+                if out[j].level <= e.level:
+                    break
+                if out[j].level == e.level + 1:
+                    n += 1
+            if n:
+                e.n_children = n
     return out
 
 
@@ -507,6 +529,11 @@ class _HtmlToDoc(HTMLParser):
                 node.page = int(attrd.get("data-page") or 0)
             except ValueError:
                 node.page = 0
+            if attrd.get("data-level") is not None:
+                try:
+                    node.level_attr = max(0, int(attrd["data-level"]))
+                except ValueError:
+                    pass
             if self._nav_stack:
                 self._nav_stack[-1].children.append(node)
             else:

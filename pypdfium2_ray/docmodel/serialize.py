@@ -30,27 +30,17 @@ _KEY_TO_META_NAME = {
 
 
 def _toc_nav(entries: list[TocEntry]) -> str:
-    """Flat pre-order (level, title, page) entries -> nested
-    ``<nav data-toc>`` list the parser flattens back identically
-    (explicit open-tag bookkeeping; robust for any level sequence the
-    flattener can emit)."""
+    """Flat pre-order entries -> ``<nav data-toc>`` with EXPLICIT
+    ``data-level`` per item. Nesting-only markup cannot express every
+    level sequence the flattener can produce (an h2-before-any-h1 heading
+    outline starts at level 1); explicit levels round-trip all of them —
+    the parser recomputes structural ``n_children`` from the sequence."""
     if not entries:
         return ""
-    parts = ['<nav data-toc><ul>']
-    prev_level = 0
-    for i, e in enumerate(entries):
-        if i == 0:
-            pass
-        elif e.level > prev_level:
-            parts.append("<ul>" * (e.level - prev_level))
-        else:
-            parts.append("</li>")
-            if e.level < prev_level:
-                parts.append("</ul></li>" * (prev_level - e.level))
-        parts.append(f'<li data-page="{e.page_index}">{escape(e.title)}')
-        prev_level = e.level
-    parts.append("</li>")
-    parts.append("</ul></li>" * prev_level)
+    parts = ["<nav data-toc><ul>"]
+    for e in entries:
+        parts.append(f'<li data-page="{e.page_index}" '
+                     f'data-level="{e.level}">{escape(e.title)}</li>')
     parts.append("</ul></nav>")
     return "".join(parts)
 

@@ -27,20 +27,23 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
 
 def encode_png(img: np.ndarray, compress_level: int = 6,
                pixel_format: str = "RGB") -> bytes:
-    """uint8 array (h, w) or (h, w, 1) -> grayscale PNG; (h, w, 3) -> RGB.
+    """uint8 array (h, w)/(h, w, 1) -> grayscale PNG; (h, w, 3) -> RGB
+    (colortype 2); (h, w, 4) -> RGBA (colortype 6).
 
-    ``pixel_format="BGR"`` reverses the channel axis first, so a
-    BGR-labeled render buffer (docmodel/bitmap.py FORMATS, the PDFium-native
-    order) encodes with correct colors instead of swapped red/blue.
+    ``pixel_format="BGR"``/``"BGRA"`` reverses the COLOR channels first
+    (alpha stays last), so a BGR(A)-labeled render buffer
+    (docmodel/bitmap.py FORMATS, the PDFium-native order) encodes with
+    correct colors instead of swapped red/blue.
     """
     if img.ndim == 3 and img.shape[2] == 1:
         img = img[:, :, 0]
     if img.ndim == 2:
         colortype = 0
-    elif img.ndim == 3 and img.shape[2] == 3:
-        if pixel_format == "BGR":
-            img = np.ascontiguousarray(img[:, :, ::-1])
-        colortype = 2
+    elif img.ndim == 3 and img.shape[2] in (3, 4):
+        if pixel_format in ("BGR", "BGRA"):
+            img = np.concatenate([img[:, :, 2::-1], img[:, :, 3:]], axis=2)
+            img = np.ascontiguousarray(img)
+        colortype = 2 if img.shape[2] == 3 else 6
     else:
         raise ValueError(f"unsupported shape {img.shape}")
     if img.dtype != np.uint8:
@@ -74,9 +77,10 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
 def decode_png(data: bytes) -> np.ndarray:
     """PNG bytes -> uint8 array (h, w) gray or (h, w, 3) RGB.
 
-    Supports bit depth 8, colortypes 0/2, no interlace — the full inverse
-    of :func:`encode_png` plus all five PNG scanline filters (the encoder
-    only emits filter 0, but foreign PNGs use the rest).
+    Supports bit depth 8, colortypes 0/2/6 (gray/RGB/RGBA), no interlace —
+    the full inverse of :func:`encode_png` plus all five PNG scanline
+    filters (the encoder only emits filter 0, but foreign PNGs use the
+    rest).
     """
     if not data.startswith(_MAGIC):
         raise ValueError("not a PNG")
@@ -87,11 +91,11 @@ def decode_png(data: bytes) -> np.ndarray:
         if tag == b"IHDR":
             w, h, depth, colortype, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", payload)
-            if depth != 8 or colortype not in (0, 2) or interlace:
+            if depth != 8 or colortype not in (0, 2, 6) or interlace:
                 raise ValueError(
                     f"unsupported PNG (depth={depth} colortype={colortype}"
                     f" interlace={interlace})")
-            channels = 1 if colortype == 0 else 3
+            channels = {0: 1, 2: 3, 6: 4}[colortype]
         elif tag == b"IDAT":
             idat.append(payload)
         elif tag == b"IEND":

@@ -13,9 +13,13 @@ import numpy as np
 
 
 def encode_pnm(img: np.ndarray) -> bytes:
-    """uint8 (h, w) / (h, w, 1) -> binary PGM (P5); (h, w, 3) -> PPM (P6)."""
+    """uint8 (h, w) / (h, w, 1) -> binary PGM (P5); (h, w, 3) -> PPM (P6);
+    (h, w, 4) drops the alpha channel (PNM has no alpha — use the PNG
+    engine for transparency-preserving output)."""
     if img.ndim == 3 and img.shape[2] == 1:
         img = img[:, :, 0]
+    elif img.ndim == 3 and img.shape[2] == 4:
+        img = img[:, :, :3]
     if img.dtype != np.uint8:
         raise ValueError("uint8 only")
     h, w = img.shape[:2]

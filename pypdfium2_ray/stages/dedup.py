@@ -99,6 +99,16 @@ def _bucket_pairs_partition(df: pd.DataFrame, id_col: str, max_bucket: int,
     band = df["band"].to_numpy()
     key = df["band_key"].to_numpy()
     ids = df[id_col].to_numpy().astype(np.int64)
+    # drop duplicate ids within a bucket (adjacent after the sort): a
+    # corpus carrying the same id twice would otherwise pair it with
+    # itself and emit degenerate (id, id) rows
+    if len(ids) > 1:
+        keep = np.ones(len(ids), dtype=bool)
+        keep[1:] = ~((band[1:] == band[:-1]) & (key[1:] == key[:-1])
+                     & (ids[1:] == ids[:-1]))
+        if not keep.all():
+            band, key, ids = band[keep], key[keep], ids[keep]
+            df = df.iloc[np.flatnonzero(keep)]
     hashes = None
     if with_hamming:
         hashes = ((df["simhash_hi"].to_numpy().astype(np.uint64) << np.uint64(1))

@@ -102,13 +102,23 @@ def default_aggregators() -> int:
 def _enable_hash(ds, num_partitions: int | None) -> int:
     """Switch *this dataset chain's* snapshotted context to hash shuffle
     (required by keyed repartition / join) and bound its aggregator count.
-    Returns the resolved partition count."""
+    Returns the resolved partition count.
+
+    The cap must be SET, not max()-ed against the context value: Ray's
+    default ``max_hash_shuffle_aggregators`` is 64, so a max() against it
+    is a no-op and 64 aggregator actors spawn per exchange (the exact
+    small-cluster starvation this exists to prevent). Our own sentinel
+    tracks the largest cap any exchange on this chain asked for, so later
+    stages can raise but never exceed the cluster-derived ceiling.
+    """
     from ray.data.context import ShuffleStrategy
     n = num_partitions or default_partitions()
-    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    ds.context.max_hash_shuffle_aggregators = max(
-        ds.context.max_hash_shuffle_aggregators or 0,
-        min(n, default_aggregators()))
+    ctx = ds.context
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    cap = max(min(n, default_aggregators()),
+              getattr(ctx, "_graft_agg_cap", 0))
+    ctx._graft_agg_cap = cap
+    ctx.max_hash_shuffle_aggregators = cap
     return n
 
 

@@ -102,6 +102,24 @@ class DecodeImage:
                                  height=h, mode=mode, n_bytes=len(p),
                                  features=feats))
                 continue
+            if self.mode == "pil":            # pragma: no cover (no PIL here)
+                import io
+                try:
+                    img = self._pil.open(io.BytesIO(p))
+                    arr = np.asarray(img.convert("RGB"), dtype=np.float32)
+                    feats = np.concatenate([
+                        arr.mean(axis=(0, 1)) / 255.0,
+                        arr.std(axis=(0, 1)) / 255.0]).tolist()
+                    rows.append(dict(
+                        id=i, status="ok",
+                        format=(img.format or "").lower(),
+                        width=img.width, height=img.height, mode=img.mode,
+                        n_bytes=len(p), features=feats))
+                except Exception:
+                    rows.append(dict(id=i, status="unknown-format",
+                                     format="", width=0, height=0, mode="",
+                                     n_bytes=len(p), features=[]))
+                continue
             meta = parse_image_meta(p)
             if meta is None:
                 rows.append(dict(id=i, status="unknown-format", format="",

@@ -63,8 +63,11 @@ def hopping_window(ds, ts_col: str, size_s: int, hop_s: int,
     import numpy as np
 
     def fan_out(t: pa.Table) -> pa.Table:
-        ts = t[ts_col].combine_chunks()
-        epoch_us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # normalize to microseconds FIRST: the raw int64 view of a
+        # timestamp column is in the column's own unit (a timestamp[ns]
+        # input would make the us-based hop grid 1000x too fine, silently)
+        ts_us = t[ts_col].combine_chunks().cast(pa.timestamp("us"))
+        epoch_us = ts_us.cast(pa.int64()).to_numpy(zero_copy_only=False)
         hop_us = hop_s * 1_000_000
         last_start = (epoch_us // hop_us) * hop_us
         # starts for k = 0..n_windows-1: last_start - k*hop (vectorized grid)
@@ -73,7 +76,7 @@ def hopping_window(ds, ts_col: str, size_s: int, hop_s: int,
         idx = np.repeat(np.arange(len(epoch_us), dtype=np.int64), n_windows)
         out = t.take(pa.array(idx))
         return out.append_column(
-            window_col, pa.array(starts, pa.int64()).cast(ts.type))
+            window_col, pa.array(starts, pa.int64()).cast(pa.timestamp("us")))
 
     fanned = ds.map_batches(fan_out, batch_format="pyarrow")
     return grouped_aggregate(fanned, [window_col] + keys, aggs)

@@ -223,3 +223,28 @@ def test_winnow_min_hash():
         "(select unnest([substr('hello world rolling hash', i, 8) "
         " for i in range(1, 18)]) as s)").fetchone()[0]
     assert got == m
+
+
+def test_hopping_window_nanosecond_input(ray_session):
+    """timestamp[ns] inputs must produce the same windows as timestamp[us]
+    (the raw int64 view is unit-dependent; the kernel normalizes)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from pypdfium2_ray.stages.window import hopping_window
+    ts = pd.to_datetime([3600, 3700, 7201], unit="s")
+    t_ns = pa.table({"ts": pa.array(ts.astype("datetime64[ns]")),
+                     "v": [1.0, 2.0, 3.0]})
+    t_us = pa.table({"ts": pa.array(ts.astype("datetime64[us]")),
+                     "v": [1.0, 2.0, 3.0]})
+
+    def run(t):
+        return (hopping_window(rd.from_arrow(t), "ts", 7200, 3600,
+                               aggs={"n": (None, "count")})
+                .to_pandas().sort_values("window_start")
+                .reset_index(drop=True))
+
+    a, b = run(t_ns), run(t_us)
+    pd.testing.assert_frame_equal(a, b)
+    assert a["n"].sum() == 6

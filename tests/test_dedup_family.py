@@ -96,3 +96,18 @@ def test_dedup_by_url_pre_combine_equivalence(ray_session):
                 .sort_values("url").reset_index(drop=True)
             pd.testing.assert_frame_equal(
                 got[["url", "warc_ts", "v"]], expected[["url", "warc_ts", "v"]])
+
+
+def test_duplicate_ids_produce_no_self_pairs(ray_session):
+    """A corpus carrying the same doc_id twice must not emit (id, id)
+    degenerate pairs from the bucket kernel."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.dedup import simhash_dup_pairs
+    t = pa.table({
+        "doc_id": pa.array([1, 1, 2], pa.int64()),
+        "text": [BASE, BASE, BASE],
+    })
+    out = simhash_dup_pairs(rd.from_arrow(t), max_dist=6).to_pandas()
+    # identical texts: exactly the (1, 2) pair — and NOT (1, 1)
+    assert sorted(map(tuple, out[["id_a", "id_b"]].to_numpy())) == [(1, 2)]
+    assert (out["hamming"] == 0).all()

@@ -126,3 +126,21 @@ def test_partitions_for_bytes():
     assert partitions_for_bytes(640 << 20) == 10             # 64 MB each
     assert partitions_for_bytes(1 << 50) == 200              # sandbox cap
     assert partitions_for_bytes(1 << 50, cap=5000) == 5000   # raisable
+
+
+def test_aggregator_cap_is_enforced(ray_session):
+    """The cap must be SET on the chain context (Ray's default is 64, so a
+    max() against it would be a no-op and 64 aggregator actors would spawn
+    per exchange)."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.exchange import _enable_hash, default_aggregators
+    ds = rd.from_items([{"k": 1}])
+    assert ds.context.max_hash_shuffle_aggregators == 64       # Ray default
+    n = _enable_hash(ds, 32)
+    assert n == 32
+    assert ds.context.max_hash_shuffle_aggregators == \
+        min(32, default_aggregators()) < 64
+    # a later stage asking for fewer partitions must not lower the cap
+    _enable_hash(ds, 2)
+    assert ds.context.max_hash_shuffle_aggregators == \
+        min(32, default_aggregators())

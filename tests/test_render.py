@@ -208,3 +208,50 @@ def test_unsupported_handler_registry():
         assert doc2.ok
     finally:
         clear_unsupported_handlers()
+
+
+# ---------------------------------------------------------------------------
+# review-pass regression tests
+
+
+def test_render_respects_page_rotation_property():
+    """A page with /Rotate set must render its content rotated, not a
+    blank canvas (PosConv must use NATIVE dims, not the swapped view)."""
+    import numpy as np
+    from pypdfium2_ray.docmodel.bitmap import render_page
+    base = render_page(_demo_page())
+    p = _demo_page()
+    p.set_rotation(90)
+    rot = render_page(p)
+    assert (rot.data != 255).sum() == (base.data != 255).sum() > 0
+    assert (rot.data[..., 0] == np.rot90(base.data[..., 0], 1)).all()
+    # page /Rotate composes with the render arg
+    p2 = _demo_page()
+    p2.set_rotation(90)
+    both = render_page(p2, rotation=270)
+    assert (both.data == base.data).all()
+
+
+def test_encode_engines_handle_bgra():
+    from pypdfium2_ray.docmodel.bitmap import render_page
+    from pypdfium2_ray.functions.png import decode_png
+    from pypdfium2_ray.functions.pnm import decode_pnm
+    from pypdfium2_ray.stages.render import ENGINES
+    bgra = render_page(_demo_page(), grayscale=False, alpha=True)
+    png = ENGINES["png"](bgra)
+    arr = decode_png(png)
+    assert arr.shape == (bgra.height, bgra.width, 4)
+    assert (arr[..., :3] == bgra.data[..., 2::-1]).all()   # BGR -> RGB swap
+    assert (arr[..., 3] == 255).all()
+    pnm = ENGINES["pnm"](bgra)
+    assert decode_pnm(pnm).shape == (bgra.height, bgra.width, 3)
+
+
+def test_render_tuple_fill_reversed_with_rev_byteorder():
+    from pypdfium2_ray.docmodel.bitmap import render_page
+    fill = (200, 100, 50)
+    bgr = render_page(_demo_page(), grayscale=False, fill_color=fill)
+    rgb = render_page(_demo_page(), grayscale=False, fill_color=fill,
+                      rev_byteorder=True)
+    # the whole buffer (background AND glyphs) must be channel-reversed
+    assert (rgb.data[..., ::-1] == bgr.data).all()

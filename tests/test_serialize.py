@@ -109,3 +109,16 @@ def test_rotation_const_maps():
     assert ROTATION_TO_CONST == {0: 0, 90: 1, 180: 2, 270: 3}
     assert all(ROTATION_TO_DEGREES[ROTATION_TO_CONST[d]] == d
                for d in (0, 90, 180, 270))
+
+
+def test_roundtrip_outline_starting_below_h1():
+    """An h2-before-any-h1 heading outline starts at level 1 — nesting-only
+    nav markup cannot express that; the explicit data-level form must."""
+    html = (b"<html><body><h2>B</h2><p>x</p><h1>A</h1><p>y</p>"
+            b"<h3>C</h3><p>z</p></body></html>")
+    doc = parse_document(html)
+    assert [e.level for e in doc.toc] == [1, 0, 2]
+    doc2 = parse_document(serialize_document(doc))
+    assert [(e.level, e.title, e.page_index, e.n_children) for e in doc2.toc] \
+        == [(e.level, e.title, e.page_index, e.n_children) for e in doc.toc]
+    assert _observable(doc) == _observable(doc2)
