@@ -155,9 +155,16 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     head = _headline(sf_dir, num_cpus)
 
     queries = {}
+    # embedding near-dup is benched via the broadcast tier: at this
+    # corpus's tau=0.45 (near-orthogonal vectors, max pair sim 0.6) the
+    # per-bit collision prob is 0.648, so any recall-1 hyperplane banding
+    # needs tiny bands => 2^r buckets degenerate toward all-pairs and the
+    # LSH tier approaches quadratic candidate mass — the broadcast tier is
+    # the recommended path until the corpus outgrows worker heap (see
+    # stages/ann.embedding_lsh_dup_pairs docstring for the regime math)
     bench_queries = ["token_stats", "lang_id", "dedup_exact", "ann_topk",
                      "pricing_summary", "orders_by_region", "events_rollup",
-                     "minhash_dups", "embedding_lsh_dups",
+                     "minhash_dups", "embedding_dups",
                      "events_hourly_sliding"]
     qs = E.queries()
     for name in bench_queries:

@@ -219,7 +219,18 @@ def embedding_lsh_dup_pairs(ds, dim: int, tau: float = 0.9, n_bits: int = 32,
     the exact-pairs SQL oracle). Candidate pairs carry ids only; vectors are
     resolved AFTER pair-distinct via two repartition joins against the
     corpus, then verified with one vectorized row-wise cosine kernel —
-    no vector replication through the band shuffle, no broadcast."""
+    no vector replication through the band shuffle, no broadcast.
+
+    Threshold-regime caveat (measure before choosing this tier): hyperplane
+    LSH separates sharply only for HIGH similarity thresholds. The per-bit
+    collision probability is ``p = 1 - acos(tau)/pi`` — at a true near-dup
+    threshold (tau=0.9, p=0.86) a 16x8-bit banding gives recall ~1 with
+    tiny buckets, but at a low threshold (tau=0.45, p=0.65) recall-1
+    banding forces 1-2-bit bands whose 2^r buckets hold O(n/2^r) rows, and
+    candidate mass degenerates toward all-pairs. In that regime prefer
+    :func:`embedding_dup_pairs` (broadcast tier, one matmul per block, no
+    pair materialization) until the corpus outgrows worker heap, or an
+    IVF-cell-local pair search."""
     from pypdfium2_ray.stages.dedup import _bucket_pairs_partition
     from pypdfium2_ray.stages.exchange import lookup_join, partition_map
     from pypdfium2_ray.stages.warm import warm_task
