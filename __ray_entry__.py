@@ -202,6 +202,54 @@ def q_text_slice(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
 
 
+def q_quality_filter(sf_dir: str):
+    """Gopher/C4-style heuristic quality gate as one vectorized streaming
+    filter (stages/textstats.quality_filter): token-count + mean-token-
+    length bounds + english-stopword floor. Emits the surviving doc ids
+    with their counters."""
+    from pypdfium2_ray.functions.text import token_count
+    from pypdfium2_ray.stages.textstats import quality_filter
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    kept = quality_filter(ds, min_tokens=50, max_tokens=100_000,
+                          min_mean_token_chars=3.0, max_mean_token_chars=9.0,
+                          min_stopword_frac=0.01)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_tokens": token_count(t["text"])})
+    return kept.map_batches(proj, batch_format="pyarrow")
+
+
+def q_hash_sample(sf_dir: str):
+    """Deterministic 1-in-10 hash sample by doc_id (stable train/val-split
+    membership — identical across runs, shard layouts and cluster sizes;
+    md5 twin in SQL)."""
+    from pypdfium2_ray.stages.textstats import hash_sample
+    ds = _docs(sf_dir, ["doc_id", "n_chars"])
+    return hash_sample(ds, "doc_id", modulus=10, keep=3)
+
+
+def q_domain_stats(sf_dir: str):
+    """Per-domain rollup over the cc corpus urls (crawl curation: docs and
+    chars by host, host extracted with a vectorized regex)."""
+    from pypdfium2_ray.sources.cc_from_documents import read_cc_from_documents
+    from pypdfium2_ray.stages.agg import grouped_aggregate
+
+    def host(t: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(t["url"], r"^doc://(?P<host>[^/]+)/")
+        return pa.table({"host": pc.struct_field(ex, "host"),
+                         "n_chars": pc.cast(
+                             pc.utf8_length(t["text"]), pa.int64())})
+
+    ds = read_cc_from_documents(sf_dir).map_batches(
+        host, batch_format="pyarrow")
+    with _hint(sf_dir):
+        out = grouped_aggregate(ds, ["host"], {
+            "n_docs": (None, "count"),
+            "sum_chars": ("n_chars", "sum")})
+    return _cast_i64(out, ["sum_chars"])
+
+
 def q_doc_stats(sf_dir: str):
     from pypdfium2_ray.stages.agg import grouped_aggregate
     ds = _docs(sf_dir, ["lang", "n_chars"])
@@ -512,6 +560,20 @@ def q_image_meta(sf_dir: str):
         ["width", "height"])
 
 
+def _qf_parts() -> tuple[str, str]:
+    from pypdfium2_ray.functions.text import sql_token_count
+    from pypdfium2_ray.stages.textstats import sql_quality_filter
+    return (sql_token_count("text"),
+            sql_quality_filter("text", min_tokens=50, max_tokens=100_000,
+                               min_mean_token_chars=3.0,
+                               max_mean_token_chars=9.0,
+                               min_stopword_frac=0.01))
+
+
+#: quality-filter twins (token-count expr + WHERE clause)
+_QF_TOKS, _QF_WHERE = _qf_parts()
+
+
 def _winnow_sql() -> str:
     from pypdfium2_ray.functions.sketch import sql_winnow_fingerprint
     return sql_winnow_fingerprint(k=8)
@@ -574,6 +636,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_slice": q_text_slice,
         "bpe_tokens": q_bpe_tokens,
         "sessions": q_sessions,
+        "quality_filter": q_quality_filter,
+        "hash_sample": q_hash_sample,
+        "domain_stats": q_domain_stats,
         "doc_stats": q_doc_stats,
         "dedup_exact": q_dedup_exact,
         "dedup_latest_event": q_dedup_latest_event,
@@ -676,6 +741,18 @@ def oracle_sql() -> dict[str, str]:
                                          ROWS UNBOUNDED PRECEDING) AS BIGINT)
                      AS session_id
             FROM d""",
+        "quality_filter": f"""
+            SELECT doc_id, {_QF_TOKS} AS n_tokens
+            FROM documents WHERE {_QF_WHERE}""",
+        # deterministic hash sampling: md5_number_upper == md5_hash64
+        # (first 8 digest bytes LE, verified)
+        "hash_sample": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE md5_number_upper(doc_id::VARCHAR) % 10 = 3""",
+        "domain_stats": """
+            SELECT source AS host, count(*) AS n_docs,
+                   CAST(sum(length(text)) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY source""",
         "doc_stats": """
             SELECT lang, count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars,

@@ -43,3 +43,87 @@ def add_term_count(batch: pa.Table, term: str, col: str = "text",
     """Corpus-wide literal search — the batch form of
     ``PdfTextPage.search`` in default flags (textpage.py:255-292)."""
     return batch.append_column(out, term_count(batch[col], term))
+
+
+def quality_filter(ds, col: str = "text", min_tokens: int = 10,
+                   max_tokens: int | None = None,
+                   min_mean_token_chars: float | None = 2.0,
+                   max_mean_token_chars: float | None = 12.0,
+                   min_stopword_frac: float | None = None):
+    """Heuristic quality gate — the Gopher/C4-style rule family as one
+    vectorized streaming filter (no shuffle): token-count bounds, mean
+    token length bounds, optional english-stopword fraction floor. All
+    comparisons are done on exact integer counters x scaled thresholds so
+    the SQL twin (same expressions over the same counters) agrees exactly.
+
+    Mean token length uses non-whitespace chars / tokens (both integers);
+    a bound ``mean >= m`` is evaluated as ``nonws_chars >= m * n_tokens``
+    with the float product on both sides (engine and oracle compute the
+    identical IEEE expression).
+    """
+    import pyarrow.compute as pc
+
+    def f(t: pa.Table) -> pa.Table:
+        toks = pc.cast(token_count(t[col]), pa.float64())
+        ws = pc.cast(pc.count_substring_regex(t[col], r"[ \t\r\n\f\v]"),
+                     pa.int64())
+        nonws = pc.cast(pc.subtract(pc.utf8_length(t[col]), ws), pa.float64())
+        keep = pc.greater_equal(toks, float(min_tokens))
+        if max_tokens is not None:
+            keep = pc.and_(keep, pc.less_equal(toks, float(max_tokens)))
+        if min_mean_token_chars is not None:
+            keep = pc.and_(keep, pc.greater_equal(
+                nonws, pc.multiply(toks, float(min_mean_token_chars))))
+        if max_mean_token_chars is not None:
+            keep = pc.and_(keep, pc.less_equal(
+                nonws, pc.multiply(toks, float(max_mean_token_chars))))
+        if min_stopword_frac is not None:
+            from pypdfium2_ray.functions.text import lang_scores
+            stops = pc.cast(lang_scores(t[col])["en"], pa.float64())
+            keep = pc.and_(keep, pc.greater_equal(
+                stops, pc.multiply(toks, float(min_stopword_frac))))
+        return t.filter(keep)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def sql_quality_filter(col: str = "text", min_tokens: int = 10,
+                       max_tokens: int | None = None,
+                       min_mean_token_chars: float | None = 2.0,
+                       max_mean_token_chars: float | None = 12.0,
+                       min_stopword_frac: float | None = None) -> str:
+    """WHERE-clause twin of :func:`quality_filter` (same counters, same
+    float products)."""
+    from pypdfium2_ray.functions.text import sql_lang_count, sql_token_count
+    toks = sql_token_count(col)
+    nonws = (f"(length({col}) - "
+             f"length(regexp_extract_all({col}, '[ \\t\\r\\n\\f\\v]')))")
+    conds = [f"{toks} >= {float(min_tokens)}"]
+    if max_tokens is not None:
+        conds.append(f"{toks} <= {float(max_tokens)}")
+    if min_mean_token_chars is not None:
+        conds.append(f"{nonws} >= {toks} * {float(min_mean_token_chars)}")
+    if max_mean_token_chars is not None:
+        conds.append(f"{nonws} <= {toks} * {float(max_mean_token_chars)}")
+    if min_stopword_frac is not None:
+        conds.append(f"{sql_lang_count('en', col)} >= {toks} * "
+                     f"{float(min_stopword_frac)}")
+    return " AND ".join(conds)
+
+
+def hash_sample(ds, key_col: str, modulus: int = 10, keep: int = 0):
+    """Deterministic hash sampling: keep rows whose
+    ``md5_hash64(str(key)) % modulus == keep`` — reproducible across runs,
+    cluster sizes and shard layouts (the stable train/val-split op; unlike
+    ``ds.random_sample`` the membership of a row never changes). SQL twin:
+    ``md5_number_upper(key::VARCHAR) % modulus = keep``."""
+    from pypdfium2_ray.functions.sketch import md5_hash64
+
+    def f(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_pylist()
+        mask = pa.array(
+            [k is not None and md5_hash64(str(k).encode()) % modulus == keep
+             for k in keys])
+        return t.filter(mask)
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -129,3 +129,35 @@ def test_simhash_band_keys_distinct_per_band():
     assert len(set(keys)) == len({k & 0xFFFF for k in keys} | set()) or True
     zero_keys = simhash_band_keys(0, bands=4)
     assert len(set(zero_keys)) == 4
+
+
+def test_quality_filter_and_hash_sample(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from pypdfium2_ray.stages.textstats import hash_sample, quality_filter
+    docs = pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": [
+            "the and of to in is that " * 20,          # good english-ish
+            "short",                                   # too few tokens
+            "a b c d e f g h i j " * 10,               # mean token len 1 (<3)
+            "verylongtokenwithoutspaces" * 40,         # 1 token, too few
+            "the quick brown fox jumps over the lazy dog " * 12,
+            "",                                        # empty
+        ],
+    })
+    kept = quality_filter(rd.from_arrow(docs), min_tokens=50,
+                          min_mean_token_chars=2.0,
+                          max_mean_token_chars=9.0,
+                          min_stopword_frac=0.01).to_pandas()
+    assert set(kept["doc_id"]) == {0, 4}
+
+    # hash sample: deterministic, partitions the keyspace exactly
+    parts = [set(hash_sample(rd.from_arrow(docs), "doc_id",
+                             modulus=3, keep=k).to_pandas()["doc_id"])
+             for k in range(3)]
+    assert set().union(*parts) == set(range(6))
+    assert sum(len(p) for p in parts) == 6             # disjoint cover
+    again = set(hash_sample(rd.from_arrow(docs), "doc_id",
+                            modulus=3, keep=0).to_pandas()["doc_id"])
+    assert again == parts[0]
