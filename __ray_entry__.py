@@ -415,6 +415,22 @@ def q_embedding_lsh_dups(sf_dir: str):
                                        scale=100)
 
 
+def q_ivf_dups(sf_dir: str):
+    """IVF-cell-local near-dup pairs (stages/ann.ivf_dup_pairs) — the
+    cluster-locality alternative to hyperplane LSH for low-threshold
+    regimes. n_assign=3 multi-probe reaches recall 1.0 on this corpus at
+    the driver gate (validated against the exact-pairs oracle); on
+    near-orthogonal data no sublinear method separates structurally, so
+    recall is config-validated, not guaranteed."""
+    import pyarrow.parquet as pq
+    from pypdfium2_ray.stages.ann import ivf_dup_pairs
+    emb = pq.read_table(f"{sf_dir.rstrip('/')}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    with _hint(sf_dir, "embeddings"):
+        return ivf_dup_pairs(_embeddings(sf_dir), emb, tau=DUP_TAU,
+                             n_centroids=16, n_assign=3, scale=100)
+
+
 # ---------------------------------------------------------------------------
 # relational surface
 
@@ -650,6 +666,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_dups": q_embedding_dups,
         "embedding_lsh_dups": q_embedding_lsh_dups,
+        "ivf_dups": q_ivf_dups,
         "pricing_summary": q_pricing_summary,
         "orders_by_region": q_orders_by_region,
         "top_orders": q_top_orders,
@@ -840,6 +857,8 @@ def oracle_sql() -> dict[str, str]:
         # the LSH-bucketed variant reaches recall 1.0 on this corpus
         # (q_embedding_lsh_dups note), so the exact-pairs SQL is its oracle
         "embedding_lsh_dups": _EMB_DUPS_SQL,
+        # IVF multi-probe at n_assign=3 also reaches recall 1.0 here
+        "ivf_dups": _EMB_DUPS_SQL,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty,

@@ -296,6 +296,113 @@ def embedding_lsh_dup_pairs(ds, dim: int, tau: float = 0.9, n_bits: int = 32,
     return out
 
 
+def ivf_dup_pairs(ds, train: pa.Table, tau: float = 0.9,
+                  n_centroids: int = 16, n_assign: int = 2, seed: int = 11,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  round_digits: int | None = 4, scale: int | None = None,
+                  max_bucket: int = 2000,
+                  num_partitions: int | None = None, **mb_kwargs):
+    """IVF-cell-local near-duplicate pairs — the scale tier for LOW
+    similarity thresholds, where hyperplane LSH degenerates (see
+    :func:`embedding_lsh_dup_pairs`): cluster locality groups vectors that
+    are merely *close*, not near-identical.
+
+    Each vector is assigned to its ``n_assign`` nearest centroids
+    (multi-probe: a pair straddling a cell boundary still meets in one of
+    the probed cells); candidate pairs are cell-mates; verification is the
+    same ids-only repartition-join + vectorized cosine as the LSH tier.
+    Candidate mass ~ n^2 * n_assign^2 / n_centroids for balanced cells —
+    tune ``n_centroids ~ sqrt(n)`` upward with corpus size. Recall is high
+    but not structural; like the LSH tier, configs are validated against
+    the exact oracle on the target corpus (recall 1.0 at the driver gate).
+    """
+    from pypdfium2_ray.stages.dedup import _bucket_pairs_partition
+    from pypdfium2_ray.stages.exchange import lookup_join, partition_map
+    from pypdfium2_ray.stages.warm import warm_task
+    import pyarrow.compute as pc
+
+    C = train_centroids(train, n_centroids, seed=seed, vec_col=vec_col)
+
+    class _CellRows:
+        """Batch fn: (cell, vec_id) row per probed cell — ids only, the
+        same narrow-exchange discipline as the LSH band rows."""
+
+        def __init__(self, centroids_ref, n_assign: int):
+            import ray
+            self.C = (ray.get(centroids_ref)
+                      if isinstance(centroids_ref, ray.ObjectRef)
+                      else centroids_ref)
+            self.n_assign = n_assign
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy().astype(np.int64)
+            Xn = _normalize(stack_embeddings(batch[vec_col]))
+            sims = Xn @ self.C.T                         # (n, k)
+            k = min(self.n_assign, sims.shape[1])
+            cells = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+            out_id = np.repeat(ids, k)
+            out_cell = cells.reshape(-1).astype(np.int64)
+            return pa.table({
+                "band": pa.array(np.zeros(len(out_id), np.int64)),
+                "band_key": pa.array(out_cell),
+                "vec_id": pa.array(out_id),
+            })
+
+    import ray
+    rows = ds.map_batches(
+        warm_task(_CellRows, centroids_ref=ray.put(C), n_assign=n_assign),
+        batch_format="pyarrow", **mb_kwargs)
+
+    candidates = partition_map(
+        rows, ["band", "band_key"],
+        lambda t: _bucket_pairs_partition(t.to_pandas(), "vec_id",
+                                          max_bucket),
+        num_partitions=num_partitions)
+
+    vec_type = pa.list_(pa.float32())
+    pair_cols = {"id_a": pa.int64(), "id_b": pa.int64()}
+    j = lookup_join(candidates, pair_cols, ds, source_key=id_col,
+                    key_col="id_a",
+                    payload_cols={"__vec_a": vec_type},
+                    source_payload={"__vec_a": vec_col},
+                    distinct_target_on=["id_a", "id_b"],
+                    num_partitions=num_partitions)
+    j = lookup_join(j, {**pair_cols, "__vec_a": vec_type}, ds,
+                    source_key=id_col, key_col="id_b",
+                    payload_cols={"__vec_b": vec_type},
+                    source_payload={"__vec_b": vec_col},
+                    num_partitions=num_partitions)
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        A = _normalize(stack_embeddings(t["__vec_a"]))
+        B = _normalize(stack_embeddings(t["__vec_b"]))
+        sims = np.einsum("ij,ij->i", A, B)
+        keep = sims >= tau
+        return pa.table({
+            "id_a": pc.cast(t["id_a"], pa.int64()).filter(pa.array(keep)),
+            "id_b": pc.cast(t["id_b"], pa.int64()).filter(pa.array(keep)),
+            "sim": pa.array(sims[keep], pa.float64()),
+        })
+
+    out = j.map_batches(verify, batch_format="pyarrow")
+    if scale is not None:
+        def to_scaled(t: pa.Table) -> pa.Table:
+            centi = pc.cast(pc.round(pc.multiply(t["sim"], float(scale))),
+                            pa.int64())
+            return t.drop_columns(["sim"]).append_column("sim_centi", centi)
+        out = out.map_batches(to_scaled, batch_format="pyarrow")
+    elif round_digits is not None:
+        out = out.map_batches(
+            lambda t: t.set_column(t.schema.get_field_index("sim"), "sim",
+                                   pc.round(t["sim"], ndigits=round_digits)),
+            batch_format="pyarrow")
+    return out
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) variant — the coarse-quantizer scale path
 

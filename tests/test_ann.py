@@ -121,3 +121,37 @@ def test_train_centroids_deterministic(emb):
     c1 = train_centroids(emb, 6)
     c2 = train_centroids(emb, 6)
     assert np.array_equal(c1, c2)
+
+
+def test_ivf_dup_pairs_on_clustered_data(ray_session):
+    """On data with real cluster structure (the regime IVF is built for),
+    cell-local pairing must find every near-dup pair exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from pypdfium2_ray.stages.ann import ivf_dup_pairs
+    rng = np.random.RandomState(13)
+    centers = rng.standard_normal((5, 16)) * 10
+    vecs, ids = [], []
+    for i in range(100):
+        c = centers[i % 5]
+        vecs.append(c + rng.standard_normal(16) * 0.05)   # tight clusters
+        ids.append(i)
+    t = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                  "embedding": pa.array([v.astype(np.float32).tolist()
+                                         for v in vecs],
+                                        pa.list_(pa.float32()))})
+    # exact pairs at tau: brute force
+    X = np.stack(vecs)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = Xn @ Xn.T
+    tau = 0.99
+    ii, jj = np.nonzero(np.triu(S >= tau, k=1))
+    exact = {(int(a), int(b)) for a, b in zip(ii, jj)}
+    assert len(exact) > 100                              # real work
+
+    out = ivf_dup_pairs(rd.from_arrow(t), t, tau=tau, n_centroids=5,
+                        n_assign=1, seed=3).to_pandas()
+    got = set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
+    assert got == exact                                  # recall AND precision 1
+    assert (out["sim"] >= tau).all()
