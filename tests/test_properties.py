@@ -78,3 +78,59 @@ def test_mixed_style_collapse_matches_single_style(a, b):
     d_plain = parse_document(f"<html><body>{plain}</body></html>".encode(), layout=WIDE)
     d_mixed = parse_document(f"<html><body>{mixed}</body></html>".encode(), layout=WIDE)
     assert d_plain[0].lines == d_mixed[0].lines
+
+
+# ---------------------------------------------------------------------------
+# round-2 properties: save round-trip, winnow normalization, page ranges
+
+
+_doc_html = st.builds(
+    lambda paras, title: (
+        "<html><head><title>" + title + "</title></head><body>"
+        + "".join(f"<p>{p}</p>" for p in paras)
+        + "</body></html>").encode(),
+    st.lists(_plain, min_size=0, max_size=8),
+    _plain,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_doc_html)
+def test_serialize_roundtrip_property(html):
+    """parse(serialize(parse(html))) reproduces text/toc/metadata for any
+    plain-paragraph document, and serialize is a fixed point."""
+    from pypdfium2_ray.docmodel.serialize import serialize_document
+    doc = parse_document(html)
+    if not doc.ok:
+        return
+    ser = serialize_document(doc)
+    doc2 = parse_document(ser)
+    assert doc2.ok
+    assert extract_document_text(doc2) == extract_document_text(doc)
+    assert doc2.get_metadata_dict() == doc.get_metadata_dict()
+    assert [(e.level, e.title, e.page_index) for e in doc2.toc] \
+        == [(e.level, e.title, e.page_index) for e in doc.toc]
+    assert serialize_document(doc2) == ser
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.text(alphabet=string.ascii_lowercase + " \t\r\n\f\v",
+               min_size=0, max_size=60))
+def test_winnow_whitespace_invariance(text):
+    """The winnow fingerprint is invariant under whitespace-run shape (the
+    collapse normalization), like the SQL twin."""
+    from pypdfium2_ray.functions.sketch import winnow_min_hash
+    import re
+    collapsed = re.sub(r"[ \t\r\n\f\v]+", " ", text).strip(" ")
+    assert winnow_min_hash(text) == winnow_min_hash(collapsed)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=50), min_size=1,
+                max_size=8))
+def test_parse_page_range_roundtrip(pages):
+    """Rendering a spec from 1-based pages and parsing it returns exactly
+    those pages 0-based, order preserved."""
+    from pypdfium2_ray.functions.units import parse_page_range
+    spec = ",".join(str(p) for p in pages)
+    assert parse_page_range(spec) == [p - 1 for p in pages]
