@@ -134,3 +134,29 @@ def test_parse_page_range_roundtrip(pages):
     from pypdfium2_ray.functions.units import parse_page_range
     spec = ",".join(str(p) for p in pages)
     assert parse_page_range(spec) == [p - 1 for p in pages]
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_parse_never_raises_on_arbitrary_bytes(data):
+    """Error-rows discipline: any byte payload yields a Document (failed
+    ones as status rows), never an exception."""
+    doc = parse_document(data)
+    assert doc.status in ("ok", "format_error", "password_error",
+                          "unknown_error")
+    if not doc.ok:
+        assert len(doc) == 0
+        assert extract_document_text(doc) == ""
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=1, max_size=200))
+def test_image_meta_never_raises(data):
+    """Header sniffing on arbitrary bytes: None or a plausible meta tuple,
+    never an exception."""
+    from pypdfium2_ray.functions.imagemeta import parse_image_meta
+    meta = parse_image_meta(data)
+    if meta is not None:
+        fmt, w, h = meta
+        assert fmt in ("png", "gif", "bmp", "jpeg")
+        assert w >= 0 and h >= 0
