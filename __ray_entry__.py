@@ -630,6 +630,36 @@ _ANN_TOPK_SQL = f"""
                                ORDER BY sim DESC, vec_id) <= {ANN_K}"""
 
 
+def q_image_resize(sf_dir: str):
+    """REAL resize end-to-end: synthesize a PNG per document, resize to
+    half (from-scratch decode -> vectorized nearest-neighbor -> re-encode),
+    then header-parse the RESIZED payload back; oracle recomputes the
+    halved dims from the text."""
+    import numpy as np
+    from pypdfium2_ray.functions.png import encode_png
+    from pypdfium2_ray.functions.text import token_count
+    from pypdfium2_ray.stages.multimodal import decode_images, resize_images
+
+    def to_png(t: pa.Table) -> pa.Table:
+        toks = token_count(t["text"]).to_pylist()
+        payloads = []
+        for txt, ntok in zip(t["text"].to_pylist(), toks):
+            w = 2 + len(txt or "") % 64
+            h = 2 + int(ntok) % 64
+            payloads.append(encode_png(np.zeros((h, w), dtype=np.uint8)))
+        return pa.table({"id": t["doc_id"],
+                         "data": pa.array(payloads, pa.binary())})
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        to_png, batch_format="pyarrow")
+    resized = resize_images(ds, scale=0.5)
+    out = decode_images(resized.select_columns(["id", "data"]),
+                        mode="headers")
+    return _cast_i64(
+        out.select_columns(["id", "status", "format", "width", "height"]),
+        ["width", "height"])
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -677,6 +707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_last_purchase": q_asof_last_purchase,
         "decode_images": q_decode_images,
         "image_meta": q_image_meta,
+        "image_resize": q_image_resize,
     }
 
 
@@ -932,5 +963,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS id, 'ok' AS status, 'png' AS format,
                    CAST(1 + length(text) % 64 AS BIGINT) AS width,
                    CAST(1 + {sql_token_count('text')} % 64 AS BIGINT) AS height
+            FROM documents""",
+        # dims of a (2+len%64) x (2+tokens%64) PNG after scale-0.5
+        # nearest-neighbor resize: floor halves (source dims >= 2)
+        "image_resize": f"""
+            SELECT doc_id AS id, 'ok' AS status, 'png' AS format,
+                   CAST((2 + length(text) % 64) // 2 AS BIGINT) AS width,
+                   CAST((2 + {sql_token_count('text')} % 64) // 2 AS BIGINT)
+                     AS height
             FROM documents""",
     }

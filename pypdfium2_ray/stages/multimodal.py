@@ -135,6 +135,76 @@ class DecodeImage:
         return pa.Table.from_pylist(rows, schema=IMAGE_META_SCHEMA)
 
 
+def _resize_nearest(img: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Vectorized nearest-neighbor resize (index-map gather; any channel
+    count)."""
+    src_h, src_w = img.shape[:2]
+    ys = np.minimum((np.arange(h) * src_h) // max(1, h), src_h - 1)
+    xs = np.minimum((np.arange(w) * src_w) // max(1, w), src_w - 1)
+    return img[ys[:, None], xs[None, :]]
+
+
+class ResizeImage:
+    """Actor: ``(id, data:binary)`` -> resized payload + new dims.
+
+    REAL for PNG payloads (from-scratch decode -> vectorized
+    nearest-neighbor -> re-encode, no image libraries); other formats
+    pass through with ``status='unsupported-format'`` (resizing them
+    needs their pixel decoders — PIL-gated, like DecodeImage mode='pil').
+    ``scale`` halves by default; explicit ``width``/``height`` win.
+    """
+
+    def __init__(self, scale: float = 0.5, width: int | None = None,
+                 height: int | None = None, id_col: str = "id",
+                 data_col: str = "data"):
+        self.scale = scale
+        self.width = width
+        self.height = height
+        self.id_col = id_col
+        self.data_col = data_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from pypdfium2_ray.functions.png import decode_png, encode_png
+        ids = batch[self.id_col].to_pylist()
+        payloads = batch[self.data_col].to_pylist()
+        rows = []
+        for i, p in zip(ids, payloads):
+            p = p or b""
+            meta = parse_image_meta(p)
+            if meta is None or meta[0] != "png":
+                rows.append(dict(id=i, status="unsupported-format",
+                                 width=0, height=0, data=p))
+                continue
+            try:
+                img = decode_png(p)
+            except Exception:
+                rows.append(dict(id=i, status="decode-error",
+                                 width=0, height=0, data=p))
+                continue
+            w = self.width or max(1, int(img.shape[1] * self.scale))
+            h = self.height or max(1, int(img.shape[0] * self.scale))
+            out = _resize_nearest(img, w, h)
+            rows.append(dict(id=i, status="ok", width=w, height=h,
+                             data=encode_png(out)))
+        return pa.Table.from_pylist(rows, schema=pa.schema([
+            ("id", pa.int64()), ("status", pa.string()),
+            ("width", pa.int32()), ("height", pa.int32()),
+            ("data", pa.binary())]))
+
+
+def resize_images(ds, scale: float = 0.5, width: int | None = None,
+                  height: int | None = None, id_col: str = "id",
+                  data_col: str = "data", batch_size: int = 64,
+                  concurrency=(1, 8), **mb_kwargs):
+    """Image-resize stage (same payload-aware batch sizing as decode)."""
+    return ds.map_batches(
+        ResizeImage,
+        fn_constructor_kwargs=dict(scale=scale, width=width, height=height,
+                                   id_col=id_col, data_col=data_col),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, **mb_kwargs)
+
+
 class SampleFrames:
     """Actor stub: ``(id, data:binary, n_frames:int32)`` video -> frame rows
     ``(id, frame_idx, frame:binary)``. Frame extraction is faked as byte

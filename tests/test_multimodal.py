@@ -175,3 +175,34 @@ def test_sample_frames(payloads):
     assert out.schema.names == ["id", "frame_idx", "frame"]
     # one 13-byte payload -> 1 frame; empty payload -> 1 frame
     assert out.num_rows >= 3
+
+
+def test_resize_image_real_png():
+    import numpy as np
+    from pypdfium2_ray.functions.png import decode_png, encode_png
+    from pypdfium2_ray.stages.multimodal import ResizeImage, _resize_nearest
+    rng = np.random.RandomState(6)
+    img = rng.randint(0, 256, size=(10, 14), dtype=np.uint8)
+    batch = pa.table({
+        "id": pa.array([1, 2], pa.int64()),
+        "data": pa.array([encode_png(img), b"not an image"], pa.binary()),
+    })
+    out = ResizeImage(scale=0.5)(batch)
+    assert out["status"].to_pylist() == ["ok", "unsupported-format"]
+    assert out["width"].to_pylist()[0] == 7
+    assert out["height"].to_pylist()[0] == 5
+    resized = decode_png(out["data"][0].as_py())
+    assert resized.shape == (5, 7)
+    assert (resized == _resize_nearest(img, 7, 5)).all()
+    # explicit target dims win; upscale works too
+    out2 = ResizeImage(width=28, height=3)(batch)
+    assert decode_png(out2["data"][0].as_py()).shape == (3, 28)
+
+
+def test_resize_nearest_identity_and_channels():
+    import numpy as np
+    from pypdfium2_ray.stages.multimodal import _resize_nearest
+    img = np.arange(24, dtype=np.uint8).reshape(4, 6)
+    assert (_resize_nearest(img, 6, 4) == img).all()      # identity
+    rgb = np.repeat(img[..., None], 3, axis=2)
+    assert _resize_nearest(rgb, 3, 2).shape == (2, 3, 3)
