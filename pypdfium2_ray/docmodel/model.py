@@ -267,6 +267,35 @@ class Document:
     #: '' exactly like a PDF without /PageLabels
     page_labels: list[str] = field(default_factory=list)
 
+    @classmethod
+    def new(cls) -> "Document":
+        """Fresh empty document (``PdfDocument.new()``,
+        document.py:587-595)."""
+        return cls()
+
+    def new_page(self, width: float, height: float,
+                 index: int | None = None) -> Page:
+        """Append (or insert at *index*) a new empty page of the given
+        size (``PdfDocument.new_page``, document.py:420-443): the size is
+        recorded as an explicit media box, so ``get_size``/boxes behave
+        exactly like a parsed page."""
+        page = Page(index=len(self.pages) if index is None else index,
+                    lines=[])
+        page.set_mediabox(0, 0, width, height)
+        if index is None:
+            self.pages.append(page)
+        else:
+            self.pages.insert(index, page)
+            for i, p in enumerate(self.pages):
+                p.index = i
+        return page
+
+    def del_page(self, index: int) -> None:
+        """Remove a page (``PdfDocument.del_page``, document.py:404-412)."""
+        del self.pages[index]
+        for i, p in enumerate(self.pages):
+            p.index = i
+
     @property
     def status(self) -> str:
         return err_to_status(self.err_code)

@@ -208,3 +208,28 @@ def test_round_coords():
     from pypdfium2_ray.functions.units import round_coords
     assert round_coords((1.23456789, 2.0, 3.999999), 4) == (1.2346, 2.0, 4.0)
     assert round_coords((1.5,), 0) == (2.0,)
+
+
+def test_document_new_and_new_page():
+    """Reference tests/test_page.py test_rotation + new-document surface:
+    PdfDocument.new() -> new_page(w, h) -> rotation cycle."""
+    from pypdfium2_ray.docmodel.model import Document
+    pdf = Document.new()
+    assert pdf.ok and len(pdf) == 0
+    page = pdf.new_page(500, 800)
+    assert len(pdf) == 1 and pdf[0] is page
+    assert page.get_size() == (500, 800) == pdf.get_page_size(0)
+    assert page.get_mediabox() == (0, 0, 500, 800)
+    for r in (90, 180, 270, 0):
+        page.set_rotation(r)
+        assert page.get_rotation() == r
+    p2 = pdf.new_page(100, 100, index=0)
+    assert pdf[0] is p2 and pdf[1] is page
+    assert [p.index for p in pdf.pages] == [0, 1]
+    pdf.del_page(0)
+    assert len(pdf) == 1 and pdf[0] is page and page.index == 0
+    # a new document serializes and round-trips like a parsed one
+    from pypdfium2_ray.docmodel.htmldoc import parse_document
+    from pypdfium2_ray.docmodel.serialize import serialize_document
+    rt = parse_document(serialize_document(pdf))
+    assert rt.ok and len(rt) == 1
