@@ -296,6 +296,22 @@ class Document:
         for i, p in enumerate(self.pages):
             p.index = i
 
+    def import_pages(self, src: "Document",
+                     pages: list[int] | None = None,
+                     index: int | None = None) -> None:
+        """Copy pages from *src* (``PdfDocument.import_pages``,
+        document.py:446-467): all pages by default, else the given
+        0-based indices, inserted at *index* (default: append). Pages are
+        deep-copied — the immutable-value docmodel has no cross-document
+        handle ownership to manage."""
+        import copy
+        sel = list(range(len(src.pages))) if pages is None else pages
+        new_pages = [copy.deepcopy(src.pages[i]) for i in sel]
+        at = len(self.pages) if index is None else index
+        self.pages[at:at] = new_pages
+        for i, p in enumerate(self.pages):
+            p.index = i
+
     @property
     def status(self) -> str:
         return err_to_status(self.err_code)

@@ -233,3 +233,44 @@ def test_document_new_and_new_page():
     from pypdfium2_ray.docmodel.serialize import serialize_document
     rt = parse_document(serialize_document(pdf))
     assert rt.ok and len(rt) == 1
+
+
+def test_import_pages_between_documents():
+    """document.py:446-467 import_pages: all / selection / at index."""
+    from pypdfium2_ray.docmodel.htmldoc import extract_document_text
+    src = parse_document(
+        b"<html><body><p>one</p><pb><p>two</p><pb><p>three</p></body></html>")
+    assert len(src) == 3
+    from pypdfium2_ray.docmodel.model import Document
+    dst = Document.new()
+    dst.import_pages(src)
+    assert len(dst) == 3
+    assert extract_document_text(dst) == extract_document_text(src)
+    dst2 = Document.new()
+    dst2.new_page(100, 100)
+    dst2.import_pages(src, pages=[2, 0], index=0)
+    assert [p.lines for p in dst2.pages] == [["three"], ["one"], []]
+    assert [p.index for p in dst2.pages] == [0, 1, 2]
+    # deep copy: mutating the import does not touch the source
+    dst2.pages[0].lines.append("mutated")
+    assert src.pages[2].lines == ["three"]
+
+
+def test_open_with_excessive_password():
+    """Reference test_document.py:133: a password passed for an
+    unencrypted document is ignored, not an error."""
+    doc = parse_document(b"<html><body><p>x</p></body></html>",
+                         password="not needed")
+    assert doc.ok and len(doc) == 1
+
+
+def test_identifier_changes_with_content():
+    """Reference test_saving.py:111 analogue: the permanent identifier
+    tracks content; the changing identifier also tracks metadata."""
+    a = parse_document(b"<html><body><p>x</p></body></html>")
+    b = parse_document(b"<html><body><p>y</p></body></html>")
+    assert a.get_identifier() != b.get_identifier()
+    c = parse_document(
+        b"<html><head><title>T</title></head><body><p>x</p></body></html>")
+    assert a.get_identifier(permanent=True) == c.get_identifier(permanent=True)
+    assert a.get_identifier(permanent=False) != c.get_identifier(permanent=False)
