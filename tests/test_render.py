@@ -255,3 +255,17 @@ def test_render_tuple_fill_reversed_with_rev_byteorder():
                       rev_byteorder=True)
     # the whole buffer (background AND glyphs) must be channel-reversed
     assert (rgb.data[..., ::-1] == bgr.data).all()
+
+
+def test_render_new_empty_page_and_crop():
+    """Reference test_rendering.py render_new analogue: a fresh empty page
+    renders as a blank canvas of its media box size; crop shrinks it."""
+    from pypdfium2_ray.docmodel.model import Document
+    from pypdfium2_ray.docmodel.bitmap import render_page
+    pdf = Document.new()
+    page = pdf.new_page(200, 100)
+    bmp = render_page(page)
+    assert (bmp.width, bmp.height) == (200, 100)
+    assert (bmp.data == 255).all()                    # blank
+    cropped = render_page(page, crop=(10, 5, 30, 15))  # l, b, r, t
+    assert (cropped.width, cropped.height) == (160, 80)
