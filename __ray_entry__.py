@@ -207,17 +207,12 @@ def q_quality_filter(sf_dir: str):
     filter (stages/textstats.quality_filter): token-count + mean-token-
     length bounds + english-stopword floor. Emits the surviving doc ids
     with their counters."""
-    from pypdfium2_ray.functions.text import token_count
     from pypdfium2_ray.stages.textstats import quality_filter
     ds = _docs(sf_dir, ["doc_id", "text"])
     kept = quality_filter(ds, min_tokens=50, max_tokens=100_000,
                           min_mean_token_chars=3.0, max_mean_token_chars=9.0,
-                          min_stopword_frac=0.01)
-
-    def proj(t: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": t["doc_id"],
-                         "n_tokens": token_count(t["text"])})
-    return kept.map_batches(proj, batch_format="pyarrow")
+                          min_stopword_frac=0.01, emit_counters=True)
+    return kept.select_columns(["doc_id", "n_tokens"])
 
 
 def q_hash_sample(sf_dir: str):
@@ -797,10 +792,15 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": """
             SELECT doc_id, n_chars FROM documents
             WHERE md5_number_upper(doc_id::VARCHAR) % 10 = 3""",
+        # the oracle applies the SAME host regex to the SAME synthesized
+        # url, so a source containing '/' (or failing the regex) diverges
+        # identically on both sides instead of silently only in the engine
         "domain_stats": """
-            SELECT source AS host, count(*) AS n_docs,
+            SELECT regexp_extract('doc://' || source || '/' || doc_id,
+                                  '^doc://([^/]+)/', 1) AS host,
+                   count(*) AS n_docs,
                    CAST(sum(length(text)) AS BIGINT) AS sum_chars
-            FROM documents GROUP BY source""",
+            FROM documents GROUP BY 1""",
         "doc_stats": """
             SELECT lang, count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars,

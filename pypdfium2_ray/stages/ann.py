@@ -211,6 +211,7 @@ def embedding_lsh_dup_pairs(ds, dim: int, tau: float = 0.9, n_bits: int = 32,
                             id_col: str = "vec_id", vec_col: str = "embedding",
                             round_digits: int | None = 4,
                             scale: int | None = None,
+                            max_bucket: int = 500,
                             num_partitions: int | None = None,
                             concurrency=None, **mb_kwargs):
     """Scale path: LSH-bucketed near-dup pairs. Only bucket-mates are
@@ -247,11 +248,44 @@ def embedding_lsh_dup_pairs(ds, dim: int, tau: float = 0.9, n_bits: int = 32,
 
     candidates = partition_map(
         band_rows, ["band", "band_key"],
-        lambda t: _bucket_pairs_partition(t.to_pandas(), "vec_id", 500),
+        lambda t: _bucket_pairs_partition(t.to_pandas(), "vec_id",
+                                          max_bucket),
         num_partitions=num_partitions)
+    return _verify_candidate_pairs(candidates, ds, tau=tau, id_col=id_col,
+                                   vec_col=vec_col,
+                                   round_digits=round_digits, scale=scale,
+                                   num_partitions=num_partitions)
 
-    # pair-distinct fused into the first join's exchange (pairs sharing
-    # id_a co-partition) — one exchange saved
+
+def _scale_sim(out, scale: int | None, round_digits: int | None):
+    """Shared sim-column finalization: scaled BIGINT (hash-robust) or
+    rounded double."""
+    import pyarrow.compute as pc
+    if scale is not None:
+        def to_scaled(t: pa.Table) -> pa.Table:
+            centi = pc.cast(pc.round(pc.multiply(t["sim"], float(scale))),
+                            pa.int64())
+            return t.drop_columns(["sim"]).append_column("sim_centi", centi)
+        return out.map_batches(to_scaled, batch_format="pyarrow")
+    if round_digits is not None:
+        return out.map_batches(
+            lambda t: t.set_column(t.schema.get_field_index("sim"), "sim",
+                                   pc.round(t["sim"], ndigits=round_digits)),
+            batch_format="pyarrow")
+    return out
+
+
+def _verify_candidate_pairs(candidates, ds, tau: float, id_col: str,
+                            vec_col: str, round_digits: int | None,
+                            scale: int | None,
+                            num_partitions: int | None):
+    """Shared verify tail of the LSH and IVF dedup tiers: candidate
+    (id_a, id_b) rows -> two repartition joins back to the corpus (the
+    pair-distinct fused into the first join's exchange — pairs sharing
+    id_a co-partition) -> one vectorized row-wise cosine kernel -> sim
+    finalization."""
+    from pypdfium2_ray.stages.exchange import lookup_join
+    import pyarrow.compute as pc
     vec_type = pa.list_(pa.float32())
     pair_cols = {"id_a": pa.int64(), "id_b": pa.int64()}
     j = lookup_join(candidates, pair_cols, ds, source_key=id_col,
@@ -281,19 +315,8 @@ def embedding_lsh_dup_pairs(ds, dim: int, tau: float = 0.9, n_bits: int = 32,
             "sim": pa.array(sims[keep], pa.float64()),
         })
 
-    out = j.map_batches(verify, batch_format="pyarrow")
-    if scale is not None:
-        def to_scaled(t: pa.Table) -> pa.Table:
-            centi = pc.cast(pc.round(pc.multiply(t["sim"], float(scale))),
-                            pa.int64())
-            return t.drop_columns(["sim"]).append_column("sim_centi", centi)
-        out = out.map_batches(to_scaled, batch_format="pyarrow")
-    elif round_digits is not None:
-        out = out.map_batches(
-            lambda t: t.set_column(t.schema.get_field_index("sim"), "sim",
-                                   pc.round(t["sim"], ndigits=round_digits)),
-            batch_format="pyarrow")
-    return out
+    return _scale_sim(j.map_batches(verify, batch_format="pyarrow"),
+                      scale, round_digits)
 
 
 def ivf_dup_pairs(ds, train: pa.Table, tau: float = 0.9,
@@ -315,11 +338,17 @@ def ivf_dup_pairs(ds, train: pa.Table, tau: float = 0.9,
     tune ``n_centroids ~ sqrt(n)`` upward with corpus size. Recall is high
     but not structural; like the LSH tier, configs are validated against
     the exact oracle on the target corpus (recall 1.0 at the driver gate).
+
+    NO SILENT CAP EXCEPTIONS: ``max_bucket`` truncates a cell's candidate
+    enumeration at that many members (sorted by id) to bound quadratic
+    blowup on skewed cells — pairs involving dropped members are LOST.
+    Multi-probe inflates cell membership ~``n_assign``x, so size
+    ``max_bucket`` >= n_assign * n / n_centroids for the corpus at hand
+    (the default 2000 covers the bench fixtures with slack).
     """
     from pypdfium2_ray.stages.dedup import _bucket_pairs_partition
-    from pypdfium2_ray.stages.exchange import lookup_join, partition_map
+    from pypdfium2_ray.stages.exchange import partition_map
     from pypdfium2_ray.stages.warm import warm_task
-    import pyarrow.compute as pc
 
     C = train_centroids(train, n_centroids, seed=seed, vec_col=vec_col)
 
@@ -335,6 +364,10 @@ def ivf_dup_pairs(ds, train: pa.Table, tau: float = 0.9,
             self.n_assign = n_assign
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:    # stack_embeddings infers d=0 -> matmul error
+                return pa.table({"band": pa.array([], pa.int64()),
+                                 "band_key": pa.array([], pa.int64()),
+                                 "vec_id": pa.array([], pa.int64())})
             ids = batch[id_col].to_numpy().astype(np.int64)
             Xn = _normalize(stack_embeddings(batch[vec_col]))
             sims = Xn @ self.C.T                         # (n, k)
@@ -358,49 +391,10 @@ def ivf_dup_pairs(ds, train: pa.Table, tau: float = 0.9,
         lambda t: _bucket_pairs_partition(t.to_pandas(), "vec_id",
                                           max_bucket),
         num_partitions=num_partitions)
-
-    vec_type = pa.list_(pa.float32())
-    pair_cols = {"id_a": pa.int64(), "id_b": pa.int64()}
-    j = lookup_join(candidates, pair_cols, ds, source_key=id_col,
-                    key_col="id_a",
-                    payload_cols={"__vec_a": vec_type},
-                    source_payload={"__vec_a": vec_col},
-                    distinct_target_on=["id_a", "id_b"],
-                    num_partitions=num_partitions)
-    j = lookup_join(j, {**pair_cols, "__vec_a": vec_type}, ds,
-                    source_key=id_col, key_col="id_b",
-                    payload_cols={"__vec_b": vec_type},
-                    source_payload={"__vec_b": vec_col},
-                    num_partitions=num_partitions)
-
-    def verify(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64()),
-                             "sim": pa.array([], pa.float64())})
-        A = _normalize(stack_embeddings(t["__vec_a"]))
-        B = _normalize(stack_embeddings(t["__vec_b"]))
-        sims = np.einsum("ij,ij->i", A, B)
-        keep = sims >= tau
-        return pa.table({
-            "id_a": pc.cast(t["id_a"], pa.int64()).filter(pa.array(keep)),
-            "id_b": pc.cast(t["id_b"], pa.int64()).filter(pa.array(keep)),
-            "sim": pa.array(sims[keep], pa.float64()),
-        })
-
-    out = j.map_batches(verify, batch_format="pyarrow")
-    if scale is not None:
-        def to_scaled(t: pa.Table) -> pa.Table:
-            centi = pc.cast(pc.round(pc.multiply(t["sim"], float(scale))),
-                            pa.int64())
-            return t.drop_columns(["sim"]).append_column("sim_centi", centi)
-        out = out.map_batches(to_scaled, batch_format="pyarrow")
-    elif round_digits is not None:
-        out = out.map_batches(
-            lambda t: t.set_column(t.schema.get_field_index("sim"), "sim",
-                                   pc.round(t["sim"], ndigits=round_digits)),
-            batch_format="pyarrow")
-    return out
+    return _verify_candidate_pairs(candidates, ds, tau=tau, id_col=id_col,
+                                   vec_col=vec_col,
+                                   round_digits=round_digits, scale=scale,
+                                   num_partitions=num_partitions)
 
 
 # ---------------------------------------------------------------------------

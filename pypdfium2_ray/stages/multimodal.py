@@ -181,8 +181,10 @@ class ResizeImage:
                 rows.append(dict(id=i, status="decode-error",
                                  width=0, height=0, data=p))
                 continue
-            w = self.width or max(1, int(img.shape[1] * self.scale))
-            h = self.height or max(1, int(img.shape[0] * self.scale))
+            w = (self.width if self.width is not None
+                 else max(1, int(img.shape[1] * self.scale)))
+            h = (self.height if self.height is not None
+                 else max(1, int(img.shape[0] * self.scale)))
             out = _resize_nearest(img, w, h)
             rows.append(dict(id=i, status="ok", width=w, height=h,
                              data=encode_png(out)))

@@ -49,7 +49,8 @@ def quality_filter(ds, col: str = "text", min_tokens: int = 10,
                    max_tokens: int | None = None,
                    min_mean_token_chars: float | None = 2.0,
                    max_mean_token_chars: float | None = 12.0,
-                   min_stopword_frac: float | None = None):
+                   min_stopword_frac: float | None = None,
+                   emit_counters: bool = False):
     """Heuristic quality gate — the Gopher/C4-style rule family as one
     vectorized streaming filter (no shuffle): token-count bounds, mean
     token length bounds, optional english-stopword fraction floor. All
@@ -60,6 +61,10 @@ def quality_filter(ds, col: str = "text", min_tokens: int = 10,
     a bound ``mean >= m`` is evaluated as ``nonws_chars >= m * n_tokens``
     with the float product on both sides (engine and oracle compute the
     identical IEEE expression).
+
+    ``emit_counters`` appends the already-computed ``n_tokens`` column to
+    the survivors — downstream consumers then need no second regex scan
+    over the text (the scan is this op's dominant cost).
     """
     import pyarrow.compute as pc
 
@@ -82,6 +87,8 @@ def quality_filter(ds, col: str = "text", min_tokens: int = 10,
             stops = pc.cast(lang_scores(t[col])["en"], pa.float64())
             keep = pc.and_(keep, pc.greater_equal(
                 stops, pc.multiply(toks, float(min_stopword_frac))))
+        if emit_counters:
+            t = t.append_column("n_tokens", pc.cast(toks, pa.int64()))
         return t.filter(keep)
 
     return ds.map_batches(f, batch_format="pyarrow")
