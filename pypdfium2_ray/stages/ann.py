@@ -1,17 +1,20 @@
-"""Similarity search over an embedding column (``list<float>``).
-
-Two tiers (SURVEY-mandated training-data ops):
+"""Similarity search + embedding dedup over an embedding column
+(``list<float>``) — the SURVEY-mandated training-data ops:
 
 - :func:`ann_topk` — brute-force cosine top-k: the query matrix is broadcast
   (``ray.put`` once, fetched once per actor), each block does ONE numpy
   matmul and emits only its per-query partial top-k, so the final combine
   shuffles ``n_blocks x n_queries x k`` tiny rows, never the embeddings.
+- :func:`ivf_topk` — the coarse-quantizer (IVF) approximate top-k scale
+  path: broadcast centroids, probe-restricted scoring.
 - :func:`embedding_dup_pairs` — near-duplicate pairs by cosine >= tau against
-  a broadcast corpus matrix (exact; the small-side-broadcast scale path).
-- :func:`embedding_lsh_dup_pairs` — random-hyperplane LSH bucketing variant:
-  signature bands -> ``groupby(band)`` -> in-bucket exact verify. The
-  all-pairs work never materializes; only bucket-mates are compared. This is
-  the 100 TB path (the broadcast variant needs the corpus in worker heap).
+  a broadcast corpus matrix (exact; right up to worker-heap corpus sizes,
+  and the recommended tier for LOW thresholds where bucketing degenerates).
+- :func:`embedding_lsh_dup_pairs` — random-hyperplane LSH bucketing tier
+  for HIGH-threshold near-dup at beyond-heap scale: ids-only band shuffle,
+  bucket-local candidate pairs, vectors resolved via repartition joins.
+- :func:`ivf_dup_pairs` — cluster-locality (multi-probe IVF cell) tier for
+  moderate thresholds; shares the LSH tier's candidate-verify machinery.
 
 Embedding decode is zero-copy: the Arrow list array's flat values buffer is
 reshaped ``(n, d)`` without copying.
