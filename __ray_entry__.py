@@ -467,6 +467,49 @@ def q_events_hourly(sf_dir: str):
     return _cast_i64(_scale_cols(out, {"sum_value_e4": 10_000}), ["n_events"])
 
 
+def q_events_median(sf_dir: str):
+    """Exact per-type median event value (stages/agg.grouped_median — the
+    non-associative aggregate: one hash exchange, vectorized pandas median
+    per partition)."""
+    import ray.data as rd
+    from pypdfium2_ray.pipelines.relational import _scale_cols
+    from pypdfium2_ray.stages.agg import grouped_median
+    ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["event_type", "value"])
+    with _hint(sf_dir, "events"):
+        out = grouped_median(ds, ["event_type"], "value",
+                             out="median_value_e4")
+    return _cast_i64(_scale_cols(out, {"median_value_e4": 10_000}), [])
+
+
+def q_session_stats(sf_dir: str):
+    """Per-session aggregates: sessionize (gap 30 min) then group by
+    (user, session) — event count and session span in seconds. The classic
+    session-window aggregate, composed from the session-id op + the
+    partial/combine aggregation."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import grouped_aggregate
+    from pypdfium2_ray.stages.sessionize import sessionize
+    ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+    with _hint(sf_dir, "events"):
+        s = sessionize(ds, key="user_id", ts_col="ts", gap_s=1800)
+        out = grouped_aggregate(s, ["user_id", "session_id"], {
+            "n_events": (None, "count"),
+            "t_min": ("ts", "min"),
+            "t_max": ("ts", "max")})
+
+    def span(t: pa.Table) -> pa.Table:
+        dur = pc.divide(pc.cast(pc.subtract(
+            pc.cast(t["t_max"], pa.int64()),
+            pc.cast(t["t_min"], pa.int64())), pa.int64()), 1_000_000)
+        return pa.table({"user_id": t["user_id"],
+                         "session_id": t["session_id"],
+                         "n_events": pc.cast(t["n_events"], pa.int64()),
+                         "span_s": pc.cast(dur, pa.int64())})
+    return out.map_batches(span, batch_format="pyarrow")
+
+
 #: value buckets for the range-join query: [lo, hi) -> bucket id.
 #: SQL VALUES and the broadcast interval table are generated from THIS list
 #: so the two sides cannot drift.
@@ -696,6 +739,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_region": q_orders_by_region,
         "top_orders": q_top_orders,
         "events_rollup": q_events_rollup,
+        "events_median": q_events_median,
+        "session_stats": q_session_stats,
         "events_hourly": q_events_hourly,
         "events_hourly_sliding": q_events_hourly_sliding,
         "events_value_bucket": q_events_value_bucket,
@@ -915,6 +960,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(avg(value) * 1000000) AS BIGINT) AS avg_value_micro,
                    CAST(round(max(value) * 10000) AS BIGINT) AS max_value_e4
             FROM events GROUP BY event_type""",
+        "events_median": """
+            SELECT event_type,
+                   CAST(round(median(value) * 10000) AS BIGINT)
+                     AS median_value_e4
+            FROM events GROUP BY event_type""",
+        "session_stats": """
+            WITH d AS (
+              SELECT event_id, user_id, ts,
+                     CASE WHEN ts - lag(ts) OVER w > INTERVAL 1800 SECONDS
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            s AS (
+              SELECT user_id, ts,
+                     CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING)
+                          AS BIGINT) AS session_id
+              FROM d)
+            SELECT user_id, session_id,
+                   count(*) AS n_events,
+                   CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000
+                        AS BIGINT) AS span_s
+            FROM s GROUP BY user_id, session_id""",
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n_events,

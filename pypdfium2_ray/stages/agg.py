@@ -91,3 +91,27 @@ def grouped_aggregate(ds, keys: list[str], specs: dict[str, tuple[str | None, st
 
     return partition_map(partials, keys, combine,
                          num_partitions=num_partitions)
+
+
+def grouped_median(ds, keys: list[str], col: str, out: str = "median",
+                   num_partitions: int | None = None):
+    """Exact per-group median — a NON-associative aggregate, so no
+    partial/combine split exists: every group's rows must colocate. One
+    hash exchange (``partition_map``) then a single pandas
+    ``groupby().median()`` per partition (Cython-vectorized, not a Python
+    call per group). Even-sized groups average the middle two values,
+    matching SQL ``median()`` over numerics.
+
+    Scale note: this moves the full (keys, col) projection through the
+    exchange — select those columns upstream; for sketch-based quantiles
+    at whole-corpus scale, a t-digest partial would go in
+    :func:`grouped_aggregate` instead."""
+    import pandas as pd
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, dropna=False)[col].median().reset_index()
+        return g.rename(columns={col: out})
+
+    proj = ds.select_columns(keys + [col])
+    return partition_map(proj, keys, kernel, batch_format="pandas",
+                         num_partitions=num_partitions)

@@ -110,3 +110,23 @@ def test_warm_task_cache_bounded_and_reused():
         warm.warm_task(Counting, tag=f"t{i}")(None)
     assert len(warm._INSTANCES) <= 16
     warm._INSTANCES.clear()
+
+
+def test_grouped_median_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import grouped_median
+    rng = np.random.RandomState(17)
+    t = pa.table({
+        "k": pa.array(rng.randint(0, 13, size=500), pa.int64()),
+        "v": pa.array(rng.rand(500) * 100),
+    })
+    out = grouped_median(rd.from_arrow(t).repartition(5), ["k"], "v",
+                         num_partitions=4).to_pandas()
+    exp = (t.to_pandas().groupby("k")["v"].median()
+            .reset_index().rename(columns={"v": "median"}))
+    got = out.sort_values("k").reset_index(drop=True)
+    exp = exp.sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
