@@ -67,20 +67,39 @@ class CheckpointManifest:
             return [json.loads(ln) for ln in f if ln.strip()]
 
 
-def shard_inputs(input_dir: str, pattern: str = ".parquet") -> list[tuple[str, str]]:
-    """(shard_name, path) per input fragment, deterministic order."""
-    out = []
+def shard_inputs(input_dir: str, pattern: str = ".parquet",
+                 group_size: int = 1) -> list[tuple[str, str | list[str]]]:
+    """(shard_name, path_or_paths) per input fragment, deterministic order.
+
+    ``group_size`` > 1 buckets that many files into ONE shard (the value
+    becomes a list of paths — ``read_parquet`` accepts it directly): the
+    checkpoint/restart unit should hold enough data to amortize per-shard
+    pipeline startup and parallelize internally. Tiny per-file shards are
+    overhead-dominated (measured ~50x slower than the streaming pipeline
+    on 1250-row files); size shards to minutes of work, not seconds.
+    """
+    files = []
     for name in sorted(os.listdir(input_dir)):
         if name.endswith(pattern):
-            out.append((os.path.splitext(name)[0], os.path.join(input_dir, name)))
+            files.append((os.path.splitext(name)[0],
+                          os.path.join(input_dir, name)))
+    if group_size <= 1:
+        return files
+    out: list[tuple[str, str | list[str]]] = []
+    for i in range(0, len(files), group_size):
+        chunk = files[i:i + group_size]
+        out.append((f"{chunk[0][0]}__x{len(chunk)}",
+                    [p for _, p in chunk]))
     return out
 
 
-def _parquet_meta(path_or_dir: str) -> tuple[int, int]:
+def _parquet_meta(path_or_dir: str | list[str]) -> tuple[int, int]:
     """(rows, byte_size) from parquet footers only — no data scan."""
     import pyarrow.parquet as pq
-    paths = []
-    if os.path.isdir(path_or_dir):
+    if isinstance(path_or_dir, (list, tuple)):
+        paths = list(path_or_dir)
+    elif os.path.isdir(path_or_dir):
+        paths = []
         for root, _dirs, files in os.walk(path_or_dir):
             paths += [os.path.join(root, f) for f in files if f.endswith(".parquet")]
     else:
