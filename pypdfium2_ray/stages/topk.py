@@ -32,10 +32,8 @@ def topk(ds, cols: list[str], k: int, descending: list[bool] | bool = True):
         return df.sort_values(cols, ascending=ascending,
                               kind="mergesort").head(k)
 
-    # the union of partials is <= k * n_blocks rows — tiny; a single-group
-    # map_groups performs the final selection on one worker
-    return partials.map_batches(
-        lambda t: t.append_column("__g", pa.array([0] * t.num_rows, pa.int8())),
-        batch_format="pyarrow",
-    ).groupby("__g").map_groups(
-        lambda g: final(g.drop(columns="__g")), batch_format="pandas")
+    # the union of partials is <= k * n_blocks rows — tiny; collapse it to
+    # ONE block and run the final selection as a single vectorized
+    # whole-block call (no groupby machinery for a one-group combine)
+    return partials.repartition(1).map_batches(
+        final, batch_size=None, batch_format="pandas")
