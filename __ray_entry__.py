@@ -717,27 +717,32 @@ _ANN_TOPK_SQL = f"""
 
 
 def q_image_resize(sf_dir: str):
-    """REAL resize end-to-end: synthesize a PNG per document, resize to
-    half (from-scratch decode -> vectorized nearest-neighbor -> re-encode),
-    then header-parse the RESIZED payload back; oracle recomputes the
-    halved dims from the text."""
+    """REAL resize end-to-end over a MIXED-format corpus: even doc_ids get
+    a PNG, odd ones an uncompressed BMP (both from-scratch encoders);
+    resize to half (decode -> vectorized nearest-neighbor -> re-encode in
+    the same format), then header-parse the RESIZED payload back; the
+    oracle recomputes halved dims and the doc_id-parity format."""
     import numpy as np
+    from pypdfium2_ray.functions.bmp import encode_bmp
     from pypdfium2_ray.functions.png import encode_png
     from pypdfium2_ray.functions.text import token_count
     from pypdfium2_ray.stages.multimodal import decode_images, resize_images
 
-    def to_png(t: pa.Table) -> pa.Table:
+    def to_img(t: pa.Table) -> pa.Table:
         toks = token_count(t["text"]).to_pylist()
         payloads = []
-        for txt, ntok in zip(t["text"].to_pylist(), toks):
+        for did, txt, ntok in zip(t["doc_id"].to_pylist(),
+                                  t["text"].to_pylist(), toks):
             w = 2 + len(txt or "") % 64
             h = 2 + int(ntok) % 64
-            payloads.append(encode_png(np.zeros((h, w), dtype=np.uint8)))
+            img = np.zeros((h, w), dtype=np.uint8)
+            payloads.append(encode_png(img) if did % 2 == 0
+                            else encode_bmp(img))
         return pa.table({"id": t["doc_id"],
                          "data": pa.array(payloads, pa.binary())})
 
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        to_png, batch_format="pyarrow")
+        to_img, batch_format="pyarrow")
     resized = resize_images(ds, scale=0.5)
     out = decode_images(resized.select_columns(["id", "data"]),
                         mode="headers")
@@ -805,34 +810,49 @@ def oracle_sql() -> dict[str, str]:
         sql_token_count,
     )
     from pypdfium2_ray.sources.cc_from_documents import (
-        sql_extracted_text, sql_n_chars)
+        sql_extracted_text, sql_n_chars, sql_is_bad, sql_is_enc)
 
     en_stop = "\\b(" + "|".join(LANG_STOPWORDS["en"]) + ")\\b"
     ext = sql_extracted_text("text")
     n_chars_sql = sql_n_chars("text")
+    # deterministic error slice of the synthesized crawl (cc_from_documents
+    # ERR_MOD family): pure doc_id arithmetic, so the oracle expresses the
+    # per-row (status, err_code, empty-output) discipline exactly —
+    # err_code values are the PDFium constants (FORMAT=3, PASSWORD=4)
+    bad, enc = sql_is_bad(), sql_is_enc()
+    is_err = f"({bad} OR {enc})"
+    status_sql = (f"CASE WHEN {bad} THEN 'format_error' "
+                  f"WHEN {enc} THEN 'password_error' ELSE 'ok' END")
+    errc_sql = (f"(CASE WHEN {bad} THEN 3 WHEN {enc} THEN 4 "
+                f"ELSE 0 END)::BIGINT")
+    ext_err = f"CASE WHEN {is_err} THEN '' ELSE {ext} END"
+    npages_sql = f"(CASE WHEN {is_err} THEN 0 ELSE 2 END)::BIGINT"
+    nchars_err = (f"(CASE WHEN {is_err} THEN 0 "
+                  f"ELSE {n_chars_sql} END)::BIGINT")
 
     return {
         "extract_text": f"""
             SELECT 'doc://' || source || '/' || doc_id AS url,
                    lang,
-                   'ok' AS status,
-                   0::BIGINT AS err_code,
-                   2::BIGINT AS n_pages,
-                   {n_chars_sql}::BIGINT AS n_chars,
-                   {ext} AS extracted_text
+                   {status_sql} AS status,
+                   {errc_sql} AS err_code,
+                   {npages_sql} AS n_pages,
+                   {nchars_err} AS n_chars,
+                   {ext_err} AS extracted_text
             FROM documents""",
         "extract_bounded": f"""
             SELECT 'doc://' || source || '/' || doc_id AS url,
-                   {ext} AS extracted_text
+                   {ext_err} AS extracted_text
             FROM documents""",
         # the synthesized corpus: h1/h2 outline => tagged + use_outlines
         # (PAGEMODE_USEOUTLINES = 1, the PDFium constant), forms
-        # stripped-absent => formtype none (0)
-        "doc_flags": """
+        # stripped-absent => formtype none (0); error rows carry the
+        # error-document defaults (untagged, no pagemode)
+        "doc_flags": f"""
             SELECT 'doc://' || source || '/' || doc_id AS url,
-                   true AS is_tagged,
+                   NOT {is_err} AS is_tagged,
                    0::BIGINT AS formtype,
-                   1::BIGINT AS pagemode
+                   (CASE WHEN {is_err} THEN 0 ELSE 1 END)::BIGINT AS pagemode
             FROM documents""",
         "token_stats": f"""
             SELECT doc_id,
@@ -855,10 +875,11 @@ def oracle_sql() -> dict[str, str]:
                      AS n_word_matches
             FROM documents""",
         "extract_status_rollup": f"""
-            SELECT 'ok' AS status, 0::BIGINT AS err_code,
+            SELECT {status_sql} AS status, {errc_sql} AS err_code,
                    count(*) AS n_docs,
-                   sum({n_chars_sql})::BIGINT AS sum_chars
-            FROM documents""",
+                   sum(CASE WHEN {is_err} THEN 0 ELSE {n_chars_sql} END)
+                     ::BIGINT AS sum_chars
+            FROM documents GROUP BY 1, 2""",
         "text_slice": """
             SELECT doc_id, substr(text, 11, 50) AS slice_text FROM documents""",
         "bpe_tokens": f"""
@@ -1081,10 +1102,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 + length(text) % 64 AS BIGINT) AS width,
                    CAST(1 + {sql_token_count('text')} % 64 AS BIGINT) AS height
             FROM documents""",
-        # dims of a (2+len%64) x (2+tokens%64) PNG after scale-0.5
-        # nearest-neighbor resize: floor halves (source dims >= 2)
+        # dims of a (2+len%64) x (2+tokens%64) image after scale-0.5
+        # nearest-neighbor resize: floor halves (source dims >= 2);
+        # format alternates by doc_id parity (even=png, odd=bmp) — the
+        # resized payload must round-trip in its ORIGINAL format
         "image_resize": f"""
-            SELECT doc_id AS id, 'ok' AS status, 'png' AS format,
+            SELECT doc_id AS id, 'ok' AS status,
+                   CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END
+                     AS format,
                    CAST((2 + length(text) % 64) // 2 AS BIGINT) AS width,
                    CAST((2 + {sql_token_count('text')} % 64) // 2 AS BIGINT)
                      AS height

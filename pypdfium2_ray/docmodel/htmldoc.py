@@ -74,11 +74,20 @@ def _enc_keystream(salt: str, password: str, n: int) -> bytes:
     return (key * reps)[:n]
 
 
+def _xor_bytes(data: bytes, keystream: bytes) -> bytes:
+    """Vectorized XOR (numpy) — the per-byte genexpr is O(n) interpreter
+    work, untenable when a deterministic fraction of a crawl corpus is
+    encrypted."""
+    import numpy as np
+    a = np.frombuffer(data, np.uint8)
+    b = np.frombuffer(keystream, np.uint8)
+    return (a ^ b).tobytes()
+
+
 def encrypt_payload(html: bytes, password: str, salt: str = "0f0f0f0f") -> bytes:
     """Produce an 'encrypted' payload per the docmodel convention."""
     header = f"<!--ENCRYPTED:{salt}:{_enc_digest(salt, password)}-->".encode()
-    body = bytes(a ^ b for a, b in zip(html, _enc_keystream(salt, password, len(html))))
-    return header + body
+    return header + _xor_bytes(html, _enc_keystream(salt, password, len(html)))
 
 
 def _parse_data_uri(href: str) -> tuple[str, bytes]:
@@ -581,7 +590,7 @@ def parse_document(data: bytes, password: str | None = None,
         if password is None or _enc_digest(salt, password) != digest:
             return Document(err_code=ERR_PASSWORD)
         body = data[m.end():]
-        data = bytes(a ^ b for a, b in zip(body, _enc_keystream(salt, password, len(body))))
+        data = _xor_bytes(body, _enc_keystream(salt, password, len(body)))
 
     if b"\x00" in data:
         return Document(err_code=ERR_FORMAT)

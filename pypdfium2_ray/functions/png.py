@@ -68,10 +68,13 @@ def _iter_chunks(data: bytes):
 
 
 def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
-    p = a.astype(np.int16) + b - c
+    """Paeth predictor over int16 arrays (any shape); returns int16."""
+    a = a.astype(np.int16, copy=False)
+    b = b.astype(np.int16, copy=False)
+    c = c.astype(np.int16, copy=False)
+    p = a + b - c
     pa_, pb, pc_ = np.abs(p - a), np.abs(p - b), np.abs(p - c)
-    out = np.where((pa_ <= pb) & (pa_ <= pc_), a, np.where(pb <= pc_, b, c))
-    return out.astype(np.uint8)
+    return np.where((pa_ <= pb) & (pa_ <= pc_), a, np.where(pb <= pc_, b, c))
 
 
 def decode_png(data: bytes) -> np.ndarray:
@@ -110,26 +113,44 @@ def decode_png(data: bytes) -> np.ndarray:
     filters = rows[:, 0]
     img = np.zeros((h, stride), dtype=np.uint8)
     bpp = channels
+    # All filter math is explicit-modulo-256 (widen, mask, narrow) — PNG's
+    # defined wraparound, with no reliance on numpy overflow behavior.
+    # Sub is a per-lane cumulative sum (fully vectorized); Average/Paeth
+    # have a true sequential dependency along x, so the loop runs per
+    # PIXEL with all bpp lanes vectorized — O(w) python steps per
+    # scanline, not O(w*bpp) per byte.
     for y in range(h):
-        line = rows[y, 1:].copy()
+        line = rows[y, 1:]
         f = filters[y]
         prev = img[y - 1] if y else np.zeros(stride, np.uint8)
         if f == 0:
             img[y] = line
         elif f == 2:                                   # Up
-            img[y] = line + prev
-        elif f in (1, 3, 4):                           # Sub/Average/Paeth
-            cur = img[y]
-            for x in range(stride):
-                left = cur[x - bpp] if x >= bpp else 0
-                if f == 1:
-                    cur[x] = line[x] + left
-                elif f == 3:
-                    cur[x] = line[x] + ((int(left) + int(prev[x])) >> 1)
-                else:
-                    ul = prev[x - bpp] if x >= bpp else 0
-                    cur[x] = line[x] + _paeth(
-                        np.uint8(left), prev[x], np.uint8(ul))
+            img[y] = ((line.astype(np.uint16) + prev) & 0xFF).astype(np.uint8)
+        elif f == 1:                                   # Sub: lane cumsum
+            lanes = line.reshape(w, bpp)
+            img[y] = (np.cumsum(lanes, axis=0, dtype=np.uint64) & 0xFF
+                      ).astype(np.uint8).reshape(stride)
+        elif f == 3:                                   # Average
+            lanes = line.reshape(w, bpp).astype(np.uint16)
+            pl = prev.reshape(w, bpp).astype(np.uint16)
+            out_px = np.empty((w, bpp), np.uint8)
+            left = np.zeros(bpp, np.uint16)
+            for x in range(w):
+                left = (lanes[x] + ((left + pl[x]) >> 1)) & 0xFF
+                out_px[x] = left
+            img[y] = out_px.reshape(stride)
+        elif f == 4:                                   # Paeth
+            lanes = line.reshape(w, bpp).astype(np.int16)
+            pl = prev.reshape(w, bpp).astype(np.int16)
+            out_px = np.empty((w, bpp), np.uint8)
+            left = np.zeros(bpp, np.int16)
+            ul = np.zeros(bpp, np.int16)
+            for x in range(w):
+                left = (lanes[x] + _paeth(left, pl[x], ul)) & 0xFF
+                out_px[x] = left
+                ul = pl[x]
+            img[y] = out_px.reshape(stride)
         else:
             raise ValueError(f"bad filter {f}")
     out = img.reshape(h, w, channels)

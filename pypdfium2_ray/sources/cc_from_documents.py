@@ -28,6 +28,28 @@ import pyarrow.compute as pc
 
 _BASE_EPOCH_S = 1_767_225_600  # 2026-01-01T00:00:00Z
 
+# --- deterministic error injection (SQL-composable from doc_id) -----------
+# A real crawl carries malformed and access-protected payloads; the
+# reference types these failures per document (document.py:583-585 +
+# internal/consts.py:130-138). A deterministic ~2% of rows exercise the
+# error-row discipline end-to-end: the predicates below are pure doc_id
+# arithmetic, so the DuckDB oracle expresses the expected (status,
+# err_code, empty-output) rows exactly.
+ERR_MOD = 101
+BAD_REM = 7          # doc_id % ERR_MOD == 7  -> malformed  (format_error)
+ENC_REM = 13         # doc_id % ERR_MOD == 13 -> encrypted  (password_error)
+ENC_PASSWORD = "graft-pw"   # decrypts the encrypted rows in tests
+#: malformed payload: a null byte fails the binary sniff immediately
+_MALFORMED = b"\x00\xde\xad: not html \xff\xfe truncated-warc-record"
+
+
+def sql_is_bad(id_col: str = "doc_id") -> str:
+    return f"({id_col} % {ERR_MOD} = {BAD_REM})"
+
+
+def sql_is_enc(id_col: str = "doc_id") -> str:
+    return f"({id_col} % {ERR_MOD} = {ENC_REM})"
+
 #: fixed boilerplate the parser must strip (nav/header before main,
 #: footer after) — deliberately containing link text and punctuation
 _BOILER_TOP = ('<nav><a href="/">Home</a> <a href="/about">About</a></nav>'
@@ -35,8 +57,37 @@ _BOILER_TOP = ('<nav><a href="/">Home</a> <a href="/about">About</a></nav>'
 _BOILER_BOTTOM = "<footer>(c) example.org — generated page</footer>"
 
 
-def documents_to_cc(batch: pa.Table) -> pa.Table:
-    """Vectorized ``documents`` row -> ``cc_pages`` row."""
+def _inject_errors(html: pa.Array, doc_id: pa.Array) -> pa.Array:
+    """Replace the deterministic error slice of ``html``: BAD rows get a
+    fixed malformed payload (vectorized ``if_else``); ENC rows get a real
+    :func:`~pypdfium2_ray.docmodel.htmldoc.encrypt_payload` envelope (the
+    per-row encryption touches ONLY the ~1% selected rows — the ok path
+    stays fully vectorized)."""
+    import numpy as np
+    from pypdfium2_ray.docmodel.htmldoc import encrypt_payload
+    did = pc.cast(doc_id, pa.int64())
+    rem = pc.subtract(did, pc.multiply(
+        pc.divide(did, ERR_MOD), ERR_MOD))        # pyarrow 16: no pc.modulo
+    bad = pc.equal(rem, BAD_REM)
+    enc = pc.equal(rem, ENC_REM)
+    if isinstance(enc, pa.ChunkedArray):     # replace_with_mask wants Arrays
+        enc = enc.combine_chunks()
+    html = pc.if_else(bad, pa.scalar(_MALFORMED, pa.binary()), html)
+    if isinstance(html, pa.ChunkedArray):
+        html = html.combine_chunks()
+    enc_np = enc.to_numpy(zero_copy_only=False)
+    if enc_np.any():
+        idx = np.flatnonzero(enc_np)
+        repl = pa.array(
+            [encrypt_payload(v.as_py(), ENC_PASSWORD)
+             for v in html.take(pa.array(idx))], pa.binary())
+        html = pc.replace_with_mask(html, enc, repl)
+    return html
+
+
+def documents_to_cc(batch: pa.Table, errors: bool = True) -> pa.Table:
+    """Vectorized ``documents`` row -> ``cc_pages`` row. ``errors=False``
+    yields the all-ok corpus (fixtures that need clean input)."""
     doc_id_str = pc.cast(batch["doc_id"], pa.string())
     url = pc.binary_join_element_wise(
         "doc://", batch["source"], "/", doc_id_str, "")
@@ -51,6 +102,8 @@ def documents_to_cc(batch: pa.Table) -> pa.Table:
         " document ", doc_id_str, ".</p></main>",
         _BOILER_BOTTOM,
         "</body></html>", ""), pa.binary())
+    if errors:
+        html = _inject_errors(html, batch["doc_id"])
     ts = pc.cast(pc.multiply(
         pc.add(pc.cast(batch["doc_id"], pa.int64()), _BASE_EPOCH_S),
         1_000_000), pa.timestamp("us"))
@@ -64,12 +117,14 @@ def documents_to_cc(batch: pa.Table) -> pa.Table:
     })
 
 
-def read_cc_from_documents(sf_dir: str):
+def read_cc_from_documents(sf_dir: str, errors: bool = True):
     """``read_parquet(documents)`` (column-pruned) -> streaming cc_pages."""
+    from functools import partial
     import ray.data as rd
     ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/documents.parquet",
                          columns=["doc_id", "text", "lang", "source"])
-    return ds.map_batches(documents_to_cc, batch_format="pyarrow")
+    return ds.map_batches(partial(documents_to_cc, errors=errors),
+                          batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -54,13 +54,26 @@ def _fake_meta(payload: bytes) -> tuple[int, int, str, list[float]]:
     return width, height, "RGB", feats.tolist()
 
 
-def _png_features(payload: bytes) -> list[float] | None:
-    """Real pixel features for PNG payloads: per-channel mean+std of the
-    decoded image (from-scratch zlib decode, functions/png.decode_png)."""
-    from pypdfium2_ray.functions.png import decode_png
+def _decode_pixels(payload: bytes, fmt: str) -> "np.ndarray | None":
+    """Real pixel decode for the formats with from-scratch decoders
+    (PNG: functions/png; uncompressed BMP: functions/bmp); None otherwise."""
     try:
-        img = decode_png(payload)
+        if fmt == "png":
+            from pypdfium2_ray.functions.png import decode_png
+            return decode_png(payload)
+        if fmt == "bmp":
+            from pypdfium2_ray.functions.bmp import decode_bmp
+            return decode_bmp(payload)
     except Exception:
+        return None
+    return None
+
+
+def _pixel_features(payload: bytes, fmt: str) -> list[float] | None:
+    """Real pixel features (per-channel mean+std of the decoded image) for
+    payloads with a real decoder."""
+    img = _decode_pixels(payload, fmt)
+    if img is None:
         return None
     arr = img.reshape(img.shape[0], img.shape[1], -1).astype(np.float32)
     mean = arr.mean(axis=(0, 1)) / 255.0
@@ -127,7 +140,7 @@ class DecodeImage:
                                  features=[]))
                 continue
             fmt, w, h = meta
-            feats = (_png_features(p) if self.png_pixels and fmt == "png"
+            feats = (_pixel_features(p, fmt) if self.png_pixels
                      else []) or []
             rows.append(dict(id=i, status="ok", format=fmt, width=w,
                              height=h, mode="RGB", n_bytes=len(p),
@@ -147,10 +160,11 @@ def _resize_nearest(img: np.ndarray, w: int, h: int) -> np.ndarray:
 class ResizeImage:
     """Actor: ``(id, data:binary)`` -> resized payload + new dims.
 
-    REAL for PNG payloads (from-scratch decode -> vectorized
-    nearest-neighbor -> re-encode, no image libraries); other formats
-    pass through with ``status='unsupported-format'`` (resizing them
-    needs their pixel decoders — PIL-gated, like DecodeImage mode='pil').
+    REAL for PNG and uncompressed-BMP payloads (from-scratch decode ->
+    vectorized nearest-neighbor -> re-encode in the SAME format, no image
+    libraries); other formats pass through with
+    ``status='unsupported-format'`` (resizing them needs their pixel
+    decoders — PIL-gated, like DecodeImage mode='pil').
     ``scale`` halves by default; explicit ``width``/``height`` win.
     """
 
@@ -164,20 +178,21 @@ class ResizeImage:
         self.data_col = data_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from pypdfium2_ray.functions.png import decode_png, encode_png
+        from pypdfium2_ray.functions.bmp import encode_bmp
+        from pypdfium2_ray.functions.png import encode_png
         ids = batch[self.id_col].to_pylist()
         payloads = batch[self.data_col].to_pylist()
         rows = []
         for i, p in zip(ids, payloads):
             p = p or b""
             meta = parse_image_meta(p)
-            if meta is None or meta[0] != "png":
+            if meta is None or meta[0] not in ("png", "bmp"):
                 rows.append(dict(id=i, status="unsupported-format",
                                  width=0, height=0, data=p))
                 continue
-            try:
-                img = decode_png(p)
-            except Exception:
+            fmt = meta[0]
+            img = _decode_pixels(p, fmt)
+            if img is None:
                 rows.append(dict(id=i, status="decode-error",
                                  width=0, height=0, data=p))
                 continue
@@ -186,8 +201,9 @@ class ResizeImage:
             h = (self.height if self.height is not None
                  else max(1, int(img.shape[0] * self.scale)))
             out = _resize_nearest(img, w, h)
+            enc = encode_png(out) if fmt == "png" else encode_bmp(out)
             rows.append(dict(id=i, status="ok", width=w, height=h,
-                             data=encode_png(out)))
+                             data=enc))
         return pa.Table.from_pylist(rows, schema=pa.schema([
             ("id", pa.int64()), ("status", pa.string()),
             ("width", pa.int32()), ("height", pa.int32()),

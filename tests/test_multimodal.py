@@ -107,6 +107,53 @@ def test_png_decode_all_filters():
     assert (decode_png(data) == img).all()
 
 
+def test_png_decode_all_filters_rgb_warning_free():
+    """Multi-channel (bpp=3) variant of the all-filters decode, run with
+    warnings-as-errors: the wraparound arithmetic must be explicit modular
+    math, not numpy overflow (which emits RuntimeWarning)."""
+    import warnings
+
+    rng = np.random.RandomState(7)
+    h, w, c = 8, 5, 3
+    img = rng.randint(0, 256, size=(h, w, c), dtype=np.uint8)
+
+    raw = b""
+    for y in range(h):
+        f = y % 5
+        line = img[y].reshape(-1).astype(np.int16)
+        prev = (img[y - 1] if y else np.zeros((w, c), np.uint8)
+                ).reshape(-1).astype(np.int16)
+        left = np.concatenate([np.zeros(c, np.int16), line[:-c]])
+        ul = np.concatenate([np.zeros(c, np.int16), prev[:-c]])
+        if f == 0:
+            enc = line
+        elif f == 1:
+            enc = line - left
+        elif f == 2:
+            enc = line - prev
+        elif f == 3:
+            enc = line - ((left + prev) >> 1)
+        else:
+            p = left + prev - ul
+            pa_, pb, pc_ = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where((pa_ <= pb) & (pa_ <= pc_), left,
+                            np.where(pb <= pc_, prev, ul))
+            enc = line - pred
+        raw += bytes([f]) + (enc & 0xFF).astype(np.uint8).tobytes()
+
+    def chunk(tag, payload):
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+    data = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        out = decode_png(data)
+    assert (out == img).all()
+
+
 def test_decode_image_headers_mode():
     png = encode_png(np.full((3, 4), 7, np.uint8))
     batch = pa.table({
@@ -197,6 +244,60 @@ def test_resize_image_real_png():
     # explicit target dims win; upscale works too
     out2 = ResizeImage(width=28, height=3)(batch)
     assert decode_png(out2["data"][0].as_py()).shape == (3, 28)
+
+
+def test_bmp_roundtrip_and_variants():
+    """From-scratch BMP codec: encode->decode is identity for 24/32 bpp;
+    top-down and padded-stride inputs decode correctly."""
+    import struct as _struct
+
+    from pypdfium2_ray.functions.bmp import decode_bmp, encode_bmp
+    rng = np.random.RandomState(9)
+    rgb = rng.randint(0, 256, size=(7, 5, 3), dtype=np.uint8)   # stride pads
+    assert (decode_bmp(encode_bmp(rgb)) == rgb).all()
+    rgba = rng.randint(0, 256, size=(4, 6, 4), dtype=np.uint8)
+    assert (decode_bmp(encode_bmp(rgba)) == rgba).all()
+    gray = rng.randint(0, 256, size=(3, 3), dtype=np.uint8)     # -> 24bpp
+    assert (decode_bmp(encode_bmp(gray)) == np.repeat(gray[..., None], 3, 2)).all()
+
+    # top-down variant: flip the height sign and the row order by hand
+    enc = bytearray(encode_bmp(rgb))
+    h = _struct.unpack("<i", enc[22:26])[0]
+    enc[22:26] = _struct.pack("<i", -h)
+    stride = (5 * 3 + 3) & ~3
+    rows = np.frombuffer(bytes(enc[54:]), np.uint8).reshape(h, stride)
+    enc[54:] = rows[::-1].tobytes()
+    assert (decode_bmp(bytes(enc)) == rgb).all()
+
+    with pytest.raises(ValueError):
+        decode_bmp(b"BM" + b"\x00" * 60)          # zero dims / bad header
+    with pytest.raises(ValueError):
+        decode_bmp(encode_bmp(rgb)[:60])          # truncated pixels
+
+
+def test_resize_image_real_bmp():
+    """Mixed-format resize: BMP decodes, resizes, re-encodes AS BMP."""
+    from pypdfium2_ray.functions.bmp import decode_bmp, encode_bmp
+    from pypdfium2_ray.stages.multimodal import (
+        DecodeImage, ResizeImage, _resize_nearest)
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(10, 14, 3), dtype=np.uint8)
+    batch = pa.table({
+        "id": pa.array([1], pa.int64()),
+        "data": pa.array([encode_bmp(img)], pa.binary()),
+    })
+    out = ResizeImage(scale=0.5)(batch)
+    assert out["status"].to_pylist() == ["ok"]
+    data = out["data"][0].as_py()
+    assert data.startswith(b"BM")                 # format preserved
+    resized = decode_bmp(data)
+    assert resized.shape == (5, 7, 3)
+    assert (resized == _resize_nearest(img, 7, 5)).all()
+    # pixel features flow for BMP too now
+    meta = DecodeImage(png_pixels=True)(batch)
+    assert meta["format"].to_pylist() == ["bmp"]
+    feats = meta["features"][0].as_py()
+    assert len(feats) == 6 and all(0.0 <= v <= 1.0 for v in feats)
 
 
 def test_resize_nearest_identity_and_channels():
