@@ -311,17 +311,21 @@ def _verify_candidate_pairs(candidates, ds, tau: float, id_col: str,
     import pyarrow.compute as pc
     vec_type = pa.list_(pa.float32())
     pair_cols = {"id_a": pa.int64(), "id_b": pa.int64()}
+    # candidate set << corpus: semi-join prefilter keeps the corpus
+    # vectors out of the exchange (only candidate ids' vectors shuffle)
     j = lookup_join(candidates, pair_cols, ds, source_key=id_col,
                     key_col="id_a",
                     payload_cols={"__vec_a": vec_type},
                     source_payload={"__vec_a": vec_col},
                     distinct_target_on=["id_a", "id_b"],
-                    num_partitions=num_partitions)
+                    num_partitions=num_partitions,
+                    prefilter_keys=5_000_000)
     j = lookup_join(j, {**pair_cols, "__vec_a": vec_type}, ds,
                     source_key=id_col, key_col="id_b",
                     payload_cols={"__vec_b": vec_type},
                     source_payload={"__vec_b": vec_col},
-                    num_partitions=num_partitions)
+                    num_partitions=num_partitions,
+                    prefilter_keys=5_000_000)
 
     def verify(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:

@@ -287,19 +287,24 @@ def minhash_dup_pairs(ds, id_col: str = "doc_id",
         num_partitions=num_partitions)
 
     # pair-distinct is FUSED into the first join's exchange (equal pairs
-    # share id_a, so they co-partition) — one exchange saved
+    # share id_a, so they co-partition) — one exchange saved. The
+    # candidate set is tiny vs the corpus, so both joins run a semi-join
+    # prefilter: candidate ids broadcast once, corpus blocks filtered
+    # BEFORE the exchange — only candidate texts ever shuffle.
     pair_cols = {"id_a": pa.int64(), "id_b": pa.int64()}
     j = lookup_join(candidates, pair_cols, ds, source_key=id_col,
                     key_col="id_a",
                     payload_cols={"__text_a": pa.string()},
                     source_payload={"__text_a": text_col},
                     distinct_target_on=["id_a", "id_b"],
-                    num_partitions=num_partitions)
+                    num_partitions=num_partitions,
+                    prefilter_keys=5_000_000)
     j = lookup_join(j, {**pair_cols, "__text_a": pa.string()}, ds,
                     source_key=id_col, key_col="id_b",
                     payload_cols={"__text_b": pa.string()},
                     source_payload={"__text_b": text_col},
-                    num_partitions=num_partitions)
+                    num_partitions=num_partitions,
+                    prefilter_keys=5_000_000)
 
     verified = j.map_batches(
         warm_task(_VerifyJaccardJoined, threshold=threshold,

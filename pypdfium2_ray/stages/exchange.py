@@ -145,7 +145,8 @@ def lookup_join(target, target_cols: dict[str, pa.DataType],
                 payload_cols: dict[str, pa.DataType],
                 source_payload: dict[str, str] | None = None,
                 distinct_target_on: list[str] | None = None,
-                num_partitions: int | None = None):
+                num_partitions: int | None = None,
+                prefilter_keys: int | None = None):
     """Repartition (hash) join: attach *source*'s payload columns onto
     *target* rows where ``target[key_col] == source[source_key]`` (inner).
 
@@ -171,6 +172,17 @@ def lookup_join(target, target_cols: dict[str, pa.DataType],
     join partition (valid iff ``key_col`` is one of them, so equal rows
     are guaranteed co-partitioned) — fuses an LSH pair-distinct into the
     join's exchange instead of paying a separate one.
+
+    ``prefilter_keys``: semi-join prefilter for KNOWN-SMALL targets (the
+    dedup/ANN verify joins: a tiny candidate-pair set against the full
+    corpus). The target is materialized (it is about to be enumerated
+    twice anyway), its distinct keys broadcast once (``ray.put``), and
+    source blocks are filtered BEFORE the pad/union — so the exchange
+    carries only matching source rows instead of the whole corpus
+    payload. The value is the broadcast ceiling: if the target exceeds
+    that many rows the prefilter is skipped with a loud log (correctness
+    identical — unmatched source rows drop in the kernel either way; at
+    that point a Bloom-filter prefilter would be the next tier).
     """
     if distinct_target_on is not None:
         assert key_col in distinct_target_on
@@ -180,6 +192,25 @@ def lookup_join(target, target_cols: dict[str, pa.DataType],
     assert key_col in target_cols and not set(p_names) & set(t_names)
     key_type = target_cols[key_col]
 
+    keys_ref = None
+    if prefilter_keys is not None:
+        import ray
+        target = target.materialize()
+        n_target = target.count()               # cheap on materialized data
+        if n_target <= prefilter_keys:
+            key_vals = pc.unique(pa.chunked_array([
+                pc.cast(b[key_col], key_type)
+                for b in target.iter_batches(batch_format="pyarrow",
+                                             batch_size=None)
+                if b.num_rows] or [pa.array([], key_type)]))
+            keys_ref = ray.put(key_vals)
+        else:
+            import logging
+            logging.getLogger(__name__).warning(
+                "lookup_join prefilter skipped: target has %d rows > "
+                "prefilter_keys=%d — the exchange will carry the full "
+                "source side", n_target, prefilter_keys)
+
     def pad_target(t: pa.Table) -> pa.Table:
         n = t.num_rows
         cols = {c: pc.cast(t[c], target_cols[c]) for c in t_names}
@@ -188,6 +219,11 @@ def lookup_join(target, target_cols: dict[str, pa.DataType],
         return pa.table(cols)
 
     def pad_source(t: pa.Table) -> pa.Table:
+        if keys_ref is not None:
+            import ray
+            keys = ray.get(keys_ref)            # local plasma hit, zero-copy
+            t = t.filter(pc.is_in(pc.cast(t[source_key], key_type),
+                                  value_set=keys))
         n = t.num_rows
         cols = {c: pa.nulls(n, ty) for c, ty in target_cols.items()}
         cols[key_col] = pc.cast(t[source_key], key_type)
