@@ -57,6 +57,11 @@ def extract_pipeline(ds=None, path: str | list[str] | None = None,
       runs once per branch; use when heavy docs also need different
       resources, e.g. ``num_cpus=2``).
     - ``False`` — single stage with a fixed ``batch_size``.
+
+    At 100x scale, avoid the per-branch re-scan entirely: run
+    ``stages.skew.ingest_partitioned`` once (single streaming pass writing
+    ``size_class=`` hive partitions) and extract with
+    ``stages.skew.split_extract_ingested`` — each byte is read once.
     """
     if ds is None:
         assert path is not None, "need ds or path"

@@ -14,11 +14,13 @@ Two compounding mechanisms:
    -> light pool, ``filter(>= thr)`` -> heavy pool (fewer actors, batch_size
    a few rows, more cpus each), then ``union``.
 
-Scale note: the two branches each re-evaluate their upstream lineage. For a
-one-shot in-memory dataset that is a double scan of the (cheap, column-pruned)
-read; at 100 TB run the ingest step first — a streaming pass that writes
-size-partitioned Parquet (see ``pypdfium2_ray.state.checkpoint``) — and point
-each pool at its own partition so every byte is read once.
+Scale note: ``split_extract``'s two filter branches each re-evaluate their
+upstream lineage — a double scan of the (cheap, column-pruned) read. At
+100 TB run :func:`ingest_partitioned` first: ONE streaming pass that
+writes hive-partitioned Parquet (``size_class=light|heavy`` directories),
+then :func:`split_extract_ingested` points each pool at its own partition
+— every input byte is read exactly once, and the partitioned layout is
+also the resume unit (``pypdfium2_ray.state.checkpoint``).
 """
 
 from __future__ import annotations
@@ -75,3 +77,71 @@ def split_extract(ds, heavy_threshold: int = DEFAULT_HEAVY_THRESHOLD,
     heavy_out = heavy.map_batches(heavy_cls, batch_format="pyarrow",
                                   **ctor, **heavy_kwargs)
     return light_out.union(heavy_out)
+
+
+def ingest_partitioned(ds, out_dir: str,
+                       heavy_threshold: int = DEFAULT_HEAVY_THRESHOLD):
+    """ONE streaming pass over *ds* writing hive-partitioned Parquet:
+    ``out_dir/size_class=light/`` and ``size_class=heavy/`` by
+    ``html_len`` vs *heavy_threshold*. This is the single-scan ingest the
+    module docstring promises — the extraction pools then each read their
+    own partition (:func:`split_extract_ingested`) instead of re-scanning
+    the source per filter branch. Returns ``out_dir``.
+    """
+    import pyarrow as pa
+
+    def classify(t):
+        cls = pc.if_else(pc.less(t["html_len"], heavy_threshold),
+                         pa.scalar("light"), pa.scalar("heavy"))
+        return t.append_column("size_class", cls)
+
+    ds = ds.map_batches(add_html_len, batch_format="pyarrow")
+    ds = ds.map_batches(classify, batch_format="pyarrow")
+    ds.write_parquet(out_dir, partition_cols=["size_class"])
+    return out_dir
+
+
+def split_extract_ingested(ingest_dir: str,
+                           light_kwargs: dict[str, Any] | None = None,
+                           heavy_kwargs: dict[str, Any] | None = None,
+                           extract_opts: dict[str, Any] | None = None,
+                           mode: str = "tasks"):
+    """Extraction over an :func:`ingest_partitioned` directory: the light
+    and heavy pools each read ONLY their own hive partition (single-scan
+    lineage per byte — no duplicate source read in either branch's plan).
+    Same pool shaping as :func:`split_extract`.
+    """
+    import os
+
+    import ray.data as rd
+
+    from pypdfium2_ray.stages.extract import ExtractText, make_extract_fn
+    extract_opts = extract_opts or {}
+    if mode == "tasks":
+        light_kwargs = dict(batch_size=256) | (light_kwargs or {})
+        heavy_kwargs = dict(batch_size=4, num_cpus=2) | (heavy_kwargs or {})
+        light_kwargs.pop("concurrency", None)
+        heavy_kwargs.pop("concurrency", None)
+        light_cls = heavy_cls = make_extract_fn(**extract_opts)
+        ctor = {}
+    else:
+        light_kwargs = dict(batch_size=256, concurrency=(1, 8)) | (light_kwargs or {})
+        heavy_kwargs = dict(batch_size=4, concurrency=(1, 2)) | (heavy_kwargs or {})
+        light_cls = heavy_cls = ExtractText
+        ctor = dict(fn_constructor_kwargs=extract_opts)
+
+    outs = []
+    for part, cls, kwargs in (("light", light_cls, light_kwargs),
+                              ("heavy", heavy_cls, heavy_kwargs)):
+        path = os.path.join(ingest_dir, f"size_class={part}")
+        if not os.path.isdir(path):            # a corpus can lack heavies
+            continue
+        part_ds = rd.read_parquet(path)
+        outs.append(part_ds.map_batches(cls, batch_format="pyarrow",
+                                        **ctor, **kwargs))
+    if not outs:
+        raise FileNotFoundError(f"no size_class partitions under {ingest_dir}")
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out

@@ -139,6 +139,20 @@ def run_checkpointed(input_shards: list[tuple[str, str]],
     import shutil
     manifest = CheckpointManifest(out_dir)
     done = manifest.done_shards()
+    # Regrouping guard: grouped shard names encode group_size
+    # (shard_inputs "__xN" suffix). Resuming with a DIFFERENT grouping
+    # yields disjoint names — done-markers stop matching, work reruns
+    # under new names, and the old grouping's shard= dirs stay on disk,
+    # silently duplicating rows for whole-directory readers. A done shard
+    # absent from the current shard set is exactly that hazard: fail fast.
+    current = {shard for shard, _ in input_shards}
+    stale = sorted(done - current)
+    if stale:
+        raise ValueError(
+            f"checkpoint manifest at {out_dir} has {len(stale)} completed "
+            f"shard(s) not in the current shard list (e.g. {stale[0]!r}) — "
+            "the input was re-sharded/regrouped since the last run. Resume "
+            "with the same group_size, or start a fresh out_dir.")
     ran, skipped = [], []
     for shard, path in input_shards:
         if shard in done:

@@ -67,6 +67,24 @@ def test_checkpointed_run_and_resume(ray_session, sharded_input, tmp_path):
     assert r3["ran"] == ["shard2"]
 
 
+def test_resume_with_different_grouping_fails_fast(ray_session,
+                                                   sharded_input, tmp_path):
+    """Regrouping hazard: a manifest whose done shards don't exist in the
+    new shard list means stale shard= dirs would duplicate rows — the run
+    must refuse, not silently redo work under new names."""
+    from pypdfium2_ray.state import run_checkpointed, shard_inputs
+    out = str(tmp_path / "out")
+    run_checkpointed(shard_inputs(sharded_input, group_size=1),
+                     _pipeline, out)
+    with pytest.raises(ValueError, match="re-sharded/regrouped"):
+        run_checkpointed(shard_inputs(sharded_input, group_size=2),
+                         _pipeline, out)
+    # same grouping still resumes cleanly
+    r = run_checkpointed(shard_inputs(sharded_input, group_size=1),
+                         _pipeline, out)
+    assert r["ran"] == []
+
+
 def test_resume_after_midwrite_crash_does_not_duplicate(
         ray_session, sharded_input, tmp_path):
     """A crash mid-write leaves partial part files in the shard dir with NO

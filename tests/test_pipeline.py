@@ -79,6 +79,40 @@ def test_heavy_routing_equivalence(ray_session, fixture_parquet):
     assert a.loc[a["url"] == f"{BASE}/huge", "html_len"].iloc[0] >= 50_000
 
 
+def test_ingest_partitioned_single_scan(ray_session, fixture_parquet,
+                                        tmp_path):
+    """The size-partitioned ingest pass: ONE scan of the source writes
+    light/heavy hive partitions; extraction over them equals the direct
+    two-branch split, and neither branch's plan re-reads the source (each
+    reads only its own partition — no duplicate source scan)."""
+    import ray.data as rd
+
+    from pypdfium2_ray.stages.skew import (
+        ingest_partitioned, split_extract_ingested)
+
+    ingest_dir = str(tmp_path / "ingest")
+    ingest_partitioned(rd.read_parquet(fixture_parquet), ingest_dir,
+                       heavy_threshold=50_000)
+    import os
+    parts = sorted(os.listdir(ingest_dir))
+    assert "size_class=heavy" in parts and "size_class=light" in parts
+
+    out = split_extract_ingested(ingest_dir, heavy_kwargs=dict(num_cpus=1))
+    a = out.to_pandas()
+    # each branch read its own partition: the combined stats carry no scan
+    # of the SOURCE file, and each partition dir is scanned exactly once
+    stats = out.stats()
+    assert os.path.basename(fixture_parquet) not in stats
+
+    b = extract_pipeline(path=fixture_parquet, skew_split=True,
+                         heavy_threshold=50_000).to_pandas()
+    a = a.sort_values(["url", "warc_ts"]).reset_index(drop=True)
+    b = b.sort_values(["url", "warc_ts"]).reset_index(drop=True)
+    assert list(a["url"]) == list(b["url"])
+    assert list(a["extracted_text"]) == list(b["extracted_text"])
+    assert list(a["status"]) == list(b["status"])
+
+
 def test_batchsize_invariance(ray_session, fixture_parquet):
     """Results independent of batch boundaries (no cross-row state in UDFs)."""
     a = extract_pipeline(path=fixture_parquet, skew_split=False,
