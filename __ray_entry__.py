@@ -164,7 +164,7 @@ def q_extract_status_rollup(sf_dir: str):
         out = grouped_aggregate(ds, ["status", "err_code"], {
             "n_docs": (None, "count"),
             "sum_chars": ("n_chars", "sum"),
-        })
+        }, combine="single_block")   # status codes: fixed enum
     return out.map_batches(
         lambda t: t.set_column(t.schema.get_field_index("sum_chars"),
                                "sum_chars", pc.cast(t["sum_chars"], pa.int64())),
@@ -252,7 +252,8 @@ def q_doc_stats(sf_dir: str):
         out = grouped_aggregate(ds, ["lang"], {
             "n_docs": (None, "count"),
             "sum_chars": ("n_chars", "sum"),
-            "max_chars": ("n_chars", "max")})
+            "max_chars": ("n_chars", "max")},
+            combine="single_block")   # languages: fixed enum
     return _cast_i64(out, ["sum_chars", "max_chars"])
 
 
@@ -530,6 +531,25 @@ def q_events_median(sf_dir: str):
     return _cast_i64(_scale_cols(out, {"median_value_e4": 10_000}), [])
 
 
+def q_events_median_sketch(sf_dir: str):
+    """Approximate per-type median via the t-digest sketch tier
+    (stages/agg.grouped_quantile_sketch): each block compresses to
+    <= ~delta/2 weighted centroids per group, so only centroid rows move —
+    the whole-corpus quantile path where the exact grouped_median's
+    full-projection exchange is no longer affordable. No SQL oracle:
+    estimates are approximate (rank error ~ 1/delta, layout-dependent in
+    those digits — inherent to mergeable sketches); correctness is the
+    rank-error-bound tests in tests/test_tdigest.py, which also pin this
+    query against the exact median on the same table."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import grouped_quantile_sketch
+    ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["event_type", "value"])
+    return grouped_quantile_sketch(ds, ["event_type"], "value", q=0.5,
+                                   out="median_est",
+                                   combine="single_block")  # fixed enum
+
+
 def q_session_stats(sf_dir: str):
     """Per-session aggregates: sessionize (gap 30 min) then group by
     (user, session) — event count and session span in seconds. The classic
@@ -580,7 +600,8 @@ def q_events_value_bucket(sf_dir: str):
     joined = range_join(ds, intervals, value_col="value")
     with _hint(sf_dir, "events"):
         return grouped_aggregate(joined, ["bucket"],
-                                 {"n_events": (None, "count")})
+                                 {"n_events": (None, "count")},
+                                 combine="single_block")  # fixed buckets
 
 
 def q_asof_last_purchase(sf_dir: str):
@@ -793,6 +814,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": q_top_orders,
         "events_rollup": q_events_rollup,
         "events_median": q_events_median,
+        "events_median_sketch": q_events_median_sketch,
         "session_stats": q_session_stats,
         "events_hourly": q_events_hourly,
         "events_hourly_sliding": q_events_hourly_sliding,

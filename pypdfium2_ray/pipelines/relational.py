@@ -50,7 +50,8 @@ def lineitem_pricing_summary(sf_dir: str):
         {"sum_qty": ("l_quantity", "sum"),
          "sum_price_cents": ("l_extendedprice", "sum"),
          "avg_disc_micro": ("l_discount", "mean"),
-         "n_rows": (None, "count")})
+         "n_rows": (None, "count")},
+        combine="single_block")   # flag x status: fixed enum pair
     return _scale_cols(out, {"sum_qty": 1, "sum_price_cents": 100,
                              "avg_disc_micro": 1_000_000})
 
@@ -76,7 +77,8 @@ def orders_by_region(sf_dir: str):
     out = grouped_aggregate(
         joined, ["r_name"],
         {"n_orders": (None, "count"),
-         "sum_price_cents": ("o_totalprice", "sum")})
+         "sum_price_cents": ("o_totalprice", "sum")},
+        combine="single_block")   # five region names: fixed
     return _scale_cols(out, {"sum_price_cents": 100})
 
 
@@ -103,7 +105,8 @@ def events_rollup(sf_dir: str):
         {"n_events": (None, "count"),
          "sum_value_e4": ("value", "sum"),
          "avg_value_micro": ("value", "mean"),
-         "max_value_e4": ("value", "max")})
+         "max_value_e4": ("value", "max")},
+        combine="single_block")   # event types: fixed enum
     return _scale_cols(out, {"sum_value_e4": 10_000,
                              "avg_value_micro": 1_000_000,
                              "max_value_e4": 10_000})

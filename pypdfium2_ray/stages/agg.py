@@ -27,14 +27,31 @@ _KINDS = ("sum", "count", "min", "max", "mean")
 
 def grouped_aggregate(ds, keys: list[str], specs: dict[str, tuple[str | None, str]],
                       batch_format: str = "pyarrow",
-                      num_partitions: int | None = None):
+                      num_partitions: int | None = None,
+                      combine: str = "exchange"):
     """Grouped aggregation with per-block partials.
 
     ``specs``: ``out_name -> (column, kind)`` with kind in
     ``{"sum","count","min","max","mean"}``; ``count`` is row count
     (column ignored, may be None). Output columns are exactly
     ``keys + list(specs)`` — name them to match the SQL oracle.
+
+    ``combine`` picks the final-combine tier:
+
+    - ``"exchange"`` (default) — hash-partition the partials on *keys*
+      and combine per partition. Right whenever group cardinality grows
+      with the data (urls, fingerprints, sessions).
+    - ``"single_block"`` — coalesce the partials to ONE block and combine
+      there, with NO hash exchange (so no aggregator-actor spawn: on this
+      Ray 2.49 an exchange pays ~0.15 s per aggregator cold, the dominant
+      cost of a small rollup). ONLY for enum-like keys whose cardinality
+      is fixed at any corpus size (status codes, languages, flag pairs,
+      value buckets): the coalesced input is ``n_partial_blocks x
+      n_groups`` rows — a few hundred MB even at 100 TB for <=1k groups,
+      but unbounded if groups scale with the data.
     """
+    if combine not in ("exchange", "single_block"):
+        raise ValueError(f"unknown combine tier {combine!r}")
     for out, (_col, kind) in specs.items():
         if kind not in _KINDS:
             raise ValueError(f"unsupported agg kind {kind!r} for {out!r}")
@@ -71,7 +88,7 @@ def grouped_aggregate(ds, keys: list[str], specs: dict[str, tuple[str | None, st
     if need_count_all:
         combine_aggs.append(("count_all", "sum"))
 
-    def combine(t: pa.Table) -> pa.Table:
+    def combine_fn(t: pa.Table) -> pa.Table:
         g = t.group_by(keys, use_threads=False).aggregate(combine_aggs)
         cols = {k: g[k] for k in keys}
         for out, (col, kind) in specs.items():
@@ -89,7 +106,10 @@ def grouped_aggregate(ds, keys: list[str], specs: dict[str, tuple[str | None, st
                 cols[out] = g[f"{col}_max_max"]
         return pa.table(cols)
 
-    return partition_map(partials, keys, combine,
+    if combine == "single_block":
+        return partials.repartition(1).map_batches(
+            combine_fn, batch_size=None, batch_format="pyarrow")
+    return partition_map(partials, keys, combine_fn,
                          num_partitions=num_partitions)
 
 
@@ -114,4 +134,69 @@ def grouped_median(ds, keys: list[str], col: str, out: str = "median",
 
     proj = ds.select_columns(keys + [col])
     return partition_map(proj, keys, kernel, batch_format="pandas",
+                         num_partitions=num_partitions)
+
+
+def grouped_quantile_sketch(ds, keys: list[str], col: str, q: float = 0.5,
+                            out: str = "median_est", delta: float = 200,
+                            num_partitions: int | None = None,
+                            combine: str = "exchange"):
+    """Approximate per-group quantile via t-digest — the sketch tier of
+    :func:`grouped_median` (its docstring names this path): each block
+    compresses to <= ~delta/2 centroids per group, so the exchange moves
+    only ``n_blocks x n_groups x delta/2`` centroid rows instead of the
+    full ``(keys, col)`` projection. Rank error ~ ``q(1-q)/delta``
+    (tested); estimates may differ in the last error digits across block
+    layouts — inherent to mergeable sketches, the bound is not.
+
+    ``combine`` as in :func:`grouped_aggregate` (``"single_block"`` for
+    enum-like keys skips the hash exchange entirely).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pypdfium2_ray.functions import tdigest
+
+    def _centroids_df(df: pd.DataFrame, vcol: str, wcol: str | None):
+        v = df[vcol].to_numpy(np.float64)
+        w = (np.ones_like(v) if wcol is None
+             else df[wcol].to_numpy(np.float64))
+        gid = df.groupby(keys, sort=False, dropna=False).ngroup().to_numpy()
+        cg, cm, cw = tdigest.compress(gid, v, w, delta)
+        uniq, first = np.unique(gid, return_index=True)
+        rep = first[np.searchsorted(uniq, cg)]       # a row index per gid
+        res = df.iloc[rep][keys].reset_index(drop=True)
+        res["__td_mean"], res["__td_w"] = cm, cw
+        return res, gid, uniq, first
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=[col])
+        if not len(df):
+            return pd.DataFrame({**{k: df[k] for k in keys},
+                                 "__td_mean": pd.Series([], dtype=float),
+                                 "__td_w": pd.Series([], dtype=float)})
+        return _centroids_df(df, col, None)[0]
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({**{k: df[k] for k in keys},
+                                 out: pd.Series([], dtype=float)})
+        merged = _centroids_df(df, "__td_mean", "__td_w")[0]
+        gid2 = merged.groupby(keys, sort=False, dropna=False) \
+                     .ngroup().to_numpy()
+        est = tdigest.quantile(gid2, merged["__td_mean"].to_numpy(),
+                               merged["__td_w"].to_numpy(), q,
+                               int(gid2.max()) + 1)
+        res = merged.loc[~pd.Series(gid2).duplicated().to_numpy(),
+                         keys].reset_index(drop=True)
+        res[out] = est[np.unique(gid2)]
+        return res
+
+    proj = ds.select_columns(keys + [col])
+    partials = proj.map_batches(partial, batch_size=None,
+                                batch_format="pandas")
+    if combine == "single_block":
+        return partials.repartition(1).map_batches(
+            finalize, batch_size=None, batch_format="pandas")
+    return partition_map(partials, keys, finalize, batch_format="pandas",
                          num_partitions=num_partitions)

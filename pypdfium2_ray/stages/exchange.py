@@ -58,11 +58,16 @@ def partition_hint(n: int | None):
 
 
 def partitions_for_bytes(n_bytes: int, target_bytes: int = 64 << 20,
-                         floor: int = 8, cap: int = 200) -> int:
+                         floor: int = 2, cap: int = 200) -> int:
     """Shuffle-partition count from input size: ~one partition per
     ``target_bytes`` of input (the standard shuffle sizing rule), floored
     for small inputs and capped for this sandbox — a real multi-node run
-    raises ``cap`` so partitions stay ~64-256 MB at any scale."""
+    raises ``cap`` so partitions stay ~64-256 MB at any scale.
+
+    ``floor`` is 2 (not cpus-many): every exchange pays ~0.15 s of
+    aggregator-actor spawn PER PARTITION-SERVING ACTOR cold on this Ray
+    2.49, so a byte-sized input should get a byte-sized exchange — the
+    count grows with the data, never with the cluster."""
     return max(floor, min(cap, -(-int(n_bytes) // target_bytes)))
 
 

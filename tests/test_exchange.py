@@ -121,8 +121,8 @@ def test_lookup_join_distinct_fusion(ray_session):
 
 
 def test_partitions_for_bytes():
-    assert partitions_for_bytes(0) == 8                      # floor
-    assert partitions_for_bytes(10 << 20) == 8
+    assert partitions_for_bytes(0) == 2       # floor: byte-sized input,
+    assert partitions_for_bytes(10 << 20) == 2  # byte-sized exchange
     assert partitions_for_bytes(640 << 20) == 10             # 64 MB each
     assert partitions_for_bytes(1 << 50) == 200              # sandbox cap
     assert partitions_for_bytes(1 << 50, cap=5000) == 5000   # raisable
