@@ -531,6 +531,53 @@ def q_events_median(sf_dir: str):
     return _cast_i64(_scale_cols(out, {"median_value_e4": 10_000}), [])
 
 
+def q_heavy_bigrams(sf_dir: str):
+    """Exact heavy-hitter word bigrams across the corpus via the two-pass
+    Misra-Gries sketch-then-verify op (stages/freq.heavy_hitters): blocks
+    reduce to k counters, only candidates are re-counted exactly — the
+    result is EXACT (hash-checked vs HAVING count >= ceil(frac*N)).
+    k_sketch=2048 >= N/threshold = 1/frac, the documented completeness
+    rule."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.freq import explode_bigrams, heavy_hitters
+
+    def make():
+        return rd.read_parquet(f"{sf_dir.rstrip('/')}/documents.parquet",
+                               columns=["text"])             .map_batches(explode_bigrams, batch_size=None,
+                         batch_format="pyarrow")
+    with _hint(sf_dir):
+        return heavy_hitters(make, "token", threshold_frac=0.001,
+                             k_sketch=2048)
+
+
+def q_distinct_users(sf_dir: str):
+    """Exact count(distinct user_id) per event_type
+    (stages/freq.grouped_distinct_count): per-block distinct pre-combine,
+    ONE pair exchange, enum-keyed single-block count."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.freq import grouped_distinct_count
+    ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["event_type", "user_id"])
+    with _hint(sf_dir, "events"):
+        return grouped_distinct_count(ds, ["event_type"], "user_id",
+                                      combine="single_block")
+
+
+def q_distinct_users_hll(sf_dir: str):
+    """HyperLogLog tier of distinct_users: one 2^p-byte register row per
+    (block, group) moves instead of the distinct pairs — the cardinality
+    path when the pair exchange stops being affordable. No SQL oracle
+    (approximate; ~1.6% standard error at p=12); correctness is the
+    relative-error-bound tests in tests/test_freq.py against the exact
+    op on the same table."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.freq import grouped_distinct_hll
+    ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["event_type", "user_id"])
+    return grouped_distinct_hll(ds, ["event_type"], "user_id",
+                                combine="single_block")
+
+
 def q_events_median_sketch(sf_dir: str):
     """Approximate per-type median via the t-digest sketch tier
     (stages/agg.grouped_quantile_sketch): each block compresses to
@@ -738,13 +785,15 @@ _ANN_TOPK_SQL = f"""
 
 
 def q_image_resize(sf_dir: str):
-    """REAL resize end-to-end over a MIXED-format corpus: even doc_ids get
-    a PNG, odd ones an uncompressed BMP (both from-scratch encoders);
-    resize to half (decode -> vectorized nearest-neighbor -> re-encode in
-    the same format), then header-parse the RESIZED payload back; the
-    oracle recomputes halved dims and the doc_id-parity format."""
+    """REAL resize end-to-end over a MIXED-format corpus: doc_id mod 3
+    picks PNG / uncompressed BMP / GIF (all three from-scratch codecs —
+    GIF exercises the LZW encode/decode round-trip); resize to half
+    (decode -> vectorized nearest-neighbor -> re-encode in the same
+    format), then header-parse the RESIZED payload back; the oracle
+    recomputes halved dims and the doc_id-mod format."""
     import numpy as np
     from pypdfium2_ray.functions.bmp import encode_bmp
+    from pypdfium2_ray.functions.gif import encode_gif
     from pypdfium2_ray.functions.png import encode_png
     from pypdfium2_ray.functions.text import token_count
     from pypdfium2_ray.stages.multimodal import decode_images, resize_images
@@ -757,8 +806,8 @@ def q_image_resize(sf_dir: str):
             w = 2 + len(txt or "") % 64
             h = 2 + int(ntok) % 64
             img = np.zeros((h, w), dtype=np.uint8)
-            payloads.append(encode_png(img) if did % 2 == 0
-                            else encode_bmp(img))
+            enc = (encode_png, encode_bmp, encode_gif)[did % 3]
+            payloads.append(enc(img))
         return pa.table({"id": t["doc_id"],
                          "data": pa.array(payloads, pa.binary())})
 
@@ -815,6 +864,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup": q_events_rollup,
         "events_median": q_events_median,
         "events_median_sketch": q_events_median_sketch,
+        "heavy_bigrams": q_heavy_bigrams,
+        "distinct_users": q_distinct_users,
+        "distinct_users_hll": q_distinct_users_hll,
         "session_stats": q_session_stats,
         "events_hourly": q_events_hourly,
         "events_hourly_sliding": q_events_hourly_sliding,
@@ -1045,6 +1097,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey,
                    CAST(round(o_totalprice * 100) AS BIGINT) AS o_totalprice_cents
             FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+        "heavy_bigrams": """
+            WITH arrs AS (
+              SELECT list_filter(regexp_split_to_array(text,
+                     '[ \t\r\n\f\v]+'), t -> t <> '') AS a
+              FROM documents),
+            bg AS (
+              SELECT unnest([a[i] || ' ' || a[i+1]
+                             for i in range(1, len(a))]) AS token
+              FROM arrs)
+            SELECT token, count(*)::BIGINT AS n FROM bg GROUP BY token
+            HAVING count(*) >= (SELECT greatest(1, ceil(0.001 * count(*)))
+                                FROM bg)""",
+        "distinct_users": """
+            SELECT event_type,
+                   count(DISTINCT user_id)::BIGINT AS n_distinct
+            FROM events GROUP BY event_type""",
         "events_rollup": """
             SELECT event_type, count(*) AS n_events,
                    CAST(round(sum(value) * 10000) AS BIGINT) AS sum_value_e4,
@@ -1130,8 +1198,8 @@ def oracle_sql() -> dict[str, str]:
         # resized payload must round-trip in its ORIGINAL format
         "image_resize": f"""
             SELECT doc_id AS id, 'ok' AS status,
-                   CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END
-                     AS format,
+                   CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+                        ELSE 'gif' END AS format,
                    CAST((2 + length(text) % 64) // 2 AS BIGINT) AS width,
                    CAST((2 + {sql_token_count('text')} % 64) // 2 AS BIGINT)
                      AS height

@@ -1,0 +1,289 @@
+"""Frequency / cardinality operators: exact heavy hitters via a mergeable
+Misra-Gries sketch, exact grouped distinct counts, and a HyperLogLog tier.
+
+Heavy hitters ("which tokens/urls/hosts appear >= phi of the time") is the
+classic can't-groupby-everything problem: an exact ``groupby(token)`` at
+100 TB shuffles every token occurrence. The scale shape here is the
+two-pass sketch-then-verify:
+
+1. **Sketch pass** — each block reduces its token counts to a k-counter
+   Misra-Gries summary (Misra & Gries 1982; mergeability per Agarwal et
+   al., "Mergeable Summaries", PODS'12): keep the k largest counts minus
+   the (k+1)-th largest. Any item's true count is under-counted by at most
+   ``err = sum of per-reduction decrements <= N/k``, so with
+   ``k >= N/threshold`` every true heavy hitter provably survives. The
+   exchange moves <= ``k x n_blocks`` (value, cnt) rows — pre-aggregated,
+   like every other exchange in this repo — and per-value sums finalize in
+   one vectorized kernel per partition. The error budget rides along as
+   null-value sentinel rows (one per block: its decrement total + its raw
+   item total), so the candidate gate knows both N and err EXACTLY with no
+   extra pass.
+2. **Verify pass** — the candidate set (tiny by construction) is broadcast
+   (``ray.put``), a second scan counts ONLY candidate values (vectorized
+   ``is_in`` filter), and the final ``>= threshold`` filter runs on exact
+   counts. Output is therefore EXACT — the sketch only bounds what must be
+   re-counted — which is what makes the op oracle-checkable
+   (``HAVING count(*) >= threshold`` in SQL).
+
+If ``err >= threshold`` the sketch cannot certify completeness; the op
+raises with the sizing rule rather than silently returning a subset (the
+repo's no-silent-caps discipline).
+
+No reference analogue (pypdfium2 has no corpus layer); the op family is
+standard large-scale training-data curation (vocabulary pruning, boilerplate
+token discovery, hot-key detection before a shuffle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from pypdfium2_ray.stages.exchange import partition_map
+
+#: whitespace class shared with the docmodel / text twins
+from pypdfium2_ray.functions.text import WS_RE
+
+
+def explode_tokens(t: pa.Table, col: str = "text",
+                   out: str = "token") -> pa.Table:
+    """One row per whitespace-delimited token (vectorized RE2 split +
+    list_flatten; empty tokens from leading/trailing runs dropped).
+    SQL twin: ``unnest(regexp_split_to_array(col, '[ \\t\\r\\n\\f\\v]+'))
+    ... WHERE token <> ''``."""
+    toks = pc.list_flatten(pc.split_pattern_regex(t[col], WS_RE))
+    toks = toks.filter(pc.not_equal(toks, ""))
+    return pa.table({out: toks})
+
+
+def explode_bigrams(t: pa.Table, col: str = "text",
+                    out: str = "token") -> pa.Table:
+    """One row per adjacent word pair ("w1 w2") within each document —
+    all offsets arithmetic, no Python per row: split to token lists, drop
+    empty tokens, join each token with its successor, and mask out the
+    pairs that straddle a document boundary. SQL twin (DuckDB list
+    comprehension over the same split): ``unnest([a[i] || ' ' || a[i+1]
+    for i in range(1, len(a))])`` with ``a = list_filter(split, t ->
+    t <> '')``."""
+    toks = pc.split_pattern_regex(t[col], WS_RE)
+    la = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    flat = la.flatten()
+    offs = la.offsets.to_numpy()
+    doc = np.repeat(np.arange(len(la), dtype=np.int64), np.diff(offs))
+    keep = pc.not_equal(flat, "")
+    flat = flat.filter(keep)
+    doc = doc[keep.to_numpy(zero_copy_only=False)]
+    if len(flat) < 2:
+        return pa.table({out: pa.array([], pa.string())})
+    pairs = pc.binary_join_element_wise(
+        flat.slice(0, len(flat) - 1), flat.slice(1), " ")
+    return pa.table({out: pairs.filter(pa.array(doc[1:] == doc[:-1]))})
+
+
+def _mg_reduce(vals: np.ndarray, counts: np.ndarray, k: int):
+    """Reduce exact (value, count) pairs to <= k Misra-Gries counters.
+    Returns (vals, stored_counts, decrement) where every surviving count
+    was lowered by exactly ``decrement`` (the (k+1)-th largest count) and
+    any item's true count <= stored + decrement."""
+    if vals.size <= k:
+        return vals, counts, 0
+    order = np.argsort(counts, kind="stable")[::-1]
+    c_star = int(counts[order[k]])
+    keep = order[:k][counts[order[:k]] > c_star]
+    return vals[keep], counts[keep] - c_star, c_star
+
+
+def heavy_hitters(make_ds, value_col: str,
+                  threshold_frac: float | None = None,
+                  threshold_count: int | None = None,
+                  k_sketch: int = 4096,
+                  num_partitions: int | None = None):
+    """Exact values occurring >= threshold times in ``make_ds()``'s
+    ``value_col`` (two-pass sketch-then-verify; see module docstring).
+
+    ``make_ds``: zero-arg callable returning the (lazy) input Dataset —
+    called once per pass, so each pass streams its own scan instead of
+    re-executing a shared lineage twice implicitly.
+
+    Threshold: ``threshold_count`` absolute, or ``threshold_frac`` of the
+    total row count N (resolved exactly from the sketch pass's sentinel
+    totals). Completeness requires ``k_sketch >= N / threshold`` — checked
+    at runtime (raises, never silently incomplete).
+
+    Returns a Dataset with columns ``(value_col, n)`` — exact counts.
+    """
+    import ray
+
+    assert (threshold_frac is None) != (threshold_count is None), \
+        "exactly one of threshold_frac / threshold_count"
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = t[value_col].to_pandas()
+        vc = s.value_counts()
+        vals, counts, dec = _mg_reduce(
+            vc.index.to_numpy(), vc.to_numpy(np.int64), k_sketch)
+        # sentinel row (null value): this block's raw total + decrement
+        return pa.table({
+            value_col: pa.array(list(vals) + [None], pa.string()),
+            "cnt": pa.array(np.r_[counts, len(s)], type=pa.int64()),
+            "err": pa.array(np.r_[np.zeros(vals.size, np.int64), dec],
+                            type=pa.int64()),
+        })
+
+    def combine(t: pa.Table) -> pa.Table:
+        return t.group_by([value_col], use_threads=False).aggregate(
+            [("cnt", "sum"), ("err", "sum")])
+
+    sketch = partition_map(
+        make_ds().map_batches(partial, batch_size=None,
+                              batch_format="pyarrow"),
+        [value_col], combine, num_partitions=num_partitions)
+    # tiny by construction: <= k_sketch surviving counters + sentinels
+    summary = sketch.to_pandas()
+
+    sent = summary[value_col].isna()
+    n_total = int(summary.loc[sent, "cnt_sum"].sum())
+    err = int(summary.loc[sent, "err_sum"].sum())
+    threshold = (int(threshold_count) if threshold_count is not None
+                 else max(1, int(np.ceil(threshold_frac * n_total))))
+    if err >= threshold:
+        raise ValueError(
+            f"heavy_hitters sketch cannot certify completeness: undercount "
+            f"bound err={err} >= threshold={threshold}. Raise k_sketch to "
+            f">= N/threshold = {-(-n_total // max(threshold, 1))} "
+            f"(N={n_total}, k_sketch={k_sketch}).")
+    cand = summary.loc[~sent & (summary["cnt_sum"] >= threshold - err),
+                       value_col]
+    cand_ref = ray.put(pa.array(cand.to_numpy(), pa.string()))
+
+    def count_candidates(t: pa.Table) -> pa.Table:
+        vals = ray.get(cand_ref)                     # plasma-local, shared
+        col = t[value_col]
+        kept = col.filter(pc.is_in(col, value_set=vals))
+        vc = kept.to_pandas().value_counts()
+        return pa.table({value_col: pa.array(vc.index, pa.string()),
+                         "n": pa.array(vc.to_numpy(np.int64))})
+
+    partials = make_ds().map_batches(count_candidates, batch_size=None,
+                                     batch_format="pyarrow")
+
+    def final(t: pa.Table) -> pa.Table:
+        g = t.group_by([value_col], use_threads=False).aggregate(
+            [("n", "sum")])
+        g = pa.table({value_col: g[value_col],
+                      "n": pc.cast(g["n_sum"], pa.int64())})
+        return g.filter(pc.greater_equal(g["n"], threshold))
+
+    # candidate cardinality is sketch-bounded => single-block combine
+    return partials.repartition(1).map_batches(final, batch_size=None,
+                                               batch_format="pyarrow")
+
+
+# ===========================================================================
+# distinct counts: exact (oracle-checkable) and HyperLogLog (sketch tier)
+
+def grouped_distinct_count(ds, keys: list[str], col: str,
+                           out: str = "n_distinct",
+                           num_partitions: int | None = None,
+                           combine: str = "exchange"):
+    """Exact ``count(distinct col)`` per group: per-block distinct
+    (pre-combine) -> ONE hash exchange on ``keys + [col]`` (equal pairs
+    co-partition, so a per-partition distinct is globally exact) -> count
+    per key. ``combine`` sizes the final count tier as in
+    ``agg.grouped_aggregate`` (``single_block`` for enum-like keys)."""
+    from pypdfium2_ray.stages.agg import grouped_aggregate
+
+    pair_cols = keys + [col]
+
+    def distinct(t: pa.Table) -> pa.Table:
+        return t.select(pair_cols).group_by(
+            pair_cols, use_threads=False).aggregate([])
+
+    pre = ds.map_batches(distinct, batch_format="pyarrow")
+    pairs = partition_map(pre, pair_cols, distinct,
+                          num_partitions=num_partitions)
+    return grouped_aggregate(pairs, keys, {out: (None, "count")},
+                             combine=combine)
+
+
+#: HLL precision: 2^p registers; standard error ~ 1.04 / sqrt(2^p)
+HLL_P = 12
+
+
+def _hll_registers(gid: np.ndarray, values: pd.Series, n_groups: int,
+                   p: int = HLL_P) -> np.ndarray:
+    """(n_groups, 2^p) uint8 register matrix — fully vectorized: one
+    deterministic 64-bit hash per value (pandas ``hash_array``, fixed
+    hash_key), top ``p`` bits pick the register, leading-zero count of the
+    rest sets it (Flajolet et al., HyperLogLog, AofA'07)."""
+    from pandas.util import hash_array
+    assert p >= 12, "clz-via-log2 sentinel needs p >= 12"
+    h = hash_array(values.to_numpy(), hash_key="pypdfium2rayhll0")
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)  # sentinel ones
+    # rho = leading zeros of rest + 1, via float64 log2 on the top bits
+    # (exact: rest >> 11 keeps 53 bits, enough to locate the highest bit)
+    top = (rest >> np.uint64(11)).astype(np.float64)
+    rho = (64 - 11) - np.floor(np.log2(top)).astype(np.int64)
+    regs = np.zeros((n_groups, 1 << p), np.uint8)
+    np.maximum.at(regs, (gid, idx), rho.astype(np.uint8))
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> np.ndarray:
+    """Bias-corrected HLL estimate per row of a register matrix (small- and
+    large-range corrections per the paper)."""
+    m = regs.shape[1]
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)),
+                                 axis=1)
+    zeros = (regs == 0).sum(axis=1)
+    small = (est <= 2.5 * m) & (zeros > 0)
+    est[small] = (m * np.log(m / zeros[small]))
+    return est
+
+
+def grouped_distinct_hll(ds, keys: list[str], col: str,
+                         out: str = "n_distinct_est", p: int = HLL_P,
+                         num_partitions: int | None = None,
+                         combine: str = "exchange"):
+    """Approximate distinct count per group — the sketch tier of
+    :func:`grouped_distinct_count` for when the exact pair exchange is no
+    longer affordable: each block emits ONE ``2^p``-byte register row per
+    group (merge = elementwise max, order- and layout-independent), so the
+    exchange moves ``n_blocks x n_groups`` fixed-size rows regardless of
+    value cardinality. Standard error ~ ``1.04/sqrt(2^p)`` (~1.6% at the
+    default p=12; bound-tested in tests/test_freq.py)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=[col])
+        if not len(df):
+            return pd.DataFrame({**{k: df[k] for k in keys},
+                                 "__hll": pd.Series([], dtype=object)})
+        gid = df.groupby(keys, sort=False, dropna=False).ngroup().to_numpy()
+        regs = _hll_registers(gid, df[col], int(gid.max()) + 1, p)
+        rep = np.unique(gid, return_index=True)[1]
+        res = df.iloc[rep][keys].reset_index(drop=True)
+        res["__hll"] = list(regs)                    # fixed-size u8 rows
+        return res
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        gid = df.groupby(keys, sort=False, dropna=False).ngroup().to_numpy()
+        regs = np.zeros((int(gid.max()) + 1, 1 << p), np.uint8)
+        np.maximum.at(regs, gid,
+                      np.stack(df["__hll"].to_numpy()))  # merge = max
+        rep = np.unique(gid, return_index=True)[1]
+        res = df.iloc[rep][keys].reset_index(drop=True)
+        res[out] = np.round(_hll_estimate(regs)).astype(np.int64)
+        return res
+
+    proj = ds.select_columns(keys + [col])
+    partials = proj.map_batches(partial, batch_size=None,
+                                batch_format="pandas")
+    if combine == "single_block":
+        return partials.repartition(1).map_batches(
+            finalize, batch_size=None, batch_format="pandas")
+    return partition_map(partials, keys, finalize, batch_format="pandas",
+                         num_partitions=num_partitions)

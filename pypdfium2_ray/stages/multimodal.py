@@ -56,7 +56,8 @@ def _fake_meta(payload: bytes) -> tuple[int, int, str, list[float]]:
 
 def _decode_pixels(payload: bytes, fmt: str) -> "np.ndarray | None":
     """Real pixel decode for the formats with from-scratch decoders
-    (PNG: functions/png; uncompressed BMP: functions/bmp); None otherwise."""
+    (PNG: functions/png; uncompressed BMP: functions/bmp; GIF incl. LZW
+    and interlace: functions/gif); None otherwise."""
     try:
         if fmt == "png":
             from pypdfium2_ray.functions.png import decode_png
@@ -64,6 +65,9 @@ def _decode_pixels(payload: bytes, fmt: str) -> "np.ndarray | None":
         if fmt == "bmp":
             from pypdfium2_ray.functions.bmp import decode_bmp
             return decode_bmp(payload)
+        if fmt == "gif":
+            from pypdfium2_ray.functions.gif import decode_gif
+            return decode_gif(payload)
     except Exception:
         return None
     return None
@@ -160,11 +164,12 @@ def _resize_nearest(img: np.ndarray, w: int, h: int) -> np.ndarray:
 class ResizeImage:
     """Actor: ``(id, data:binary)`` -> resized payload + new dims.
 
-    REAL for PNG and uncompressed-BMP payloads (from-scratch decode ->
-    vectorized nearest-neighbor -> re-encode in the SAME format, no image
-    libraries); other formats pass through with
-    ``status='unsupported-format'`` (resizing them needs their pixel
-    decoders — PIL-gated, like DecodeImage mode='pil').
+    REAL for PNG, uncompressed-BMP and GIF payloads (from-scratch decode
+    -> vectorized nearest-neighbor -> re-encode in the SAME format, no
+    image libraries; nearest-neighbor only gathers pixels, so a resized
+    GIF always fits its source palette); other formats (JPEG) pass
+    through with ``status='unsupported-format'`` (their pixel decoders
+    are PIL-gated, like DecodeImage mode='pil').
     ``scale`` halves by default; explicit ``width``/``height`` win.
     """
 
@@ -179,6 +184,7 @@ class ResizeImage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from pypdfium2_ray.functions.bmp import encode_bmp
+        from pypdfium2_ray.functions.gif import encode_gif
         from pypdfium2_ray.functions.png import encode_png
         ids = batch[self.id_col].to_pylist()
         payloads = batch[self.data_col].to_pylist()
@@ -186,7 +192,7 @@ class ResizeImage:
         for i, p in zip(ids, payloads):
             p = p or b""
             meta = parse_image_meta(p)
-            if meta is None or meta[0] not in ("png", "bmp"):
+            if meta is None or meta[0] not in ("png", "bmp", "gif"):
                 rows.append(dict(id=i, status="unsupported-format",
                                  width=0, height=0, data=p))
                 continue
@@ -201,7 +207,8 @@ class ResizeImage:
             h = (self.height if self.height is not None
                  else max(1, int(img.shape[0] * self.scale)))
             out = _resize_nearest(img, w, h)
-            enc = encode_png(out) if fmt == "png" else encode_bmp(out)
+            enc = {"png": encode_png, "bmp": encode_bmp,
+                   "gif": encode_gif}[fmt](out)
             rows.append(dict(id=i, status="ok", width=w, height=h,
                              data=enc))
         return pa.Table.from_pylist(rows, schema=pa.schema([

@@ -1,0 +1,153 @@
+"""Frequency/cardinality ops (stages/freq): exact heavy hitters via
+Misra-Gries sketch-then-verify, exact grouped distinct counts, HLL tier.
+
+The driver oracle exercises these on near-uniform synthetic tables (the
+MG reduction barely fires there); these tests use zipf-skewed data so the
+sketch genuinely reduces (err > 0) and the completeness guarantee — not
+just the trivial small-vocabulary path — is what's being verified.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pypdfium2_ray.stages.freq import (
+    _hll_estimate, _hll_registers, _mg_reduce, explode_bigrams,
+    explode_tokens, grouped_distinct_count, grouped_distinct_hll,
+    heavy_hitters)
+
+
+@pytest.fixture(scope="module")
+def zipf_tokens(tmp_path_factory):
+    """Sharded parquet of ~100k zipf-distributed tokens (heavy skew: the
+    sketch must reduce) + the exact pandas truth."""
+    rng = np.random.default_rng(1)
+    toks = np.array([f"w{int(i)}" for i in rng.zipf(1.5, 100_000)
+                     if i < 10_000])
+    df = pd.DataFrame({"token": toks})
+    d = tmp_path_factory.mktemp("zipf")
+    for i in range(4):
+        pq.write_table(pa.Table.from_pandas(df.iloc[i::4], preserve_index=False),
+                       str(d / f"p{i}.parquet"))
+    return str(d), df
+
+
+def test_mg_reduce_bound():
+    """Reduction invariant: any item's true count <= stored + decrement,
+    and items with count > decrement survive."""
+    rng = np.random.default_rng(2)
+    counts = rng.integers(1, 1000, 500)
+    vals = np.arange(500)
+    kv, kc, dec = _mg_reduce(vals, counts, 64)
+    assert kv.size <= 64
+    stored = dict(zip(kv, kc))
+    for v, c in zip(vals, counts):
+        assert c <= stored.get(v, 0) + dec
+
+
+def test_heavy_hitters_exact_on_skew(ray_session, zipf_tokens):
+    """Sketch pass genuinely reduces (k << vocabulary), yet the verified
+    output equals the exact groupby-HAVING answer value-for-value."""
+    import ray.data as rd
+    d, df = zipf_tokens
+    out = heavy_hitters(lambda: rd.read_parquet(d), "token",
+                        threshold_count=500, k_sketch=512).to_pandas()
+    truth = df["token"].value_counts()
+    truth = truth[truth >= 500].rename("n").astype("int64")
+    got = out.set_index("token")["n"].sort_index()
+    assert got.equals(truth.sort_index())
+
+
+def test_heavy_hitters_threshold_frac(ray_session, zipf_tokens):
+    import ray.data as rd
+    d, df = zipf_tokens
+    thr = max(1, int(np.ceil(0.01 * len(df))))
+    out = heavy_hitters(lambda: rd.read_parquet(d), "token",
+                        threshold_frac=0.01, k_sketch=1024).to_pandas()
+    truth = df["token"].value_counts()
+    assert set(out["token"]) == set(truth[truth >= thr].index)
+
+
+def test_heavy_hitters_undersized_sketch_raises(ray_session, zipf_tokens):
+    """k < N/threshold cannot certify completeness — must raise with the
+    sizing rule, never return a silent subset."""
+    import ray.data as rd
+    d, _df = zipf_tokens
+    with pytest.raises(ValueError, match="Raise k_sketch"):
+        heavy_hitters(lambda: rd.read_parquet(d), "token",
+                      threshold_count=3, k_sketch=8)
+
+
+def test_explode_tokens_and_bigrams():
+    t = pa.table({"text": [" a b  c", "d", "", "e f"]})
+    assert explode_tokens(t)["token"].to_pylist() == \
+        ["a", "b", "c", "d", "e", "f"]
+    # bigrams never straddle documents; <2-token docs contribute nothing
+    assert explode_bigrams(t)["token"].to_pylist() == ["a b", "b c", "e f"]
+    assert explode_bigrams(pa.table({"text": [" ", ""]}))["token"] \
+        .to_pylist() == []
+
+
+def test_distinct_count_exact(ray_session, tmp_path):
+    rng = np.random.default_rng(3)
+    ev = pd.DataFrame({"k": rng.integers(0, 5, 50_000),
+                       "u": rng.integers(0, 3_000, 50_000)})
+    p = str(tmp_path / "ev.parquet")
+    ev.to_parquet(p, index=False)
+    import ray.data as rd
+    want = ev.groupby("k")["u"].nunique().sort_index()
+    for combine in ("single_block", "exchange"):
+        got = grouped_distinct_count(
+            rd.read_parquet(p, override_num_blocks=4), ["k"], "u",
+            num_partitions=4, combine=combine) \
+            .to_pandas().set_index("k")["n_distinct"].sort_index()
+        assert (got == want).all()
+
+
+def test_hll_relative_error_bound(ray_session, tmp_path):
+    """HLL estimates within 5% (~3 sigma at p=12) of exact, on both
+    combine tiers and across block layouts (merge = register max is
+    layout-independent up to nothing — estimates are IDENTICAL because
+    the merged register state is)."""
+    rng = np.random.default_rng(4)
+    ev = pd.DataFrame({"k": rng.integers(0, 5, 60_000),
+                       "u": rng.integers(0, 5_000, 60_000)})
+    p = str(tmp_path / "ev.parquet")
+    ev.to_parquet(p, index=False)
+    import ray.data as rd
+    want = ev.groupby("k")["u"].nunique().sort_index()
+    ests = []
+    for blocks in (2, 8):
+        got = grouped_distinct_hll(
+            rd.read_parquet(p, override_num_blocks=blocks), ["k"], "u",
+            combine="single_block") \
+            .to_pandas().set_index("k")["n_distinct_est"].sort_index()
+        assert (((got - want).abs() / want) < 0.05).all()
+        ests.append(got)
+    # register-max merging makes the ESTIMATE layout-independent (unlike
+    # t-digest): same registers regardless of which block saw which row
+    assert ests[0].equals(ests[1])
+
+
+def test_hll_registers_deterministic():
+    s = pd.Series(["a", "b", "c", "a"])
+    gid = np.zeros(4, np.int64)
+    r1 = _hll_registers(gid, s, 1)
+    r2 = _hll_registers(gid, s, 1)
+    assert (r1 == r2).all()
+    assert int(_hll_estimate(r1)[0]) == 3        # tiny-range correction
+
+
+def test_query_entries_agree(ray_session):
+    """distinct_users_hll (no SQL oracle) within 5% of the exact
+    distinct_users on the same table."""
+    import __ray_entry__ as E
+    sf = "/root/testdata/sf0.001"
+    exact = E.queries()["distinct_users"](sf).to_pandas() \
+        .set_index("event_type")["n_distinct"].sort_index()
+    est = E.queries()["distinct_users_hll"](sf).to_pandas() \
+        .set_index("event_type")["n_distinct_est"].sort_index()
+    assert set(est.index) == set(exact.index)
+    assert (((est - exact).abs() / exact) < 0.05).all()

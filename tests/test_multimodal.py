@@ -300,6 +300,60 @@ def test_resize_image_real_bmp():
     assert len(feats) == 6 and all(0.0 <= v <= 1.0 for v in feats)
 
 
+def test_gif_roundtrip_lzw_and_interlace():
+    """From-scratch GIF codec: exact encode->decode round trip (LZW with
+    per-pixel clear codes), grayscale/256-color palettes, and interlaced
+    streams (row permutation) decoded correctly."""
+    import struct
+
+    from pypdfium2_ray.functions.gif import decode_gif, encode_gif
+    from pypdfium2_ray.functions.imagemeta import parse_image_meta
+    rng = np.random.RandomState(0)
+    img = (rng.randint(0, 6, size=(37, 53)) * 40).astype(np.uint8)
+    img = np.stack([img, img // 2, 255 - img], axis=2)
+    enc = encode_gif(img)
+    assert parse_image_meta(enc) == ("gif", 53, 37)
+    assert (decode_gif(enc) == img).all()
+
+    gray = np.arange(256, dtype=np.uint8).reshape(16, 16)   # full palette
+    dec = decode_gif(encode_gif(gray))
+    assert (dec[:, :, 0] == gray).all() and (dec[:, :, 2] == gray).all()
+
+    # interlaced: permute rows by the pass layout, set the interlace flag
+    h = img.shape[0]
+    rows = np.concatenate([np.arange(off, h, step)
+                           for off, step in ((0, 8), (4, 8), (2, 4), (1, 2))])
+    enc3 = bytearray(encode_gif(img[rows]))
+    tsz = 2 << (enc3[10] & 7)
+    desc = 13 + 3 * tsz
+    assert enc3[desc] == 0x2C
+    enc3[desc + 9] |= 0x40
+    assert (decode_gif(bytes(enc3)) == img).all()
+
+
+def test_resize_image_real_gif():
+    """Mixed-format resize, third format: GIF decodes, resizes, re-encodes
+    AS GIF (nearest-neighbor gathers pixels, so the palette never grows)."""
+    from pypdfium2_ray.functions.gif import decode_gif, encode_gif
+    from pypdfium2_ray.stages.multimodal import (
+        DecodeImage, ResizeImage, _resize_nearest)
+    rng = np.random.RandomState(12)
+    img = (rng.randint(0, 4, size=(10, 14, 3)) * 60).astype(np.uint8)
+    batch = pa.table({
+        "id": pa.array([1], pa.int64()),
+        "data": pa.array([encode_gif(img)], pa.binary()),
+    })
+    out = ResizeImage(scale=0.5)(batch)
+    assert out["status"].to_pylist() == ["ok"]
+    data = out["data"][0].as_py()
+    assert data[:6] in (b"GIF87a", b"GIF89a")     # format preserved
+    assert (decode_gif(data) == _resize_nearest(img, 7, 5)).all()
+    meta = DecodeImage(png_pixels=True)(batch)
+    assert meta["format"].to_pylist() == ["gif"]
+    feats = meta["features"][0].as_py()
+    assert len(feats) == 6 and all(0.0 <= v <= 1.0 for v in feats)
+
+
 def test_resize_nearest_identity_and_channels():
     import numpy as np
     from pypdfium2_ray.stages.multimodal import _resize_nearest
