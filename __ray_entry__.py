@@ -705,8 +705,11 @@ def q_decode_images(sf_dir: str):
 def q_image_meta(sf_dir: str):
     """REAL image decode end-to-end: synthesize a PNG per document (dims
     derived from the text — stdlib encoder, functions/png.py), then parse
-    the header back with the from-scratch parser (functions/imagemeta).
-    The oracle recomputes the dims directly from the text."""
+    the header back with the from-scratch parser (functions/imagemeta),
+    including the reference's metadata field set (bpp / colorspace — M14;
+    the 8-bit gray engine PNGs carry no pHYs, so dpi stays 0 like
+    PDFium's no-density report). The oracle recomputes every field from
+    the text."""
     import numpy as np
     from pypdfium2_ray.functions.png import encode_png
     from pypdfium2_ray.functions.text import token_count
@@ -726,8 +729,9 @@ def q_image_meta(sf_dir: str):
         to_png, batch_format="pyarrow")
     out = decode_images(ds, mode="headers")
     return _cast_i64(
-        out.select_columns(["id", "status", "format", "width", "height"]),
-        ["width", "height"])
+        out.select_columns(["id", "status", "format", "width", "height",
+                            "bpp", "colorspace", "dpi_x", "dpi_y"]),
+        ["width", "height", "bpp", "dpi_x", "dpi_y"])
 
 
 def _qf_parts() -> tuple[str, str]:
@@ -1190,7 +1194,9 @@ def oracle_sql() -> dict[str, str]:
         "image_meta": f"""
             SELECT doc_id AS id, 'ok' AS status, 'png' AS format,
                    CAST(1 + length(text) % 64 AS BIGINT) AS width,
-                   CAST(1 + {sql_token_count('text')} % 64 AS BIGINT) AS height
+                   CAST(1 + {sql_token_count('text')} % 64 AS BIGINT) AS height,
+                   8::BIGINT AS bpp, 'gray' AS colorspace,
+                   0::BIGINT AS dpi_x, 0::BIGINT AS dpi_y
             FROM documents""",
         # dims of a (2+len%64) x (2+tokens%64) image after scale-0.5
         # nearest-neighbor resize: floor halves (source dims >= 2);

@@ -28,9 +28,13 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-from pypdfium2_ray.functions.imagemeta import parse_image_meta
+from pypdfium2_ray.functions.imagemeta import (
+    parse_image_meta, parse_image_meta_full)
 
-#: output schema of DecodeImage
+#: output schema of DecodeImage — the header fields mirror the reference's
+#: FPDF_IMAGEOBJ_METADATA (pageobjects.py get_metadata: width/height/dpi/
+#: bits_per_pixel/colorspace); dpi 0 = payload carries no density, as
+#: PDFium reports
 IMAGE_META_SCHEMA = pa.schema([
     ("id", pa.int64()),
     ("status", pa.string()),                # "ok" | "unknown-format"
@@ -38,6 +42,10 @@ IMAGE_META_SCHEMA = pa.schema([
     ("width", pa.int32()),
     ("height", pa.int32()),
     ("mode", pa.string()),
+    ("bpp", pa.int32()),                    # bits per pixel
+    ("colorspace", pa.string()),
+    ("dpi_x", pa.int32()),
+    ("dpi_y", pa.int32()),
     ("n_bytes", pa.int64()),
     ("features", pa.list_(pa.float32())),
 ])
@@ -116,8 +124,9 @@ class DecodeImage:
             if self.mode == "fake":
                 w, h, mode, feats = _fake_meta(p)
                 rows.append(dict(id=i, status="ok", format="fake", width=w,
-                                 height=h, mode=mode, n_bytes=len(p),
-                                 features=feats))
+                                 height=h, mode=mode, bpp=24,
+                                 colorspace="rgb", dpi_x=0, dpi_y=0,
+                                 n_bytes=len(p), features=feats))
                 continue
             if self.mode == "pil":            # pragma: no cover (no PIL here)
                 import io
@@ -131,24 +140,29 @@ class DecodeImage:
                         id=i, status="ok",
                         format=(img.format or "").lower(),
                         width=img.width, height=img.height, mode=img.mode,
+                        bpp=0, colorspace="", dpi_x=0, dpi_y=0,
                         n_bytes=len(p), features=feats))
                 except Exception:
                     rows.append(dict(id=i, status="unknown-format",
                                      format="", width=0, height=0, mode="",
+                                     bpp=0, colorspace="", dpi_x=0, dpi_y=0,
                                      n_bytes=len(p), features=[]))
                 continue
-            meta = parse_image_meta(p)
+            meta = parse_image_meta_full(p)
             if meta is None:
                 rows.append(dict(id=i, status="unknown-format", format="",
-                                 width=0, height=0, mode="", n_bytes=len(p),
-                                 features=[]))
+                                 width=0, height=0, mode="", bpp=0,
+                                 colorspace="", dpi_x=0, dpi_y=0,
+                                 n_bytes=len(p), features=[]))
                 continue
-            fmt, w, h = meta
-            feats = (_pixel_features(p, fmt) if self.png_pixels
+            feats = (_pixel_features(p, meta["format"]) if self.png_pixels
                      else []) or []
-            rows.append(dict(id=i, status="ok", format=fmt, width=w,
-                             height=h, mode="RGB", n_bytes=len(p),
-                             features=feats))
+            rows.append(dict(id=i, status="ok", format=meta["format"],
+                             width=meta["width"], height=meta["height"],
+                             mode="RGB", bpp=meta["bpp"],
+                             colorspace=meta["colorspace"],
+                             dpi_x=meta["dpi_x"], dpi_y=meta["dpi_y"],
+                             n_bytes=len(p), features=feats))
         return pa.Table.from_pylist(rows, schema=IMAGE_META_SCHEMA)
 
 

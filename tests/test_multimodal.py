@@ -56,6 +56,50 @@ def test_parse_image_meta_formats():
     assert parse_image_meta(b"\x89PNG\r\n\x1a\n\x00") is None  # truncated
 
 
+def test_parse_image_meta_full_fields():
+    """M14 full field set (the reference's FPDF_IMAGEOBJ_METADATA:
+    bits_per_pixel / colorspace / dpi) recovered from real headers."""
+    from pypdfium2_ray.functions.imagemeta import parse_image_meta_full
+
+    gray = parse_image_meta_full(encode_png(np.zeros((7, 11), np.uint8)))
+    assert (gray["bpp"], gray["colorspace"]) == (8, "gray")
+    assert (gray["dpi_x"], gray["dpi_y"]) == (0, 0)     # no pHYs => 0
+    rgb = parse_image_meta_full(
+        encode_png(np.zeros((3, 4, 3), np.uint8)))
+    assert (rgb["bpp"], rgb["colorspace"]) == (24, "rgb")
+
+    # PNG with a pHYs chunk: 2835 px/m = 72 dpi (chunk-walked, never
+    # substring-searched)
+    png = bytearray(encode_png(np.zeros((2, 2), np.uint8)))
+    phys = struct.pack(">I", 9) + b"pHYs" + struct.pack(">IIB", 2835, 5670, 1)
+    phys += struct.pack(">I", zlib.crc32(phys[4:]))
+    png[33:33] = phys                       # after the 25-byte IHDR chunk
+    m = parse_image_meta_full(bytes(png))
+    assert (m["dpi_x"], m["dpi_y"]) == (72, 144)
+
+    # BMP pixels-per-metre fields
+    from pypdfium2_ray.functions.bmp import encode_bmp
+    bmp = bytearray(encode_bmp(np.zeros((2, 2, 3), np.uint8)))
+    bmp[28:30] = struct.pack("<H", 24)
+    bmp[38:46] = struct.pack("<ii", 2835, 2835)
+    m = parse_image_meta_full(bytes(bmp))
+    assert (m["bpp"], m["colorspace"], m["dpi_x"]) == (24, "rgb", 72)
+
+    # GIF: index depth from the screen-descriptor flags; palette space
+    from pypdfium2_ray.functions.gif import encode_gif
+    m = parse_image_meta_full(encode_gif(np.zeros((2, 2), np.uint8)))
+    assert m["colorspace"] == "palette" and 1 <= m["bpp"] <= 8
+
+    # JPEG: SOF precision x components; JFIF density in dpi units
+    app0 = (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02"
+            + struct.pack(">BHH", 1, 300, 600) + b"\x00\x00")
+    sof = (b"\xff\xc0" + struct.pack(">H", 11)
+           + b"\x08" + struct.pack(">HH", 4, 6) + b"\x03" + b"\x00" * 2)
+    m = parse_image_meta_full(b"\xff\xd8" + app0 + sof + b"\xff\xd9")
+    assert (m["bpp"], m["colorspace"]) == (24, "ycbcr")
+    assert (m["dpi_x"], m["dpi_y"]) == (300, 600)
+
+
 def test_png_decode_roundtrip_gray_and_rgb():
     rng = np.random.RandomState(3)
     gray = rng.randint(0, 256, size=(13, 17), dtype=np.uint8)
@@ -213,7 +257,8 @@ def test_decode_images_dataset(ray_session, payloads):
     out = decode_images(ds, mode="fake", batch_size=2).to_pandas()
     assert len(out) == 3
     assert set(out.columns) == {"id", "status", "format", "width", "height",
-                                "mode", "n_bytes", "features"}
+                                "mode", "bpp", "colorspace", "dpi_x",
+                                "dpi_y", "n_bytes", "features"}
     assert (out["width"] >= 64).all() and (out["width"] < 256).all()
 
 
