@@ -77,49 +77,23 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return np.where((pa_ <= pb) & (pa_ <= pc_), a, np.where(pb <= pc_, b, c))
 
 
-def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes -> uint8 array (h, w) gray or (h, w, 3) RGB.
+def _defilter(rows: np.ndarray, pw: int, ph: int, bpp: int) -> np.ndarray:
+    """Invert the five PNG scanline filters over a (sub-)image of ``ph``
+    rows x ``pw`` pixel groups of ``bpp`` filter bytes each. ``rows`` is
+    the ``(ph, 1 + pw*bpp)`` filtered bytes; returns ``(ph, pw*bpp)``
+    uint8.
 
-    Supports bit depth 8, colortypes 0/2/6 (gray/RGB/RGBA), no interlace —
-    the full inverse of :func:`encode_png` plus all five PNG scanline
-    filters (the encoder only emits filter 0, but foreign PNGs use the
-    rest).
+    All filter math is explicit-modulo-256 (widen, mask, narrow) — PNG's
+    defined wraparound, no reliance on numpy overflow behavior. Sub is a
+    per-lane cumulative sum (fully vectorized); Average/Paeth have a true
+    sequential dependency along x, so the loop runs per PIXEL GROUP with
+    all bpp lanes vectorized — O(w) python steps per scanline, not
+    O(w*bpp) per byte.
     """
-    if not data.startswith(_MAGIC):
-        raise ValueError("not a PNG")
-    w = h = None
-    channels = 0
-    idat = []
-    for tag, payload in _iter_chunks(data):
-        if tag == b"IHDR":
-            w, h, depth, colortype, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", payload)
-            if depth != 8 or colortype not in (0, 2, 6) or interlace:
-                raise ValueError(
-                    f"unsupported PNG (depth={depth} colortype={colortype}"
-                    f" interlace={interlace})")
-            channels = {0: 1, 2: 3, 6: 4}[colortype]
-        elif tag == b"IDAT":
-            idat.append(payload)
-        elif tag == b"IEND":
-            break
-    if w is None:
-        raise ValueError("missing IHDR")
-    raw = zlib.decompress(b"".join(idat))
-    stride = w * channels
-    if len(raw) != h * (stride + 1):
-        raise ValueError("scanline size mismatch")
-    rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    stride = pw * bpp
     filters = rows[:, 0]
-    img = np.zeros((h, stride), dtype=np.uint8)
-    bpp = channels
-    # All filter math is explicit-modulo-256 (widen, mask, narrow) — PNG's
-    # defined wraparound, with no reliance on numpy overflow behavior.
-    # Sub is a per-lane cumulative sum (fully vectorized); Average/Paeth
-    # have a true sequential dependency along x, so the loop runs per
-    # PIXEL with all bpp lanes vectorized — O(w) python steps per
-    # scanline, not O(w*bpp) per byte.
-    for y in range(h):
+    img = np.zeros((ph, stride), dtype=np.uint8)
+    for y in range(ph):
         line = rows[y, 1:]
         f = filters[y]
         prev = img[y - 1] if y else np.zeros(stride, np.uint8)
@@ -128,30 +102,106 @@ def decode_png(data: bytes) -> np.ndarray:
         elif f == 2:                                   # Up
             img[y] = ((line.astype(np.uint16) + prev) & 0xFF).astype(np.uint8)
         elif f == 1:                                   # Sub: lane cumsum
-            lanes = line.reshape(w, bpp)
+            lanes = line.reshape(pw, bpp)
             img[y] = (np.cumsum(lanes, axis=0, dtype=np.uint64) & 0xFF
                       ).astype(np.uint8).reshape(stride)
         elif f == 3:                                   # Average
-            lanes = line.reshape(w, bpp).astype(np.uint16)
-            pl = prev.reshape(w, bpp).astype(np.uint16)
-            out_px = np.empty((w, bpp), np.uint8)
+            lanes = line.reshape(pw, bpp).astype(np.uint16)
+            pl = prev.reshape(pw, bpp).astype(np.uint16)
+            out_px = np.empty((pw, bpp), np.uint8)
             left = np.zeros(bpp, np.uint16)
-            for x in range(w):
+            for x in range(pw):
                 left = (lanes[x] + ((left + pl[x]) >> 1)) & 0xFF
                 out_px[x] = left
             img[y] = out_px.reshape(stride)
         elif f == 4:                                   # Paeth
-            lanes = line.reshape(w, bpp).astype(np.int16)
-            pl = prev.reshape(w, bpp).astype(np.int16)
-            out_px = np.empty((w, bpp), np.uint8)
+            lanes = line.reshape(pw, bpp).astype(np.int16)
+            pl = prev.reshape(pw, bpp).astype(np.int16)
+            out_px = np.empty((pw, bpp), np.uint8)
             left = np.zeros(bpp, np.int16)
             ul = np.zeros(bpp, np.int16)
-            for x in range(w):
+            for x in range(pw):
                 left = (lanes[x] + _paeth(left, pl[x], ul)) & 0xFF
                 out_px[x] = left
                 ul = pl[x]
             img[y] = out_px.reshape(stride)
         else:
             raise ValueError(f"bad filter {f}")
+    return img
+
+
+#: Adam7 pass grid: (x offset, y offset, x step, y step)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> uint8 array: (h, w) gray, (h, w, 2) gray+alpha,
+    (h, w, 3) RGB, (h, w, 4) RGBA.
+
+    Supports bit depths 8 and 16 (16-bit samples are truncated to their
+    high byte, PDFium-style 8-bit output), all byte-aligned colortypes —
+    0 gray / 2 RGB / 3 palette (depth 8) / 4 gray+alpha / 6 RGBA — and
+    Adam7 interlacing (each pass de-filtered as its own sub-image, then
+    scattered on the pass grid). The full inverse of :func:`encode_png`
+    plus everything 8/16-bit foreign PNGs use; only sub-byte depths
+    (1/2/4) stay out of scope.
+    """
+    if not data.startswith(_MAGIC):
+        raise ValueError("not a PNG")
+    w = h = None
+    channels = bps = interlace = 0
+    colortype = -1
+    idat = []
+    plte = None
+    for tag, payload in _iter_chunks(data):
+        if tag == b"IHDR":
+            w, h, depth, colortype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", payload)
+            if (depth not in (8, 16) or colortype not in (0, 2, 3, 4, 6)
+                    or (colortype == 3 and depth != 8) or interlace > 1):
+                raise ValueError(
+                    f"unsupported PNG (depth={depth} colortype={colortype}"
+                    f" interlace={interlace})")
+            channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[colortype]
+            bps = depth // 8
+        elif tag == b"PLTE":
+            plte = np.frombuffer(payload, np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.append(payload)
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("missing IHDR")
+    raw = zlib.decompress(b"".join(idat))
+    bpp = channels * bps
+    if not interlace:
+        if len(raw) != h * (w * bpp + 1):
+            raise ValueError("scanline size mismatch")
+        rows = np.frombuffer(raw, np.uint8).reshape(h, w * bpp + 1)
+        img = _defilter(rows, w, h, bpp)
+    else:                                       # Adam7: 7 scattered passes
+        img = np.zeros((h, w * bpp), np.uint8)
+        view = img.reshape(h, w, bpp)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = -(-(w - x0) // dx) if w > x0 else 0
+            ph = -(-(h - y0) // dy) if h > y0 else 0
+            if not pw or not ph:
+                continue
+            size = ph * (pw * bpp + 1)
+            rows = np.frombuffer(raw[pos:pos + size], np.uint8) \
+                .reshape(ph, pw * bpp + 1)
+            pos += size
+            sub = _defilter(rows, pw, ph, bpp).reshape(ph, pw, bpp)
+            view[y0::dy, x0::dx] = sub
+        if pos != len(raw):
+            raise ValueError("interlaced scanline size mismatch")
+    if bps == 2:                                # 16-bit: keep the high byte
+        img = img.reshape(h, w * channels, 2)[:, :, 0]
     out = img.reshape(h, w, channels)
+    if colortype == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        return plte[np.minimum(out[:, :, 0], len(plte) - 1)]
     return out[:, :, 0] if channels == 1 else out

@@ -198,6 +198,64 @@ def test_png_decode_all_filters_rgb_warning_free():
     assert (out == img).all()
 
 
+def _make_png(ihdr_fields, raw, plte=None):
+    from pypdfium2_ray.functions.png import _MAGIC, _chunk
+    out = _MAGIC + _chunk(b"IHDR", struct.pack(">IIBBBBB", *ihdr_fields))
+    if plte is not None:
+        out += _chunk(b"PLTE", plte)
+    return out + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
+
+
+def test_png_decode_16bit_palette_grayalpha():
+    """Foreign-PNG coverage: 16-bit samples (high-byte truncation,
+    PDFium-style 8-bit output), palette (PLTE mapping), gray+alpha."""
+    rng = np.random.default_rng(0)
+    img16 = rng.integers(0, 65536, (9, 7), np.uint16)
+    raw = b"".join(b"\x00" + img16[y].astype(">u2").tobytes()
+                   for y in range(9))
+    dec = decode_png(_make_png((7, 9, 16, 0, 0, 0, 0), raw))
+    assert (dec == (img16 >> 8).astype(np.uint8)).all()
+
+    # 16-bit RGB through the Up filter: filter bytes, not samples
+    img16 = rng.integers(0, 65536, (5, 4, 3), np.uint16)
+    be = img16.astype(">u2").view(np.uint8).reshape(5, 24)
+    raw = b"".join(
+        bytes([0 if y == 0 else 2]) +
+        (be[y] if y == 0 else
+         ((be[y].astype(np.int16) - be[y - 1]) % 256).astype(np.uint8)
+         ).tobytes() for y in range(5))
+    dec = decode_png(_make_png((4, 5, 16, 2, 0, 0, 0), raw))
+    assert (dec == (img16 >> 8).astype(np.uint8)).all()
+
+    pal = np.arange(24, dtype=np.uint8)
+    idx = rng.integers(0, 8, (6, 5), np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(6))
+    dec = decode_png(_make_png((5, 6, 8, 3, 0, 0, 0), raw, pal.tobytes()))
+    assert (dec == pal.reshape(8, 3)[idx]).all()
+
+    ga = rng.integers(0, 256, (4, 3, 2), np.uint8)
+    raw = b"".join(b"\x00" + ga[y].tobytes() for y in range(4))
+    dec = decode_png(_make_png((3, 4, 8, 4, 0, 0, 0), raw))
+    assert dec.shape == (4, 3, 2) and (dec == ga).all()
+
+
+def test_png_decode_adam7_interlaced():
+    """Adam7: each pass de-filtered as its own sub-image, scattered on the
+    pass grid — decoded image equals the source at odd dims (11x13)."""
+    from pypdfium2_ray.functions.png import _ADAM7
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (11, 13, 3), np.uint8)
+    raw = b""
+    for x0, y0, dx, dy in _ADAM7:
+        sub = img[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        raw += b"".join(b"\x00" + sub[y].tobytes()
+                        for y in range(sub.shape[0]))
+    dec = decode_png(_make_png((13, 11, 8, 2, 0, 0, 1), raw))
+    assert (dec == img).all()
+
+
 def test_decode_image_headers_mode():
     png = encode_png(np.full((3, 4), 7, np.uint8))
     batch = pa.table({
