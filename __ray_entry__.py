@@ -224,6 +224,24 @@ def q_hash_sample(sf_dir: str):
     return hash_sample(ds, "doc_id", modulus=10, keep=3)
 
 
+def q_decontaminate(sf_dir: str):
+    """Held-out-split decontamination: ANTI join the corpus against the
+    deterministic hash sample (the held-out ids) via
+    stages/join.key_filter_join — the blocklist primitive every curation
+    pipeline needs (drop denylisted hosts / benchmark ids / already-done
+    work). The exchange tier is exercised here so the driver gate covers
+    the any-scale path; the oracle expresses the same membership as
+    NOT IN."""
+    from pypdfium2_ray.stages.join import key_filter_join
+    from pypdfium2_ray.stages.textstats import hash_sample
+    ds = _docs(sf_dir, ["doc_id", "n_chars"])
+    held = hash_sample(_docs(sf_dir, ["doc_id"]), "doc_id",
+                       modulus=10, keep=3)
+    with _hint(sf_dir):
+        return key_filter_join(ds, held, "doc_id", mode="anti",
+                               tier="exchange")
+
+
 def q_domain_stats(sf_dir: str):
     """Per-domain rollup over the cc corpus urls (crawl curation: docs and
     chars by host, host extracted with a vectorized regex)."""
@@ -849,6 +867,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions": q_sessions,
         "quality_filter": q_quality_filter,
         "hash_sample": q_hash_sample,
+        "decontaminate": q_decontaminate,
         "domain_stats": q_domain_stats,
         "doc_stats": q_doc_stats,
         "dedup_exact": q_dedup_exact,
@@ -984,6 +1003,11 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": """
             SELECT doc_id, n_chars FROM documents
             WHERE md5_number_upper(doc_id::VARCHAR) % 10 = 3""",
+        "decontaminate": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE doc_id NOT IN (
+                SELECT doc_id FROM documents
+                WHERE md5_number_upper(doc_id::VARCHAR) % 10 = 3)""",
         # the oracle applies the SAME host regex to the SAME synthesized
         # url, so a source containing '/' (or failing the regex) diverges
         # identically on both sides instead of silently only in the engine

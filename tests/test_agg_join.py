@@ -130,3 +130,44 @@ def test_grouped_median_matches_pandas(ray_session):
     got = out.sort_values("k").reset_index(drop=True)
     exp = exp.sort_values("k").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_key_filter_join_semi_anti(ray_session, tmp_path):
+    """Semi/anti (blocklist) join: both tiers equal pandas isin, and
+    list-typed payload columns pass through untouched (pyarrow's own
+    'left semi' join would reject them)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pypdfium2_ray.stages.join import key_filter_join
+
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame({"k": rng.integers(0, 100, 5_000),
+                         "v": rng.normal(size=5_000)})
+    left["emb"] = [list(map(float, rng.normal(size=3))) for _ in range(5_000)]
+    p = str(tmp_path / "left.parquet")
+    left.to_parquet(p, index=False)
+    block = pa.table({"k": pa.array([1, 5, 7, 7, 42, 99], pa.int64())})
+
+    want_semi = set(left.loc[left["k"].isin(block["k"].to_pylist()), "v"])
+    want_anti = set(left.loc[~left["k"].isin(block["k"].to_pylist()), "v"])
+    for tier in ("broadcast", "exchange"):
+        ds = rd.read_parquet(p, override_num_blocks=4)
+        semi = key_filter_join(ds, block, "k", mode="semi", tier=tier,
+                               num_partitions=4).to_pandas()
+        anti = key_filter_join(ds, block, "k", mode="anti", tier=tier,
+                               num_partitions=4).to_pandas()
+        assert set(semi["v"]) == want_semi, tier
+        assert set(anti["v"]) == want_anti, tier
+        assert len(semi) + len(anti) == len(left)
+        assert [len(e) for e in semi["emb"]] == [3] * len(semi)  # lists OK
+
+    # right side as a Dataset + oversized-broadcast fallthrough (loud log,
+    # same answer)
+    block_ds = rd.from_arrow(block)
+    semi2 = key_filter_join(rd.read_parquet(p), block_ds, "k", mode="semi",
+                            tier="broadcast", max_broadcast_rows=2,
+                            num_partitions=4).to_pandas()
+    assert set(semi2["v"]) == want_semi
