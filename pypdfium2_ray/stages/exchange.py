@@ -184,10 +184,13 @@ def lookup_join(target, target_cols: dict[str, pa.DataType],
     twice anyway), its distinct keys broadcast once (``ray.put``), and
     source blocks are filtered BEFORE the pad/union — so the exchange
     carries only matching source rows instead of the whole corpus
-    payload. The value is the broadcast ceiling: if the target exceeds
-    that many rows the prefilter is skipped with a loud log (correctness
-    identical — unmatched source rows drop in the kernel either way; at
-    that point a Bloom-filter prefilter would be the next tier).
+    payload. The value is the EXACT-broadcast ceiling: above it the
+    prefilter degrades to a Bloom filter (``functions/bloom``: ~10
+    bits/key, ~1% false positives, built distributedly as OR-combined
+    per-block bitmaps) with a loud log — false positives are dropped in
+    the join kernel, so correctness never depends on the filter; only
+    ~1% of non-matching source rows slip into the exchange instead of
+    all of them.
     """
     if distinct_target_on is not None:
         assert key_col in distinct_target_on
@@ -197,7 +200,7 @@ def lookup_join(target, target_cols: dict[str, pa.DataType],
     assert key_col in target_cols and not set(p_names) & set(t_names)
     key_type = target_cols[key_col]
 
-    keys_ref = None
+    keys_ref = bloom_ref = None
     if prefilter_keys is not None:
         import ray
         target = target.materialize()
@@ -211,10 +214,17 @@ def lookup_join(target, target_cols: dict[str, pa.DataType],
             keys_ref = ray.put(key_vals)
         else:
             import logging
+
+            from pypdfium2_ray.functions import bloom
             logging.getLogger(__name__).warning(
-                "lookup_join prefilter skipped: target has %d rows > "
-                "prefilter_keys=%d — the exchange will carry the full "
-                "source side", n_target, prefilter_keys)
+                "lookup_join prefilter: target has %d rows > "
+                "prefilter_keys=%d — degrading from exact key broadcast "
+                "to a Bloom filter (%d bits, ~1%% false positives pass "
+                "to the kernel)", n_target, prefilter_keys,
+                bloom.sizing(n_target))
+            bits = bloom.build_from_dataset(target, key_col, n_target,
+                                            cast_type=key_type)
+            bloom_ref = ray.put(bits)
 
     def pad_target(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -229,6 +239,14 @@ def lookup_join(target, target_cols: dict[str, pa.DataType],
             keys = ray.get(keys_ref)            # local plasma hit, zero-copy
             t = t.filter(pc.is_in(pc.cast(t[source_key], key_type),
                                   value_set=keys))
+        elif bloom_ref is not None:
+            import ray
+
+            from pypdfium2_ray.functions import bloom
+            bits = ray.get(bloom_ref)           # plasma-local bitmap
+            if t.num_rows:
+                t = t.filter(pa.array(bloom.contains(
+                    bits, pc.cast(t[source_key], key_type).combine_chunks())))
         n = t.num_rows
         cols = {c: pa.nulls(n, ty) for c, ty in target_cols.items()}
         cols[key_col] = pc.cast(t[source_key], key_type)

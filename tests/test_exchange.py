@@ -144,3 +144,68 @@ def test_aggregator_cap_is_enforced(ray_session):
     _enable_hash(ds, 2)
     assert ds.context.max_hash_shuffle_aggregators == \
         min(32, default_aggregators())
+
+
+def test_bloom_no_false_negatives_and_fp_rate():
+    import numpy as np
+    import pyarrow as pa
+
+    from pypdfium2_ray.functions import bloom
+    rng = np.random.default_rng(0)
+    members = pa.array(rng.choice(10**9, 100_000, replace=False))
+    bits = np.zeros(bloom.sizing(100_000) // 8, np.uint8)
+    bloom.add(bits, members)
+    assert bloom.contains(bits, members).all()           # never a miss
+    probes = pa.array(rng.integers(2 * 10**9, 3 * 10**9, 100_000))
+    fp = bloom.contains(bits, probes).mean()
+    assert fp < 0.03, fp                                 # ~1% at 10 bits/key
+    # string keys hash consistently too
+    svals = pa.array([f"u{i}" for i in range(1000)])
+    sbits = np.zeros(bloom.sizing(1000) // 8, np.uint8)
+    bloom.add(sbits, svals)
+    assert bloom.contains(sbits, svals).all()
+    assert bloom.contains(
+        sbits, pa.array([f"x{i}" for i in range(1000)])).mean() < 0.05
+
+
+def test_bloom_distributed_build_matches_local(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pypdfium2_ray.functions import bloom
+    keys = np.arange(10_000, dtype=np.int64) * 7
+    ds = rd.from_arrow(pa.table({"k": keys})).repartition(8)
+    dist = bloom.build_from_dataset(ds, "k", keys.size,
+                                    cast_type=pa.int64())
+    local = np.zeros_like(dist)
+    bloom.add(local, pa.array(keys))
+    assert (dist == local).all()                         # OR of partials
+
+
+def test_lookup_join_bloom_prefilter_tier(ray_session):
+    """Above the exact-broadcast ceiling the prefilter degrades to the
+    Bloom tier (loud log) — join output must be IDENTICAL to the
+    unfiltered join (false positives die in the kernel)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pypdfium2_ray.stages.exchange import lookup_join
+    rng = np.random.default_rng(1)
+    target = pa.table({"k": pa.array(rng.choice(5000, 300, replace=False),
+                                     pa.int64())})
+    source = pa.table({"sk": pa.array(np.arange(5000), pa.int64()),
+                       "payload": pa.array([f"p{i}" for i in range(5000)])})
+    kwargs = dict(
+        target_cols={"k": pa.int64()}, source=rd.from_arrow(source),
+        source_key="sk", key_col="k",
+        payload_cols={"payload": pa.string()}, num_partitions=4)
+    plain = lookup_join(rd.from_arrow(target), **kwargs).to_pandas()
+    bloomed = lookup_join(rd.from_arrow(target), **kwargs,
+                          prefilter_keys=10).to_pandas()   # 300 > 10 => bloom
+    a = plain.sort_values("k").reset_index(drop=True)
+    b = bloomed.sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == 300
