@@ -263,6 +263,58 @@ def q_domain_stats(sf_dir: str):
     return _cast_i64(out, ["sum_chars"])
 
 
+def q_inverted_index(sf_dir: str):
+    """Inverted-index build (stages/invindex): (term, sorted distinct-doc
+    postings, df) via vectorized explode + pre-combined pair distinct +
+    ONE term exchange + pyarrow list aggregation. The driver-facing
+    result summarizes each posting list with exact scalars (df, sum/min/
+    max of doc ids — list columns don't survive the driver's hash
+    compare); the LIST contents themselves are asserted exactly in
+    tests/test_invindex.py."""
+    from pypdfium2_ray.stages.invindex import build_inverted_index
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    with _hint(sf_dir):
+        idx = build_inverted_index(ds)
+
+    def summarize(t: pa.Table) -> pa.Table:
+        import numpy as np
+        la = t["postings"].combine_chunks()
+        offs = la.offsets.to_numpy()
+        vals = la.values.to_numpy()
+        parent = np.repeat(np.arange(t.num_rows), np.diff(offs))
+        s = np.bincount(parent, vals.astype(np.float64),
+                        minlength=t.num_rows).astype(np.int64)
+        # postings are sorted asc => min/max are the segment ends
+        return pa.table({"term": t["term"], "df": t["df"],
+                         "sum_doc_ids": pa.array(s),
+                         "min_doc": pa.array(vals[offs[:-1]]),
+                         "max_doc": pa.array(vals[offs[1:] - 1])})
+
+    return idx.map_batches(summarize, batch_format="pyarrow")
+
+
+def q_top_docs_per_domain(sf_dir: str):
+    """Per-domain cap (stages/topk.grouped_topk): keep each host's top-3
+    docs by char count — the curation primitive that bounds any one
+    domain's contribution to a training set (per-block partial top-k,
+    ONE exchange on host, same vectorized kernel finalizes)."""
+    from pypdfium2_ray.sources.cc_from_documents import read_cc_from_documents
+    from pypdfium2_ray.stages.topk import grouped_topk
+
+    def host(t: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(t["url"], r"^doc://(?P<host>[^/]+)/")
+        return pa.table({"host": pc.struct_field(ex, "host"),
+                         "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "n_chars": pc.cast(
+                             pc.utf8_length(t["text"]), pa.int64())})
+
+    ds = read_cc_from_documents(sf_dir).map_batches(
+        host, batch_format="pyarrow")
+    with _hint(sf_dir):
+        return grouped_topk(ds, ["host"], ["n_chars", "doc_id"], k=3,
+                            descending=[True, False])
+
+
 def q_doc_stats(sf_dir: str):
     from pypdfium2_ray.stages.agg import grouped_aggregate
     ds = _docs(sf_dir, ["lang", "n_chars"])
@@ -870,6 +922,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q_decontaminate,
         "domain_stats": q_domain_stats,
         "doc_stats": q_doc_stats,
+        "top_docs_per_domain": q_top_docs_per_domain,
+        "inverted_index": q_inverted_index,
         "dedup_exact": q_dedup_exact,
         "dedup_latest_event": q_dedup_latest_event,
         "minhash_dups": q_minhash_dups,
@@ -1017,6 +1071,25 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs,
                    CAST(sum(length(text)) AS BIGINT) AS sum_chars
             FROM documents GROUP BY 1""",
+        "inverted_index": """
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_split_to_array(text,
+                     '[ \t\r\n\f\v]+')) AS token FROM documents),
+            t2 AS (SELECT DISTINCT doc_id, token FROM toks
+                   WHERE token <> '')
+            SELECT token AS term, count(*)::BIGINT AS df,
+                   sum(doc_id)::BIGINT AS sum_doc_ids,
+                   min(doc_id) AS min_doc, max(doc_id) AS max_doc
+            FROM t2 GROUP BY token""",
+        "top_docs_per_domain": """
+            WITH d AS (
+              SELECT regexp_extract('doc://' || source || '/' || doc_id,
+                                    '^doc://([^/]+)/', 1) AS host,
+                     doc_id, CAST(length(text) AS BIGINT) AS n_chars
+              FROM documents)
+            SELECT host, doc_id, n_chars FROM d
+            QUALIFY row_number() OVER (
+                PARTITION BY host ORDER BY n_chars DESC, doc_id) <= 3""",
         "doc_stats": """
             SELECT lang, count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars,

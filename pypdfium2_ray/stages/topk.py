@@ -37,3 +37,33 @@ def topk(ds, cols: list[str], k: int, descending: list[bool] | bool = True):
     # whole-block call (no groupby machinery for a one-group combine)
     return partials.repartition(1).map_batches(
         final, batch_size=None, batch_format="pandas")
+
+
+def grouped_topk(ds, keys: list[str], order_cols: list[str], k: int,
+                 descending: list[bool] | bool = True,
+                 num_partitions: int | None = None):
+    """Top-k rows WITHIN each group (per-domain caps, best-N-per-language
+    — the curation primitive that bounds any one group's contribution to
+    a training set).
+
+    Per-block partial: each block keeps its local per-group top-k (only
+    ``k x groups-in-block`` rows survive, vectorized pandas
+    sort+groupby.head — Cython, no per-group Python), then ONE hash
+    exchange on *keys* colocates each group's partials and the same
+    kernel finalizes. Ties broken by later ``order_cols``; make the last
+    one unique for determinism.
+    """
+    from pypdfium2_ray.stages.exchange import partition_map
+
+    if isinstance(descending, bool):
+        descending = [descending] * len(order_cols)
+    ascending = [not d for d in descending]
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(order_cols, ascending=ascending,
+                            kind="mergesort")
+        return df.groupby(keys, sort=False, dropna=False).head(k)
+
+    partials = ds.map_batches(local_topk, batch_format="pandas")
+    return partition_map(partials, keys, local_topk, batch_format="pandas",
+                         num_partitions=num_partitions)
