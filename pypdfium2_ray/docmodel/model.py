@@ -74,6 +74,26 @@ class PageObject:
     alt: str = ""
     src: str = ""
 
+    def get_quad_points(self, matrix=None):
+        """Corner positions counter-clockwise from the origin corner —
+        bottom-left, bottom-right, top-right, top-left — the reference's
+        ``get_quad_points`` (pageobjects.py:108-130
+        ``FPDFPageObj_GetRotatedBounds``): for a transformed object the
+        quad is TIGHTER than the axis-aligned ``bounds`` rectangle
+        (rotation by a non-multiple of 90°, shear). Like PDFium, only
+        text and image objects support it. ``matrix``: an optional
+        ``PdfMatrix`` transform to apply (our HTML objects are stored
+        axis-aligned, so the identity quad is the rect's corners)."""
+        if self.type not in ("text", "image"):
+            raise RuntimeError(
+                "Quad points only supported for image and text objects.")
+        left, bottom, right, top = self.bounds
+        corners = ((left, bottom), (right, bottom),
+                   (right, top), (left, top))
+        if matrix is None:
+            return corners
+        return tuple(matrix.on_point(x, y) for x, y in corners)
+
 
 @dataclass
 class Attachment:

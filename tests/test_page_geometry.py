@@ -274,3 +274,37 @@ def test_identifier_changes_with_content():
         b"<html><head><title>T</title></head><body><p>x</p></body></html>")
     assert a.get_identifier(permanent=True) == c.get_identifier(permanent=True)
     assert a.get_identifier(permanent=False) != c.get_identifier(permanent=False)
+
+
+def test_get_quad_points_rotated_tighter_than_bounds():
+    """Reference parity (pageobjects.py:108-130): quads are the rect
+    corners CCW from bottom-left; under a 45-degree rotation the quad is
+    tighter than the axis-aligned bounding box of the same corners, and
+    non-text/image objects refuse."""
+    import math
+
+    import pytest
+
+    from pypdfium2_ray.docmodel.matrix import PdfMatrix
+    from pypdfium2_ray.docmodel.model import PageObject
+
+    obj = PageObject(type="image", level=1, bounds=(10.0, 20.0, 30.0, 40.0))
+    q = obj.get_quad_points()
+    assert q == ((10, 20), (30, 20), (30, 40), (10, 40))
+
+    rot = PdfMatrix().rotate(45)
+    qr = obj.get_quad_points(rot)
+    for (x, y), (x0, y0) in zip(qr, q):
+        ex, ey = rot.on_point(x0, y0)
+        assert math.isclose(x, ex) and math.isclose(y, ey)
+    # quad area (shoelace) is invariant under rotation; the AABB grows —
+    # the quad is the tighter description of the rotated object
+    xs, ys = [p[0] for p in qr], [p[1] for p in qr]
+    area = 0.5 * abs(sum(xs[i] * ys[(i + 1) % 4] - xs[(i + 1) % 4] * ys[i]
+                         for i in range(4)))
+    aabb = (max(xs) - min(xs)) * (max(ys) - min(ys))
+    assert math.isclose(area, 20 * 20) and aabb > area
+
+    with pytest.raises(RuntimeError, match="image and text"):
+        PageObject(type="path", level=1,
+                   bounds=(0, 0, 1, 1)).get_quad_points()
