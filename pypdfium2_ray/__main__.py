@@ -147,6 +147,56 @@ def cmd_attachments(args) -> int:
     return 0
 
 
+def cmd_fonts(args) -> int:
+    """List per-document fonts like ``pypdfium2 fonts`` (cli/fonts.py:
+    one line per distinct font with usage counts; the reference dedups by
+    raw address, we dedup by resolved identity). Face names resolve
+    through the sysfont handler chain (docmodel/sysfont — the
+    sysfontinfo.py analogue), so an installed handler rewrites them."""
+    ray = _init_ray()
+    import pyarrow as pa
+
+    def fonts_of(batch: pa.Table) -> pa.Table:
+        from pypdfium2_ray.docmodel.htmldoc import parse_document
+        from pypdfium2_ray.docmodel.sysfont import resolve_face
+        out = {"url": [], "face": [], "size": [], "weight": [],
+               "italic": [], "n_spans": []}
+        for url, html in zip(batch["url"].to_pylist(),
+                             batch["html"].to_pylist()):
+            try:
+                doc = parse_document(html or b"")
+            except Exception:
+                continue
+            counts: dict[tuple, int] = {}
+            for page in doc.pages:
+                for sp in page.spans:
+                    key = (resolve_face(sp.font_family, sp.weight,
+                                        sp.italic),
+                           sp.font_size, sp.weight, sp.italic)
+                    counts[key] = counts.get(key, 0) + 1
+            for (face, size, weight, italic), n in sorted(counts.items()):
+                out["url"].append(url)
+                out["face"].append(face)
+                out["size"].append(size)
+                out["weight"].append(weight)
+                out["italic"].append(italic)
+                out["n_spans"].append(n)
+        return pa.table({"url": pa.array(out["url"], pa.string()),
+                         "face": pa.array(out["face"], pa.string()),
+                         "size": pa.array(out["size"], pa.float64()),
+                         "weight": pa.array(out["weight"], pa.int32()),
+                         "italic": pa.array(out["italic"], pa.bool_()),
+                         "n_spans": pa.array(out["n_spans"], pa.int64())})
+
+    ds = _read(args.input).map_batches(fonts_of, batch_format="pyarrow")
+    for row in ds.sort(["url", "face", "size"]).iter_rows():
+        style = f"w{row['weight']}" + (" italic" if row["italic"] else "")
+        print(f"{row['url']}  {row['face']}  {row['size']:.0f}pt {style}  "
+              f"x{row['n_spans']}")
+    ray.shutdown()
+    return 0
+
+
 def cmd_fixtures(args) -> int:
     from pypdfium2_ray.sources.fixtures import write_cc_parquet
     write_cc_parquet(args.output, n_synthetic=args.synthetic)
@@ -199,6 +249,10 @@ def get_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("pdfinfo", help="print document info")
     common(sp, output=False)
     sp.set_defaults(fn=cmd_pdfinfo)
+
+    sp = sub.add_parser("fonts", help="list per-document fonts")
+    common(sp, output=False)
+    sp.set_defaults(fn=cmd_fonts)
 
     sp = sub.add_parser("fixtures", help="write the fixture corpus")
     sp.add_argument("-o", "--output", required=True)

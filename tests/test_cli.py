@@ -63,3 +63,28 @@ def test_cli_extract_text_checkpoint_resume(ray_session, fixture_parquet,
     assert "ran=0 skipped=1" in capsys.readouterr().out
     import os
     assert os.path.exists(os.path.join(out, "_MANIFEST.jsonl"))
+
+
+def test_cli_fonts_output(ray_session, fixture_parquet, tmp_path, capsys):
+    """fonts subcommand (cli/fonts.py analogue): per-doc distinct fonts
+    with usage counts, faces resolved through the sysfont chain."""
+    assert main(["fonts", fixture_parquet]) == 0
+    out = capsys.readouterr().out
+    assert "Helvetica" in out and "pt w" in out
+
+    # bold + code resolve to styled/mapped faces
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    t = pa.table({
+        "url": ["doc://x/1"],
+        "warc_ts": pa.array([0], pa.timestamp("us")),
+        "html": [b"<html><body><h1>T</h1><p>a <code>c</code></p>"
+                 b"</body></html>"],
+        "text": [""], "lang": ["en"],
+    })
+    p = str(tmp_path / "one.parquet")
+    pq.write_table(t, p)
+    assert main(["fonts", p]) == 0
+    out = capsys.readouterr().out
+    assert "Helvetica Bold  24pt w700" in out          # h1
+    assert "Courier  12pt w400" in out                 # code -> Courier
