@@ -71,3 +71,11 @@ def parse_page_range(spec: str, n_pages: int | None = None) -> list[int]:
                                  f"{n_pages} pages)")
             out.append(n - 1)
     return out
+
+
+def round_list(lst, n_digits: int):
+    """Container-preserving elementwise round for printed coordinates —
+    the reference's CLI formatting helper (pypdfium2_cli/_parsers.py:64-65
+    ``round_list``): rounds every value, returning the SAME container
+    type (tuple in, tuple out)."""
+    return type(lst)(round(v, n_digits) for v in lst)

@@ -308,3 +308,12 @@ def test_get_quad_points_rotated_tighter_than_bounds():
     with pytest.raises(RuntimeError, match="image and text"):
         PageObject(type="path", level=1,
                    bounds=(0, 0, 1, 1)).get_quad_points()
+
+
+def test_round_list_preserves_container():
+    """F8 parity (pypdfium2_cli/_parsers.py:64-65)."""
+    from pypdfium2_ray.functions.units import round_list
+    assert round_list((1.2345, 2.3456), 2) == (1.23, 2.35)
+    assert isinstance(round_list((1.0,), 1), tuple)
+    assert round_list([1.005, 7.0], 1) == [1.0, 7.0]
+    assert isinstance(round_list([1.0], 1), list)
