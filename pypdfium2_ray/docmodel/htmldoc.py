@@ -55,7 +55,7 @@ from html.parser import HTMLParser
 from pypdfium2_ray.docmodel.errors import ERR_FORMAT, ERR_PASSWORD
 from pypdfium2_ray.docmodel.layout import DEFAULT_LAYOUT, LayoutParams
 from pypdfium2_ray.docmodel.model import (
-    Attachment, Document, Page, PageObject, Span, TocEntry,
+    Attachment, Document, FormField, Page, PageObject, Span, TocEntry,
 )
 
 # ---------------------------------------------------------------------------
@@ -262,6 +262,14 @@ class _HtmlToDoc(HTMLParser):
 
         self._tag_stack: list[str] = []
         self.saw_form = False           # a <form> was present (stripped)
+        # form-field collection (M25): the form SUBTREE is stripped from
+        # the text flow, but its widgets are recorded for the formenv
+        self.form_fields: list[dict] = []
+        self._form_skip = False         # current skip subtree is a form
+        self._ta: dict | None = None    # open <textarea> field
+        self._sel: dict | None = None   # open <select> field
+        self._sel_opts: list[tuple[str, bool]] = []
+        self._opt: dict | None = None   # open <option> label capture
         self._skip_depth = 0            # >0: inside a stripped subtree
         self._head_depth = 0            # >0: inside <head> (metadata only)
         self._main_depth = 0
@@ -280,6 +288,59 @@ class _HtmlToDoc(HTMLParser):
 
     def _cur_style(self) -> _Style:
         return self._style_stack[-1]
+
+    # ---- form-field collection (inside the stripped <form> subtree)
+
+    def _form_field_start(self, tag: str, attrd: dict):
+        pos = len(self.items)           # stream position -> page mapping
+        name = attrd.get("name") or ""
+        if tag == "input":
+            typ = (attrd.get("type") or "text").lower()
+            if typ == "hidden":
+                return                  # no visible widget, no field
+            if typ in ("checkbox", "radio"):
+                value = (attrd.get("value") or "on")                     if "checked" in attrd else ""
+            else:
+                value = attrd.get("value") or ""
+            self.form_fields.append(dict(name=name, type=typ, value=value,
+                                         item_pos=pos))
+        elif tag == "textarea":
+            f = dict(name=name, type="textarea", value="", item_pos=pos)
+            self.form_fields.append(f)
+            self._ta = f
+        elif tag == "select":
+            f = dict(name=name, type="select", value="", item_pos=pos)
+            self.form_fields.append(f)
+            self._sel = f
+            self._sel_opts = []
+        elif tag == "option" and self._sel is not None:
+            self._close_option()        # HTML allows omitted </option>
+            self._opt = dict(label="", selected="selected" in attrd)
+        elif tag == "button":
+            self.form_fields.append(dict(name=name, type="button",
+                                         value=attrd.get("value") or "",
+                                         item_pos=pos))
+
+    def _close_option(self):
+        if self._opt is not None and self._sel is not None:
+            self._sel_opts.append(
+                (_WS_RE.sub(" ", self._opt["label"]).strip(),
+                 self._opt["selected"]))
+        self._opt = None
+
+    def _form_field_end(self, tag: str):
+        if tag == "textarea" and self._ta is not None:
+            self._ta["value"] = _WS_RE.sub(" ", self._ta["value"]).strip()
+            self._ta = None
+        elif tag == "option":
+            self._close_option()
+        elif tag == "select" and self._sel is not None:
+            self._close_option()
+            chosen = next((lbl for lbl, sel in self._sel_opts if sel),
+                          self._sel_opts[0][0] if self._sel_opts else "")
+            self._sel["value"] = chosen
+            self._sel = None
+            self._sel_opts = []
 
     def _flush_line(self, heading: int | None = None):
         """Collapse whitespace across the pending fragments into one line;
@@ -388,15 +449,20 @@ class _HtmlToDoc(HTMLParser):
             return
 
         if self._skip_depth > 0:
+            if self._form_skip:
+                self._form_field_start(tag, attrd)
             if not is_void:
                 self._skip_depth += 1
             return
 
         if tag in _SKIP_TAGS or hidden:
             if tag == "form":
-                # forms are stripped (SURVEY M25 out of scope) but their
-                # PRESENCE feeds get_formtype (document.py:222-228)
+                # the form SUBTREE stays out of the text flow, but its
+                # widgets are collected for the formenv (init_forms /
+                # page.flatten — document.py:159-228, page.py:328-346);
+                # presence feeds get_formtype (document.py:222-228)
                 self.saw_form = True
+                self._form_skip = True
             if not is_void:
                 self._skip_depth = 1
             return
@@ -486,8 +552,14 @@ class _HtmlToDoc(HTMLParser):
                 "Title", _WS_RE.sub(" ", "".join(self._title_parts)).strip())
             return
         if self._skip_depth > 0:
+            if self._form_skip:
+                self._form_field_end(tag)
             if tag not in _VOID_TAGS:
                 self._skip_depth -= 1
+                if self._skip_depth == 0:
+                    self._form_skip = False
+                    self._ta = self._sel = self._opt = None
+                    self._sel_opts = []
             return
         if tag in _VOID_TAGS:
             return
@@ -515,6 +587,10 @@ class _HtmlToDoc(HTMLParser):
                 self._nav_current.title += data
             return
         if self._skip_depth > 0:
+            if self._ta is not None:
+                self._ta["value"] += data
+            elif self._opt is not None:
+                self._opt["label"] += data
             return
         if data:
             # heading text gets the heading style; record on flush
@@ -637,12 +713,14 @@ def parse_document(data: bytes, password: str | None = None,
     warnings = list(parser.warnings)
     pages: list[Page] = []
     heading_entries: list[TocEntry] = []
+    pos_of: dict[int, tuple[int, int]] = {}   # id(item) -> (page, line)
     for pi, page_lines in enumerate(pages_items):
         lines: list[str] = []
         spans: list[Span] = []
         objects: list[PageObject] = []
         for it in page_lines:
             li = len(lines)
+            pos_of[id(it)] = (pi, li)
             lines.append(it.text)
             t, b = layout.line_top(li), layout.line_bottom(li)
             for (s, e, st) in it.spans:
@@ -693,11 +771,27 @@ def parse_document(data: bytes, password: str | None = None,
         pagemode = PAGEMODE_USEATTACHMENTS
     else:
         pagemode = PAGEMODE_USENONE
+    # map each recorded field to the page/line of the nearest following
+    # text line (its widget position); fields after the last line land at
+    # the end of the last page
+    form_fields: list[FormField] = []
+    for f in parser.form_fields:
+        page_idx = len(pages) - 1
+        line_idx = len(pages[-1].lines) if pages else 0
+        for it in parser.items[f["item_pos"]:]:
+            if it.kind == "line" and id(it) in pos_of:
+                page_idx, line_idx = pos_of[id(it)]
+                break
+        form_fields.append(FormField(name=f["name"], type=f["type"],
+                                     value=f["value"], page_idx=page_idx,
+                                     line_idx=line_idx))
+
     doc = Document(pages=pages, toc=toc, attachments=parser.attachments,
                    metadata=metadata, warnings=warnings,
                    tagged=bool(toc) or bool(heading_entries),
                    formtype=FORMTYPE_ACRO_FORM if parser.saw_form
                             else FORMTYPE_NONE,
+                   form_fields=form_fields,
                    pagemode=pagemode)
     return doc
 

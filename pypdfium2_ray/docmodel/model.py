@@ -29,6 +29,10 @@ FORMTYPE_NONE, FORMTYPE_ACRO_FORM, FORMTYPE_XFA_FULL, FORMTYPE_XFA_FOREGROUND = 
 FORMTYPE_TO_STR = {FORMTYPE_NONE: "none", FORMTYPE_ACRO_FORM: "acro_form",
                    FORMTYPE_XFA_FULL: "xfa_full",
                    FORMTYPE_XFA_FOREGROUND: "xfa_foreground"}
+#: flatten targets / status codes (page.py:328-346 FLAT_*/FLATTEN_*;
+#: public PDFium values)
+FLAT_NORMALDISPLAY, FLAT_PRINT = 0, 1
+FLATTEN_FAIL, FLATTEN_SUCCESS, FLATTEN_NOTHINGTODO = 0, 1, 2
 
 #: page modes (document.py:231-236; raw PAGEMODE_* constants)
 (PAGEMODE_UNKNOWN, PAGEMODE_USENONE, PAGEMODE_USEOUTLINES, PAGEMODE_USETHUMBS,
@@ -145,6 +149,33 @@ class TocEntry:
 
 
 @dataclass
+class FormField:
+    """One interactive form widget — the HTML analogue of a PDF AcroForm
+    field (the reference exposes forms through the formenv lifecycle,
+    document.py:159-228; PDFium's field model is widget annotations with
+    a value and a page position). ``value`` is the VISIBLE appearance a
+    flatten would bake into the page (text/textarea content, the selected
+    option label, a checked box's on-value); invisible widgets (hidden
+    inputs, unchecked boxes, empty fields) carry ``value == ""``."""
+    name: str
+    type: str                    # "text" | "textarea" | "select" | ...
+    value: str
+    page_idx: int = 0
+    line_idx: int = 0
+
+
+@dataclass
+class FormEnv:
+    """Form-fill environment (PdfFormEnv analogue, document.py:159-207):
+    created by ``Document.init_forms``, holds the live field set that
+    ``Page.flatten`` consumes; ``config`` is an opaque caller object (the
+    FPDF_FORMFILLINFO analogue — unused by the engine, carried for
+    interface parity)."""
+    fields: list[FormField] = field(default_factory=list)
+    config: object = None
+
+
+@dataclass
 class Page:
     """One page: text lines in reading order + derived views.
 
@@ -163,6 +194,9 @@ class Page:
     objects: list[PageObject] = field(default_factory=list)
     layout: LayoutParams = DEFAULT_LAYOUT
     rotation: int = 0
+    #: set by Document.init_forms (page.formenv in the reference); None
+    #: until forms are initialized
+    formenv: "FormEnv | None" = None
     #: explicitly-set boxes by name ("media", "crop", "bleed", "trim",
     #: "art"); unset boxes resolve through the fallback chain
     boxes: dict[str, tuple] = field(default_factory=dict)
@@ -263,6 +297,34 @@ class Page:
         """(width, height) — document.py:490-497 ``get_page_size``."""
         return (self.width, self.height)
 
+    def flatten(self, flag: int = FLAT_NORMALDISPLAY) -> int:
+        """Flatten this page's form fields into its static content — the
+        reference's ``page.flatten()`` (page.py:328-346
+        ``FPDFPage_Flatten``): each visible field's appearance (its
+        ``value``) is baked into the page text at the field's recorded
+        position, and the fields are consumed from the formenv. Requires
+        a prior ``Document.init_forms()`` exactly like PDFium (raises
+        otherwise); like the reference warns, flattening mutates the page
+        — rebuild textpages/derived views afterwards. ``flag`` is
+        FLAT_NORMALDISPLAY / FLAT_PRINT (both bake the same text here).
+        Returns FLATTEN_SUCCESS or FLATTEN_NOTHINGTODO."""
+        if self.formenv is None:
+            raise RuntimeError(
+                "page.flatten() requires prior pdf.init_forms(), before "
+                "page retrieval.")
+        mine = [f for f in self.formenv.fields if f.page_idx == self.index]
+        visible = [f for f in mine if f.value]
+        # insert back-to-front (descending line, and descending document
+        # order within a line) so indices stay valid AND same-line fields
+        # come out in document order
+        for _, f in sorted(enumerate(visible),
+                           key=lambda t: (t[1].line_idx, t[0]),
+                           reverse=True):
+            self.lines.insert(min(f.line_idx, len(self.lines)), f.value)
+        for f in mine:
+            self.formenv.fields.remove(f)
+        return FLATTEN_SUCCESS if visible else FLATTEN_NOTHINGTODO
+
 
 @dataclass
 class Document:
@@ -286,6 +348,11 @@ class Document:
     #: explicit page labels by index (document.py:476-487); missing ->
     #: '' exactly like a PDF without /PageLabels
     page_labels: list[str] = field(default_factory=list)
+    #: interactive form widgets parsed from the source (<input>/<textarea>/
+    #: <select>; hidden widgets excluded) — consumed through the formenv
+    form_fields: list[FormField] = field(default_factory=list)
+    #: live form env (document.py:159-207); None until init_forms()
+    formenv: "FormEnv | None" = None
 
     @classmethod
     def new(cls) -> "Document":
@@ -386,6 +453,29 @@ class Document:
     def get_formtype(self) -> int:
         """document.py:222-228 (FORMTYPE_*; see FORMTYPE_TO_STR)."""
         return self.formtype
+
+    def init_forms(self, config=None) -> bool:
+        """Initialize the form env if the document has forms — the
+        reference's ``init_forms`` (document.py:159-207): no-op returning
+        False when the document has no forms or the env already exists;
+        otherwise creates the env, attaches it to every page (the
+        reference's "call before getting page handles" ordering — here
+        pages exist already, so attach is explicit), and returns True."""
+        if self.formtype == FORMTYPE_NONE or self.formenv is not None:
+            return False
+        self.formenv = FormEnv(fields=list(self.form_fields), config=config)
+        for p in self.pages:
+            p.formenv = self.formenv
+        return True
+
+    def close_forms(self) -> bool:
+        """Close the formenv, if initialized (document.py:208-219)."""
+        if self.formenv is None:
+            return False
+        self.formenv = None
+        for p in self.pages:
+            p.formenv = None
+        return True
 
     def get_pagemode(self) -> int:
         """document.py:231-236 (PAGEMODE_*; see PAGEMODE_TO_STR)."""

@@ -105,6 +105,7 @@ class ExtractText:
                  include_pages: bool = True, include_rects: bool = True,
                  include_charboxes: bool = False, include_spans: bool = False,
                  include_objects: bool = False, include_attachments: bool = True,
+                 flatten_forms: bool = False,
                  max_toc_depth: int = 15, layout: LayoutParams = DEFAULT_LAYOUT):
         self.strategy = strategy
         self.password = password
@@ -114,6 +115,10 @@ class ExtractText:
         self.include_spans = include_spans
         self.include_objects = include_objects
         self.include_attachments = include_attachments
+        #: bake form-field values into page text before extraction (the
+        #: reference's init_forms + page.flatten flow, document.py:159-207
+        #: + page.py:328-346)
+        self.flatten_forms = flatten_forms
         self.max_toc_depth = max_toc_depth
         self.layout = layout
 
@@ -131,6 +136,10 @@ class ExtractText:
                         metadata={k: "" for k in METADATA_KEYS},
                         warnings=[f"exception: {type(exc).__name__}"],
                         is_tagged=False, formtype=0, pagemode=0)
+
+        if self.flatten_forms and doc.ok and doc.init_forms():
+            for p in doc.pages:
+                p.flatten()
 
         pages_out = []
         n_chars_total = 0
