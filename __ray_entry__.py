@@ -224,6 +224,44 @@ def q_hash_sample(sf_dir: str):
     return hash_sample(ds, "doc_id", modulus=10, keep=3)
 
 
+def q_pii_redact(sf_dir: str):
+    """PII scrubbing (functions/text.redact_pii): typed placeholder
+    substitution for emails/phones/IPv4 in documented order, counts per
+    kind — one vectorized RE2 pass per pattern, zero shuffle. The corpus
+    is synthetic (no real PII), so the query plants deterministic PII
+    per row (SQL-composable from doc_id) and the oracle plants + redacts
+    identically."""
+    from pypdfium2_ray.functions.text import pii_counts, redact_pii
+
+    def f(t: pa.Table) -> pa.Table:
+        did = pc.cast(t["doc_id"], pa.string())
+        txt = pc.binary_join_element_wise(
+            t["text"], " contact doc", did, "@example.com or +1 555-12",
+            did, " ip 10.0.0.1", "")
+        cols = {"doc_id": t["doc_id"], "clean": redact_pii(txt)}
+        cols.update(pii_counts(txt))
+        return pa.table(cols)
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")
+
+
+def q_repetition_stats(sf_dir: str):
+    """Repetition quality signals (functions/text.repetition_counts):
+    per-doc total vs distinct token counts — the Gopher duplicate-
+    fraction family as integer-exact counters, one vectorized split +
+    Cython pair-dedup, no shuffle."""
+    from pypdfium2_ray.functions.text import repetition_counts
+
+    def f(t: pa.Table) -> pa.Table:
+        cols = {"doc_id": t["doc_id"]}
+        cols.update(repetition_counts(t["text"]))
+        return pa.table(cols)
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")
+
+
 def q_decontaminate(sf_dir: str):
     """Held-out-split decontamination: ANTI join the corpus against the
     deterministic hash sample (the held-out ids) via
@@ -920,6 +958,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": q_quality_filter,
         "hash_sample": q_hash_sample,
         "decontaminate": q_decontaminate,
+        "pii_redact": q_pii_redact,
+        "repetition_stats": q_repetition_stats,
         "domain_stats": q_domain_stats,
         "doc_stats": q_doc_stats,
         "top_docs_per_domain": q_top_docs_per_domain,
@@ -960,6 +1000,12 @@ def oracle_sql() -> dict[str, str]:
         LANG_STOPWORDS, sql_bpe_token_count, sql_lang_pred, sql_term_count,
         sql_token_count,
     )
+    from pypdfium2_ray.functions.text import (
+        sql_pii_count as _sql_pii_count,
+        sql_redact_pii as _sql_redact_pii,
+        sql_repetition_counts,
+    )
+    _REP_SQL = sql_repetition_counts("text")
     from pypdfium2_ray.sources.cc_from_documents import (
         sql_extracted_text, sql_n_chars, sql_is_bad, sql_is_enc)
 
@@ -1057,6 +1103,22 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": """
             SELECT doc_id, n_chars FROM documents
             WHERE md5_number_upper(doc_id::VARCHAR) % 10 = 3""",
+        "pii_redact": f"""
+            WITH t2 AS (
+              SELECT doc_id,
+                     text || ' contact doc' || doc_id ||
+                     '@example.com or +1 555-12' || doc_id ||
+                     ' ip 10.0.0.1' AS txt
+              FROM documents)
+            SELECT doc_id, {_sql_redact_pii('txt')} AS clean,
+                   {_sql_pii_count('email', 'txt')}::BIGINT AS n_emails,
+                   {_sql_pii_count('phone', 'txt')}::BIGINT AS n_phones,
+                   {_sql_pii_count('ip', 'txt')}::BIGINT AS n_ips
+            FROM t2""",
+        "repetition_stats": f"""
+            SELECT doc_id, {_REP_SQL[0]}::BIGINT AS n_tokens,
+                   {_REP_SQL[1]}::BIGINT AS n_distinct_tokens
+            FROM documents""",
         "decontaminate": """
             SELECT doc_id, n_chars FROM documents
             WHERE doc_id NOT IN (

@@ -174,3 +174,84 @@ def sql_lang_pred(col: str = "text") -> str:
             conds.append(f"{counts[lg]} {op} {counts[other]}")
         cases.append(f"WHEN {' AND '.join(conds)} THEN '{lg}'")
     return "CASE " + " ".join(cases) + " ELSE 'und' END"
+
+
+# ---------------------------------------------------------------------------
+# PII redaction + repetition metrics (training-data scrubbing / quality)
+
+#: PII patterns — RE2 syntax shared VERBATIM with the SQL twins (both
+#: sides run RE2, so matches are identical). Replacement order matters for
+#: overlaps (an email contains digit runs): emails, then phones, then IPs
+#: — the twins apply the same order.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\-\s]{6,}[0-9]"
+IPV4_RE = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+_PII_ORDER = (("email", EMAIL_RE, "<EMAIL>"),
+              ("phone", PHONE_RE, "<PHONE>"),
+              ("ip", IPV4_RE, "<IP>"))
+
+
+def redact_pii(texts):
+    """Replace emails / phone numbers / IPv4 addresses with typed
+    placeholder tokens — one vectorized RE2 pass per pattern, in the
+    documented order."""
+    out = texts
+    for _name, pat, repl in _PII_ORDER:
+        out = pc.replace_substring_regex(out, pat, repl)
+    return out
+
+
+def pii_counts(texts) -> dict[str, pa.ChunkedArray]:
+    """Per-document counts of each PII kind (non-overlapping matches,
+    counted BEFORE redaction in the same order semantics)."""
+    return {f"n_{name}s": pc.cast(
+        pc.count_substring_regex(texts, pat), pa.int64())
+        for name, pat, _repl in _PII_ORDER}
+
+
+def sql_redact_pii(col: str = "text") -> str:
+    """Nested global regexp_replace in the same order (DuckDB RE2)."""
+    expr = col
+    for _name, pat, repl in _PII_ORDER:
+        p = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{repl}', 'g')"
+    return expr
+
+
+def sql_pii_count(kind: str, col: str = "text") -> str:
+    pat = dict((n, p) for n, p, _r in _PII_ORDER)[kind].replace("'", "''")
+    return f"length(regexp_extract_all({col}, '{pat}'))"
+
+
+def repetition_counts(texts) -> dict[str, pa.Array]:
+    """Repetition quality signals (the Gopher-style duplicate-fraction
+    family, integer-exact): per document, total token count and DISTINCT
+    token count (dup fraction = 1 - distinct/total). Vectorized: one RE2
+    split, then a Cython drop_duplicates over (doc, token) pairs — no
+    Python per row."""
+    import numpy as np
+    import pandas as pd
+    la = pc.split_pattern_regex(texts, WS_RE)
+    if isinstance(la, pa.ChunkedArray):
+        la = la.combine_chunks()
+    flat = la.flatten()
+    parent = np.repeat(np.arange(len(la), dtype=np.int64),
+                       np.diff(la.offsets.to_numpy()))
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    parent = parent[keep]
+    words = flat.filter(pa.array(keep))
+    n_tokens = np.bincount(parent, minlength=len(la)).astype(np.int64)
+    first = ~pd.DataFrame({"p": parent,
+                           "w": words.to_pandas()}).duplicated().to_numpy()
+    n_distinct = np.bincount(parent[first], minlength=len(la)).astype(np.int64)
+    return {"n_tokens": pa.array(n_tokens),
+            "n_distinct_tokens": pa.array(n_distinct)}
+
+
+def sql_repetition_counts(col: str = "text") -> tuple[str, str]:
+    """(n_tokens, n_distinct_tokens) expressions — list_filter +
+    list_distinct over the same whitespace split."""
+    arr = (f"list_filter(regexp_split_to_array({col}, "
+           f"'[ \\t\\r\\n\\f\\v]+'), t -> t <> '')")
+    return (f"len({arr})", f"len(list_distinct({arr}))")

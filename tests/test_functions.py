@@ -161,3 +161,37 @@ def test_quality_filter_and_hash_sample(ray_session):
     again = set(hash_sample(rd.from_arrow(docs), "doc_id",
                             modulus=3, keep=0).to_pandas()["doc_id"])
     assert again == parts[0]
+
+
+def test_redact_pii_and_counts():
+    """PII scrubbing: typed placeholders in documented order; counts per
+    kind; an email's digit runs never leak into the phone pass."""
+    import pyarrow as pa
+
+    from pypdfium2_ray.functions.text import pii_counts, redact_pii
+    t = pa.array([
+        "mail bob.smith+x@foo.co.uk or call +1 (555) 123-4567, "
+        "server 10.0.0.1",
+        "clean text only",
+        "a12345678b digit run; 999.999.999.999 matches ipv4 shape",
+    ])
+    out = redact_pii(t).to_pylist()
+    assert out[0] == "mail <EMAIL> or call <PHONE>, server <IP>"
+    assert out[1] == "clean text only"
+    # a bare 8+ digit run IS phone-shaped under the (recall-leaning)
+    # pattern; the dotted quad matches the ipv4 shape
+    assert out[2] == "a<PHONE>b digit run; <IP> matches ipv4 shape"
+    c = {k: v.to_pylist() for k, v in pii_counts(t).items()}
+    assert c["n_emails"] == [1, 0, 0]
+    assert c["n_phones"] == [1, 0, 1]
+    assert c["n_ips"] == [1, 0, 1]
+
+
+def test_repetition_counts_exact():
+    import pyarrow as pa
+
+    from pypdfium2_ray.functions.text import repetition_counts
+    t = pa.array(["a a b  a", "", " x ", "q w e r t"])
+    r = {k: v.to_pylist() for k, v in repetition_counts(t).items()}
+    assert r["n_tokens"] == [4, 0, 1, 5]
+    assert r["n_distinct_tokens"] == [2, 0, 1, 5]
