@@ -262,6 +262,37 @@ def q_repetition_stats(sf_dir: str):
         f, batch_format="pyarrow")
 
 
+def q_median_length_gate(sf_dir: str):
+    """Per-group threshold gate (the FineWeb-style 'keep above the
+    group's quantile' shape): compute each language's EXACT median char
+    count (stages/agg.grouped_median — one tiny keys+col exchange),
+    broadcast the 5-row threshold table back (ray.put), and filter the
+    corpus with one vectorized lookup — the sketch tier
+    (grouped_quantile_sketch) swaps in when exactness can yield to
+    scale. Oracle: the same median as a window function."""
+    import ray
+
+    from pypdfium2_ray.stages.agg import grouped_median
+    ds = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+    with _hint(sf_dir):
+        med = grouped_median(ds, ["lang"], "n_chars", out="med")
+    thr = {r["lang"]: r["med"] for r in med.to_pandas().to_dict("records")}
+    thr_ref = ray.put(thr)
+
+    def gate(t: pa.Table) -> pa.Table:
+        import numpy as np
+        m = ray.get(thr_ref)
+        langs = t["lang"].to_pylist()
+        lim = np.array([m.get(lg, float("inf")) for lg in langs])
+        keep = pc.greater_equal(pc.cast(t["n_chars"], pa.float64()),
+                                pa.array(lim))
+        return t.filter(keep)
+
+    out = _docs(sf_dir, ["doc_id", "lang", "n_chars"]).map_batches(
+        gate, batch_format="pyarrow")
+    return _cast_i64(out, ["n_chars"])
+
+
 def q_decontaminate(sf_dir: str):
     """Held-out-split decontamination: ANTI join the corpus against the
     deterministic hash sample (the held-out ids) via
@@ -959,6 +990,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": q_hash_sample,
         "decontaminate": q_decontaminate,
         "pii_redact": q_pii_redact,
+        "median_length_gate": q_median_length_gate,
         "repetition_stats": q_repetition_stats,
         "domain_stats": q_domain_stats,
         "doc_stats": q_doc_stats,
@@ -1103,6 +1135,12 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": """
             SELECT doc_id, n_chars FROM documents
             WHERE md5_number_upper(doc_id::VARCHAR) % 10 = 3""",
+        "median_length_gate": """
+            SELECT doc_id, lang, n_chars::BIGINT AS n_chars FROM (
+              SELECT doc_id, lang, n_chars,
+                     median(n_chars) OVER (PARTITION BY lang) AS med
+              FROM documents)
+            WHERE n_chars >= med""",
         "pii_redact": f"""
             WITH t2 AS (
               SELECT doc_id,

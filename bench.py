@@ -165,7 +165,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     bench_queries = ["token_stats", "lang_id", "dedup_exact", "ann_topk",
                      "pricing_summary", "orders_by_region", "events_rollup",
                      "minhash_dups", "embedding_dups",
-                     "events_hourly_sliding"]
+                     "events_hourly_sliding", "heavy_bigrams",
+                     "distinct_users"]
     qs = E.queries()
     for name in bench_queries:
         t0 = time.perf_counter()
