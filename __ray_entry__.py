@@ -424,6 +424,34 @@ def q_dedup_latest_event(sf_dir: str):
 #: misses all 16 bands (8 rows each) w.p. (1 - 0.93^8)^16 ~ 3e-6.
 MINHASH = dict(threshold=0.5, shingle_k=5, num_perm=128, bands=16)
 
+#: shared CTE chain computing the exact all-pairs shingle overlap (the
+#: minhash oracle and the two cluster oracles build on the same pair set)
+_MINHASH_CTES = f"""norm AS (
+              SELECT doc_id,
+                     trim(regexp_replace(text, '[ \\t\\r\\n\\f\\v]+', ' ', 'g'),
+                          ' ') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id, CASE
+                WHEN length(t) = 0 THEN CAST([] AS VARCHAR[])
+                WHEN length(t) < {MINHASH["shingle_k"]} THEN [t]
+                ELSE list_distinct([substr(t, i, {MINHASH["shingle_k"]})
+                       for i in range(1, length(t) - {MINHASH["shingle_k"]} + 2)])
+              END AS s FROM norm),
+            cand AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+               AND least(len(a.s), len(b.s))
+                   >= {MINHASH["threshold"]} * greatest(len(a.s), len(b.s))),
+            sim AS (
+              SELECT id_a, id_b,
+                     len(list_intersect(sa, sb))::BIGINT AS n_inter,
+                     (len(sa) + len(sb) - len(list_intersect(sa, sb)))::BIGINT
+                       AS n_union
+              FROM cand)"""
+_MINHASH_COND = (f"n_union = 0 OR n_inter / n_union "
+                 f">= {MINHASH['threshold']}")
+
 
 def q_minhash_dups(sf_dir: str):
     """MinHash+LSH near-dup pairs, verified to EXACT integer
@@ -444,6 +472,40 @@ def q_simhash_dups(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text"])
     with _hint(sf_dir):
         return simhash_dup_pairs(ds, ngram_n=3, bands=4, max_dist=3)
+
+
+def _minhash_pairs(sf_dir: str):
+    """Shared ids-only near-dup pair edge list for the cluster queries."""
+    from pypdfium2_ray.stages.dedup import minhash_dup_pairs
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return minhash_dup_pairs(ds, **MINHASH).select_columns(["id_a", "id_b"])
+
+
+def q_neardup_clusters(sf_dir: str):
+    """Duplicate-cluster labeling: MinHash+LSH pairs -> distributed
+    connected components (alternating large-star/small-star,
+    stages/components.py — ids-only exchanges, O(log n) rounds) ->
+    (doc_id, component-min-id) for every doc in any near-dup cluster.
+    Oracle: the same pair set fed to a WITH RECURSIVE reachability walk."""
+    with _hint(sf_dir):
+        from pypdfium2_ray.stages.components import connected_components
+        return connected_components(_minhash_pairs(sf_dir))
+
+
+def q_neardup_keep_one(sf_dir: str):
+    """The end-to-end FineWeb/C4-style near-dedup: cluster the near-dup
+    pairs, keep the min-id doc per cluster, drop the rest — an ANTI join
+    of the corpus against the non-canonical member ids (ids broadcast
+    once, zero payload shuffle; stages/join.key_filter_join)."""
+    with _hint(sf_dir):
+        from pypdfium2_ray.stages.components import connected_components
+        from pypdfium2_ray.stages.join import key_filter_join
+        cc = connected_components(_minhash_pairs(sf_dir)).materialize()
+        losers = cc.filter(expr="doc_id != component") \
+                   .select_columns(["doc_id"])
+        docs = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+        out = key_filter_join(docs, losers, "doc_id", mode="anti")
+    return _cast_i64(out, ["n_chars"])
 
 
 # ---------------------------------------------------------------------------
@@ -1000,6 +1062,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_latest_event": q_dedup_latest_event,
         "minhash_dups": q_minhash_dups,
         "simhash_dups": q_simhash_dups,
+        "neardup_clusters": q_neardup_clusters,
+        "neardup_keep_one": q_neardup_keep_one,
         "ngram_dups": q_ngram_dups,
         "winnow_fingerprint": q_winnow_fingerprint,
         "ann_topk": q_ann_topk,
@@ -1208,31 +1272,42 @@ def oracle_sql() -> dict[str, str]:
         # drops provably-below-threshold pairs. LSH recall at the threshold
         # is 1.0 on this corpus (see MINHASH note).
         "minhash_dups": f"""
-            WITH norm AS (
-              SELECT doc_id,
-                     trim(regexp_replace(text, '[ \\t\\r\\n\\f\\v]+', ' ', 'g'),
-                          ' ') AS t
-              FROM documents),
-            sh AS (
-              SELECT doc_id, CASE
-                WHEN length(t) = 0 THEN CAST([] AS VARCHAR[])
-                WHEN length(t) < {MINHASH["shingle_k"]} THEN [t]
-                ELSE list_distinct([substr(t, i, {MINHASH["shingle_k"]})
-                       for i in range(1, length(t) - {MINHASH["shingle_k"]} + 2)])
-              END AS s FROM norm),
-            cand AS (
-              SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
-              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-               AND least(len(a.s), len(b.s))
-                   >= {MINHASH["threshold"]} * greatest(len(a.s), len(b.s))),
-            sim AS (
-              SELECT id_a, id_b,
-                     len(list_intersect(sa, sb))::BIGINT AS n_inter,
-                     (len(sa) + len(sb) - len(list_intersect(sa, sb)))::BIGINT
-                       AS n_union
-              FROM cand)
+            WITH {_MINHASH_CTES}
             SELECT id_a, id_b, n_inter, n_union FROM sim
-            WHERE n_union = 0 OR n_inter / n_union >= {MINHASH["threshold"]}""",
+            WHERE {_MINHASH_COND}""",
+        # same exact pair set, clustered: WITH RECURSIVE reachability walk
+        # (c reachable from u) -> component = min reachable id
+        "neardup_clusters": f"""
+            WITH RECURSIVE {_MINHASH_CTES},
+            pairs AS (
+              SELECT id_a, id_b FROM sim WHERE {_MINHASH_COND}),
+            edges AS (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+            walk(u, c) AS (
+              SELECT u, u FROM edges
+              UNION
+              SELECT e.u, w.c FROM edges e JOIN walk w ON e.v = w.u)
+            SELECT CAST(u AS BIGINT) AS doc_id,
+                   CAST(min(c) AS BIGINT) AS component
+            FROM walk GROUP BY u""",
+        "neardup_keep_one": f"""
+            WITH RECURSIVE {_MINHASH_CTES},
+            pairs AS (
+              SELECT id_a, id_b FROM sim WHERE {_MINHASH_COND}),
+            edges AS (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+            walk(u, c) AS (
+              SELECT u, u FROM edges
+              UNION
+              SELECT e.u, w.c FROM edges e JOIN walk w ON e.v = w.u),
+            assign AS (
+              SELECT u AS doc_id, min(c) AS component FROM walk GROUP BY u)
+            SELECT d.doc_id, d.lang, d.n_chars::BIGINT AS n_chars
+            FROM documents d
+            WHERE d.doc_id NOT IN
+              (SELECT doc_id FROM assign WHERE doc_id != component)""",
         # word-trigram variant of the exact all-pairs Jaccard oracle
         "ngram_dups": """
             WITH toks AS (
