@@ -474,6 +474,18 @@ def q_simhash_dups(sf_dir: str):
         return simhash_dup_pairs(ds, ngram_n=3, bands=4, max_dist=3)
 
 
+def q_span_dedup(sf_dir: str):
+    """Duplicate-span removal (fixed 10-token windows, keep globally
+    first occurrence, docs reassembled from surviving spans) — the
+    distributable approximation of Lee-et-al exact substring dedup.
+    Two exchanges: span-value keep-first (hot keys pre-combined per
+    block) then per-doc reassembly via one vectorized binary_join."""
+    from pypdfium2_ray.stages.dedup import span_dedup
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    with _hint(sf_dir):
+        return span_dedup(ds, span_tokens=10)
+
+
 def _minhash_pairs(sf_dir: str):
     """Shared ids-only near-dup pair edge list for the cluster queries."""
     from pypdfium2_ray.stages.dedup import minhash_dup_pairs
@@ -1064,6 +1076,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dups": q_simhash_dups,
         "neardup_clusters": q_neardup_clusters,
         "neardup_keep_one": q_neardup_keep_one,
+        "span_dedup": q_span_dedup,
         "ngram_dups": q_ngram_dups,
         "winnow_fingerprint": q_winnow_fingerprint,
         "ann_topk": q_ann_topk,
@@ -1291,6 +1304,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(u AS BIGINT) AS doc_id,
                    CAST(min(c) AS BIGINT) AS component
             FROM walk GROUP BY u""",
+        # fixed 10-token windows; list-comprehension chunking mirrors the
+        # engine's offsets-based chunk grouping exactly
+        "span_dedup": """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(text, '[^ \t\r\n\f\v]+') AS w
+              FROM documents),
+            chunks AS (
+              SELECT doc_id, generate_subscripts(cl, 1) - 1 AS span_idx,
+                     unnest(cl) AS span
+              FROM (SELECT doc_id,
+                           [array_to_string(w[(i-1)*10+1 : i*10], ' ')
+                            for i in range(1, (len(w)+9)//10 + 1)] AS cl
+                    FROM toks)),
+            keep AS (
+              SELECT doc_id, span_idx, span FROM chunks
+              QUALIFY row_number() OVER (PARTITION BY span
+                                         ORDER BY doc_id, span_idx) = 1)
+            SELECT doc_id,
+                   string_agg(span, ' ' ORDER BY span_idx) AS text,
+                   count(*)::BIGINT AS n_spans
+            FROM keep GROUP BY doc_id""",
         "neardup_keep_one": f"""
             WITH RECURSIVE {_MINHASH_CTES},
             pairs AS (
