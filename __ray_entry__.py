@@ -474,6 +474,18 @@ def q_simhash_dups(sf_dir: str):
         return simhash_dup_pairs(ds, ngram_n=3, bands=4, max_dist=3)
 
 
+def q_stratified_sample(sf_dir: str):
+    """Per-language quota sample (data mixing: cap every language at 30
+    docs) with deterministic md5-hash membership — stages/topk.
+    stratified_sample; QUALIFY row_number oracle over the same halved
+    md5_number_upper ordering."""
+    from pypdfium2_ray.stages.topk import stratified_sample
+    ds = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+    with _hint(sf_dir):
+        out = stratified_sample(ds, ["lang"], "doc_id", k=30)
+    return _cast_i64(out, ["n_chars"])
+
+
 def q_span_dedup(sf_dir: str):
     """Duplicate-span removal (fixed 10-token windows, keep globally
     first occurrence, docs reassembled from surviving spans) — the
@@ -1077,6 +1089,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_clusters": q_neardup_clusters,
         "neardup_keep_one": q_neardup_keep_one,
         "span_dedup": q_span_dedup,
+        "stratified_sample": q_stratified_sample,
         "ngram_dups": q_ngram_dups,
         "winnow_fingerprint": q_winnow_fingerprint,
         "ann_topk": q_ann_topk,
@@ -1304,6 +1317,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(u AS BIGINT) AS doc_id,
                    CAST(min(c) AS BIGINT) AS component
             FROM walk GROUP BY u""",
+        # halved hash (>>1) keeps UBIGINT int64-safe; >>1 is monotonic so
+        # the quota membership is identical on both sides
+        "stratified_sample": """
+            SELECT doc_id, lang, n_chars::BIGINT AS n_chars FROM documents
+            QUALIFY row_number() OVER (
+              PARTITION BY lang
+              ORDER BY md5_number_upper(doc_id::VARCHAR) >> 1, doc_id)
+              <= 30""",
         # fixed 10-token windows; list-comprehension chunking mirrors the
         # engine's offsets-based chunk grouping exactly
         "span_dedup": """

@@ -67,3 +67,31 @@ def grouped_topk(ds, keys: list[str], order_cols: list[str], k: int,
     partials = ds.map_batches(local_topk, batch_format="pandas")
     return partition_map(partials, keys, local_topk, batch_format="pandas",
                          num_partitions=num_partitions)
+
+
+def stratified_sample(ds, keys: list[str], key_col: str, k: int,
+                      num_partitions: int | None = None):
+    """Deterministic per-group quota sample: keep each group's *k* rows
+    with the smallest ``md5_hash64(key_col) >> 1`` (ties broken by the
+    key itself) — the data-mixing primitive ("cap every language /
+    domain at N docs") with run-, cluster- and shard-invariant
+    membership, unlike ``ds.random_sample``.
+
+    The hash is halved so it stays int64-safe on both the engine and the
+    DuckDB twin (``md5_number_upper(key::VARCHAR) >> 1`` — order is
+    preserved because ``>>1`` is monotonic; equal halves tie-break on the
+    key identically on both sides).  Built on :func:`grouped_topk`: per-
+    block partial quota then ONE hash exchange of the survivors.
+    """
+    from pypdfium2_ray.functions.sketch import md5_hash64
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        import pyarrow as _pa
+        h = [md5_hash64(str(v).encode()) >> 1
+             for v in t[key_col].to_pylist()]
+        return t.append_column("__h", _pa.array(h, _pa.int64()))
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+    out = grouped_topk(hashed, keys, ["__h", key_col], k=k,
+                       descending=False, num_partitions=num_partitions)
+    return out.drop_columns(["__h"])

@@ -171,3 +171,31 @@ def test_key_filter_join_semi_anti(ray_session, tmp_path):
                             tier="broadcast", max_broadcast_rows=2,
                             num_partitions=4).to_pandas()
     assert set(semi2["v"]) == want_semi
+
+
+def test_stratified_sample_deterministic_quota(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pypdfium2_ray.functions.sketch import md5_hash64
+    from pypdfium2_ray.stages.exchange import partition_hint
+    from pypdfium2_ray.stages.topk import stratified_sample
+
+    t = pa.table({"doc_id": list(range(40)),
+                  "grp": ["a" if i % 2 else "b" for i in range(40)]})
+    with partition_hint(2):
+        out = stratified_sample(rd.from_arrow(t), ["grp"], "doc_id",
+                                k=5).to_pandas()
+    assert sorted(out.columns) == ["doc_id", "grp"]
+    assert out.groupby("grp").size().to_dict() == {"a": 5, "b": 5}
+    # membership matches the direct hash ordering
+    for g in ("a", "b"):
+        ids = [i for i in range(40) if ("a" if i % 2 else "b") == g]
+        exp = sorted(ids, key=lambda i: (md5_hash64(str(i).encode()) >> 1,
+                                         i))[:5]
+        assert sorted(out[out.grp == g].doc_id) == sorted(exp)
+    # rerun is identical (determinism)
+    with partition_hint(3):
+        out2 = stratified_sample(rd.from_arrow(t), ["grp"], "doc_id",
+                                 k=5).to_pandas()
+    assert sorted(out2.doc_id) == sorted(out.doc_id)
