@@ -474,6 +474,37 @@ def q_simhash_dups(sf_dir: str):
         return simhash_dup_pairs(ds, ngram_n=3, bands=4, max_dist=3)
 
 
+def q_audio_features(sf_dir: str):
+    """REAL audio decode end-to-end (the WAV leg of the multimodal
+    tier): synthesize a deterministic 16-bit PCM WAV per document
+    (functions/wav.encode_wav — samples are a pure integer function of
+    (doc_id, n_chars)), decode it back with the from-scratch RIFF
+    parser (stages/multimodal.DecodeAudio), and report integer-exact
+    sample features (sum of squares, peak). The oracle recomputes every
+    field — including the sample math via a list comprehension — from
+    the documents table alone."""
+    import numpy as np
+
+    from pypdfium2_ray.functions.wav import encode_wav
+    from pypdfium2_ray.stages.multimodal import decode_audio
+
+    def to_wav(t: pa.Table) -> pa.Table:
+        payloads = []
+        for d, n in zip(t["doc_id"].to_pylist(), t["n_chars"].to_pylist()):
+            s = ((np.arange(int(n), dtype=np.int64) * 7 + int(d)) % 65536
+                 - 32768).astype(np.int16)
+            payloads.append(encode_wav(s, 8000 + (int(d) % 4) * 4000))
+        return pa.table({"id": t["doc_id"],
+                         "data": pa.array(payloads, pa.binary())})
+
+    ds = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        to_wav, batch_format="pyarrow")
+    out = decode_audio(ds).select_columns(
+        ["id", "sample_rate", "channels", "bits_per_sample", "n_samples",
+         "duration_us", "sum_sq", "peak"])
+    return _cast_i64(out, ["sample_rate", "channels", "bits_per_sample"])
+
+
 def q_stratified_sample(sf_dir: str):
     """Per-language quota sample (data mixing: cap every language at 30
     docs) with deterministic md5-hash membership — stages/topk.
@@ -1090,6 +1121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_keep_one": q_neardup_keep_one,
         "span_dedup": q_span_dedup,
         "stratified_sample": q_stratified_sample,
+        "audio_features": q_audio_features,
         "ngram_dups": q_ngram_dups,
         "winnow_fingerprint": q_winnow_fingerprint,
         "ann_topk": q_ann_topk,
@@ -1317,6 +1349,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(u AS BIGINT) AS doc_id,
                    CAST(min(c) AS BIGINT) AS component
             FROM walk GROUP BY u""",
+        # the synthetic signal is an integer function of (doc_id, i) so
+        # the decoded sample features are SQL-recomputable exactly
+        "audio_features": """
+            SELECT doc_id AS id,
+                   (8000 + (doc_id % 4) * 4000)::BIGINT AS sample_rate,
+                   1::BIGINT AS channels,
+                   16::BIGINT AS bits_per_sample,
+                   n_chars::BIGINT AS n_samples,
+                   (n_chars::BIGINT * 1000000)
+                     // (8000 + (doc_id % 4) * 4000) AS duration_us,
+                   COALESCE(CAST(list_sum(
+                     [((i*7+doc_id)%65536-32768)*((i*7+doc_id)%65536-32768)
+                      for i in range(0, n_chars)]) AS BIGINT), 0) AS sum_sq,
+                   COALESCE(CAST(list_max(
+                     [abs((i*7+doc_id)%65536-32768)
+                      for i in range(0, n_chars)]) AS BIGINT), 0) AS peak
+            FROM documents""",
         # halved hash (>>1) keeps UBIGINT int64-safe; >>1 is monotonic so
         # the quota membership is identical on both sides
         "stratified_sample": """

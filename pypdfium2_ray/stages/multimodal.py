@@ -283,3 +283,83 @@ def decode_images(ds, mode: str = "headers", id_col: str = "id",
                                    png_pixels=png_pixels),
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, **mb_kwargs)
+
+
+# ---------------------------------------------------------------------------
+# audio tier (real from-scratch WAV codec — functions/wav.py)
+
+#: output schema of DecodeAudio. Feature columns are integer-exact
+#: (sum of squared samples / peak |sample|) so the end-to-end query is
+#: hash-oracle-checkable; they are null for float32 payloads (no exact
+#: integer representation) and for error rows.
+AUDIO_META_SCHEMA = pa.schema([
+    ("id", pa.int64()),
+    ("status", pa.string()),        # ok | unknown-format | unsupported-codec
+    ("sample_rate", pa.int32()),
+    ("channels", pa.int32()),
+    ("bits_per_sample", pa.int32()),
+    ("n_samples", pa.int64()),
+    ("duration_us", pa.int64()),    # floor(n_samples * 1e6 / rate)
+    ("sum_sq", pa.int64()),
+    ("peak", pa.int64()),
+])
+
+
+class DecodeAudio:
+    """Actor-pool stage: ``(id, data:binary)`` -> one AUDIO_META_SCHEMA
+    row per payload. Parse is per-payload (inherent — variable-length
+    containers); the sample-level feature math is vectorized numpy over
+    the decoded array. Same tier discipline as DecodeImage: malformed
+    payloads become ``unknown-format`` rows, parseable-but-unsupported
+    codecs ``unsupported-codec`` rows — never a thrown-away batch."""
+
+    def __init__(self, id_col: str = "id", data_col: str = "data"):
+        from pypdfium2_ray.functions import wav
+        self.wav = wav
+        self.id_col = id_col
+        self.data_col = data_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        payloads = batch[self.data_col].to_pylist()
+        rows = {name: [] for name in AUDIO_META_SCHEMA.names}
+        for i, p in zip(ids, payloads):
+            vals = dict.fromkeys(AUDIO_META_SCHEMA.names)
+            vals["id"] = i
+            try:
+                decoded = self.wav.decode_wav(p or b"")
+            except ValueError:
+                decoded, vals["status"] = None, "unsupported-codec"
+            else:
+                vals["status"] = "ok" if decoded else "unknown-format"
+            if decoded is not None:
+                s, meta = decoded
+                vals.update(
+                    sample_rate=meta["sample_rate"],
+                    channels=meta["channels"],
+                    bits_per_sample=meta["bits_per_sample"],
+                    n_samples=meta["n_samples"],
+                    duration_us=meta["n_samples"] * 1_000_000
+                    // meta["sample_rate"])
+                if s.dtype != np.float32 and s.size:
+                    s64 = s.astype(np.int64)
+                    vals["sum_sq"] = int((s64 * s64).sum())
+                    vals["peak"] = int(np.abs(s64).max())
+                elif s.size == 0:
+                    vals["sum_sq"] = 0
+                    vals["peak"] = 0
+            for name in rows:
+                rows[name].append(vals[name])
+        return pa.table(
+            {n: pa.array(rows[n], AUDIO_META_SCHEMA.field(n).type)
+             for n in AUDIO_META_SCHEMA.names})
+
+
+def decode_audio(ds, id_col: str = "id", data_col: str = "data",
+                 batch_size: int = 64, concurrency=(1, 8), **mb_kwargs):
+    """Audio-decode stage (payload-aware batch sizing, warm actor pool)."""
+    return ds.map_batches(
+        DecodeAudio,
+        fn_constructor_kwargs=dict(id_col=id_col, data_col=data_col),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, **mb_kwargs)

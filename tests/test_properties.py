@@ -160,3 +160,20 @@ def test_image_meta_never_raises(data):
         fmt, w, h = meta
         assert fmt in ("png", "gif", "bmp", "jpeg")
         assert w >= 0 and h >= 0
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=300))
+def test_wav_parse_never_raises(data):
+    """RIFF chunk walk on arbitrary bytes: None, a meta dict, or (on
+    decode) ValueError for unsupported codecs — never a crash."""
+    from pypdfium2_ray.functions.wav import decode_wav, parse_wav_meta
+    meta = parse_wav_meta(data)
+    if meta is not None:
+        assert meta["n_samples"] >= 0
+        assert meta["data_offset"] + meta["data_size"] <= len(data)
+    try:
+        out = decode_wav(data)
+    except ValueError:
+        return
+    assert (out is None) == (meta is None)
