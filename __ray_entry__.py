@@ -474,6 +474,21 @@ def q_simhash_dups(sf_dir: str):
         return simhash_dup_pairs(ds, ngram_n=3, bands=4, max_dist=3)
 
 
+def q_embedding_centroids(sf_dir: str):
+    """Per-label embedding centroid ingredients (stages/ann.
+    grouped_vector_sums): one reduceat pass per block over the (rows x
+    dims) matrix, scaled-integer sums (floor(v * 1e6) — float summation
+    order can never flip a bit), enum-keyed single-block combine (no
+    exchange). The oracle recomputes the same integer sums via
+    unnest + generate_subscripts."""
+    from pypdfium2_ray.stages.ann import grouped_vector_sums
+    import ray.data as rd
+    ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/embeddings.parquet",
+                         columns=["embedding", "label"])
+    out = grouped_vector_sums(ds, key_col="label", vec_col="embedding")
+    return _cast_i64(out, ["label"])
+
+
 def q_audio_features(sf_dir: str):
     """REAL audio decode end-to-end (the WAV leg of the multimodal
     tier): synthesize a deterministic 16-bit PCM WAV per document
@@ -1122,6 +1137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_dedup": q_span_dedup,
         "stratified_sample": q_stratified_sample,
         "audio_features": q_audio_features,
+        "embedding_centroids": q_embedding_centroids,
         "ngram_dups": q_ngram_dups,
         "winnow_fingerprint": q_winnow_fingerprint,
         "ann_topk": q_ann_topk,
@@ -1349,6 +1365,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(u AS BIGINT) AS doc_id,
                    CAST(min(c) AS BIGINT) AS component
             FROM walk GROUP BY u""",
+        # scaled-int sums: CAST to DOUBLE before the multiply so both
+        # sides compute floor over the same float64 product
+        "embedding_centroids": """
+            SELECT label::BIGINT AS label, dim,
+                   CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1000000)
+                                 AS BIGINT)) AS BIGINT) AS sum_scaled,
+                   count(*)::BIGINT AS n_vecs
+            FROM (SELECT label, unnest(embedding) AS v,
+                         (generate_subscripts(embedding, 1) - 1)::BIGINT
+                           AS dim
+                  FROM embeddings)
+            GROUP BY 1, 2""",
         # the synthetic signal is an integer function of (doc_id, i) so
         # the decoded sample features are SQL-recomputable exactly
         "audio_features": """

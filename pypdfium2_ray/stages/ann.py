@@ -519,3 +519,48 @@ def ivf_topk(ds, queries: pa.Table, train: pa.Table, k: int = 10,
         batch_format="pyarrow", **mb_kwargs)
     return _finalize_topk(partials, k, scale, round_digits,
                           num_partitions=num_partitions)
+
+
+def grouped_vector_sums(ds, key_col: str = "label",
+                        vec_col: str = "embedding",
+                        scale: int = 1_000_000,
+                        num_partitions: int | None = None):
+    """Per-group embedding centroid ingredients: exploded
+    ``(key, dim, sum_scaled, n_vecs)`` rows where ``sum_scaled`` is the
+    group sum of ``floor(value * scale)`` per dimension — integer-exact
+    (float summation order never matters), so the centroid
+    ``sum_scaled / (scale * n_vecs)`` is reproducible across cluster
+    sizes and hash-oracle-checkable.
+
+    Per-block partial: one stable argsort by key + ``np.add.reduceat``
+    over the (rows, dims) matrix — a single vectorized pass regardless
+    of group count; emitted partials are ``groups-in-block x dims`` rows.
+    Final combine is ``grouped_aggregate(combine="single_block")``:
+    (key, dim) cardinality is fixed at any corpus size (labels x dims),
+    the enum-keyed tier that skips the hash exchange entirely.
+    """
+    from pypdfium2_ray.stages.agg import grouped_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        X = stack_embeddings(t[vec_col])
+        S = np.floor(X * scale).astype(np.int64)
+        order = np.argsort(keys, kind="stable")
+        keys_s, S_s = keys[order], S[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], keys_s[1:] != keys_s[:-1])))
+        lengths = np.diff(np.append(starts, len(keys_s)))
+        sums = np.add.reduceat(S_s, starts, axis=0)
+        k, d = sums.shape
+        return pa.table({
+            key_col: np.repeat(keys_s[starts], d),
+            "dim": np.tile(np.arange(d, dtype=np.int64), k),
+            "sum_scaled": sums.reshape(-1),
+            "n_vecs": np.repeat(lengths.astype(np.int64), d),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_aggregate(
+        partials, [key_col, "dim"],
+        {"sum_scaled": ("sum_scaled", "sum"), "n_vecs": ("n_vecs", "sum")},
+        combine="single_block", num_partitions=num_partitions)

@@ -155,3 +155,27 @@ def test_ivf_dup_pairs_on_clustered_data(ray_session):
     got = set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
     assert got == exact                                  # recall AND precision 1
     assert (out["sim"] >= tau).all()
+
+
+def test_grouped_vector_sums_exact(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pypdfium2_ray.stages.ann import grouped_vector_sums
+
+    rng = np.random.default_rng(5)
+    X = rng.standard_normal((50, 4)).astype(np.float32)
+    labels = rng.integers(0, 3, 50)
+    t = pa.table({"label": labels,
+                  "embedding": pa.array(X.tolist(),
+                                        pa.list_(pa.float32()))})
+    out = grouped_vector_sums(rd.from_arrow(t).repartition(4),
+                              key_col="label").to_pandas()
+    S = np.floor(X.astype(np.float64) * 1_000_000).astype(np.int64)
+    for lb in range(3):
+        mask = labels == lb
+        for d in range(4):
+            row = out[(out.label == lb) & (out.dim == d)]
+            assert int(row.sum_scaled.iloc[0]) == int(S[mask, d].sum())
+            assert int(row.n_vecs.iloc[0]) == int(mask.sum())
