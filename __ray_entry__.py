@@ -474,6 +474,21 @@ def q_simhash_dups(sf_dir: str):
         return simhash_dup_pairs(ds, ngram_n=3, bands=4, max_dist=3)
 
 
+def q_kmeans_assign(sf_dir: str):
+    """Distributed spherical k-means over the embeddings corpus
+    (stages/ann.kmeans): hash-deterministic init, broadcast centroids,
+    integer-scaled update sums so assignments are byte-identical at any
+    partitioning/cluster size. Iterative — no SQL oracle (the driver
+    records the rows-only check); exactness is pytest-verified against
+    a single-process replica and across partitionings."""
+    from pypdfium2_ray.stages.ann import kmeans
+    import ray.data as rd
+    ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    _, assign = kmeans(ds, k=8, n_iter=5)
+    return assign
+
+
 def q_embedding_centroids(sf_dir: str):
     """Per-label embedding centroid ingredients (stages/ann.
     grouped_vector_sums): one reduceat pass per block over the (rows x
@@ -1138,6 +1153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q_stratified_sample,
         "audio_features": q_audio_features,
         "embedding_centroids": q_embedding_centroids,
+        "kmeans_assign": q_kmeans_assign,
         "ngram_dups": q_ngram_dups,
         "winnow_fingerprint": q_winnow_fingerprint,
         "ann_topk": q_ann_topk,

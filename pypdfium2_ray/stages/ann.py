@@ -564,3 +564,111 @@ def grouped_vector_sums(ds, key_col: str = "label",
         partials, [key_col, "dim"],
         {"sum_scaled": ("sum_scaled", "sum"), "n_vecs": ("n_vecs", "sum")},
         combine="single_block", num_partitions=num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means (iterative; run- and partitioning-invariant)
+
+def _kmeans_partial(centroids_ref, vec_col: str, scale: int):
+    """Per-block Lloyd partial: assign rows to their nearest (cosine)
+    centroid, then emit integer-scaled per-cluster per-dim sums + counts
+    (one argsort + reduceat pass). Integer sums make the update step
+    invariant to block order and partitioning — float accumulation order
+    can never perturb the next iteration's centroids."""
+    import ray
+
+    def f(t: pa.Table) -> pa.Table:
+        C = ray.get(centroids_ref)
+        Xn = _normalize(stack_embeddings(t[vec_col]))
+        assign = np.argmax(Xn @ C.T, axis=1)
+        S = np.floor(Xn * scale).astype(np.int64)
+        order = np.argsort(assign, kind="stable")
+        a_s, S_s = assign[order], S[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], a_s[1:] != a_s[:-1])))
+        lengths = np.diff(np.append(starts, len(a_s)))
+        sums = np.add.reduceat(S_s, starts, axis=0)
+        k, d = sums.shape
+        return pa.table({
+            "cluster": np.repeat(a_s[starts].astype(np.int64), d),
+            "dim": np.tile(np.arange(d, dtype=np.int64), k),
+            "s": sums.reshape(-1),
+            "n": np.repeat(lengths.astype(np.int64), d),
+        })
+
+    return f
+
+
+def kmeans(ds, id_col: str = "vec_id", vec_col: str = "embedding",
+           k: int = 8, n_iter: int = 10, scale: int = 1 << 20,
+           num_partitions: int | None = None):
+    """Distributed spherical k-means over an embedding column.
+
+    Semantic clustering for curation (cluster-balanced sampling, semantic
+    dedup buckets, SemDeDup-style pruning). Every step is deterministic
+    AND partitioning-invariant, so the same input yields byte-identical
+    assignments at any cluster size:
+
+    - init: the *k* rows with the smallest halved-md5 id hash (the
+      stratified-sample ordering — no RNG, no data order dependence);
+    - assign: centroids broadcast via ``ray.put`` once per iteration,
+      one vectorized matmul per block;
+    - update: integer-scaled per-cluster sums (``floor(x * scale)``)
+      reduced per block and combined in a single block (k x d rows per
+      block partial — tiny), so float summation order never moves a
+      centroid; empty clusters keep their previous centroid.
+
+    Returns ``(centroids, assignments)``: the final (k, d) float64 array
+    and a Dataset ``(id_col, cluster)``. No SQL oracle (iterative);
+    tests check exact equality against a single-process replica and
+    across partitionings.
+    """
+    import ray
+
+    from pypdfium2_ray.functions.sketch import md5_hash64
+    from pypdfium2_ray.stages.topk import topk
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        h = [md5_hash64(str(v).encode()) >> 1
+             for v in t[id_col].to_pylist()]
+        return t.append_column("__h", pa.array(h, pa.int64()))
+
+    seeds = topk(ds.map_batches(add_hash, batch_format="pyarrow"),
+                 ["__h", id_col], k=k, descending=False) \
+        .to_pandas()                          # k rows — driver-side tiny
+    C = _normalize(np.array(
+        [np.asarray(v, dtype=np.float64) for v in seeds[vec_col]]))
+
+    d = C.shape[1]
+    for _ in range(n_iter):
+        ref = ray.put(C)
+        partials = ds.map_batches(_kmeans_partial(ref, vec_col, scale),
+                                  batch_format="pyarrow")
+        # combine: k*d fixed-cardinality keys — single coalesced block,
+        # then the (tiny) totals come to the driver to form the next C
+        from pypdfium2_ray.stages.agg import grouped_aggregate
+        tot = grouped_aggregate(
+            partials, ["cluster", "dim"],
+            {"s": ("s", "sum"), "n": ("n", "sum")},
+            combine="single_block").to_pandas()
+        newC = C.copy()
+        for cl, grp in tot.groupby("cluster"):
+            g = grp.sort_values("dim")
+            vec = g["s"].to_numpy(np.float64) / scale
+            nrm = np.linalg.norm(vec)
+            if nrm > 0:
+                newC[int(cl)] = vec / nrm
+        C = newC
+
+    ref = ray.put(C)
+
+    def assign_final(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        Cf = ray.get(ref)
+        Xn = _normalize(stack_embeddings(t[vec_col]))
+        return pa.table({
+            id_col: pc.cast(t[id_col], pa.int64()),
+            "cluster": np.argmax(Xn @ Cf.T, axis=1).astype(np.int64),
+        })
+
+    return C, ds.map_batches(assign_final, batch_format="pyarrow")

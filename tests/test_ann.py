@@ -179,3 +179,57 @@ def test_grouped_vector_sums_exact(ray_session):
             row = out[(out.label == lb) & (out.dim == d)]
             assert int(row.sum_scaled.iloc[0]) == int(S[mask, d].sum())
             assert int(row.n_vecs.iloc[0]) == int(mask.sum())
+
+
+def test_kmeans_partition_invariant_and_matches_replica(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pypdfium2_ray.functions.sketch import md5_hash64
+    from pypdfium2_ray.stages.ann import _normalize, kmeans
+
+    rng = np.random.default_rng(9)
+    # 3 separated blobs
+    centers = np.array([[5, 0, 0, 0], [0, 5, 0, 0], [0, 0, 5, 0]],
+                       np.float64)
+    X = np.vstack([centers[i % 3] + rng.standard_normal(4) * 0.3
+                   for i in range(90)]).astype(np.float32)
+    t = pa.table({"vec_id": list(range(90)),
+                  "embedding": pa.array(X.tolist(),
+                                        pa.list_(pa.float32()))})
+
+    def run(n_parts):
+        C, assign = kmeans(rd.from_arrow(t).repartition(n_parts),
+                           k=3, n_iter=5)
+        return C, assign.to_pandas().sort_values("vec_id") \
+                        .cluster.to_numpy()
+
+    C2, a2 = run(2)
+    C8, a8 = run(8)
+    np.testing.assert_array_equal(a2, a8)           # partition-invariant
+    np.testing.assert_array_equal(C2, C8)
+
+    # exact single-process replica of the integer-scaled Lloyd updates
+    scale = 1 << 20
+    Xn = _normalize(X.astype(np.float64))
+    order = sorted(range(90), key=lambda i: (md5_hash64(str(i).encode())
+                                             >> 1, i))[:3]
+    C = _normalize(Xn[order])
+    for _ in range(5):
+        assign = np.argmax(Xn @ C.T, axis=1)
+        S = np.floor(Xn * scale).astype(np.int64)
+        newC = C.copy()
+        for cl in range(3):
+            m = assign == cl
+            if m.any():
+                v = S[m].sum(axis=0).astype(np.float64) / scale
+                n = np.linalg.norm(v)
+                if n > 0:
+                    newC[cl] = v / n
+        C = newC
+    np.testing.assert_array_equal(C2, C)
+    np.testing.assert_array_equal(a2, np.argmax(Xn @ C.T, axis=1))
+    # blobs recovered: each blob maps to one cluster
+    for b in range(3):
+        assert len({a2[i] for i in range(90) if i % 3 == b}) == 1
