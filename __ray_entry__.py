@@ -474,6 +474,30 @@ def q_simhash_dups(sf_dir: str):
         return simhash_dup_pairs(ds, ngram_n=3, bands=4, max_dist=3)
 
 
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): k-means the embedding space, drop
+    rows whose in-cluster cosine to a lower-id member exceeds tau
+    (stages/ann.semantic_dedup). Iterative (kmeans-dependent) — no SQL
+    oracle; determinism and keep-min-id semantics are pytest-verified."""
+    from pypdfium2_ray.stages.ann import semantic_dedup
+    import ray.data as rd
+    ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return semantic_dedup(ds, k=8, n_iter=5, tau=0.95)
+
+
+def q_collocations(sf_dir: str):
+    """Top-20 bigram collocations with integer-exact PMI ingredients
+    (stages/freq.collocations): exact bigram + unigram counts (one
+    exchange each, per-block pre-combine), global partial top-k, and
+    marginal lookups that prefilter the vocabulary against the 40
+    candidate words before any exchange."""
+    from pypdfium2_ray.stages.freq import collocations
+    ds = _docs(sf_dir, ["text"])
+    with _hint(sf_dir):
+        return collocations(ds, k=20)
+
+
 def q_kmeans_assign(sf_dir: str):
     """Distributed spherical k-means over the embeddings corpus
     (stages/ann.kmeans): hash-deterministic init, broadcast centroids,
@@ -1154,6 +1178,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": q_audio_features,
         "embedding_centroids": q_embedding_centroids,
         "kmeans_assign": q_kmeans_assign,
+        "collocations": q_collocations,
+        "semantic_dedup": q_semantic_dedup,
         "ngram_dups": q_ngram_dups,
         "winnow_fingerprint": q_winnow_fingerprint,
         "ann_topk": q_ann_topk,
@@ -1381,6 +1407,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(u AS BIGINT) AS doc_id,
                    CAST(min(c) AS BIGINT) AS component
             FROM walk GROUP BY u""",
+        # integer PMI ingredients only — the float log is the caller's
+        "collocations": """
+            WITH toks AS (
+              SELECT list_filter(
+                       regexp_split_to_array(text, '[ \t\r\n\f\v]+'),
+                       t -> t <> '') AS a
+              FROM documents),
+            uni AS (SELECT unnest(a) AS w FROM toks),
+            ucnt AS (SELECT w, count(*)::BIGINT AS n FROM uni GROUP BY w),
+            big AS (
+              SELECT unnest([a[i] || ' ' || a[i+1]
+                             for i in range(1, len(a))]) AS bg
+              FROM toks),
+            bcnt AS (SELECT bg, count(*)::BIGINT AS n_pair
+                     FROM big GROUP BY bg),
+            top AS (SELECT bg, n_pair FROM bcnt
+                    ORDER BY n_pair DESC, bg LIMIT 20)
+            SELECT split_part(bg, ' ', 1) AS w1,
+                   split_part(bg, ' ', 2) AS w2, n_pair,
+                   u1.n AS n_w1, u2.n AS n_w2,
+                   (SELECT count(*)::BIGINT FROM uni) AS n_total
+            FROM top
+            JOIN ucnt u1 ON u1.w = split_part(bg, ' ', 1)
+            JOIN ucnt u2 ON u2.w = split_part(bg, ' ', 2)""",
         # scaled-int sums: CAST to DOUBLE before the multiply so both
         # sides compute floor over the same float64 product
         "embedding_centroids": """

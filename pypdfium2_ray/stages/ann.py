@@ -672,3 +672,67 @@ def kmeans(ds, id_col: str = "vec_id", vec_col: str = "embedding",
         })
 
     return C, ds.map_batches(assign_final, batch_format="pyarrow")
+
+
+def semantic_dedup(ds, id_col: str = "vec_id", vec_col: str = "embedding",
+                   k: int = 8, n_iter: int = 5, tau: float = 0.95,
+                   max_cluster: int = 100_000,
+                   num_partitions: int | None = None):
+    """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", 2023 — public paper):
+    k-means the embedding space, then within each cluster drop every row
+    whose cosine similarity to a LOWER-id cluster member is > *tau* (the
+    min-id member of each semantic duplicate group survives).
+
+    Shape: :func:`kmeans` assignments (partitioning-invariant) are joined
+    back to the vectors by a repartition join keyed on the id, then ONE
+    hash exchange on ``cluster`` colocates each cluster and a vectorized
+    kernel does the pairwise pass (sort by id, one matmul, upper-triangle
+    max). Keeps are therefore deterministic at any parallelism.
+
+    ``max_cluster``: NO SILENT CAPS — a cluster larger than this raises
+    (the pairwise pass is O(m^2); re-run with larger *k* or a smaller
+    corpus shard, or lift the cap deliberately).
+
+    Returns ``(id_col, cluster)`` rows for the KEPT ids only.
+    """
+    from pypdfium2_ray.stages.exchange import lookup_join, partition_map
+
+    _, assign = kmeans(ds, id_col=id_col, vec_col=vec_col, k=k,
+                       n_iter=n_iter, num_partitions=num_partitions)
+    joined = lookup_join(
+        assign, {id_col: pa.int64(), "cluster": pa.int64()},
+        ds, source_key=id_col, key_col=id_col,
+        payload_cols={"__vec": pa.list_(pa.float32())},
+        source_payload={"__vec": vec_col},
+        num_partitions=num_partitions)
+
+    def prune(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        cl = t["cluster"].to_numpy(zero_copy_only=False)
+        X = _normalize(stack_embeddings(t["__vec"]))
+        order = np.lexsort((ids, cl))
+        ids, cl, X = ids[order], cl[order], X[order]
+        starts = np.flatnonzero(np.concatenate(([True], cl[1:] != cl[:-1])))
+        ends = np.append(starts[1:], len(cl))
+        keep_ids, keep_cl = [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m > max_cluster:
+                raise RuntimeError(
+                    f"semantic_dedup: cluster {cl[s]} has {m} members > "
+                    f"max_cluster={max_cluster}; raise k or the cap")
+            S = X[s:e] @ X[s:e].T
+            # a row is dropped iff some EARLIER (smaller-id) member is
+            # more similar than tau
+            dup = (np.triu(S, 1) > tau).any(axis=0)
+            keep_ids.append(ids[s:e][~dup])
+            keep_cl.append(cl[s:e][~dup])
+        if not keep_ids:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64())})
+        return pa.table({id_col: np.concatenate(keep_ids),
+                         "cluster": np.concatenate(keep_cl)})
+
+    return partition_map(joined, ["cluster"], prune,
+                         num_partitions=num_partitions)

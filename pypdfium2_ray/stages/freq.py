@@ -287,3 +287,70 @@ def grouped_distinct_hll(ds, keys: list[str], col: str,
             finalize, batch_size=None, batch_format="pandas")
     return partition_map(partials, keys, finalize, batch_format="pandas",
                          num_partitions=num_partitions)
+
+
+def collocations(ds, text_col: str = "text", k: int = 20,
+                 num_partitions: int | None = None):
+    """Top-*k* word-bigram collocations with integer-exact PMI
+    ingredients: ``(w1, w2, n_pair, n_w1, n_w2, n_total)``.
+
+    PMI itself is ``log(n_pair * n_total / (n_w1 * n_w2))`` — left to the
+    caller because the *counts* are exactly reproducible (hash-oracle-
+    checkable) while a float log is 1-ulp-fragile across engines.
+
+    Shape: bigram and unigram exact counts via ``grouped_aggregate``
+    (per-block pre-combined partials, one exchange each), global top-k of
+    the bigram table (partial top-k per block — only ``k x n_blocks``
+    rows move), then the two marginal lookups run as ``lookup_join``s
+    whose semi-join prefilter broadcasts the 2k candidate words and
+    filters the vocabulary table *before* the exchange. The vocabulary
+    table is materialized once (vocab << corpus) because three consumers
+    (total-count aggregate + two joins) would otherwise re-execute its
+    lineage.
+    """
+    import pyarrow.compute as pc
+
+    from pypdfium2_ray.stages.agg import grouped_aggregate
+    from pypdfium2_ray.stages.exchange import lookup_join
+    from pypdfium2_ray.stages.topk import topk
+
+    bigr = ds.map_batches(explode_bigrams, batch_format="pyarrow")
+    bcnt = grouped_aggregate(bigr, ["token"], {"n_pair": (None, "count")},
+                             num_partitions=num_partitions)
+    top = topk(bcnt, ["n_pair", "token"], k, descending=[True, False])
+
+    def split_pair(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t["token"], " ", max_splits=1)
+        return pa.table({
+            "w1": pc.list_element(parts, 0),
+            "w2": pc.list_element(parts, 1),
+            "n_pair": pc.cast(t["n_pair"], pa.int64()),
+        })
+
+    top = top.map_batches(split_pair, batch_format="pyarrow")
+
+    uni = ds.map_batches(explode_tokens, batch_format="pyarrow")
+    ucnt = grouped_aggregate(uni, ["token"], {"n": (None, "count")},
+                             num_partitions=num_partitions).materialize()
+    n_total = int(ucnt.sum("n") or 0)
+
+    j = lookup_join(top, {"w1": pa.string(), "w2": pa.string(),
+                          "n_pair": pa.int64()},
+                    ucnt, source_key="token", key_col="w1",
+                    payload_cols={"n_w1": pa.int64()},
+                    source_payload={"n_w1": "n"},
+                    num_partitions=num_partitions,
+                    prefilter_keys=1_000_000)
+    j = lookup_join(j, {"w1": pa.string(), "w2": pa.string(),
+                        "n_pair": pa.int64(), "n_w1": pa.int64()},
+                    ucnt, source_key="token", key_col="w2",
+                    payload_cols={"n_w2": pa.int64()},
+                    source_payload={"n_w2": "n"},
+                    num_partitions=num_partitions,
+                    prefilter_keys=1_000_000)
+
+    def add_total(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "n_total", pa.array(np.full(t.num_rows, n_total, np.int64)))
+
+    return j.map_batches(add_total, batch_format="pyarrow")

@@ -233,3 +233,58 @@ def test_kmeans_partition_invariant_and_matches_replica(ray_session):
     # blobs recovered: each blob maps to one cluster
     for b in range(3):
         assert len({a2[i] for i in range(90) if i % 3 == b}) == 1
+
+
+def test_semantic_dedup_drops_near_copies_keeps_min_id(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pypdfium2_ray.stages.ann import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    # mild concentration: within-blob cosines stay well under tau, so
+    # only the planted exact copies count as semantic duplicates
+    centers = np.array([[3, 0, 0, 0], [0, 3, 0, 0]], np.float64)
+    rows, ids = [], []
+    for i in range(40):
+        base = centers[i % 2] + rng.standard_normal(4)
+        rows.append(base)
+        ids.append(i)
+    # plant exact duplicates of ids 0 and 1 at higher ids
+    for j, src in enumerate((0, 1, 0)):
+        rows.append(rows[src])
+        ids.append(100 + j)
+    X = np.array(rows, np.float32)
+    t = pa.table({"vec_id": ids,
+                  "embedding": pa.array(X.tolist(),
+                                        pa.list_(pa.float32()))})
+
+    def run(parts):
+        out = semantic_dedup(rd.from_arrow(t).repartition(parts),
+                             k=2, n_iter=4, tau=0.999)
+        return sorted(out.to_pandas().vec_id)
+
+    kept2 = run(2)
+    assert run(6) == kept2                       # partition-invariant
+    # planted copies dropped, originals kept
+    assert 0 in kept2 and 1 in kept2
+    assert not any(i >= 100 for i in kept2)
+    assert kept2 == list(range(40))
+
+
+def test_semantic_dedup_cluster_cap_raises(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from pypdfium2_ray.stages.ann import semantic_dedup
+
+    X = np.ones((30, 4), np.float32)
+    t = pa.table({"vec_id": list(range(30)),
+                  "embedding": pa.array(X.tolist(),
+                                        pa.list_(pa.float32()))})
+    with pytest.raises(Exception, match="max_cluster"):
+        semantic_dedup(rd.from_arrow(t), k=1, n_iter=1,
+                       max_cluster=10).to_pandas()
