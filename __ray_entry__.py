@@ -474,6 +474,18 @@ def q_simhash_dups(sf_dir: str):
         return simhash_dup_pairs(ds, ngram_n=3, bands=4, max_dist=3)
 
 
+def q_shuffle_assign(sf_dir: str):
+    """Deterministic training-data shuffle (stages/shuffle.
+    deterministic_shuffle): shard = md5(doc_id) % 16, position = rank
+    within shard by (md5 >> 1, doc_id) — the reproducible epoch-order
+    export; whole order verified by a window-function oracle."""
+    from pypdfium2_ray.stages.shuffle import deterministic_shuffle
+    ds = _docs(sf_dir, ["doc_id", "n_chars"])
+    with _hint(sf_dir):
+        out = deterministic_shuffle(ds, key_col="doc_id", n_shards=16)
+    return _cast_i64(out, ["n_chars"])
+
+
 def q_semantic_dedup(sf_dir: str):
     """SemDeDup (Abbas et al. 2023): k-means the embedding space, drop
     rows whose in-cluster cosine to a lower-id member exceeds tau
@@ -1180,6 +1192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_assign": q_kmeans_assign,
         "collocations": q_collocations,
         "semantic_dedup": q_semantic_dedup,
+        "shuffle_assign": q_shuffle_assign,
         "ngram_dups": q_ngram_dups,
         "winnow_fingerprint": q_winnow_fingerprint,
         "ann_topk": q_ann_topk,
@@ -1407,6 +1420,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(u AS BIGINT) AS doc_id,
                    CAST(min(c) AS BIGINT) AS component
             FROM walk GROUP BY u""",
+        "shuffle_assign": """
+            SELECT doc_id, n_chars::BIGINT AS n_chars,
+                   (md5_number_upper(doc_id::VARCHAR) % 16)::BIGINT
+                     AS shard,
+                   (row_number() OVER (
+                      PARTITION BY md5_number_upper(doc_id::VARCHAR) % 16
+                      ORDER BY md5_number_upper(doc_id::VARCHAR) >> 1,
+                               doc_id) - 1)::BIGINT AS pos
+            FROM documents""",
         # integer PMI ingredients only — the float log is the caller's
         "collocations": """
             WITH toks AS (
