@@ -474,6 +474,19 @@ def q_simhash_dups(sf_dir: str):
         return simhash_dup_pairs(ds, ngram_n=3, bands=4, max_dist=3)
 
 
+def q_pack_offsets(sf_dir: str):
+    """GPT-style sequence packing (stages/scan.pack_offsets): distributed
+    two-phase range scan computes each doc's exact start offset in the
+    key-ordered concatenation, then the example ids it spans at
+    example_len=1024 — all integer arithmetic, verified by a window
+    cumsum oracle."""
+    from pypdfium2_ray.stages.scan import pack_offsets
+    ds = _docs(sf_dir, ["doc_id", "n_chars"])
+    with _hint(sf_dir):
+        out = pack_offsets(ds, example_len=1024)
+    return _cast_i64(out, ["n_chars"])
+
+
 def q_shuffle_assign(sf_dir: str):
     """Deterministic training-data shuffle (stages/shuffle.
     deterministic_shuffle): shard = md5(doc_id) % 16, position = rank
@@ -1193,6 +1206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collocations": q_collocations,
         "semantic_dedup": q_semantic_dedup,
         "shuffle_assign": q_shuffle_assign,
+        "pack_offsets": q_pack_offsets,
         "ngram_dups": q_ngram_dups,
         "winnow_fingerprint": q_winnow_fingerprint,
         "ann_topk": q_ann_topk,
@@ -1420,6 +1434,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(u AS BIGINT) AS doc_id,
                    CAST(min(c) AS BIGINT) AS component
             FROM walk GROUP BY u""",
+        "pack_offsets": """
+            SELECT doc_id, n_chars::BIGINT AS n_chars,
+                   start_off,
+                   (start_off // 1024)::BIGINT AS first_example,
+                   (CASE WHEN n_chars > 0
+                         THEN (start_off + n_chars - 1) // 1024
+                         ELSE start_off // 1024 END)::BIGINT
+                     AS last_example
+            FROM (SELECT doc_id, n_chars,
+                         (sum(n_chars::BIGINT) OVER (ORDER BY doc_id)
+                          - n_chars)::BIGINT AS start_off
+                  FROM documents)""",
         "shuffle_assign": """
             SELECT doc_id, n_chars::BIGINT AS n_chars,
                    (md5_number_upper(doc_id::VARCHAR) % 16)::BIGINT
