@@ -474,6 +474,30 @@ def q_simhash_dups(sf_dir: str):
         return simhash_dup_pairs(ds, ngram_n=3, bands=4, max_dist=3)
 
 
+def q_cohort_retention(sf_dir: str):
+    """Cohort-retention matrix over events (stages/sessionize.
+    cohort_retention): day buckets, first-seen cohort via grouped min +
+    repartition join, exact distinct active users per (cohort_day,
+    day_offset) cell."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.sessionize import cohort_retention
+    ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["user_id", "ts"])
+    with _hint(sf_dir, "events"):
+        return cohort_retention(ds)
+
+
+def q_length_rank(sf_dir: str):
+    """Per-language window rank (stages/topk.grouped_rank — the
+    row_number() analogue: one exchange, per-partition sort + run-offset
+    arange, zero per-group Python). Rank by (n_chars, doc_id) ascending."""
+    from pypdfium2_ray.stages.topk import grouped_rank
+    ds = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+    with _hint(sf_dir):
+        out = grouped_rank(ds, ["lang"], ["n_chars", "doc_id"])
+    return _cast_i64(out, ["n_chars", "rank"])
+
+
 def q_pack_offsets(sf_dir: str):
     """GPT-style sequence packing (stages/scan.pack_offsets): distributed
     two-phase range scan computes each doc's exact start offset in the
@@ -1207,6 +1231,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": q_semantic_dedup,
         "shuffle_assign": q_shuffle_assign,
         "pack_offsets": q_pack_offsets,
+        "length_rank": q_length_rank,
+        "cohort_retention": q_cohort_retention,
         "ngram_dups": q_ngram_dups,
         "winnow_fingerprint": q_winnow_fingerprint,
         "ann_topk": q_ann_topk,
@@ -1434,6 +1460,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(u AS BIGINT) AS doc_id,
                    CAST(min(c) AS BIGINT) AS component
             FROM walk GROUP BY u""",
+        "cohort_retention": """
+            WITH e AS (
+              SELECT user_id,
+                     (epoch_us(ts) // 86400000000)::BIGINT AS day
+              FROM events),
+            f AS (
+              SELECT user_id, min(day) AS cohort_day FROM e
+              GROUP BY user_id)
+            SELECT f.cohort_day,
+                   (e.day - f.cohort_day)::BIGINT AS day_offset,
+                   count(DISTINCT e.user_id)::BIGINT AS n_users
+            FROM e JOIN f USING (user_id)
+            GROUP BY 1, 2""",
+        "length_rank": """
+            SELECT doc_id, lang, n_chars::BIGINT AS n_chars,
+                   (row_number() OVER (PARTITION BY lang
+                      ORDER BY n_chars, doc_id))::BIGINT AS rank
+            FROM documents""",
         "pack_offsets": """
             SELECT doc_id, n_chars::BIGINT AS n_chars,
                    start_off,

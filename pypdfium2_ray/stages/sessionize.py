@@ -17,6 +17,7 @@ assumption as the as-of join: one key's events fit one worker.
 from __future__ import annotations
 
 import pandas as pd
+import pyarrow as pa
 
 
 def sessionize(ds, key: str = "user_id", ts_col: str = "ts",
@@ -40,3 +41,54 @@ def sessionize(ds, key: str = "user_id", ts_col: str = "ts",
 
     return partition_map(ds, [key], per_partition, batch_format="pandas",
                          num_partitions=num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# cohort retention
+
+def cohort_retention(ds, user_col: str = "user_id", ts_col: str = "ts",
+                     bucket_us: int = 86_400_000_000,
+                     num_partitions: int | None = None):
+    """Cohort-retention matrix: bucket events into days (``bucket_us``),
+    cohort = each user's first-seen day, cell = exact distinct active
+    users per ``(cohort_day, day_offset)``.
+
+    Shape: day bucketing is one vectorized cast pass; first-seen is a
+    ``grouped_aggregate`` min on ids-only ``(user, day)`` rows; the
+    cohort day comes back via a repartition ``lookup_join`` keyed on the
+    user (large x large — the first-seen side ships two ints per user);
+    the matrix is ``freq.grouped_distinct_count`` (pre-combined distinct,
+    one pair exchange, exact). Integer arithmetic end to end.
+    """
+    import pyarrow.compute as pc
+
+    from pypdfium2_ray.stages.agg import grouped_aggregate
+    from pypdfium2_ray.stages.exchange import lookup_join
+    from pypdfium2_ray.stages.freq import grouped_distinct_count
+
+    def to_day(t: pa.Table) -> pa.Table:
+        us = t[ts_col].combine_chunks().cast(pa.timestamp("us")) \
+            .cast(pa.int64())
+        day = pc.divide(us, bucket_us)       # ts >= epoch: trunc == floor
+        return pa.table({user_col: pc.cast(t[user_col], pa.int64()),
+                         "day": day})
+
+    days = ds.map_batches(to_day, batch_format="pyarrow")
+    firsts = grouped_aggregate(days, [user_col],
+                               {"cohort_day": ("day", "min")},
+                               num_partitions=num_partitions)
+    joined = lookup_join(
+        days, {user_col: pa.int64(), "day": pa.int64()},
+        firsts, source_key=user_col, key_col=user_col,
+        payload_cols={"cohort_day": pa.int64()},
+        num_partitions=num_partitions)
+
+    def offset(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "day_offset", pc.subtract(t["day"], t["cohort_day"])) \
+            .drop_columns(["day"])
+
+    cells = joined.map_batches(offset, batch_format="pyarrow")
+    return grouped_distinct_count(cells, ["cohort_day", "day_offset"],
+                                  user_col, out="n_users",
+                                  num_partitions=num_partitions)

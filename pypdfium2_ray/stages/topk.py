@@ -95,3 +95,38 @@ def stratified_sample(ds, keys: list[str], key_col: str, k: int,
     out = grouped_topk(hashed, keys, ["__h", key_col], k=k,
                        descending=False, num_partitions=num_partitions)
     return out.drop_columns(["__h"])
+
+
+def grouped_rank(ds, keys: list[str], order_cols: list[str],
+                 out: str = "rank", descending: list[bool] | bool = False,
+                 num_partitions: int | None = None):
+    """Window rank: ``row_number() OVER (PARTITION BY keys ORDER BY
+    order_cols)`` (1-based; make the last order col unique for
+    determinism). ONE hash exchange on *keys*, then a vectorized
+    per-partition kernel: sort + per-group arange via run offsets — no
+    per-group Python at any group count. Payload columns ride along."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pypdfium2_ray.stages.exchange import partition_map
+
+    if isinstance(descending, bool):
+        descending = [descending] * len(order_cols)
+    ascending = [not d for d in descending]
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(keys + order_cols,
+                            ascending=[True] * len(keys) + ascending,
+                            kind="mergesort").reset_index(drop=True)
+        gid = df.groupby(keys, sort=False, dropna=False).ngroup() \
+            .to_numpy()
+        starts = np.flatnonzero(np.concatenate(
+            ([True], gid[1:] != gid[:-1]))) if len(gid) else \
+            np.array([], np.int64)
+        offs = np.repeat(starts, np.diff(np.append(starts, len(gid)))) \
+            if len(starts) else np.array([], np.int64)
+        df[out] = np.arange(len(gid)) - offs + 1
+        return df
+
+    return partition_map(ds, keys, kernel, batch_format="pandas",
+                         num_partitions=num_partitions)
