@@ -197,6 +197,44 @@ def cmd_fonts(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    """Corpus dedup over a parquet table with (id, text) columns."""
+    _init_ray()
+    ds = _read(args.input)
+    if args.method == "exact":
+        from pypdfium2_ray.stages.dedup import distinct_rows
+        out = distinct_rows(ds, [args.text_col])
+    elif args.method == "span":
+        from pypdfium2_ray.stages.dedup import span_dedup
+        out = span_dedup(ds, id_col=args.id_col, text_col=args.text_col,
+                         span_tokens=args.span_tokens)
+    else:  # minhash: pairs -> components -> keep min id per cluster
+        from pypdfium2_ray.stages.components import connected_components
+        from pypdfium2_ray.stages.dedup import minhash_dup_pairs
+        from pypdfium2_ray.stages.join import key_filter_join
+        pairs = minhash_dup_pairs(
+            ds, id_col=args.id_col, text_col=args.text_col,
+            threshold=args.threshold).select_columns(["id_a", "id_b"])
+        cc = connected_components(pairs).materialize()
+        losers = cc.filter(expr="doc_id != component") \
+            .select_columns(["doc_id"])
+        out = key_filter_join(ds, losers, args.id_col,
+                              right_key="doc_id", mode="anti")
+    out.write_parquet(args.output)
+    print(args.output)
+    return 0
+
+
+def cmd_shuffle(args) -> int:
+    """Deterministic hash-shuffled export (shard= hive directories)."""
+    _init_ray()
+    from pypdfium2_ray.stages.shuffle import write_shuffled
+    write_shuffled(_read(args.input), args.output, key_col=args.id_col,
+                   n_shards=args.shards)
+    print(args.output)
+    return 0
+
+
 def cmd_fixtures(args) -> int:
     from pypdfium2_ray.sources.fixtures import write_cc_parquet
     write_cc_parquet(args.output, n_synthetic=args.synthetic)
@@ -253,6 +291,25 @@ def get_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("fonts", help="list per-document fonts")
     common(sp, output=False)
     sp.set_defaults(fn=cmd_fonts)
+
+    sp = sub.add_parser("dedup", help="corpus dedup (exact/span/minhash)")
+    sp.add_argument("input")
+    sp.add_argument("-o", "--output", required=True)
+    sp.add_argument("--method", choices=["exact", "span", "minhash"],
+                    default="exact")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--span-tokens", type=int, default=10)
+    sp.add_argument("--threshold", type=float, default=0.7)
+    sp.set_defaults(fn=cmd_dedup)
+
+    sp = sub.add_parser("shuffle",
+                        help="deterministic hash-shuffled export")
+    sp.add_argument("input")
+    sp.add_argument("-o", "--output", required=True)
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--shards", type=int, default=16)
+    sp.set_defaults(fn=cmd_shuffle)
 
     sp = sub.add_parser("fixtures", help="write the fixture corpus")
     sp.add_argument("-o", "--output", required=True)

@@ -88,3 +88,30 @@ def test_cli_fonts_output(ray_session, fixture_parquet, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "Helvetica Bold  24pt w700" in out          # h1
     assert "Courier  12pt w400" in out                 # code -> Courier
+
+
+def test_cli_dedup_minhash_and_shuffle(ray_session, tmp_path):
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pypdfium2_ray.__main__ import main
+
+    src = str(tmp_path / "docs.parquet")
+    texts = ["alpha beta gamma delta epsilon zeta eta theta",
+             "alpha beta gamma delta epsilon zeta eta iota",  # near-dup of 0
+             "completely different words entirely here now thanks",
+             "unrelated content again nothing shared with others"]
+    pq.write_table(pa.table({"doc_id": [0, 1, 2, 3], "text": texts}), src)
+
+    out = str(tmp_path / "dedup_out")
+    assert main(["dedup", src, "-o", out, "--method", "minhash",
+                 "--threshold", "0.5"]) == 0
+    kept = sorted(duckdb.sql(f"select doc_id from '{out}/*.parquet'")
+                  .fetchnumpy()["doc_id"].tolist())
+    assert kept == [0, 2, 3]          # near-dup pair collapsed to min id
+
+    shuf = str(tmp_path / "shuf_out")
+    assert main(["shuffle", src, "-o", shuf, "--shards", "2"]) == 0
+    t = pq.read_table(shuf)
+    assert t.num_rows == 4 and "pos" in t.schema.names
