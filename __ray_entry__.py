@@ -474,6 +474,16 @@ def q_simhash_dups(sf_dir: str):
         return simhash_dup_pairs(ds, ngram_n=3, bands=4, max_dist=3)
 
 
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3-shaped top revenue orders for one market segment — the
+    LARGE x LARGE join path (pipelines/relational.shipping_priority):
+    two keys-only exchange-tier semi joins, integer-exact revenue
+    (price-cents x discount-hundredths)."""
+    from pypdfium2_ray.pipelines.relational import shipping_priority
+    with _hint(sf_dir, "lineitem"):
+        return shipping_priority(sf_dir, segment="BUILDING", k=10)
+
+
 def q_cohort_retention(sf_dir: str):
     """Cohort-retention matrix over events (stages/sessionize.
     cohort_retention): day buckets, first-seen cohort via grouped min +
@@ -1233,6 +1243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_offsets": q_pack_offsets,
         "length_rank": q_length_rank,
         "cohort_retention": q_cohort_retention,
+        "shipping_priority": q_shipping_priority,
         "ngram_dups": q_ngram_dups,
         "winnow_fingerprint": q_winnow_fingerprint,
         "ann_topk": q_ann_topk,
@@ -1460,6 +1471,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(u AS BIGINT) AS doc_id,
                    CAST(min(c) AS BIGINT) AS component
             FROM walk GROUP BY u""",
+        "shipping_priority": """
+            SELECT l_orderkey,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100)
+                                          AS BIGINT))) AS BIGINT)
+                     AS revenue_e4
+            FROM lineitem
+            WHERE l_orderkey IN (
+              SELECT o_orderkey FROM orders
+              WHERE o_custkey IN (SELECT c_custkey FROM customer
+                                  WHERE c_mktsegment = 'BUILDING'))
+            GROUP BY l_orderkey
+            ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10""",
         "cohort_retention": """
             WITH e AS (
               SELECT user_id,

@@ -128,3 +128,61 @@ def latest_event_per_user(sf_dir: str):
     # partial per block shrinks the exchange to <= one row per (block, user)
     ds = ds.map_batches(keep_latest, batch_format="pandas")
     return partition_map(ds, ["user_id"], keep_latest, batch_format="pandas")
+
+
+def shipping_priority(sf_dir: str, segment: str = "BUILDING", k: int = 10):
+    """TPC-H Q3-shaped shipping priority: revenue per order for one
+    market segment, top-k.
+
+    The join shape the other relational demos don't cover: lineitem x
+    orders is LARGE x LARGE (both fact tables, both key sets scale with
+    the data — nothing is broadcastable), so both hops run as
+    ``key_filter_join`` exchange-tier semi joins that ship KEYS ONLY:
+    orders against the segment's custkeys, then the lineitem revenue
+    parts against the surviving orderkeys. Revenue partials are computed
+    BEFORE the orderkey exchange so only (key, int64) pairs move.
+
+    Revenue is integer-exact: price cents x (100 - discount hundredths)
+    summed as int64 (1e-4 dollar units) — 2-decimal prices/discounts make
+    the roundings unambiguous on both engines.
+    """
+    import numpy as np
+
+    from pypdfium2_ray.stages.join import key_filter_join
+    from pypdfium2_ray.stages.topk import topk
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .filter(expr=f"c_mktsegment == '{segment}'") \
+        .select_columns(["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    seg_orders = key_filter_join(orders, cust, "o_custkey",
+                                 right_key="c_custkey", mode="semi",
+                                 tier="exchange") \
+        .select_columns(["o_orderkey"])
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def revenue_part(t: pa.Table) -> pa.Table:
+        p = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = t["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.rint(p * 100.0).astype(np.int64)
+        d100 = np.rint(d * 100.0).astype(np.int64)
+        return pa.table({
+            "l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+            "rev": cents * (100 - d100),
+        })
+
+    parts = line.map_batches(revenue_part, batch_format="pyarrow")
+    seg_parts = key_filter_join(parts, seg_orders, "l_orderkey",
+                                right_key="o_orderkey", mode="semi",
+                                tier="exchange")
+    rev = grouped_aggregate(seg_parts, ["l_orderkey"],
+                            {"revenue_e4": ("rev", "sum")})
+    out = topk(rev, ["revenue_e4", "l_orderkey"], k,
+               descending=[True, False])
+    return out.map_batches(
+        lambda t: pa.table({"l_orderkey": t["l_orderkey"],
+                            "revenue_e4": pc.cast(t["revenue_e4"],
+                                                  pa.int64())}),
+        batch_format="pyarrow")
