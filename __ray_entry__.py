@@ -474,6 +474,48 @@ def q_simhash_dups(sf_dir: str):
         return simhash_dup_pairs(ds, ngram_n=3, bands=4, max_dist=3)
 
 
+def q_top_user_per_type(sf_dir: str):
+    """Grouped mode (most frequent value per group, deterministic
+    tie-break): exact (event_type, user) counts then grouped_topk(k=1) —
+    per-block partial quota, one survivors exchange."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import grouped_aggregate
+    from pypdfium2_ray.stages.topk import grouped_topk
+    ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["event_type", "user_id"])
+    with _hint(sf_dir, "events"):
+        cnt = grouped_aggregate(ds, ["event_type", "user_id"],
+                                {"n": (None, "count")})
+        return grouped_topk(cnt, ["event_type"], ["n", "user_id"], k=1,
+                            descending=[True, False])
+
+
+def q_user_rolling_7d(sf_dir: str):
+    """7-day trailing event count per user per active day
+    (stages/window.rolling_window_sum — the RANGE-window analogue):
+    per-(user, day) counts then ONE user exchange with a composite-key
+    searchsorted kernel (zero per-user Python). Oracle: the same RANGE
+    window in SQL."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import grouped_aggregate
+    from pypdfium2_ray.stages.window import rolling_window_sum
+
+    def to_day(t: pa.Table) -> pa.Table:
+        us = t["ts"].combine_chunks().cast(pa.timestamp("us")) \
+            .cast(pa.int64())
+        return pa.table({"user_id": pc.cast(t["user_id"], pa.int64()),
+                         "day": pc.divide(us, 86_400_000_000)})
+
+    ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["user_id", "ts"]).map_batches(
+        to_day, batch_format="pyarrow")
+    with _hint(sf_dir, "events"):
+        daily = grouped_aggregate(ds, ["user_id", "day"],
+                                  {"n": (None, "count")})
+        return rolling_window_sum(daily, "user_id", "day", "n",
+                                  window=7, out="n_7d")
+
+
 def q_shipping_priority(sf_dir: str):
     """TPC-H Q3-shaped top revenue orders for one market segment — the
     LARGE x LARGE join path (pipelines/relational.shipping_priority):
@@ -1244,6 +1286,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_rank": q_length_rank,
         "cohort_retention": q_cohort_retention,
         "shipping_priority": q_shipping_priority,
+        "user_rolling_7d": q_user_rolling_7d,
+        "top_user_per_type": q_top_user_per_type,
         "ngram_dups": q_ngram_dups,
         "winnow_fingerprint": q_winnow_fingerprint,
         "ann_topk": q_ann_topk,
@@ -1471,6 +1515,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(u AS BIGINT) AS doc_id,
                    CAST(min(c) AS BIGINT) AS component
             FROM walk GROUP BY u""",
+        "top_user_per_type": """
+            WITH c AS (SELECT event_type, user_id,
+                              count(*)::BIGINT AS n
+                       FROM events GROUP BY 1, 2)
+            SELECT event_type, user_id, n FROM c
+            QUALIFY row_number() OVER (PARTITION BY event_type
+                                       ORDER BY n DESC, user_id) = 1""",
+        "user_rolling_7d": """
+            WITH d AS (
+              SELECT user_id,
+                     (epoch_us(ts) // 86400000000)::BIGINT AS day,
+                     count(*)::BIGINT AS n
+              FROM events GROUP BY 1, 2)
+            SELECT user_id, day, n,
+                   CAST(sum(n) OVER (PARTITION BY user_id ORDER BY day
+                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS n_7d
+            FROM d""",
         "shipping_priority": """
             SELECT l_orderkey,
                    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)

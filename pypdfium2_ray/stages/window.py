@@ -80,3 +80,44 @@ def hopping_window(ds, ts_col: str, size_s: int, hop_s: int,
 
     fanned = ds.map_batches(fan_out, batch_format="pyarrow")
     return grouped_aggregate(fanned, [window_col] + keys, aggs)
+
+
+def rolling_window_sum(ds, key_col: str, time_col: str, val_col: str,
+                       window: int, out: str = "rolling_sum",
+                       num_partitions: int | None = None):
+    """Trailing-window sum per key: for each row, the sum of *val_col*
+    over the key's rows with ``time in [t - window + 1, t]`` — the
+    ``sum(v) OVER (PARTITION BY key ORDER BY t RANGE BETWEEN window-1
+    PRECEDING AND CURRENT ROW)`` analogue. *time_col* must be
+    non-negative integers with one row per (key, time); *val_col* int64.
+
+    ONE hash exchange on the key, then a fully vectorized kernel: sort by
+    (key, t), inclusive prefix sums, and ONE ``np.searchsorted`` over the
+    composite key ``key * 2^33 + t`` finds every row's window start — no
+    per-key Python even with millions of keys in a partition. The 2^33
+    spacing guarantees ``comp - (window-1)`` can never land inside the
+    previous key's range for any t, window < 2^32; keys must be
+    non-negative < 2^30 (composite stays in int64)."""
+    import numpy as np
+
+    from pypdfium2_ray.stages.exchange import partition_map
+
+    assert 0 < window < (1 << 32)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        k = pc.cast(t[key_col], pa.int64()).to_numpy(zero_copy_only=False)
+        tm = pc.cast(t[time_col], pa.int64()).to_numpy(zero_copy_only=False)
+        v = pc.cast(t[val_col], pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((tm, k))
+        k_s, t_s, v_s = k[order], tm[order], v[order]
+        comp = k_s * (1 << 33) + t_s
+        cum = np.cumsum(v_s)
+        lo = np.searchsorted(comp, comp - (window - 1), side="left")
+        win = cum - np.where(lo > 0, cum[lo - 1], 0)
+        # rows before index 0 contribute nothing; lo==0 means the window
+        # starts at the array head (cum[-1] guard above)
+        res = t.take(pa.array(order))
+        return res.append_column(out, pa.array(win, pa.int64()))
+
+    return partition_map(ds, [key_col], kernel,
+                         num_partitions=num_partitions)

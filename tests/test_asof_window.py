@@ -248,3 +248,47 @@ def test_hopping_window_nanosecond_input(ray_session):
     a, b = run(t_ns), run(t_us)
     pd.testing.assert_frame_equal(a, b)
     assert a["n"].sum() == 6
+
+
+def test_rolling_window_sum_matches_bruteforce(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pypdfium2_ray.stages.exchange import partition_hint
+    from pypdfium2_ray.stages.window import rolling_window_sum
+
+    rng = np.random.default_rng(4)
+    rows = set()
+    while len(rows) < 300:
+        rows.add((int(rng.integers(0, 12)), int(rng.integers(0, 40))))
+    rows = sorted(rows)
+    keys = np.array([r[0] for r in rows])
+    days = np.array([r[1] for r in rows])
+    vals = rng.integers(1, 9, len(rows))
+    t = pa.table({"k": keys, "d": days, "v": vals})
+    with partition_hint(3):
+        out = rolling_window_sum(rd.from_arrow(t).repartition(4),
+                                 "k", "d", "v", window=7) \
+            .to_pandas().set_index(["k", "d"]).rolling_sum
+    for (k, d, v) in zip(keys, days, vals):
+        exp = sum(int(vv) for kk, dd, vv in zip(keys, days, vals)
+                  if kk == k and d - 6 <= dd <= d)
+        assert out.loc[(k, d)] == exp
+
+
+def test_rolling_window_low_t_never_crosses_key(ray_session):
+    # t < window at the head of a key's range must not borrow from the
+    # previous key (the composite-key spacing guarantee)
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pypdfium2_ray.stages.exchange import partition_hint
+    from pypdfium2_ray.stages.window import rolling_window_sum
+
+    t = pa.table({"k": [1, 1, 2], "d": [3, 4, 0], "v": [5, 5, 7]})
+    with partition_hint(1):
+        out = rolling_window_sum(rd.from_arrow(t), "k", "d", "v",
+                                 window=7).to_pandas()
+    got = {(r.k, r.d): r.rolling_sum for r in out.itertuples()}
+    assert got == {(1, 3): 5, (1, 4): 10, (2, 0): 7}
