@@ -718,6 +718,85 @@ def q_neardup_keep_one(sf_dir: str):
     return _cast_i64(out, ["n_chars"])
 
 
+#: PageRank link-graph synthesis — pure doc_id arithmetic, so the DuckDB
+#: oracle builds the identical edge list. Three out-edges per page:
+#: a scatter permutation ((src*PR_MULT+1) % N), a HUB link (src % PR_HUBS
+#: — the first PR_HUBS pages collect ~N/PR_HUBS in-links each, the
+#: power-law-ish skew a real web graph has), and a cluster link
+#: ((src//3) % N). Parallel edges / self-loops are allowed (both sides
+#: agree; tested in tests/test_pagerank.py).
+PR_MULT = 7919
+PR_HUBS = 97
+PR_ITERS = 4
+PR_DAMPING = 85
+PR_INIT = 10**9
+
+
+def q_pagerank(sf_dir: str):
+    """Link-graph PageRank (stages/pagerank — the canonical web-scale
+    iterative graph op): synthesize a deterministic 3-out-regular link
+    graph over the doc ids, run PR_ITERS damped integer fixed-point
+    iterations (two ids-only exchanges per iteration: rank->edge join +
+    per-dst sum). Integer-scaled arithmetic makes the result bit-identical
+    at any partitioning; the oracle unrolls the same update rule as
+    chained CTEs."""
+    import numpy as np
+    from pypdfium2_ray.stages.pagerank import pagerank
+    docs = _docs(sf_dir, ["doc_id"])
+    n = docs.count()
+
+    def edges(t: pa.Table) -> pa.Table:
+        s = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        srcs = np.repeat(s, 3)
+        dst = np.stack([(s * PR_MULT + 1) % n,       # scatter permutation
+                        s % PR_HUBS,                 # hub link (skew)
+                        (s // 3) % n],               # cluster link
+                       axis=1).reshape(-1)
+        return pa.table({"src": pa.array(srcs, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    nodes = docs.map_batches(
+        lambda t: pa.table({"node": pc.cast(t["doc_id"], pa.int64())}),
+        batch_format="pyarrow")
+    with _hint(sf_dir):
+        out = pagerank(docs.map_batches(edges, batch_format="pyarrow"),
+                       nodes, iters=PR_ITERS, damping_pct=PR_DAMPING,
+                       init=PR_INIT)
+    return out.map_batches(
+        lambda t: pa.table({"doc_id": t["node"], "rank_scaled": t["rank"]}),
+        batch_format="pyarrow")
+
+
+def _pagerank_sql() -> str:
+    """The engine's exact integer update rule unrolled as chained CTEs
+    (fixed iteration count => no recursion needed; every op is BIGINT
+    floor division on non-negative values, bit-identical both sides)."""
+    base = ((100 - PR_DAMPING) * PR_INIT) // 100
+    ctes = [
+        "nodes AS (SELECT CAST(doc_id AS BIGINT) AS node FROM documents)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        f"edges AS ("
+        f"SELECT node AS src, (node * {PR_MULT} + 1) % (SELECT n FROM nn)"
+        " AS dst FROM nodes"
+        f" UNION ALL SELECT node, node % {PR_HUBS} FROM nodes"
+        " UNION ALL SELECT node, (node // 3) % (SELECT n FROM nn)"
+        " FROM nodes)",
+        "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
+        f"r0 AS (SELECT node, CAST({PR_INIT} AS BIGINT) AS r FROM nodes)",
+    ]
+    for k in range(PR_ITERS):
+        ctes.append(
+            f"r{k + 1} AS (SELECT n.node, CAST({base} + {PR_DAMPING} * "
+            "COALESCE(s.insum, 0) // 100 AS BIGINT) AS r "
+            "FROM nodes n LEFT JOIN ("
+            "SELECT e.dst AS node, SUM(r.r // d.outdeg) AS insum "
+            f"FROM edges e JOIN r{k} r ON e.src = r.node "
+            "JOIN deg d ON d.src = e.src "
+            "GROUP BY e.dst) s USING (node))")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node AS doc_id, r AS rank_scaled FROM r{PR_ITERS}")
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 
@@ -1274,6 +1353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dups": q_simhash_dups,
         "neardup_clusters": q_neardup_clusters,
         "neardup_keep_one": q_neardup_keep_one,
+        "pagerank": q_pagerank,
         "span_dedup": q_span_dedup,
         "stratified_sample": q_stratified_sample,
         "audio_features": q_audio_features,
@@ -1685,6 +1765,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             WHERE d.doc_id NOT IN
               (SELECT doc_id FROM assign WHERE doc_id != component)""",
+        "pagerank": _pagerank_sql(),
         # word-trigram variant of the exact all-pairs Jaccard oracle
         "ngram_dups": """
             WITH toks AS (
