@@ -767,6 +767,65 @@ def q_pagerank(sf_dir: str):
         batch_format="pyarrow")
 
 
+#: BM25 query: a common term, a mid-df term and a rare term (df 379/403/25
+#: at sf0.001) so the idf spread actually orders the results
+BM25_TERMS = ("data", "merge", "dup")
+BM25_K = 15
+
+
+def q_bm25_topk(sf_dir: str):
+    """Corpus search: top-k documents by fixed-point BM25 over the query
+    terms (stages/bm25 — scalar pre-pass + block-local tf/dl candidate
+    extraction + one ids-only exchange for the per-doc sum + partial
+    top-k; the corpus text never enters an exchange). Integer-scaled
+    score arithmetic; idf is floor(ln(...)*1e6) on identical float64
+    inputs both sides."""
+    from pypdfium2_ray.stages.bm25 import bm25_topk
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    with _hint(sf_dir):
+        return bm25_topk(ds, list(BM25_TERMS), k=BM25_K)
+
+
+def _bm25_sql(k1_milli: int = 1200, b_milli: int = 750) -> str:
+    """The engine's exact fixed-point BM25 (stages/bm25 docstring) as
+    chained CTEs — every op BIGINT floor division on non-negative values
+    except the shared floor(ln(...)*1e6) idf."""
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    ws = r"'[ \t\r\n\f\v]+'"
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_split_to_array(text, {ws})) AS term
+          FROM documents),
+        cand AS (
+          SELECT doc_id, term, count(*)::BIGINT AS tf
+          FROM toks WHERE term IN ({terms}) GROUP BY 1, 2),
+        dl AS (
+          SELECT doc_id, length(list_filter(regexp_split_to_array(
+                 text, {ws}), x -> x <> ''))::BIGINT AS dl
+          FROM documents),
+        sc AS (SELECT count(*)::BIGINT AS n,
+                      CAST(sum(dl) * 1000 // count(*) AS BIGINT)
+                        AS avgdl_milli FROM dl),
+        dfs AS (SELECT term, count(*)::BIGINT AS df FROM cand
+                GROUP BY term),
+        idf AS (SELECT term,
+                       CAST(floor(ln(1.0 + ((SELECT n FROM sc) - df + 0.5)
+                            / (df + 0.5)) * 1000000) AS BIGINT)
+                         AS idf_micro
+                FROM dfs),
+        scored AS (
+          SELECT c.doc_id,
+                 CAST(i.idf_micro * (c.tf * {k1_milli + 1000} * 1000 //
+                   (c.tf * 1000 + {k1_milli} * ((1000 - {b_milli})
+                      + {b_milli} * (d.dl * 1000000 //
+                        (SELECT avgdl_milli FROM sc)) // 1000) // 1000))
+                   // 1000 AS BIGINT) AS score_micro
+          FROM cand c JOIN dl d USING (doc_id) JOIN idf i USING (term))
+        SELECT doc_id, CAST(sum(score_micro) AS BIGINT) AS score_micro
+        FROM scored GROUP BY doc_id
+        ORDER BY score_micro DESC, doc_id LIMIT {BM25_K}"""
+
+
 def _pagerank_sql() -> str:
     """The engine's exact integer update rule unrolled as chained CTEs
     (fixed iteration count => no recursion needed; every op is BIGINT
@@ -1354,6 +1413,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_clusters": q_neardup_clusters,
         "neardup_keep_one": q_neardup_keep_one,
         "pagerank": q_pagerank,
+        "bm25_topk": q_bm25_topk,
         "span_dedup": q_span_dedup,
         "stratified_sample": q_stratified_sample,
         "audio_features": q_audio_features,
@@ -1766,6 +1826,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.doc_id NOT IN
               (SELECT doc_id FROM assign WHERE doc_id != component)""",
         "pagerank": _pagerank_sql(),
+        "bm25_topk": _bm25_sql(),
         # word-trigram variant of the exact all-pairs Jaccard oracle
         "ngram_dups": """
             WITH toks AS (
