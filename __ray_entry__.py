@@ -767,6 +767,98 @@ def q_pagerank(sf_dir: str):
         batch_format="pyarrow")
 
 
+#: held-out "benchmark" phrases for the substring contamination scan
+CONTAM_PHRASES = ("data merge", "query window", "fast hash")
+
+
+def q_contamination_scan(sf_dir: str):
+    """Benchmark-contamination scan by SUBSTRING
+    (stages/textstats.substring_scan — the complement of the exact-hash
+    q_decontaminate blocklist: verbatim phrase leaks inside longer pages,
+    which fingerprint dedup never catches). One vectorized
+    match_substring pass per phrase, hit rows only; summarized per phrase
+    with a single-block combine (the phrase set is enum-sized)."""
+    from pypdfium2_ray.stages.agg import grouped_aggregate
+    from pypdfium2_ray.stages.textstats import substring_scan
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    hits = substring_scan(ds, list(CONTAM_PHRASES))
+    return grouped_aggregate(hits, keys=["phrase"],
+                             specs={"n_docs": (None, "count"),
+                                    "min_doc": ("doc_id", "min")},
+                             combine="single_block")
+
+
+def _contamination_sql() -> str:
+    vals = ", ".join(f"('{p}')" for p in CONTAM_PHRASES)
+    return f"""
+        SELECT p.phrase, count(*)::BIGINT AS n_docs, min(d.doc_id) AS min_doc
+        FROM documents d JOIN (VALUES {vals}) p(phrase)
+          ON contains(d.text, p.phrase)
+        GROUP BY 1"""
+
+
+def q_url_dedup(sf_dir: str):
+    """Crawl-frontier URL dedup: synthesize two messy spellings of each
+    page URL from doc_id (uppercase host + default port + fragment vs the
+    clean form — pure doc_id arithmetic, SQL-composable), canonicalize
+    them (functions/url.canonicalize_url: RFC-3986-style fragment strip,
+    case-fold of scheme+authority, default-port drop, root-slash
+    collapse), and collapse duplicates with a per-canonical-URL rollup
+    (one hash exchange; the curation step that keeps a crawl from
+    fetching/training the same page twice)."""
+    from pypdfium2_ray.functions.url import canonicalize_url
+    from pypdfium2_ray.stages.agg import grouped_aggregate
+
+    def synth(t: pa.Table) -> pa.Table:
+        did = pc.cast(t["doc_id"], pa.int64())
+        pid = pc.divide(did, 2)
+        site = pc.cast(pc.subtract(pid, pc.multiply(
+            pc.divide(pid, 7), 7)), pa.string())     # pid % 7 (no pc.modulo)
+        pid_s = pc.cast(pid, pa.string())
+        messy = pc.binary_join_element_wise(
+            pa.array(["HTTP://Site-"] * t.num_rows), site,
+            pa.array([".Example.COM:80/page/"] * t.num_rows), pid_s,
+            pa.array(["/#top"] * t.num_rows), "")
+        clean = pc.binary_join_element_wise(
+            pa.array(["http://site-"] * t.num_rows), site,
+            pa.array([".example.com/page/"] * t.num_rows), pid_s,
+            pa.array(["/"] * t.num_rows), "")
+        odd = pc.equal(pc.subtract(did, pc.multiply(pc.divide(did, 2), 2)), 1)
+        return pa.table({"doc_id": did,
+                         "url": pc.if_else(odd, clean, messy)})
+
+    def canon(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"],
+                         "url_canon": canonicalize_url(t["url"])})
+
+    ds = _docs(sf_dir, ["doc_id"]).map_batches(synth, batch_format="pyarrow") \
+                                  .map_batches(canon, batch_format="pyarrow")
+    with _hint(sf_dir):
+        return grouped_aggregate(ds, keys=["url_canon"],
+                                 specs={"n_dups": (None, "count"),
+                                        "min_doc": ("doc_id", "min")})
+
+
+def _url_dedup_sql() -> str:
+    from pypdfium2_ray.functions.url import sql_canonicalize_url
+    return f"""
+        WITH raw AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 2 = 1
+                   THEN 'http://site-' || CAST((doc_id // 2) % 7 AS VARCHAR)
+                        || '.example.com/page/'
+                        || CAST(doc_id // 2 AS VARCHAR) || '/'
+                   ELSE 'HTTP://Site-' || CAST((doc_id // 2) % 7 AS VARCHAR)
+                        || '.Example.COM:80/page/'
+                        || CAST(doc_id // 2 AS VARCHAR) || '/#top'
+                 END AS url
+          FROM documents)
+        SELECT {sql_canonicalize_url('url')} AS url_canon,
+               count(*)::BIGINT AS n_dups,
+               min(doc_id) AS min_doc
+        FROM raw GROUP BY 1"""
+
+
 #: BM25 query: a common term, a mid-df term and a rare term (df 379/403/25
 #: at sf0.001) so the idf spread actually orders the results
 BM25_TERMS = ("data", "merge", "dup")
@@ -1414,6 +1506,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_keep_one": q_neardup_keep_one,
         "pagerank": q_pagerank,
         "bm25_topk": q_bm25_topk,
+        "url_dedup": q_url_dedup,
+        "contamination_scan": q_contamination_scan,
         "span_dedup": q_span_dedup,
         "stratified_sample": q_stratified_sample,
         "audio_features": q_audio_features,
@@ -1827,6 +1921,8 @@ def oracle_sql() -> dict[str, str]:
               (SELECT doc_id FROM assign WHERE doc_id != component)""",
         "pagerank": _pagerank_sql(),
         "bm25_topk": _bm25_sql(),
+        "url_dedup": _url_dedup_sql(),
+        "contamination_scan": _contamination_sql(),
         # word-trigram variant of the exact all-pairs Jaccard oracle
         "ngram_dups": """
             WITH toks AS (

@@ -134,3 +134,39 @@ def hash_sample(ds, key_col: str, modulus: int = 10, keep: int = 0):
         return t.filter(mask)
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def substring_scan(ds, phrases: list[str], doc_col: str = "doc_id",
+                   text_col: str = "text"):
+    """Benchmark-contamination scan by SUBSTRING (the complement of the
+    exact-hash ``q_decontaminate`` blocklist): which documents contain any
+    of a small set of held-out phrases VERBATIM — the check run before a
+    training set ships (benchmark prompts leak as substrings of longer
+    pages, which exact-fingerprint dedup never catches).
+
+    The phrase set is tiny by construction (benchmark suites are),
+    so it rides into every task as a closure constant; per phrase one
+    vectorized RE2 ``match_substring`` pass over the block — O(|P|)
+    kernel launches, zero Python per row, no exchange (output rows are
+    (doc_id, phrase) hits only). Emits one row per (doc, phrase) hit.
+    """
+    import pyarrow.compute as pc
+    if not phrases:
+        raise ValueError("substring_scan: empty phrase set")
+
+    def scan(t: pa.Table) -> pa.Table:
+        ids, hits = [], []
+        did = pc.cast(t[doc_col], pa.int64())
+        for p in phrases:
+            m = pc.match_substring(t[text_col], p)
+            sel = did.filter(m)
+            ids.append(sel)
+            hits.append(pa.array([p] * len(sel), pa.string()))
+        return pa.table({
+            "doc_id": pa.concat_arrays([a.combine_chunks() if isinstance(
+                a, pa.ChunkedArray) else a for a in ids]) if ids
+            else pa.array([], pa.int64()),
+            "phrase": pa.concat_arrays(hits) if hits
+            else pa.array([], pa.string())})
+
+    return ds.map_batches(scan, batch_format="pyarrow")

@@ -195,3 +195,51 @@ def test_repetition_counts_exact():
     r = {k: v.to_pylist() for k, v in repetition_counts(t).items()}
     assert r["n_tokens"] == [4, 0, 1, 5]
     assert r["n_distinct_tokens"] == [2, 0, 1, 5]
+
+
+def test_canonicalize_url_matches_sql_twin():
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+
+    from pypdfium2_ray.functions.url import (
+        canonicalize_url, sql_canonicalize_url,
+    )
+    urls = ["HTTP://Example.COM:80/Path/To?q=1#frag",
+            "https://WWW.site.org:443/",
+            "http://a.b/", "http://a.b", "not a url", None,
+            "ftp://Host.Net:21/File",              # non-default port kept
+            "http://x.y:8080/keep:80/port",        # :80 inside path kept
+            "HTTPS://UPPER.com/CaseSensitivePath#x",
+            "http://h:80",                         # port, empty path
+            "https://h#only-fragment"]
+    eng = canonicalize_url(pa.array(urls)).to_pylist()
+    assert eng[0] == "http://example.com/Path/To?q=1"
+    assert eng[1] == "https://www.site.org"
+    assert eng[2] == "http://a.b" == eng[3]
+    assert eng[4] == "not a url" and eng[5] is None
+    assert eng[8] == "https://upper.com/CaseSensitivePath"
+    assert eng[9] == "http://h"
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"u": urls}))
+    sql = [None if pd.isna(v) else v
+           for v in con.sql(f"SELECT {sql_canonicalize_url('u')} AS c "
+                            "FROM t").df()["c"]]
+    assert eng == sql
+
+
+def test_substring_scan(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pypdfium2_ray.stages.textstats import substring_scan
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": ["alpha beta gamma", "beta gamma delta", "zeta"],
+    })).repartition(2)
+    out = substring_scan(ds, ["beta gamma", "zeta", "missing"]).to_pandas()
+    got = sorted(map(tuple, out[["doc_id", "phrase"]].values.tolist()))
+    assert got == [(1, "beta gamma"), (2, "beta gamma"), (3, "zeta")]
+    import pytest
+    with pytest.raises(ValueError):
+        substring_scan(ds, [])
