@@ -767,6 +767,34 @@ def q_pagerank(sf_dir: str):
         batch_format="pyarrow")
 
 
+#: mixture weights (permille kept per source) for the data-mixing query:
+#: full / half / one-tenth tiers
+MIX_PERMILLE = {**{f"src{i}": 1000 for i in range(4)},
+                **{f"src{i}": 500 for i in range(4, 8)}}
+MIX_DEFAULT = 100
+
+
+def q_mixture_sample(sf_dir: str):
+    """Deterministic weighted mixture sampling
+    (stages/textstats.mixture_sample — the data-mixing primitive: keep
+    source s at permille[s]/1000 by md5-hash membership, so the blend is
+    run/shard/cluster-invariant and nested across weight changes). One
+    streaming filter, thresholds broadcast as a closure constant."""
+    from pypdfium2_ray.stages.textstats import mixture_sample
+    ds = _docs(sf_dir, ["doc_id", "source"])
+    return mixture_sample(ds, "doc_id", "source", MIX_PERMILLE,
+                          default_permille=MIX_DEFAULT)
+
+
+def _mixture_sql() -> str:
+    cases = " ".join(f"WHEN '{s}' THEN {p}"
+                     for s, p in sorted(MIX_PERMILLE.items()))
+    return f"""
+        SELECT doc_id, source FROM documents
+        WHERE md5_number_upper(doc_id::VARCHAR) % 1000 <
+              CASE source {cases} ELSE {MIX_DEFAULT} END"""
+
+
 #: held-out "benchmark" phrases for the substring contamination scan
 CONTAM_PHRASES = ("data merge", "query window", "fast hash")
 
@@ -1508,6 +1536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": q_bm25_topk,
         "url_dedup": q_url_dedup,
         "contamination_scan": q_contamination_scan,
+        "mixture_sample": q_mixture_sample,
         "span_dedup": q_span_dedup,
         "stratified_sample": q_stratified_sample,
         "audio_features": q_audio_features,
@@ -1923,6 +1952,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _bm25_sql(),
         "url_dedup": _url_dedup_sql(),
         "contamination_scan": _contamination_sql(),
+        "mixture_sample": _mixture_sql(),
         # word-trigram variant of the exact all-pairs Jaccard oracle
         "ngram_dups": """
             WITH toks AS (

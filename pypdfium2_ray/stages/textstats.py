@@ -170,3 +170,39 @@ def substring_scan(ds, phrases: list[str], doc_col: str = "doc_id",
             else pa.array([], pa.string())})
 
     return ds.map_batches(scan, batch_format="pyarrow")
+
+
+def mixture_sample(ds, key_col: str, group_col: str,
+                   permille: dict[str, int], default_permille: int = 0):
+    """Deterministic weighted MIXTURE sampling — the data-mixing primitive
+    that re-weights sources into a training blend (keep source s at
+    ``permille[s]/1000``): a row survives iff
+    ``md5_hash64(str(key)) % 1000 < permille[group]``.
+
+    Membership is a pure function of the row key, so the blend is
+    reproducible across runs, shard layouts and cluster sizes, and NESTED
+    samples are free: raising a source's permille strictly grows its
+    subset (the thresholds slice one fixed hash order). Same hash twin as
+    ``hash_sample`` (DuckDB ``md5_number_upper``); the per-row md5 is
+    inherent to the contract. Thresholds ride in as a closure constant;
+    lookup is a vectorized ``index_in`` + take, one mask compare per
+    block, no exchange.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from pypdfium2_ray.functions.sketch import md5_hash64
+    groups = sorted(permille)
+    garr = pa.array(groups, pa.string())
+    thr = np.array([permille[g] for g in groups] or [0], dtype=np.int64)
+
+    def f(t: pa.Table) -> pa.Table:
+        h = np.array([md5_hash64(str(k).encode()) % 1000
+                      for k in t[key_col].to_pylist()], dtype=np.int64)
+        codes = pc.fill_null(pc.index_in(t[group_col], value_set=garr),
+                             -1).to_numpy(zero_copy_only=False)
+        limits = np.where(codes < 0, default_permille,
+                          thr[np.where(codes < 0, 0, codes)])
+        return t.filter(pa.array(h < limits))
+
+    return ds.map_batches(f, batch_format="pyarrow")

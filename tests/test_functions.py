@@ -243,3 +243,26 @@ def test_substring_scan(ray_session):
     import pytest
     with pytest.raises(ValueError):
         substring_scan(ds, [])
+
+
+def test_mixture_sample_nested_and_default(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pypdfium2_ray.stages.textstats import mixture_sample
+    t = pa.table({
+        "doc_id": pa.array(range(200), pa.int64()),
+        "source": pa.array((["a"] * 100) + (["b"] * 50) + (["zz"] * 50)),
+    })
+    ds = rd.from_arrow(t).repartition(3)
+    lo = mixture_sample(ds, "doc_id", "source", {"a": 300, "b": 1000},
+                        default_permille=0).to_pandas()
+    hi = mixture_sample(ds, "doc_id", "source", {"a": 700, "b": 1000},
+                        default_permille=0).to_pandas()
+    assert set(lo[lo.source == "b"].doc_id) == set(range(100, 150))
+    assert not (set(lo.doc_id) - set(hi.doc_id))        # nested subsets
+    assert len(hi) > len(lo)
+    assert (lo.source != "zz").all()                     # default 0 drops
+    full = mixture_sample(ds, "doc_id", "source", {},
+                          default_permille=1000).to_pandas()
+    assert len(full) == 200
