@@ -887,6 +887,78 @@ def _url_dedup_sql() -> str:
         FROM raw GROUP BY 1"""
 
 
+def q_extract_links(sf_dir: str):
+    """Hyperlink extraction over the raw crawl payloads
+    (stages/linkgraph.extract_links): one compiled-regex anchor scan per
+    document, nav/footer INCLUDED (a link graph wants every edge, unlike
+    the stripped text tier); rows whose payload fails the parser's
+    decode gate (docmodel.htmldoc.decode_payload — the exact
+    parse_document refusal set) emit nothing, so the oracle's
+    synthesis-predicate WHERE is exact. Each ok page carries the two
+    boilerplate chrome links plus the per-doc related-page link."""
+    from pypdfium2_ray.sources.cc_from_documents import read_cc_from_documents
+    from pypdfium2_ray.stages.linkgraph import extract_links
+    return extract_links(read_cc_from_documents(sf_dir))
+
+
+def _extract_links_sql() -> str:
+    from pypdfium2_ray.sources.cc_from_documents import (
+        LINK_ADD, LINK_MOD, LINK_MULT, sql_is_bad, sql_is_enc,
+    )
+    ok = f"NOT {sql_is_bad()} AND NOT {sql_is_enc()}"
+    return f"""
+        SELECT doc_id, '/' AS href, 'Home' AS anchor
+        FROM documents WHERE {ok}
+        UNION ALL
+        SELECT doc_id, '/about', 'About' FROM documents WHERE {ok}
+        UNION ALL
+        SELECT doc_id,
+               '/page/' || CAST((doc_id * {LINK_MULT} + {LINK_ADD})
+                                % {LINK_MOD} AS VARCHAR),
+               'rel ' || CAST(doc_id AS VARCHAR)
+        FROM documents WHERE {ok}"""
+
+
+def q_link_pagerank(sf_dir: str):
+    """The extraction tier feeding the graph tier END-TO-END: parse
+    hyperlinks out of the raw crawl payloads (q_extract_links), keep the
+    intra-site page links with existing targets
+    (stages/linkgraph.links_to_edges — vectorized extract + dangling
+    filter), and rank pages with the integer fixed-point PageRank. The
+    oracle unrolls the same iterations over the synthesis-predicate edge
+    list."""
+    from pypdfium2_ray.sources.cc_from_documents import read_cc_from_documents
+    from pypdfium2_ray.stages.linkgraph import extract_links, links_to_edges
+    from pypdfium2_ray.stages.pagerank import pagerank
+    docs = _docs(sf_dir, ["doc_id"])
+    n = docs.count()
+    links = extract_links(read_cc_from_documents(sf_dir))
+    edges = links_to_edges(links, n_nodes=n)
+    nodes = docs.map_batches(
+        lambda t: pa.table({"node": pc.cast(t["doc_id"], pa.int64())}),
+        batch_format="pyarrow")
+    with _hint(sf_dir):
+        out = pagerank(edges, nodes, iters=PR_ITERS,
+                       damping_pct=PR_DAMPING, init=PR_INIT)
+    return out.map_batches(
+        lambda t: pa.table({"doc_id": t["node"], "rank_scaled": t["rank"]}),
+        batch_format="pyarrow")
+
+
+def _link_pagerank_sql() -> str:
+    from pypdfium2_ray.sources.cc_from_documents import (
+        LINK_ADD, LINK_MOD, LINK_MULT, sql_is_bad, sql_is_enc,
+    )
+    edges = (
+        "edges AS (SELECT CAST(doc_id AS BIGINT) AS src, "
+        f"CAST((doc_id * {LINK_MULT} + {LINK_ADD}) % {LINK_MOD} AS BIGINT)"
+        " AS dst FROM documents "
+        f"WHERE NOT {sql_is_bad()} AND NOT {sql_is_enc()} "
+        f"AND (doc_id * {LINK_MULT} + {LINK_ADD}) % {LINK_MOD} "
+        "< (SELECT n FROM nn))")
+    return _pagerank_sql(edges_cte=edges)
+
+
 #: BM25 query: a common term, a mid-df term and a rare term (df 379/403/25
 #: at sf0.001) so the idf spread actually orders the results
 BM25_TERMS = ("data", "merge", "dup")
@@ -946,20 +1018,23 @@ def _bm25_sql(k1_milli: int = 1200, b_milli: int = 750) -> str:
         ORDER BY score_micro DESC, doc_id LIMIT {BM25_K}"""
 
 
-def _pagerank_sql() -> str:
+def _pagerank_sql(edges_cte: str | None = None) -> str:
     """The engine's exact integer update rule unrolled as chained CTEs
     (fixed iteration count => no recursion needed; every op is BIGINT
-    floor division on non-negative values, bit-identical both sides)."""
+    floor division on non-negative values, bit-identical both sides).
+    ``edges_cte``: the ``edges AS (...)`` definition — defaults to the
+    synthetic skewed web graph of :func:`q_pagerank`."""
     base = ((100 - PR_DAMPING) * PR_INIT) // 100
     ctes = [
         "nodes AS (SELECT CAST(doc_id AS BIGINT) AS node FROM documents)",
         "nn AS (SELECT count(*) AS n FROM nodes)",
-        f"edges AS ("
-        f"SELECT node AS src, (node * {PR_MULT} + 1) % (SELECT n FROM nn)"
-        " AS dst FROM nodes"
-        f" UNION ALL SELECT node, node % {PR_HUBS} FROM nodes"
-        " UNION ALL SELECT node, (node // 3) % (SELECT n FROM nn)"
-        " FROM nodes)",
+        edges_cte or (
+            f"edges AS ("
+            f"SELECT node AS src, (node * {PR_MULT} + 1) % (SELECT n FROM nn)"
+            " AS dst FROM nodes"
+            f" UNION ALL SELECT node, node % {PR_HUBS} FROM nodes"
+            " UNION ALL SELECT node, (node // 3) % (SELECT n FROM nn)"
+            " FROM nodes)"),
         "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
         f"r0 AS (SELECT node, CAST({PR_INIT} AS BIGINT) AS r FROM nodes)",
     ]
@@ -1533,6 +1608,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_clusters": q_neardup_clusters,
         "neardup_keep_one": q_neardup_keep_one,
         "pagerank": q_pagerank,
+        "extract_links": q_extract_links,
+        "link_pagerank": q_link_pagerank,
         "bm25_topk": q_bm25_topk,
         "url_dedup": q_url_dedup,
         "contamination_scan": q_contamination_scan,
@@ -1949,6 +2026,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.doc_id NOT IN
               (SELECT doc_id FROM assign WHERE doc_id != component)""",
         "pagerank": _pagerank_sql(),
+        "extract_links": _extract_links_sql(),
+        "link_pagerank": _link_pagerank_sql(),
         "bm25_topk": _bm25_sql(),
         "url_dedup": _url_dedup_sql(),
         "contamination_scan": _contamination_sql(),

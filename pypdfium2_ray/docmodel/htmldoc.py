@@ -649,6 +649,33 @@ def _heading_no(tag: str) -> int | None:
 # ---------------------------------------------------------------------------
 # public API
 
+def decode_payload(data: bytes,
+                   password: str | None = None) -> tuple[str | None, int]:
+    """The :func:`parse_document` sniff/decrypt gate alone: ``(text, 0)``
+    on success, ``(None, err_code)`` on the deterministic refusals
+    (empty / encryption envelope without the right password / null byte /
+    invalid UTF-8). Shared by the full parser and the light scanners
+    (link extraction) so every consumer skips EXACTLY the same rows."""
+    if not data:
+        return None, ERR_FORMAT
+
+    m = _ENC_RE.match(data)
+    if m:
+        salt = m.group(1).decode()
+        digest = m.group(2).decode()
+        if password is None or _enc_digest(salt, password) != digest:
+            return None, ERR_PASSWORD
+        body = data[m.end():]
+        data = _xor_bytes(body, _enc_keystream(salt, password, len(body)))
+
+    if b"\x00" in data:
+        return None, ERR_FORMAT
+    try:
+        return data.decode("utf-8", errors="strict"), 0
+    except UnicodeDecodeError:
+        return None, ERR_FORMAT
+
+
 def parse_document(data: bytes, password: str | None = None,
                    layout: LayoutParams = DEFAULT_LAYOUT,
                    max_toc_depth: int = 15) -> Document:
@@ -656,24 +683,9 @@ def parse_document(data: bytes, password: str | None = None,
     bad input — failures become ``err_code``/``status``; document.py:564-587
     inverted per the error-rows discipline)."""
 
-    if not data:
-        return Document(err_code=ERR_FORMAT)
-
-    m = _ENC_RE.match(data)
-    if m:
-        salt = m.group(1).decode()
-        digest = m.group(2).decode()
-        if password is None or _enc_digest(salt, password) != digest:
-            return Document(err_code=ERR_PASSWORD)
-        body = data[m.end():]
-        data = _xor_bytes(body, _enc_keystream(salt, password, len(body)))
-
-    if b"\x00" in data:
-        return Document(err_code=ERR_FORMAT)
-    try:
-        text = data.decode("utf-8", errors="strict")
-    except UnicodeDecodeError:
-        return Document(err_code=ERR_FORMAT)
+    text, err = decode_payload(data, password)
+    if text is None:
+        return Document(err_code=err)
 
     parser = _HtmlToDoc()
     try:

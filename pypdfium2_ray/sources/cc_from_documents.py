@@ -85,16 +85,28 @@ def _inject_errors(html: pa.Array, doc_id: pa.Array) -> pa.Array:
     return html
 
 
+#: per-doc related-page nav link: dst page id = (doc_id*LINK_MULT+LINK_ADD)
+#: % LINK_MOD — pure doc_id arithmetic (SQL-composable), INSIDE <nav> so
+#: the boilerplate strip removes it from extracted text (the extraction
+#: oracles are untouched) while the link-graph scanners see a varying edge
+LINK_MULT, LINK_ADD, LINK_MOD = 31, 7, 997
+
+
 def documents_to_cc(batch: pa.Table, errors: bool = True) -> pa.Table:
     """Vectorized ``documents`` row -> ``cc_pages`` row. ``errors=False``
     yields the all-ok corpus (fixtures that need clean input)."""
     doc_id_str = pc.cast(batch["doc_id"], pa.string())
+    did = pc.cast(batch["doc_id"], pa.int64())
+    rel = pc.add(pc.multiply(did, LINK_MULT), LINK_ADD)
+    rel_str = pc.cast(pc.subtract(rel, pc.multiply(
+        pc.divide(rel, LINK_MOD), LINK_MOD)), pa.string())   # rel % LINK_MOD
     url = pc.binary_join_element_wise(
         "doc://", batch["source"], "/", doc_id_str, "")
     title = pc.binary_join_element_wise("doc ", doc_id_str, "")
     html = pc.cast(pc.binary_join_element_wise(
         "<html><head><title>", title, "</title></head><body>",
         _BOILER_TOP,
+        '<nav><a href="/page/', rel_str, '">rel ', doc_id_str, "</a></nav>",
         "<main><h1>Doc ", doc_id_str, "</h1><p>", batch["text"],
         "</p><p>Language: ", batch["lang"], ".</p>",
         "<pb>",
