@@ -166,7 +166,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "pricing_summary", "orders_by_region", "events_rollup",
                      "minhash_dups", "embedding_dups",
                      "events_hourly_sliding", "heavy_bigrams",
-                     "distinct_users"]
+                     "distinct_users", "shipping_priority",
+                     "cohort_retention", "span_dedup",
+                     "bm25_topk", "pagerank", "url_dedup"]
     qs = E.queries()
     for name in bench_queries:
         t0 = time.perf_counter()
