@@ -767,6 +767,52 @@ def q_pagerank(sf_dir: str):
         batch_format="pyarrow")
 
 
+#: unigram-LM vocabulary cap — small enough that rare corpus terms fall
+#: OUT of vocabulary, so the smoothing path is oracle-exercised too
+LM_VOCAB = 50
+
+
+def q_lm_score(sf_dir: str):
+    """CCNet-style corpus LM quality score (stages/lmscore): top-50
+    unigram vocabulary estimated on the corpus (one term exchange), then
+    one streaming pass summing micro-scaled per-token log-probs per
+    document (vocab broadcast via ray.put once; per-doc segment sums are
+    block-complete cumsum differences). OOV smoothing 0.5/T; fixed-point
+    ints end-to-end so the chained-CTE oracle is bit-exact."""
+    from pypdfium2_ray.stages.lmscore import lm_score
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    with _hint(sf_dir):
+        return lm_score(ds, vocab_size=LM_VOCAB)
+
+
+def _lm_score_sql() -> str:
+    ws = r"'[ \t\r\n\f\v]+'"
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+                 text, {ws}), x -> x <> '')) AS term
+          FROM documents),
+        tot AS (SELECT count(*)::BIGINT AS t FROM toks),
+        counts AS (SELECT term, count(*)::BIGINT AS c FROM toks
+                   GROUP BY term),
+        vocab AS (SELECT term, c FROM counts
+                  ORDER BY c DESC, term LIMIT {LM_VOCAB}),
+        lp AS (SELECT term, CAST(floor(ln(CAST(c AS DOUBLE) /
+                    (SELECT t FROM tot)) * 1000000) AS BIGINT) AS lp
+               FROM vocab),
+        tok_lp AS (
+          SELECT tk.doc_id,
+                 COALESCE(lp.lp, CAST(floor(ln(0.5 / (SELECT t FROM tot))
+                          * 1000000) AS BIGINT)) AS lp
+          FROM toks tk LEFT JOIN lp ON tk.term = lp.term),
+        agg AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                       CAST(sum(lp) AS BIGINT) AS logp_micro
+                FROM tok_lp GROUP BY doc_id)
+        SELECT d.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens,
+               COALESCE(a.logp_micro, 0) AS logp_micro
+        FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+
 #: mixture weights (permille kept per source) for the data-mixing query:
 #: full / half / one-tenth tiers
 MIX_PERMILLE = {**{f"src{i}": 1000 for i in range(4)},
@@ -1614,6 +1660,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_dedup": q_url_dedup,
         "contamination_scan": q_contamination_scan,
         "mixture_sample": q_mixture_sample,
+        "lm_score": q_lm_score,
         "span_dedup": q_span_dedup,
         "stratified_sample": q_stratified_sample,
         "audio_features": q_audio_features,
@@ -2032,6 +2079,7 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup": _url_dedup_sql(),
         "contamination_scan": _contamination_sql(),
         "mixture_sample": _mixture_sql(),
+        "lm_score": _lm_score_sql(),
         # word-trigram variant of the exact all-pairs Jaccard oracle
         "ngram_dups": """
             WITH toks AS (
