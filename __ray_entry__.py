@@ -767,6 +767,55 @@ def q_pagerank(sf_dir: str):
         batch_format="pyarrow")
 
 
+#: held-out "benchmark prompts" for n-gram-overlap decontamination —
+#: each embeds a word trigram that genuinely occurs in the corpus (df
+#: 7-9 at sf0.001), surrounded by novel words (the paraphrase case the
+#: substring scan misses)
+NGRAM_HELDOUT = ("please explain the big order scan now",
+                 "typical group slow spark job behavior",
+                 "remember the line agg hash trick")
+NGRAM_N = 3
+
+
+def q_ngram_decontaminate(sf_dir: str):
+    """Benchmark decontamination by word n-gram OVERLAP
+    (stages/textstats.ngram_decontaminate — the GPT-3 appendix-C
+    discipline, the third decontamination tier next to the exact-hash
+    blocklist and the verbatim substring scan): drop every document
+    sharing any trigram with the held-out prompts. Per-block vectorized
+    trigram explode + is_in against the broadcast held-out grams; only
+    distinct hit ids leave workers; broadcast anti join back."""
+    from pypdfium2_ray.stages.textstats import ngram_decontaminate
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    out = ngram_decontaminate(ds, list(NGRAM_HELDOUT), n=NGRAM_N)
+    return out.map_batches(
+        lambda t: pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                            "n_chars": pc.cast(pc.utf8_length(t["text"]),
+                                               pa.int64())}),
+        batch_format="pyarrow")
+
+
+def _ngram_decontaminate_sql() -> str:
+    import re as _re
+    grams: set[str] = set()
+    for h in NGRAM_HELDOUT:
+        toks = [w for w in _re.split(r"[ \t\r\n\f\v]+", h) if w]
+        grams.update(" ".join(toks[i:i + NGRAM_N])
+                     for i in range(len(toks) - NGRAM_N + 1))
+    vals = ", ".join("'" + g + "'" for g in sorted(grams))
+    ws = r"'[ \t\r\n\f\v]+'"
+    joined = " || ' ' || ".join(
+        f"a[i+{j}]" if j else "a[i]" for j in range(NGRAM_N))
+    return f"""
+        WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(
+                   text, {ws}), x -> x <> '') AS a FROM documents),
+        g AS (SELECT doc_id, unnest([{joined}
+              for i in range(1, len(a) - {NGRAM_N - 2})]) AS gram FROM t),
+        hit AS (SELECT DISTINCT doc_id FROM g WHERE gram IN ({vals}))
+        SELECT doc_id, length(text)::BIGINT AS n_chars FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM hit)"""
+
+
 #: unigram-LM vocabulary cap — small enough that rare corpus terms fall
 #: OUT of vocabulary, so the smoothing path is oracle-exercised too
 LM_VOCAB = 50
@@ -1661,6 +1710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_scan": q_contamination_scan,
         "mixture_sample": q_mixture_sample,
         "lm_score": q_lm_score,
+        "ngram_decontaminate": q_ngram_decontaminate,
         "span_dedup": q_span_dedup,
         "stratified_sample": q_stratified_sample,
         "audio_features": q_audio_features,
@@ -2080,6 +2130,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination_scan": _contamination_sql(),
         "mixture_sample": _mixture_sql(),
         "lm_score": _lm_score_sql(),
+        "ngram_decontaminate": _ngram_decontaminate_sql(),
         # word-trigram variant of the exact all-pairs Jaccard oracle
         "ngram_dups": """
             WITH toks AS (

@@ -82,6 +82,40 @@ def explode_bigrams(t: pa.Table, col: str = "text",
     return pa.table({out: pairs.filter(pa.array(doc[1:] == doc[:-1]))})
 
 
+def explode_ngrams(t: pa.Table, n: int, col: str = "text",
+                   doc_col: str | None = None,
+                   out: str = "gram") -> pa.Table:
+    """One row per word n-gram ("w1 ... wn") within each document — the
+    n-ary generalization of :func:`explode_bigrams` (same offsets
+    arithmetic: n shifted slices joined element-wise, boundary-straddling
+    windows masked). ``doc_col`` carries the id through when given. SQL
+    twin: ``unnest([a[i] || ' ' || ... || a[i+n-1] for i in
+    range(1, len(a) - (n-1))])``."""
+    toks = pc.split_pattern_regex(t[col], WS_RE)
+    la = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    flat = la.flatten()
+    offs = la.offsets.to_numpy()
+    row = np.repeat(np.arange(len(la), dtype=np.int64), np.diff(offs))
+    keep = pc.not_equal(flat, "")
+    flat = flat.filter(keep)
+    row = row[keep.to_numpy(zero_copy_only=False)]
+    cols = {}
+    if len(flat) < n:
+        cols[out] = pa.array([], pa.string())
+        if doc_col is not None:
+            cols[doc_col] = pa.array([], pa.int64())
+        return pa.table(cols)
+    m = len(flat) - (n - 1)
+    grams = pc.binary_join_element_wise(
+        *(flat.slice(j, m) for j in range(n)), " ")
+    intra = row[n - 1:] == row[:m]          # window stays in one doc
+    cols[out] = grams.filter(pa.array(intra))
+    if doc_col is not None:
+        cols[doc_col] = pc.take(pc.cast(t[doc_col], pa.int64()),
+                                pa.array(row[:m][intra]))
+    return pa.table(cols)
+
+
 def _mg_reduce(vals: np.ndarray, counts: np.ndarray, k: int):
     """Reduce exact (value, count) pairs to <= k Misra-Gries counters.
     Returns (vals, stored_counts, decrement) where every surviving count

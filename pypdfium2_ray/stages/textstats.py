@@ -206,3 +206,46 @@ def mixture_sample(ds, key_col: str, group_col: str,
         return t.filter(pa.array(h < limits))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def ngram_decontaminate(ds, heldout_texts: list[str], n: int = 3,
+                        doc_col: str = "doc_id", text_col: str = "text"):
+    """Benchmark decontamination by word n-GRAM OVERLAP — the GPT-3
+    appendix-C discipline (Brown et al. 2020, public): drop every
+    document sharing ANY word n-gram with a held-out evaluation set.
+    Strictly stronger than the exact-hash blocklist (q_decontaminate)
+    and than verbatim substring hits when the leak is paraphrased around
+    a copied span.
+
+    The held-out n-gram set is computed driver-side (the held-out corpus
+    is small by definition) and broadcast as a closure constant. Per
+    block: vectorized n-gram explode carrying doc ids
+    (``freq.explode_ngrams``), one ``is_in`` against the broadcast set,
+    per-block distinct of hit ids — only contaminated doc ids (tiny)
+    leave the worker. The final anti join broadcasts those distinct ids
+    back (``join.key_filter_join`` broadcast tier): zero payload shuffle
+    end-to-end.
+    """
+    import re as _re
+
+    import pyarrow.compute as pc
+
+    from pypdfium2_ray.functions.text import WS_RE
+    from pypdfium2_ray.stages.freq import explode_ngrams
+    from pypdfium2_ray.stages.join import key_filter_join
+    grams: set[str] = set()
+    for h in heldout_texts:
+        toks = [w for w in _re.split(WS_RE, h) if w]   # shared split class
+        grams.update(" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1))
+    if not grams:
+        raise ValueError("ngram_decontaminate: held-out set has no n-grams")
+    gram_arr = pa.array(sorted(grams), pa.string())
+
+    def hits(t: pa.Table) -> pa.Table:
+        g = explode_ngrams(t, n, col=text_col, doc_col=doc_col)
+        m = pc.is_in(g["gram"], value_set=gram_arr)
+        ids = pc.unique(g[doc_col].filter(m))
+        return pa.table({doc_col: pc.cast(ids, pa.int64())})
+
+    contaminated = ds.map_batches(hits, batch_format="pyarrow")
+    return key_filter_join(ds, contaminated, doc_col, mode="anti")

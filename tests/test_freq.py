@@ -151,3 +151,42 @@ def test_query_entries_agree(ray_session):
         .set_index("event_type")["n_distinct_est"].sort_index()
     assert set(est.index) == set(exact.index)
     assert (((est - exact).abs() / exact) < 0.05).all()
+
+
+def test_explode_ngrams_boundaries(ray_session):
+    import pyarrow as pa
+
+    from pypdfium2_ray.stages.freq import explode_ngrams
+    t = pa.table({"doc_id": pa.array([5, 6, 7], pa.int64()),
+                  "text": ["a b c d", "x  y", ""]})
+    g3 = explode_ngrams(t, 3, doc_col="doc_id").to_pydict()
+    assert g3 == {"gram": ["a b c", "b c d"], "doc_id": [5, 5]}
+    g2 = explode_ngrams(t, 2, doc_col="doc_id").to_pydict()
+    # no cross-document "d x" or "y <empty>" windows
+    assert g2 == {"gram": ["a b", "b c", "c d", "x y"],
+                  "doc_id": [5, 5, 5, 6]}
+    assert explode_ngrams(t, 5, doc_col="doc_id").num_rows == 0
+
+
+def test_ngram_decontaminate(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from pypdfium2_ray.stages.textstats import ngram_decontaminate
+    docs = pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": ["the quick brown fox",        # shares "quick brown fox"
+                 "a quick brown dog",          # bigram overlap only -> kept
+                 "totally unrelated words",
+                 "prefix quick brown fox suffix"],  # hit mid-document
+    })
+    ds = rd.from_arrow(docs).repartition(2)
+    out = ngram_decontaminate(ds, ["benchmark: quick brown fox?"], n=3)
+    # held-out trigrams: {"benchmark: quick brown", "quick brown fox?"} --
+    # note "fox?" != "fox": punctuation is part of the whitespace token
+    assert set(out.to_pandas()["doc_id"]) == {0, 1, 2, 3}
+    out2 = ngram_decontaminate(ds, ["benchmark quick brown fox end"], n=3)
+    assert set(out2.to_pandas()["doc_id"]) == {1, 2}
+    with pytest.raises(ValueError):
+        ngram_decontaminate(ds, ["too short"], n=3)
