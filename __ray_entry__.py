@@ -1220,6 +1220,25 @@ def q_winnow_fingerprint(sf_dir: str):
         f, batch_format="pyarrow")
 
 
+def q_sliding_distinct_users(sf_dir: str):
+    """Per-sliding-window EXACT distinct users — the non-associative
+    window aggregate, composed from two existing primitives: the hopping
+    fan-out alone (stages/window.hopping_fan_out — each event replicated
+    per covering window BEFORE anything moves) into the exact distinct
+    machinery (freq.grouped_distinct_count: per-block pair distinct ->
+    one pair exchange -> count). Nothing new to maintain: the
+    composition IS the operator."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.freq import grouped_distinct_count
+    from pypdfium2_ray.stages.window import hopping_fan_out
+    ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["ts", "user_id"])
+    with _hint(sf_dir, "events"):
+        fanned = hopping_fan_out(ds, "ts", size_s=7200, hop_s=3600)
+        return grouped_distinct_count(fanned, ["window_start"], "user_id",
+                                      out="n_users")
+
+
 def q_events_hourly_sliding(sf_dir: str):
     """Hopping-window aggregate (stages/window.hopping_window): 2-hour
     windows every hour — each event fans out to 2 windows (vectorized
@@ -1744,6 +1763,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_stats": q_session_stats,
         "events_hourly": q_events_hourly,
         "events_hourly_sliding": q_events_hourly_sliding,
+        "sliding_distinct_users": q_sliding_distinct_users,
         "events_value_bucket": q_events_value_bucket,
         "asof_last_purchase": q_asof_last_purchase,
         "decode_images": q_decode_images,
@@ -2258,6 +2278,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(sum(value) * 10000) AS BIGINT) AS sum_value_e4
             FROM events, (SELECT unnest(range(2)) AS k) k
             GROUP BY 1, 2""",
+        "sliding_distinct_users": """
+            SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000
+                                  - k.k * 3600000000) AS window_start,
+                   count(DISTINCT user_id)::BIGINT AS n_users
+            FROM events, (SELECT unnest(range(2)) AS k) k
+            GROUP BY 1""",
         "events_value_bucket": f"""
             SELECT b.bucket::BIGINT AS bucket, count(*) AS n_events
             FROM events e

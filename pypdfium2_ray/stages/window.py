@@ -54,11 +54,22 @@ def hopping_window(ds, ts_col: str, size_s: int, hop_s: int,
     back ``size/hop`` hops), identical to the SQL oracle's
     ``to_timestamp(floor(epoch(ts)/hop)*hop - k*hop)`` construction.
     """
+    keys = keys or []
+    aggs = aggs or {"n_rows": (None, "count")}
+    fanned = hopping_fan_out(ds, ts_col, size_s, hop_s, window_col)
+    return grouped_aggregate(fanned, [window_col] + keys, aggs)
+
+
+def hopping_fan_out(ds, ts_col: str, size_s: int, hop_s: int,
+                    window_col: str = "window_start"):
+    """The hopping-window REPLICATION alone (each row repeated once per
+    covering window with its epoch-aligned window start attached) —
+    exposed so non-associative window aggregates compose with it (e.g.
+    per-window exact distinct counts via ``freq.grouped_distinct_count``,
+    which needs the raw pairs, not pre-aggregated partials)."""
     if size_s % hop_s != 0:
         raise ValueError("size_s must be a multiple of hop_s")
     n_windows = size_s // hop_s
-    keys = keys or []
-    aggs = aggs or {"n_rows": (None, "count")}
 
     import numpy as np
 
@@ -78,8 +89,7 @@ def hopping_window(ds, ts_col: str, size_s: int, hop_s: int,
         return out.append_column(
             window_col, pa.array(starts, pa.int64()).cast(pa.timestamp("us")))
 
-    fanned = ds.map_batches(fan_out, batch_format="pyarrow")
-    return grouped_aggregate(fanned, [window_col] + keys, aggs)
+    return ds.map_batches(fan_out, batch_format="pyarrow")
 
 
 def rolling_window_sum(ds, key_col: str, time_col: str, val_col: str,
