@@ -115,6 +115,39 @@ def q_doc_flags(sf_dir: str):
     return _cast_i64(out, ["formtype", "pagemode"])
 
 
+def q_meta_extract(sf_dir: str):
+    """Document metadata dict through the flagship extraction (SURVEY
+    M16: the 8-key Title/Author/... mapping as a struct column): Title
+    parsed from <title> on ok rows, all keys '' on error rows — the
+    oracle composes the expected values from the synthesis predicates."""
+    from pypdfium2_ray.docmodel.layout import LayoutParams
+    from pypdfium2_ray.pipelines.extract_text import extract_pipeline
+    from pypdfium2_ray.sources.cc_from_documents import read_cc_from_documents
+    ds = read_cc_from_documents(sf_dir)
+    out = extract_pipeline(
+        ds=ds, skew_split=True,
+        extract_opts=dict(include_pages=False, include_rects=False,
+                          layout=LayoutParams(page_width=1e9)))
+
+    def pick(t: pa.Table) -> pa.Table:
+        return pa.table({"url": t["url"],
+                         "title": pc.struct_field(t["metadata"], "Title"),
+                         "author": pc.struct_field(t["metadata"], "Author")})
+
+    return out.map_batches(pick, batch_format="pyarrow")
+
+
+def _meta_extract_sql() -> str:
+    from pypdfium2_ray.sources.cc_from_documents import sql_is_bad, sql_is_enc
+    ok = f"NOT {sql_is_bad()} AND NOT {sql_is_enc()}"
+    return f"""
+        SELECT 'doc://' || source || '/' || CAST(doc_id AS VARCHAR) AS url,
+               CASE WHEN {ok} THEN 'doc ' || CAST(doc_id AS VARCHAR)
+                    ELSE '' END AS title,
+               '' AS author
+        FROM documents"""
+
+
 def q_token_stats(sf_dir: str):
     from pypdfium2_ray.stages.textstats import add_quality_columns
     ds = _docs(sf_dir, ["doc_id", "text"])
@@ -1696,6 +1729,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_text": q_extract_text,
         "extract_bounded": q_extract_bounded,
         "doc_flags": q_doc_flags,
+        "meta_extract": q_meta_extract,
         "token_stats": q_token_stats,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -2150,6 +2184,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination_scan": _contamination_sql(),
         "mixture_sample": _mixture_sql(),
         "lm_score": _lm_score_sql(),
+        "meta_extract": _meta_extract_sql(),
         "ngram_decontaminate": _ngram_decontaminate_sql(),
         # word-trigram variant of the exact all-pairs Jaccard oracle
         "ngram_dups": """
