@@ -225,6 +225,50 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_decontam(args) -> int:
+    """Benchmark decontamination: drop corpus rows that leak a held-out
+    set (one prompt per line in ``--heldout``), at the chosen tier —
+    ``hash`` (exact text match via MD5 fingerprints), ``substring``
+    (verbatim phrase containment), ``ngram`` (word n-gram overlap, the
+    GPT-3 appendix-C discipline)."""
+    _init_ray()
+    with open(args.heldout, encoding="utf-8") as f:
+        prompts = [ln.rstrip("\n") for ln in f if ln.strip()]
+    if not prompts:
+        raise SystemExit("decontam: held-out file is empty")
+    ds = _read(args.input)
+    if args.method == "hash":
+        import hashlib
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from pypdfium2_ray.functions.text import fingerprint_md5
+        bad = pa.array(sorted({hashlib.md5(p.encode()).hexdigest()
+                               for p in prompts}))
+
+        def keep(t: "pa.Table") -> "pa.Table":
+            fp = fingerprint_md5(t[args.text_col])
+            return t.filter(pc.invert(pc.is_in(fp, value_set=bad)))
+
+        out = ds.map_batches(keep, batch_format="pyarrow")
+    elif args.method == "substring":
+        from pypdfium2_ray.stages.join import key_filter_join
+        from pypdfium2_ray.stages.textstats import substring_scan
+        hits = substring_scan(ds, prompts, doc_col=args.id_col,
+                              text_col=args.text_col) \
+            .select_columns([args.id_col])
+        out = key_filter_join(ds, hits, args.id_col, mode="anti")
+    else:  # ngram
+        from pypdfium2_ray.stages.textstats import ngram_decontaminate
+        out = ngram_decontaminate(ds, prompts, n=args.ngram,
+                                  doc_col=args.id_col,
+                                  text_col=args.text_col)
+    out.write_parquet(args.output)
+    print(args.output)
+    return 0
+
+
 def cmd_shuffle(args) -> int:
     """Deterministic hash-shuffled export (shard= hive directories)."""
     _init_ray()
@@ -302,6 +346,21 @@ def get_parser() -> argparse.ArgumentParser:
     sp.add_argument("--span-tokens", type=int, default=10)
     sp.add_argument("--threshold", type=float, default=0.7)
     sp.set_defaults(fn=cmd_dedup)
+
+    sp = sub.add_parser("decontam",
+                        help="drop rows leaking a held-out set "
+                             "(hash/substring/ngram tiers)")
+    sp.add_argument("input")
+    sp.add_argument("-o", "--output", required=True)
+    sp.add_argument("--heldout", required=True,
+                    help="text file, one held-out prompt per line")
+    sp.add_argument("--method", choices=("hash", "substring", "ngram"),
+                    default="ngram")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--ngram", type=int, default=3,
+                    help="n-gram size for --method ngram")
+    sp.set_defaults(fn=cmd_decontam)
 
     sp = sub.add_parser("shuffle",
                         help="deterministic hash-shuffled export")

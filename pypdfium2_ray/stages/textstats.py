@@ -163,7 +163,7 @@ def substring_scan(ds, phrases: list[str], doc_col: str = "doc_id",
             ids.append(sel)
             hits.append(pa.array([p] * len(sel), pa.string()))
         return pa.table({
-            "doc_id": pa.concat_arrays([a.combine_chunks() if isinstance(
+            doc_col: pa.concat_arrays([a.combine_chunks() if isinstance(
                 a, pa.ChunkedArray) else a for a in ids]) if ids
             else pa.array([], pa.int64()),
             "phrase": pa.concat_arrays(hits) if hits

@@ -115,3 +115,42 @@ def test_cli_dedup_minhash_and_shuffle(ray_session, tmp_path):
     assert main(["shuffle", src, "-o", shuf, "--shards", "2"]) == 0
     t = pq.read_table(shuf)
     assert t.num_rows == 4 and "pos" in t.schema.names
+
+
+def test_cli_decontam_three_tiers(ray_session, tmp_path):
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pypdfium2_ray.__main__ import main
+
+    src = str(tmp_path / "corpus.parquet")
+    texts = ["the quick brown fox jumps",          # trigram + substring hit
+             "a quick brown dog sits",             # bigram overlap only
+             "exact heldout prompt text",          # exact-hash hit
+             "nothing in common at all"]
+    pq.write_table(pa.table({"doc_id": [0, 1, 2, 3], "text": texts}), src)
+    heldout = tmp_path / "heldout.txt"
+    heldout.write_text("benchmark says quick brown fox here\n"
+                       "exact heldout prompt text\n")
+
+    def kept(out):
+        return sorted(duckdb.sql(f"select doc_id from '{out}/*.parquet'")
+                      .fetchnumpy()["doc_id"].tolist())
+
+    out1 = str(tmp_path / "ng")
+    assert main(["decontam", src, "-o", out1, "--heldout", str(heldout),
+                 "--method", "ngram"]) == 0
+    # trigram "quick brown fox" kills 0; doc 2 shares "exact heldout
+    # prompt" + "heldout prompt text" trigrams too
+    assert kept(out1) == [1, 3]
+
+    out2 = str(tmp_path / "sub")
+    assert main(["decontam", src, "-o", out2, "--heldout", str(heldout),
+                 "--method", "substring"]) == 0
+    assert kept(out2) == [0, 1, 3]     # only the verbatim full-line leak
+
+    out3 = str(tmp_path / "hash")
+    assert main(["decontam", src, "-o", out3, "--heldout", str(heldout),
+                 "--method", "hash"]) == 0
+    assert kept(out3) == [0, 1, 3]     # only the exact-equal doc
