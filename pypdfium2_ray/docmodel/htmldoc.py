@@ -649,6 +649,114 @@ def _heading_no(tag: str) -> int | None:
 # ---------------------------------------------------------------------------
 # public API
 
+#: fast-lane tokenizer switch (tests force the stdlib path to crosscheck)
+FAST_FEED_ENABLED = True
+
+#: one token at '<': end tag | comment | declaration | start tag. The
+#: grammar is a STRICT SUBSET of html.parser's tolerant one — anything it
+#: doesn't match makes _fast_feed bail and the document re-parses on the
+#: stdlib tokenizer, so acceptance implies byte-identical handler calls.
+#: Quoted attr values may contain '>' but not '<' (stdlib allows both;
+#: '<' falls to the bail lane). Unquoted values exclude '/' so the
+#: self-close slash is never consumed by a value (see the glue check).
+_FAST_TOKEN_RE = re.compile(r"""
+    <(?:
+        /\s*(?P<endname>[a-zA-Z][-a-zA-Z0-9]*)\s*>
+      | (?P<comment>!--.*?-->)
+      | (?P<decl>![^>\[]*>)
+      | (?P<name>[a-zA-Z][-a-zA-Z0-9]*)
+        (?P<attrs>(?:\s+[a-zA-Z_:][-a-zA-Z0-9_:.]*
+                    (?:\s*=\s*(?:"[^"<]*"|'[^'<]*'|[^\s>/'"=<`]+))?)*)
+        \s*(?P<selfclose>/?)>
+    )""", re.X | re.S)
+
+_FAST_ATTR_RE = re.compile(
+    r"\s+([a-zA-Z_:][-a-zA-Z0-9_:.]*)"
+    r"(?:\s*=\s*(?:\"([^\"<]*)\"|'([^'<]*)'|([^\s>/'\"=<`]+)))?")
+
+#: html.parser's own CDATA terminator pattern per raw-text element
+_FAST_CDATA_END = {t: re.compile(r"</\s*%s\s*>" % t, re.I)
+                   for t in ("script", "style")}
+
+
+def _fast_feed(parser, text: str) -> bool:
+    """Tokenize ``text`` with one compiled regex and drive the SAME
+    handler methods html.parser would — the hot-path replacement for
+    ``HTMLParser.feed`` (the stdlib tokenizer is ~70% of flagship UDF
+    time: per-character ``goahead`` bookkeeping, ``updatepos`` line/col
+    tracking the docmodel never reads).
+
+    Returns False ("bail") on ANY construct outside the strict grammar —
+    entities/charrefs anywhere (conversion semantics stay stdlib-only),
+    processing instructions, CDATA blocks, unterminated constructs, bare
+    ``<``, exotic tag/attr spellings, an unquoted attr value adjacent to
+    a self-close slash (stdlib glues the slash into the value) — and the
+    caller re-parses the whole document with the stdlib tokenizer.
+    Handler-visible differences on the ACCEPTED subset: none (data may
+    arrive in different fragment boundaries, which every handler treats
+    as concatenation); script/style contents are delivered raw up to the
+    stdlib's own ``</\\s*tag\\s*>`` terminator."""
+    if not FAST_FEED_ENABLED or "&" in text:
+        return False
+    pos, n = 0, len(text)
+    find = text.find
+    token = _FAST_TOKEN_RE.match
+    handle_data = parser.handle_data
+    handle_starttag = parser.handle_starttag
+    handle_endtag = parser.handle_endtag
+    # group indices: 1 endname, 2 comment, 3 decl, 4 name, 5 attrs, 6 /
+    while True:
+        lt = find("<", pos)
+        if lt < 0:
+            if pos < n:
+                handle_data(text[pos:])
+            return True
+        if lt > pos:
+            handle_data(text[pos:lt])
+        m = token(text, lt)
+        if m is None:
+            return False
+        g = m.group
+        name = g(4)
+        pos = m.end()
+        if name is not None:
+            tag = name.lower()
+            attrs_src = g(5)
+            attrs = [(a[0].lower(), a[1] or a[2] or a[3] or
+                      (None if "=" not in src else ""))
+                     for a, src in _iter_attrs(attrs_src)] \
+                if attrs_src else []
+            if g(6):
+                # stdlib glues the slash into a preceding unquoted value
+                if attrs_src and attrs_src[-1] not in "\"'" \
+                        and "=" in attrs_src.rsplit(None, 1)[-1]:
+                    return False
+                parser.handle_startendtag(tag, attrs)
+                continue
+            handle_starttag(tag, attrs)
+            if tag in _FAST_CDATA_END:         # stdlib CDATA mode
+                endm = _FAST_CDATA_END[tag].search(text, pos)
+                if endm is None:
+                    return False
+                if endm.start() > pos:
+                    handle_data(text[pos:endm.start()])
+                handle_endtag(tag)
+                pos = endm.end()
+            continue
+        endname = g(1)
+        if endname is not None:
+            handle_endtag(endname.lower())
+        # comments and declarations: handle_comment/handle_decl are
+        # documented no-ops in _HtmlToDoc; skipping the calls is invisible
+
+
+def _iter_attrs(attrs_src: str):
+    """(match groups, raw source) per attribute — raw source
+    distinguishes ``disabled`` (None value) from ``disabled=""``."""
+    for m in _FAST_ATTR_RE.finditer(attrs_src):
+        yield m.groups(), m.group(0)
+
+
 def decode_payload(data: bytes,
                    password: str | None = None) -> tuple[str | None, int]:
     """The :func:`parse_document` sniff/decrypt gate alone: ``(text, 0)``
@@ -689,7 +797,11 @@ def parse_document(data: bytes, password: str | None = None,
 
     parser = _HtmlToDoc()
     try:
-        parser.feed(text)
+        if not _fast_feed(parser, text):
+            # bail: anything outside the fast lane's strict grammar is
+            # re-parsed from scratch by the reference stdlib tokenizer
+            parser = _HtmlToDoc()
+            parser.feed(text)
         parser.close()
     except Exception:
         return Document(err_code=ERR_FORMAT)

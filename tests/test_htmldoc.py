@@ -204,3 +204,83 @@ def test_fixture_determinism():
     b = fixture_rows()
     assert [r["html"] for r in a] == [r["html"] for r in b]
     assert [r["url"] for r in a] == [r["url"] for r in b]
+
+
+# ---------------------------------------------------------------------------
+# fast-lane tokenizer differential crosscheck
+
+def _doc_signature(doc):
+    """Everything handler-visible, flattened for equality."""
+    return (doc.err_code, doc.metadata, doc.tagged, doc.formtype,
+            doc.pagemode, doc.warnings,
+            [(e.title, e.page_index, e.level) for e in doc.toc],
+            [p.lines for p in doc.pages],
+            [(p.index, [(s.text, s.font_size, s.weight, s.italic)
+                        for s in p.spans]) for p in doc.pages],
+            [(a.name, a.data) for a in doc.attachments],
+            [dict(f.__dict__) if hasattr(f, "__dict__") else f
+             for f in doc.form_fields])
+
+
+def _both(payload: bytes):
+    import pypdfium2_ray.docmodel.htmldoc as H
+    fast = H.parse_document(payload)
+    old = H.FAST_FEED_ENABLED
+    H.FAST_FEED_ENABLED = False
+    try:
+        ref = H.parse_document(payload)
+    finally:
+        H.FAST_FEED_ENABLED = old
+    return fast, ref
+
+
+FAST_CASES = [
+    b"<html><body><main><p>plain text</p></main></body></html>",
+    b'<a href="x>y" class=\'q\' bare>t</a>',
+    b"<br/><img src=i/><input disabled/>",
+    b"<!DOCTYPE html><!-- c -- ment --><p>x</p>",
+    b"<script>if (a<b && c>d) {}</script><p>after</p>",
+    b"<style>p > a { color: red }</style><p>s</p>",
+    b"<p>a &amp; b</p>",                      # entity -> stdlib lane
+    b"<p>bare < less</p>",                    # bare '<' -> stdlib lane
+    b"<a href=x/>glued</a>",                  # unquoted+slash -> stdlib
+    b"<?php echo ?><p>pi</p>",                # PI -> stdlib lane
+    b"<![CDATA[x]]><p>c</p>",                 # CDATA -> stdlib lane
+    b"<p foo=>odd</p>",                       # empty unquoted -> stdlib
+    b"<script>never closed",                  # unterminated cdata
+    b"<TITLE>Mixed Case</TITLE><MAIN><P>U</P></MAIN>",
+    b"<nav data-toc><ul><li data-page='2'>s1</li></ul></nav><main><p>b</p></main>",
+    b'<form><input name="f" value="v"><textarea name="t">tv</textarea></form>',
+    b"<main><h1>H</h1><p>one</p><pb><h2>H2</h2><p>two</p></main>",
+    b"text before <main><p>in</p></main> after",
+    b"<p style='display:none'>hid</p><p>shown</p>",
+    b"unclosed <em>tail",
+]
+
+
+def test_fast_feed_matches_stdlib_on_constructs():
+    for case in FAST_CASES:
+        fast, ref = _both(case)
+        assert _doc_signature(fast) == _doc_signature(ref), case
+
+
+def test_fast_feed_fuzz_differential():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    pieces = st.sampled_from([
+        "<p>", "</p>", "<main>", "</main>", "<b>", "</b>", "text ",
+        "mixed Case", "<br/>", "<img src=x>", "&amp;", "&", "<", ">",
+        "<!-- c -->", "<script>a<b</script>", "<a href=\"u\">t</a>",
+        "<a href=u/>", "<title>T</title>", "\n", "  ", "<pb>",
+        "<li data-page='3'>", "</li>", "<nav data-toc>", "</nav>",
+        "<em style='display:none'>", "</em>", "<?pi?>", "<!decl>",
+    ])
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.lists(pieces, min_size=0, max_size=14))
+    def go(parts):
+        payload = "".join(parts).encode()
+        fast, ref = _both(payload)
+        assert _doc_signature(fast) == _doc_signature(ref)
+
+    go()
