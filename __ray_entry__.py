@@ -95,6 +95,52 @@ def q_extract_bounded(sf_dir: str):
     return ds.select_columns(["url", "extracted_text"])
 
 
+def _warc_corpus(sf_dir: str) -> str:
+    """The cc corpus materialized ONCE per sf_dir as WARC shards (Common
+    Crawl's container format, sources/warc): built by the distributed
+    sink into a temp dir, atomically renamed — idempotent and crash-safe,
+    keyed by the documents footer row count so sf dirs never collide."""
+    import hashlib
+    import os
+    import pyarrow.parquet as pq
+    rows = pq.ParquetFile(
+        f"{sf_dir.rstrip('/')}/documents.parquet").metadata.num_rows
+    tag = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
+    out = f"/tmp/graft_warc_{tag}_{rows}"
+    if os.path.isdir(out):
+        return out
+    from pypdfium2_ray.sources.cc_from_documents import read_cc_from_documents
+    from pypdfium2_ray.sources.warc import write_warc_shards
+    build = out + ".build"
+    import shutil
+    shutil.rmtree(build, ignore_errors=True)
+    ds = read_cc_from_documents(sf_dir).select_columns(
+        ["url", "warc_ts", "html"])
+    write_warc_shards(ds, build, n_shards=max(4, rows // 2000))
+    os.replace(build, out)
+    return out
+
+
+def q_warc_extract(sf_dir: str):
+    """The flagship extraction fed from native WARC shards instead of
+    Parquet (sources/warc.read_warc): same per-url byte-identical output,
+    so the Parquet-path extraction SQL is its oracle — proving the
+    container codec + source are lossless end-to-end at driver-gate
+    scale."""
+    from pypdfium2_ray.docmodel.layout import LayoutParams
+    from pypdfium2_ray.pipelines.extract_text import extract_pipeline
+    from pypdfium2_ray.sources.warc import read_warc
+    with _hint(sf_dir):
+        ds = read_warc(_warc_corpus(sf_dir))
+        out = extract_pipeline(
+            ds=ds, skew_split="blocks",
+            extract_opts=dict(include_pages=False, include_rects=False,
+                              layout=LayoutParams(page_width=1e9)))
+    out = out.select_columns(["url", "status", "err_code",
+                              "n_pages", "n_chars", "extracted_text"])
+    return _cast_i64(out, ["err_code", "n_pages", "n_chars"])
+
+
 # ---------------------------------------------------------------------------
 # text analysis (functions/text.py; oracle-paired)
 
@@ -1728,6 +1774,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": q_extract_text,
         "extract_bounded": q_extract_bounded,
+        "warc_extract": q_warc_extract,
         "doc_flags": q_doc_flags,
         "meta_extract": q_meta_extract,
         "token_stats": q_token_stats,
@@ -1850,6 +1897,16 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "extract_bounded": f"""
             SELECT 'doc://' || source || '/' || doc_id AS url,
+                   {ext_err} AS extracted_text
+            FROM documents""",
+        # WARC-sourced flagship: identical per-url contract as
+        # extract_text (minus lang, which the container doesn't carry)
+        "warc_extract": f"""
+            SELECT 'doc://' || source || '/' || doc_id AS url,
+                   {status_sql} AS status,
+                   {errc_sql} AS err_code,
+                   {npages_sql} AS n_pages,
+                   {nchars_err} AS n_chars,
                    {ext_err} AS extracted_text
             FROM documents""",
         # the synthesized corpus: h1/h2 outline => tagged + use_outlines
