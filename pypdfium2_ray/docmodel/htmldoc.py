@@ -366,8 +366,12 @@ class _HtmlToDoc(HTMLParser):
                 single = False
                 break
         if single:
-            raw = "".join(t for t, _s in frags)
-            text = " ".join(p for p in _WS_RE.split(raw) if p)
+            raw = frags[0][0] if len(frags) == 1 else \
+                "".join([t for t, _s in frags])
+            # one C-level sub+strip == " ".join(non-empty _WS_RE.split)
+            # (the pattern matches RUNS, so sub leaves single spaces and
+            # strip(" ") removes at most the two boundary ones)
+            text = _WS_RE.sub(" ", raw).strip(" ")
             if not text and not objects:
                 return
             spans = [(0, len(text), st0)] if text else []
