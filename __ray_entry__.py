@@ -496,6 +496,73 @@ def q_dedup_latest_event(sf_dir: str):
         return latest_event_per_user(sf_dir)
 
 
+def _rem(t: pa.Table, mod: int) -> pa.Array:
+    did = pc.cast(t["doc_id"], pa.int64())
+    return pc.subtract(did, pc.multiply(pc.divide(did, mod), mod))
+
+
+def q_snapshot_delta(sf_dir: str):
+    """Two crawl snapshots of the same url space derived deterministically
+    from documents (old: doc_id%3!=0; new: doc_id%2!=0 with the text of
+    every doc_id%5==0 row edited) -> per-url delta class via ONE url
+    exchange (stages/snapshot.snapshot_delta). FULL OUTER JOIN oracle."""
+    from pypdfium2_ray.functions.text import fingerprint_md5
+    from pypdfium2_ray.stages.snapshot import snapshot_delta
+    base = _docs(sf_dir, ["doc_id", "text", "source"])
+
+    def fp_snapshot(keep_mod: int, edit: bool):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.not_equal(_rem(t, keep_mod), 0))
+            txt = t["text"]
+            if edit:
+                txt = pc.if_else(
+                    pc.equal(_rem(t, 5), 0),
+                    pc.binary_join_element_wise(txt, " v2", ""), txt)
+            url = pc.binary_join_element_wise(
+                "doc://", t["source"], "/",
+                pc.cast(t["doc_id"], pa.string()), "")
+            return pa.table({"url": url,
+                             "fingerprint": fingerprint_md5(txt)})
+        return f
+
+    old = base.map_batches(fp_snapshot(3, False), batch_format="pyarrow")
+    new = base.map_batches(fp_snapshot(2, True), batch_format="pyarrow")
+    with _hint(sf_dir):
+        return snapshot_delta(old, new)
+
+
+def q_incremental_dedup(sf_dir: str):
+    """Incremental crawl dedup: snapshot B (doc_id%4>=1, plus a planted
+    copy of every %4==2 row under a shifted id) deduped against the
+    fingerprint STATE of already-processed snapshot A (doc_id%4<=1) —
+    drop-seen and in-snapshot keep-min-id fused into ONE fingerprint
+    exchange (stages/snapshot.incremental_dedup); state keys only ever
+    move. NOT-IN + GROUP BY oracle."""
+    from pypdfium2_ray.functions.text import fingerprint_md5
+    from pypdfium2_ray.stages.snapshot import incremental_dedup
+    base = _docs(sf_dir, ["doc_id", "text"])
+
+    def proj(lo: int, hi: int, shift: int = 0):
+        def f(t: pa.Table) -> pa.Table:
+            rem = _rem(t, 4)
+            t = t.filter(pc.and_(pc.greater_equal(rem, lo),
+                                 pc.less_equal(rem, hi)))
+            did = pc.add(pc.cast(t["doc_id"], pa.int64()), shift)
+            return pa.table({"doc_id": did,
+                             "fingerprint": fingerprint_md5(t["text"])})
+        return f
+
+    state = base.map_batches(proj(0, 1), batch_format="pyarrow") \
+                .select_columns(["fingerprint"])
+    b_main = base.map_batches(proj(1, 3), batch_format="pyarrow")
+    b_copy = base.map_batches(proj(2, 2, 100_000_000),
+                              batch_format="pyarrow")
+    with _hint(sf_dir):
+        out = incremental_dedup(b_main.union(b_copy), state,
+                                order_col="doc_id")
+    return _cast_i64(out, ["doc_id", "n_dups"])
+
+
 #: minhash query params — shared with the oracle SQL generator below.
 #: threshold 0.5 sits in a wide empirical gap of the corpus's pair-Jaccard
 #: distribution (background <= 0.31, planted near-dups >= 0.93 at sf0.01),
@@ -1798,6 +1865,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": q_inverted_index,
         "dedup_exact": q_dedup_exact,
         "dedup_latest_event": q_dedup_latest_event,
+        "snapshot_delta": q_snapshot_delta,
+        "incremental_dedup": q_incremental_dedup,
         "minhash_dups": q_minhash_dups,
         "simhash_dups": q_simhash_dups,
         "neardup_clusters": q_neardup_clusters,
@@ -2039,6 +2108,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_id, ts FROM events
             QUALIFY row_number() OVER (PARTITION BY user_id
                                        ORDER BY ts DESC, event_id DESC) = 1""",
+        "snapshot_delta": """
+            WITH old AS (
+              SELECT 'doc://' || source || '/' || doc_id AS url,
+                     md5(text) AS fp
+              FROM documents WHERE doc_id % 3 <> 0),
+            new AS (
+              SELECT 'doc://' || source || '/' || doc_id AS url,
+                     md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                              ELSE text END) AS fp
+              FROM documents WHERE doc_id % 2 <> 0)
+            SELECT COALESCE(o.url, n.url) AS url,
+                   CASE WHEN o.url IS NULL THEN 'new'
+                        WHEN n.url IS NULL THEN 'gone'
+                        WHEN o.fp = n.fp THEN 'unchanged'
+                        ELSE 'changed' END AS delta
+            FROM old o FULL OUTER JOIN new n ON o.url = n.url""",
+        "incremental_dedup": """
+            WITH a AS (
+              SELECT md5(text) AS fp FROM documents WHERE doc_id % 4 <= 1),
+            b AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 4 >= 1
+              UNION ALL
+              SELECT doc_id + 100000000, text FROM documents
+              WHERE doc_id % 4 = 2)
+            SELECT min(doc_id)::BIGINT AS doc_id,
+                   md5(text) AS fingerprint,
+                   count(*)::BIGINT AS n_dups
+            FROM b WHERE md5(text) NOT IN (SELECT fp FROM a)
+            GROUP BY md5(text)""",
         # exact all-pairs char-shingle Jaccard (integer n_inter/n_union —
         # no float hashing); the size prefilter (J>=t => min >= t*max) only
         # drops provably-below-threshold pairs. LSH recall at the threshold
