@@ -279,6 +279,212 @@ def cmd_shuffle(args) -> int:
     return 0
 
 
+def cmd_arrange(args) -> int:
+    """Merge selected pages across input corpora, PER URL — the
+    distributed form of ``pypdfium2 arrange`` (cli/arrange.py:33-48:
+    sequential ``import_pages`` of each input's selected pages into a new
+    document, saved): inputs align positionally with ``--pages`` specs
+    ('_' placeholder = all pages) and ``--passwords``; for every url the
+    inputs' documents contribute their selected pages in input order.
+    One url exchange; document assembly is per-group by nature."""
+    _init_ray()
+    import pyarrow as pa
+
+    from pypdfium2_ray.stages.exchange import partition_map
+
+    pages = list(args.pages or [])
+    pages += ["_"] * (len(args.inputs) - len(pages))
+    pwds = list(args.passwords or [])
+    pwds += ["_"] * (len(args.inputs) - len(pwds))
+
+    def tag(i):
+        def f(t: pa.Table) -> pa.Table:
+            return t.select(["url", "html"]).append_column(
+                "__src", pa.array([i] * t.num_rows, pa.int32()))
+        return f
+
+    import ray.data as rd
+    tagged = [rd.read_parquet(p, columns=["url", "html"])
+              .map_batches(tag(i), batch_format="pyarrow")
+              for i, p in enumerate(args.inputs)]
+    ds = tagged[0]
+    for t in tagged[1:]:
+        ds = ds.union(t)
+
+    def assemble(t: pa.Table) -> pa.Table:
+        from pypdfium2_ray.docmodel.htmldoc import parse_document
+        from pypdfium2_ray.docmodel.model import Document
+        from pypdfium2_ray.docmodel.serialize import serialize_document
+        from pypdfium2_ray.functions.units import parse_page_range
+        t = t.sort_by([("url", "ascending"), ("__src", "ascending")])
+        urls = t["url"].to_pylist()
+        htmls = t["html"].to_pylist()
+        srcs = t["__src"].to_pylist()
+        out = {"url": [], "html": [], "n_pages": [], "status": []}
+        i, n = 0, len(urls)
+        while i < n:
+            j = i
+            dest = Document.new()
+            status = "ok"
+            while j < n and urls[j] == urls[i]:
+                src_i = srcs[j]
+                pw = None if pwds[src_i] == "_" else pwds[src_i]
+                doc = parse_document(htmls[j] or b"", password=pw)
+                if not doc.ok:
+                    status = doc.status
+                    j += 1
+                    continue
+                spec = pages[src_i]
+                sel = (None if spec == "_"
+                       else parse_page_range(spec, len(doc)))
+                dest.import_pages(doc, pages=sel)
+                j += 1
+            out["url"].append(urls[i])
+            out["html"].append(serialize_document(dest)
+                               if dest.pages else b"")
+            out["n_pages"].append(len(dest))
+            out["status"].append(status)
+            i = j
+        return pa.table({
+            "url": pa.array(out["url"], pa.string()),
+            "html": pa.array(out["html"], pa.binary()),
+            "n_pages": pa.array(out["n_pages"], pa.int32()),
+            "status": pa.array(out["status"], pa.string())})
+
+    partition_map(ds, ["url"], assemble).write_parquet(args.output)
+    print(args.output)
+    return 0
+
+
+def cmd_tile(args) -> int:
+    """N-up imposition over a corpus — ``pypdfium2 tile``
+    (cli/tile.py:76-83 ``FPDF_ImportNPagesToOne``) as one streaming
+    map_batches: parse -> :func:`docmodel.serialize.tile_document` ->
+    re-serialize, target sheet size in pt/mm/cm/in like the reference."""
+    _init_ray()
+    import pyarrow as pa
+
+    from pypdfium2_ray.functions.units import to_pt
+    w = to_pt(args.width, args.unit)
+    h = to_pt(args.height, args.unit)
+    cols, rows = args.cols, args.rows
+
+    def tile_batch(t: pa.Table) -> pa.Table:
+        from pypdfium2_ray.docmodel.htmldoc import parse_document
+        from pypdfium2_ray.docmodel.serialize import (
+            serialize_document, tile_document)
+        out = {"url": [], "html": [], "n_pages": [], "status": []}
+        for url, html in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+            doc = parse_document(html or b"")
+            if doc.ok:
+                tiled = tile_document(doc, cols, rows, w, h)
+                payload, np_, st = (serialize_document(tiled),
+                                    len(tiled), "ok")
+            else:
+                payload, np_, st = b"", 0, doc.status
+            out["url"].append(url)
+            out["html"].append(payload)
+            out["n_pages"].append(np_)
+            out["status"].append(st)
+        return pa.table({
+            "url": pa.array(out["url"], pa.string()),
+            "html": pa.array(out["html"], pa.binary()),
+            "n_pages": pa.array(out["n_pages"], pa.int32()),
+            "status": pa.array(out["status"], pa.string())})
+
+    _read(args.input).map_batches(
+        tile_batch, batch_format="pyarrow").write_parquet(args.output)
+    print(args.output)
+    return 0
+
+
+def cmd_imgtopdf(args) -> int:
+    """Images -> documents, one document per group key — ``pypdfium2
+    imgtopdf`` (cli/imgtopdf.py:30-64: one image page each) over the
+    ``extract-images`` row table: group rows by ``--group-col`` (default
+    url), build each group's document with
+    :func:`docmodel.serialize.document_from_images` (pages ordered by
+    (page_idx, img_idx)). One exchange on the group key."""
+    _init_ray()
+    import pyarrow as pa
+
+    from pypdfium2_ray.stages.exchange import partition_map
+    key = args.group_col
+
+    def build(t: pa.Table) -> pa.Table:
+        from pypdfium2_ray.docmodel.serialize import document_from_images
+        t = t.sort_by([(key, "ascending"), ("page_idx", "ascending"),
+                       ("img_idx", "ascending")])
+        keys = t[key].to_pylist()
+        rows = t.to_pylist()
+        out = {"key": [], "html": [], "n_images": []}
+        i, n = 0, len(keys)
+        while i < n:
+            j = i
+            imgs = []
+            while j < n and keys[j] == keys[i]:
+                imgs.append(rows[j])
+                j += 1
+            out["key"].append(keys[i])
+            out["html"].append(document_from_images(imgs))
+            out["n_images"].append(j - i)
+            i = j
+        return pa.table({
+            key: pa.array(out["key"], pa.string()),
+            "html": pa.array(out["html"], pa.binary()),
+            "n_images": pa.array(out["n_images"], pa.int32())})
+
+    partition_map(_read(args.input), [key], build).write_parquet(args.output)
+    print(args.output)
+    return 0
+
+
+def cmd_pageobjects(args) -> int:
+    """Print the typed pageobject inventory — ``pypdfium2 pageobjects``
+    (cli/pageobjects.py:90-123 format: per-page header, per-object type
+    line indented by level, Bounding Box / Quad Points under --info pos,
+    image metadata under --info imginfo, repr'd text under --info
+    text)."""
+    ray = _init_ray()
+    from pypdfium2_ray.functions.units import round_list
+    from pypdfium2_ray.pipelines.extract_text import extract_pipeline
+    show = set(args.info)
+    ds = extract_pipeline(path=args.input, skew_split=False,
+                          extract_opts=dict(include_pages=True,
+                                            include_rects=False,
+                                            include_objects=True))
+    total = 0
+    for row in ds.select_columns(["url", "pages"]).sort("url").iter_rows():
+        print(f"# {row['url']}")
+        for p in row["pages"] or []:
+            objs = [o for o in p["objects"] or []
+                    if not args.filter or o["type"] in args.filter]
+            if not objs:
+                continue
+            print(f"# Page {p['page_idx'] + 1}")
+            for o in objs:
+                pad0 = "    " * o["level"]
+                pad1 = pad0 + "    "
+                print(pad0 + o["type"])
+                if "pos" in show:
+                    bounds = round_list(
+                        [o["l"], o["b"], o["r"], o["t"]], args.n_digits)
+                    print(pad1 + f"Bounding Box: {bounds}")
+                if "imginfo" in show and o["type"] == "image":
+                    print(pad1 + f"width: {o['width']}")
+                    print(pad1 + f"height: {o['height']}")
+                    if o["alt"]:
+                        print(pad1 + f"alt: {o['alt']}")
+                    if o["src"]:
+                        print(pad1 + f"src: {o['src']}")
+            print(f"-> Count: {len(objs)}\n")
+            total += len(objs)
+    if total:
+        print(f"-> Total count: {total}")
+    ray.shutdown()
+    return 0
+
+
 def cmd_fixtures(args) -> int:
     from pypdfium2_ray.sources.fixtures import write_cc_parquet
     write_cc_parquet(args.output, n_synthetic=args.synthetic)
@@ -369,6 +575,44 @@ def get_parser() -> argparse.ArgumentParser:
     sp.add_argument("--id-col", default="doc_id")
     sp.add_argument("--shards", type=int, default=16)
     sp.set_defaults(fn=cmd_shuffle)
+
+    sp = sub.add_parser("arrange",
+                        help="merge selected pages across corpora per url")
+    sp.add_argument("inputs", nargs="+",
+                    help="sequence of cc_pages parquet inputs")
+    sp.add_argument("--pages", nargs="+", default=[],
+                    help="page spec per input, '_' = all (e.g. '1,3-5')")
+    sp.add_argument("--passwords", nargs="+", default=[],
+                    help="password per input, '_' = none")
+    sp.add_argument("-o", "--output", required=True)
+    sp.set_defaults(fn=cmd_arrange)
+
+    sp = sub.add_parser("tile", help="N-up page imposition")
+    sp.add_argument("input")
+    sp.add_argument("-o", "--output", required=True)
+    sp.add_argument("--rows", "-r", type=int, required=True)
+    sp.add_argument("--cols", "-c", type=int, required=True)
+    sp.add_argument("--width", type=float, required=True)
+    sp.add_argument("--height", type=float, required=True)
+    sp.add_argument("--unit", "-u", default="mm",
+                    choices=["pt", "mm", "cm", "in"])
+    sp.set_defaults(fn=cmd_tile)
+
+    sp = sub.add_parser("imgtopdf",
+                        help="build documents from extract-images rows")
+    sp.add_argument("input", help="extract-images parquet (file or dir)")
+    sp.add_argument("-o", "--output", required=True)
+    sp.add_argument("--group-col", default="url")
+    sp.set_defaults(fn=cmd_imgtopdf)
+
+    sp = sub.add_parser("pageobjects", help="print pageobject inventory")
+    common(sp, output=False)
+    sp.add_argument("--filter", nargs="+", default=None,
+                    choices=["text", "image"])
+    sp.add_argument("--info", nargs="+", default=["pos", "imginfo", "text"],
+                    choices=["pos", "imginfo", "text"])
+    sp.add_argument("--n-digits", type=int, default=4)
+    sp.set_defaults(fn=cmd_pageobjects)
 
     sp = sub.add_parser("fixtures", help="write the fixture corpus")
     sp.add_argument("-o", "--output", required=True)

@@ -117,3 +117,68 @@ def save_document(doc: Document, dest, password: str | None = None) -> None:
     else:
         with open(dest, "wb") as f:
             f.write(data)
+
+
+def tile_document(doc: Document, cols: int, rows: int,
+                  width: float, height: float) -> Document:
+    """N-up imposition — the ``FPDF_ImportNPagesToOne`` analogue behind
+    the reference's ``tile`` command (cli/tile.py:76-83): every
+    ``cols*rows`` consecutive source pages compose one output sheet of
+    ``width``x``height`` pt, tiles filled row-major from the TOP-left
+    (PDFium's order), each source page uniformly scaled to fit its cell
+    and centered in it.
+
+    Exact under imposition: page grouping, text reading order (tile order
+    == reading order), span styling (``line_idx`` re-offset), TOC
+    (``page_index`` remapped to sheets) and :class:`PageObject` GEOMETRY —
+    bounds are mapped through each tile's fit matrix (scale+translate, so
+    axis-aligned stays axis-aligned). Fidelity boundary (module
+    docstring): re-PARSING a serialized sheet re-derives line geometry
+    from the sheet layout — HTML docmodel text is flow-based, exactly as
+    a PDF save drops unreferenced layout state.
+    """
+    import copy
+    import math
+    if cols < 1 or rows < 1:
+        raise ValueError("cols and rows must be >= 1")
+    if not doc.ok:
+        raise ValueError(f"cannot tile a failed document "
+                         f"(status={doc.status!r})")
+    from pypdfium2_ray.docmodel.model import Page
+    n_per = cols * rows
+    cell_w, cell_h = width / cols, height / rows
+    out = Document(
+        toc=[copy.copy(e) for e in doc.toc],
+        attachments=list(doc.attachments),
+        metadata=dict(doc.metadata),
+        warnings=list(doc.warnings),
+        version=doc.version, tagged=doc.tagged,
+        pagemode=doc.pagemode)
+    for e in out.toc:
+        if e.page_index >= 0:
+            e.page_index //= n_per
+    n_sheets = max(1, math.ceil(len(doc.pages) / n_per))
+    for s in range(n_sheets):
+        sheet = Page(index=s, lines=[])
+        sheet.set_mediabox(0, 0, width, height)
+        for k, src in enumerate(doc.pages[s * n_per:(s + 1) * n_per]):
+            r, c = divmod(k, cols)
+            pw, ph = src.width, src.height
+            scale = min(cell_w / pw, cell_h / ph) if pw and ph else 1.0
+            dx = c * cell_w + (cell_w - pw * scale) / 2
+            # tiles fill from the TOP row; page coords are bottom-up
+            dy = height - (r + 1) * cell_h + (cell_h - ph * scale) / 2
+            off = len(sheet.lines)
+            sheet.lines.extend(src.lines)
+            for sp in src.spans:
+                sp2 = copy.copy(sp)
+                sp2.line_idx += off
+                sheet.spans.append(sp2)
+            for ob in src.objects:
+                ob2 = copy.copy(ob)
+                l, b, rr, t = ob.bounds
+                ob2.bounds = (l * scale + dx, b * scale + dy,
+                              rr * scale + dx, t * scale + dy)
+                sheet.objects.append(ob2)
+        out.pages.append(sheet)
+    return out
