@@ -244,6 +244,16 @@ class _LineItem:
     heading_level: int | None = None
     dom_level: int = 0
     objects: list[PageObject] = field(default_factory=list)
+    #: top-level container id (0 = bare body) — density-policy grouping
+    segment: int = 0
+    #: non-whitespace chars of this line that sit inside <a> anchors
+    link_chars: int = 0
+
+
+#: top-level containers that delimit density segments (nav/header/footer/
+#: aside are already stripped wholesale as _SKIP_TAGS; main/article drive
+#: the semantic policy)
+_SEG_TAGS = frozenset("div section table ul ol".split())
 
 
 class _HtmlToDoc(HTMLParser):
@@ -274,6 +284,11 @@ class _HtmlToDoc(HTMLParser):
         self._head_depth = 0            # >0: inside <head> (metadata only)
         self._main_depth = 0
         self._article_depth = 0
+        # density-policy segmentation state
+        self._segment = 0               # last opened top-level container id
+        self._seg_depth = 0             # >0: inside some _SEG_TAGS subtree
+        self._a_depth = 0               # >0: inside an anchor
+        self._link_pending = 0          # non-ws anchor chars of this line
         self._style_stack: list[_Style] = [_Style()]
         self._frags: list[tuple[str, _Style]] = []   # current line fragments
         self._pending_objects: list[PageObject] = []
@@ -353,11 +368,15 @@ class _HtmlToDoc(HTMLParser):
         loop only runs for genuinely mixed-style lines (profiled: it was
         ~90% of total parse time before this split)."""
         if not self._frags and not self._pending_objects:
+            self._link_pending = 0
             return
         frags = self._frags
         objects = self._pending_objects
         self._frags = []
         self._pending_objects = []
+        link_chars = self._link_pending
+        self._link_pending = 0
+        segment = self._segment if self._seg_depth > 0 else 0
 
         single = True
         st0 = frags[0][1] if frags else None
@@ -379,7 +398,7 @@ class _HtmlToDoc(HTMLParser):
                 kind="line", text=text, spans=spans,
                 in_main=(self._main_depth > 0 or self._article_depth > 0),
                 heading_level=heading, dom_level=len(self._tag_stack),
-                objects=objects))
+                objects=objects, segment=segment, link_chars=link_chars))
             return
 
         chars: list[str] = []
@@ -419,7 +438,7 @@ class _HtmlToDoc(HTMLParser):
             kind="line", text=text, spans=spans,
             in_main=(self._main_depth > 0 or self._article_depth > 0),
             heading_level=heading, dom_level=len(self._tag_stack),
-            objects=objects))
+            objects=objects, segment=segment, link_chars=link_chars))
 
     # ---- HTMLParser hooks
 
@@ -496,7 +515,9 @@ class _HtmlToDoc(HTMLParser):
         if tag == "pb":
             self._flush_line()
             self.explicit_break = True
-            self.items.append(_LineItem(kind="break"))
+            self.items.append(_LineItem(
+                kind="break",
+                segment=self._segment if self._seg_depth > 0 else 0))
             return
         if tag == "br":
             self._flush_line()
@@ -536,6 +557,12 @@ class _HtmlToDoc(HTMLParser):
         elif tag == "article":
             self.has_article = True
             self._article_depth += 1
+        elif tag in _SEG_TAGS:
+            if self._seg_depth == 0:
+                self._segment += 1
+            self._seg_depth += 1
+        elif tag == "a":
+            self._a_depth += 1
 
     def handle_startendtag(self, tag, attrs):
         if tag in _VOID_TAGS:
@@ -579,6 +606,12 @@ class _HtmlToDoc(HTMLParser):
                 self._main_depth -= 1
             elif top == "article":
                 self._article_depth -= 1
+            elif top in _SEG_TAGS:
+                # after the flush above: the container's own trailing line
+                # still attributes to it
+                self._seg_depth -= 1
+            elif top == "a" and self._a_depth:
+                self._a_depth -= 1
             if top == tag:
                 break
 
@@ -599,6 +632,11 @@ class _HtmlToDoc(HTMLParser):
         if data:
             # heading text gets the heading style; record on flush
             self._frags.append((data, self._cur_style()))
+            if self._a_depth:
+                # per-char only on anchor text (boilerplate anchors are
+                # short); non-ws counting is collapse-invariant
+                self._link_pending += sum(
+                    ch not in _WS_SET for ch in data)
 
     def handle_comment(self, data):
         pass
@@ -788,12 +826,47 @@ def decode_payload(data: bytes,
         return None, ERR_FORMAT
 
 
+def _density_select(items: list[_LineItem]) -> list[_LineItem]:
+    """Boilerpipe/Readability-style main-content pick for pages with NO
+    semantic ``<main>``/``<article>``: score each top-level container
+    segment by its non-whitespace chars minus TWICE its anchor-text chars
+    (a link-dense navigation/footer block scores negative: its every char
+    is counted once as content and twice as link), keep the single
+    best-scoring segment's lines and page breaks. Deterministic — ties
+    break to the earliest segment; if no segment scores positive the page
+    is kept whole (a page of links is still a page)."""
+    scores: dict[int, int] = {}
+    for it in items:
+        if it.kind != "line":
+            continue
+        c = len(it.text) - it.text.count(" ")     # text is collapsed
+        scores[it.segment] = (scores.get(it.segment, 0)
+                              + c - 2 * it.link_chars)
+    if not scores:
+        return items
+    best, best_score = min(scores), scores[min(scores)]
+    for seg in sorted(scores):
+        if scores[seg] > best_score:
+            best, best_score = seg, scores[seg]
+    if best_score <= 0:
+        return items
+    return [it for it in items if it.segment == best]
+
+
 def parse_document(data: bytes, password: str | None = None,
                    layout: LayoutParams = DEFAULT_LAYOUT,
-                   max_toc_depth: int = 15) -> Document:
+                   max_toc_depth: int = 15,
+                   content_policy: str = "semantic") -> Document:
     """Parse one document payload into a :class:`Document` (never raises on
     bad input — failures become ``err_code``/``status``; document.py:564-587
-    inverted per the error-rows discipline)."""
+    inverted per the error-rows discipline).
+
+    ``content_policy`` governs main-content extraction when the page has
+    no semantic ``<main>``/``<article>`` (which always wins when present):
+    ``"semantic"`` keeps the whole body (minus the stripped boilerplate
+    tags); ``"density"`` additionally applies :func:`_density_select`'s
+    link-density heuristic over top-level containers — the DOM-heuristic
+    tier for wild crawl pages."""
 
     text, err = decode_payload(data, password)
     if text is None:
@@ -815,10 +888,12 @@ def parse_document(data: bytes, password: str | None = None,
     metadata = dict(parser.meta_tags)
     metadata.update(parser.metadata)
 
-    # main-content restriction
+    # main-content restriction (semantic markup always wins)
     items = parser.items
     if parser.has_main or parser.has_article:
         items = [it for it in items if it.kind == "break" or it.in_main]
+    elif content_policy == "density":
+        items = _density_select(items)
 
     # pagination
     pages_items: list[list[_LineItem]] = [[]]

@@ -92,9 +92,21 @@ def _inject_errors(html: pa.Array, doc_id: pa.Array) -> pa.Array:
 LINK_MULT, LINK_ADD, LINK_MOD = 31, 7, 997
 
 
-def documents_to_cc(batch: pa.Table, errors: bool = True) -> pa.Table:
+def documents_to_cc(batch: pa.Table, errors: bool = True,
+                    wrap: str = "main") -> pa.Table:
     """Vectorized ``documents`` row -> ``cc_pages`` row. ``errors=False``
-    yields the all-ok corpus (fixtures that need clean input)."""
+    yields the all-ok corpus (fixtures that need clean input).
+
+    ``wrap``: page shape around the same content.
+
+    - ``"main"`` — semantic markup: ``<nav>/<header>/<footer>``
+      boilerplate + a ``<main>`` wrapper (the semantic-policy page).
+    - ``"divs"`` — the WILD-crawl shape: NO ``<main>``, boilerplate as
+      link-dense ``<div>`` blocks plus a short plain-text site banner
+      div; only the density content policy recovers the same extracted
+      text (the banner scores positive, so plain tag-stripping is NOT
+      enough — the heuristic must out-score it with the content div).
+    """
     doc_id_str = pc.cast(batch["doc_id"], pa.string())
     did = pc.cast(batch["doc_id"], pa.int64())
     rel = pc.add(pc.multiply(did, LINK_MULT), LINK_ADD)
@@ -103,16 +115,29 @@ def documents_to_cc(batch: pa.Table, errors: bool = True) -> pa.Table:
     url = pc.binary_join_element_wise(
         "doc://", batch["source"], "/", doc_id_str, "")
     title = pc.binary_join_element_wise("doc ", doc_id_str, "")
+    content = ("<h1>Doc ", doc_id_str, "</h1><p>", batch["text"],
+               "</p><p>Language: ", batch["lang"], ".</p>",
+               "<pb>",
+               "<h2>Appendix ", doc_id_str, "</h2><p>End of ",
+               batch["source"], " document ", doc_id_str, ".</p>")
+    if wrap == "main":
+        parts = (
+            _BOILER_TOP,
+            '<nav><a href="/page/', rel_str, '">rel ', doc_id_str,
+            "</a></nav>", "<main>", *content, "</main>", _BOILER_BOTTOM)
+    else:   # "divs"
+        parts = (
+            '<div class="menu"><a href="/">Home</a> '
+            '<a href="/about">About</a> <a href="/page/', rel_str,
+            '">rel ', doc_id_str, "</a></div>",
+            "<div>Example Site — all pages</div>",
+            "<div>", *content, "</div>",
+            '<div class="share"><a href="#t">Share this page</a> '
+            '<a href="#f">Like</a> <a href="/signup">Sign up free '
+            "today</a></div>")
     html = pc.cast(pc.binary_join_element_wise(
         "<html><head><title>", title, "</title></head><body>",
-        _BOILER_TOP,
-        '<nav><a href="/page/', rel_str, '">rel ', doc_id_str, "</a></nav>",
-        "<main><h1>Doc ", doc_id_str, "</h1><p>", batch["text"],
-        "</p><p>Language: ", batch["lang"], ".</p>",
-        "<pb>",
-        "<h2>Appendix ", doc_id_str, "</h2><p>End of ", batch["source"],
-        " document ", doc_id_str, ".</p></main>",
-        _BOILER_BOTTOM,
+        *parts,
         "</body></html>", ""), pa.binary())
     if errors:
         html = _inject_errors(html, batch["doc_id"])
@@ -129,13 +154,14 @@ def documents_to_cc(batch: pa.Table, errors: bool = True) -> pa.Table:
     })
 
 
-def read_cc_from_documents(sf_dir: str, errors: bool = True):
+def read_cc_from_documents(sf_dir: str, errors: bool = True,
+                           wrap: str = "main"):
     """``read_parquet(documents)`` (column-pruned) -> streaming cc_pages."""
     from functools import partial
     import ray.data as rd
     ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/documents.parquet",
                          columns=["doc_id", "text", "lang", "source"])
-    return ds.map_batches(partial(documents_to_cc, errors=errors),
+    return ds.map_batches(partial(documents_to_cc, errors=errors, wrap=wrap),
                           batch_format="pyarrow")
 
 

@@ -105,10 +105,13 @@ class ExtractText:
                  include_pages: bool = True, include_rects: bool = True,
                  include_charboxes: bool = False, include_spans: bool = False,
                  include_objects: bool = False, include_attachments: bool = True,
-                 flatten_forms: bool = False,
+                 flatten_forms: bool = False, content_policy: str = "semantic",
                  max_toc_depth: int = 15, layout: LayoutParams = DEFAULT_LAYOUT):
         self.strategy = strategy
         self.password = password
+        #: "semantic" | "density" — DOM-heuristic main-content pick for
+        #: pages without <main>/<article> (htmldoc._density_select)
+        self.content_policy = content_policy
         self.include_pages = include_pages
         self.include_rects = include_rects
         self.include_charboxes = include_charboxes
@@ -127,7 +130,8 @@ class ExtractText:
         try:
             doc = parse_document(html, password=self.password,
                                  layout=self.layout,
-                                 max_toc_depth=self.max_toc_depth)
+                                 max_toc_depth=self.max_toc_depth,
+                                 content_policy=self.content_policy)
         except Exception as exc:  # defensive: parser must not kill the block
             return dict(url=url, warc_ts=warc_ts, lang=lang,
                         status="unknown_error", err_code=ERR_UNKNOWN,

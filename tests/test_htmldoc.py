@@ -284,3 +284,71 @@ def test_fast_feed_fuzz_differential():
         assert _doc_signature(fast) == _doc_signature(ref)
 
     go()
+
+
+# ---------------------------------------------------------------------------
+# density content policy (htmldoc._density_select)
+
+def _density_doc(html: bytes, policy="density"):
+    import pypdfium2_ray.docmodel.htmldoc as H
+    return H.parse_document(html, content_policy=policy)
+
+
+def test_density_picks_content_div():
+    html = (b"<html><body>"
+            b'<div><a href="/">Home</a> <a href="/a">About us</a> '
+            b'<a href="/b">Contact</a></div>'
+            b"<div>Short banner</div>"
+            b"<div><p>This is the long main body of the page with "
+            b"plenty of real sentences in it.</p><p>Another paragraph "
+            b"of content text.</p></div>"
+            b'<div><a href="#s">Share</a> <a href="#l">Like</a></div>'
+            b"</body></html>")
+    doc = _density_doc(html)
+    text = doc[0].get_textpage().text
+    assert text.startswith("This is the long main body")
+    assert "Home" not in text and "Short banner" not in text
+    # semantic policy keeps everything (no <main> present)
+    sem = _density_doc(html, policy="semantic")
+    assert "Short banner" in sem[0].get_textpage().text
+
+
+def test_density_semantic_main_wins():
+    html = (b"<html><body><div><p>huge decoy content far longer than the "
+            b"main element body text by a wide margin indeed</p></div>"
+            b"<main><p>tiny</p></main></body></html>")
+    doc = _density_doc(html)
+    assert doc[0].get_textpage().text == "tiny"   # <main> overrides density
+
+
+def test_density_all_links_keeps_page():
+    html = (b'<html><body><div><a href="/">Home</a></div>'
+            b'<div><a href="/b">More</a></div></body></html>')
+    doc = _density_doc(html)
+    assert doc[0].get_textpage().text == "Home\r\nMore"   # nothing positive
+
+
+def test_density_break_follows_segment():
+    html = (b"<html><body>"
+            b'<div><a href="/">Home</a> <a href="/x">About</a></div>'
+            b"<div><p>first page of the real content body</p><pb>"
+            b"<p>second page of the real content body</p></div>"
+            b"</body></html>")
+    doc = _density_doc(html)
+    assert len(doc) == 2
+    assert doc[0].get_textpage().text == "first page of the real content body"
+
+
+def test_density_fast_and_stdlib_lanes_agree():
+    import pypdfium2_ray.docmodel.htmldoc as H
+    html = (b"<html><body><div><a href='/'>Home nav</a></div>"
+            b"<div><p>content body long enough to win the score</p>"
+            b"</div></body></html>")
+    fast = H.parse_document(html, content_policy="density")
+    old = H.FAST_FEED_ENABLED
+    H.FAST_FEED_ENABLED = False
+    try:
+        ref = H.parse_document(html, content_policy="density")
+    finally:
+        H.FAST_FEED_ENABLED = old
+    assert [p.lines for p in fast.pages] == [p.lines for p in ref.pages]
