@@ -255,3 +255,45 @@ def sql_repetition_counts(col: str = "text") -> tuple[str, str]:
     arr = (f"list_filter(regexp_split_to_array({col}, "
            f"'[ \\t\\r\\n\\f\\v]+'), t -> t <> '')")
     return (f"len({arr})", f"len(list_distinct({arr}))")
+
+
+# ---------------------------------------------------------------------------
+# unicode text normalization (curation cleaning pass)
+
+#: (name, pattern, replacement) applied IN ORDER — identical RE2 source on
+#: the engine (pyarrow replace_substring_regex) and the DuckDB oracle
+#: (regexp_replace ... 'g'), the sql-twin idiom of _PII_ORDER above.
+#: Order matters: ellipsis folds before whitespace collapse so "a … b"
+#: becomes "a ... b", and the control strip runs before the collapse so
+#: control runs merge into the neighboring whitespace.
+_NORM_ORDER = (
+    ("quotes_single", "[‘’‚‛]", "'"),
+    ("quotes_double", "[“”„‟]", '"'),
+    ("dashes", "[–—―−]", "-"),
+    ("ellipsis", "…", "..."),
+    ("nbsp", "[   ]", " "),
+    ("controls", "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", ""),
+    ("ws_collapse", "[ \\t\\r\\n\\f\\v]+", " "),
+)
+
+
+def normalize_text(texts):
+    """Deterministic unicode cleanup: curly quotes/dashes/ellipsis/NBSP
+    folded to ASCII, control chars stripped, whitespace runs collapsed,
+    ends trimmed — one vectorized RE2 pass per rule."""
+    out = texts
+    for _name, pat, repl in _NORM_ORDER:
+        out = pc.replace_substring_regex(out, pat, repl)
+    return pc.utf8_trim(out, " ")
+
+
+def sql_normalize_text(col: str = "text") -> str:
+    """Nested regexp_replace chain in the same order + trim (DuckDB)."""
+    expr = col
+    for _name, pat, repl in _NORM_ORDER:
+        # DuckDB string literals keep backslashes verbatim — RE2 gets the
+        # identical pattern source; only quotes need SQL-escaping
+        p = pat.replace("'", "''")
+        r = repl.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
+    return f"trim({expr}, ' ')"

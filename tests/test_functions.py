@@ -266,3 +266,23 @@ def test_mixture_sample_nested_and_default(ray_session):
     full = mixture_sample(ds, "doc_id", "source", {},
                           default_permille=1000).to_pandas()
     assert len(full) == 200
+
+
+def test_normalize_text_sql_twin_exact():
+    """Engine normalize == DuckDB twin byte-for-byte, incl. controls,
+    unicode punctuation, ws runs and boundary trim."""
+    import duckdb
+    import pyarrow as pa
+    from pypdfium2_ray.functions.text import (
+        normalize_text, sql_normalize_text)
+    cases = ["“Hi” — it’s fine…", "a\x00b\x1fc", "  sp\t\naces  ",
+             "plain", "", "d–e−f", "ctrl\x07mid", "q‚s‛t„u‟v",
+             "nb sp", "―bar—", "'already' \"ascii\""]
+    got = normalize_text(pa.array(cases)).to_pylist()
+    con = duckdb.connect()
+    want = [con.execute(
+        f"SELECT {sql_normalize_text('t')} FROM (SELECT ?::VARCHAR AS t)",
+        [c]).fetchone()[0] for c in cases]
+    assert got == want
+    assert got[0] == '"Hi" - it\'s fine...'
+    assert got[1] == "abc" and got[2] == "sp aces"
