@@ -95,6 +95,30 @@ def q_extract_bounded(sf_dir: str):
     return ds.select_columns(["url", "extracted_text"])
 
 
+def q_density_extract(sf_dir: str):
+    """The DOM-heuristic content policy over the WILD-crawl corpus shape:
+    the same documents synthesized WITHOUT <main> (boilerplate as
+    link-dense divs plus a positive-scoring plain banner div,
+    cc_from_documents wrap='divs') extracted with
+    content_policy='density' — the link-density segment scorer must
+    recover byte-identical text to the semantic corpus, so the flagship
+    extraction SQL is its oracle. The semantic policy on this corpus
+    provably differs (boilerplate leaks; tested in test_htmldoc.py)."""
+    from pypdfium2_ray.docmodel.layout import LayoutParams
+    from pypdfium2_ray.pipelines.extract_text import extract_pipeline
+    from pypdfium2_ray.sources.cc_from_documents import read_cc_from_documents
+    ds = read_cc_from_documents(sf_dir, wrap="divs")
+    with _hint(sf_dir):
+        out = extract_pipeline(
+            ds=ds, skew_split="blocks",
+            extract_opts=dict(include_pages=False, include_rects=False,
+                              content_policy="density",
+                              layout=LayoutParams(page_width=1e9)))
+    out = out.select_columns(["url", "status", "err_code",
+                              "n_pages", "n_chars", "extracted_text"])
+    return _cast_i64(out, ["err_code", "n_pages", "n_chars"])
+
+
 def _warc_corpus(sf_dir: str) -> str:
     """The cc corpus materialized ONCE per sf_dir as WARC shards (Common
     Crawl's container format, sources/warc): built by the distributed
@@ -499,6 +523,24 @@ def q_dedup_latest_event(sf_dir: str):
 def _rem(t: pa.Table, mod: int) -> pa.Array:
     did = pc.cast(t["doc_id"], pa.int64())
     return pc.subtract(did, pc.multiply(pc.divide(did, mod), mod))
+
+
+def q_normalize_text(sf_dir: str):
+    """Unicode normalization pass (functions/text.normalize_text: curly
+    quotes/dashes/ellipsis/NBSP folds, control strip, ws collapse, trim)
+    — every row exercises the folds via deterministic planted decorations
+    (curly quotes + ellipsis around the text, identical expression on the
+    SQL side); one streaming vectorized map, RE2 sources shared verbatim
+    with the oracle."""
+    from pypdfium2_ray.functions.text import normalize_text
+
+    def f(t: pa.Table) -> pa.Table:
+        decorated = pc.binary_join_element_wise(
+            "“", t["text"], "”… — ok", "")
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "norm_text": normalize_text(decorated)})
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")
 
 
 def q_snapshot_delta(sf_dir: str):
@@ -1426,6 +1468,22 @@ def q_ann_ivf_topk(sf_dir: str):
                         n_centroids=16, nprobe=16, scale=100)
 
 
+def q_pq_topk(sf_dir: str):
+    """Product-quantization ADC top-k (stages/pq): codebooks trained on
+    the streaming sample, corpus encoded to m=8 uint8 codes (8x smaller
+    than the float64 vectors — the memory-scale ANN tier), integer
+    fixed-point LUT scoring so results are bit-identical at any
+    partitioning. Approximate by construction (quantization error) —
+    rows-only driver check like kmeans_assign; exactness regime and
+    recall are unit-tested (tests/test_pq.py)."""
+    from pypdfium2_ray.stages.pq import pq_encode, pq_topk, train_pq
+    queries = _query_vectors(sf_dir, ANN_QUERY_IDS)
+    books = train_pq(_train_sample(sf_dir), m=8, k=64)
+    with _hint(sf_dir, "embeddings"):
+        codes = pq_encode(_embeddings(sf_dir), books)
+        return pq_topk(codes, queries, books, k=ANN_K)
+
+
 def q_embedding_dups(sf_dir: str):
     """Exact near-dup pairs, broadcast tier — gated on corpus size (footer
     row count, no scan): beyond EMB_BROADCAST_MAX_ROWS the broadcast matrix
@@ -1842,6 +1900,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_text": q_extract_text,
         "extract_bounded": q_extract_bounded,
         "warc_extract": q_warc_extract,
+        "density_extract": q_density_extract,
         "doc_flags": q_doc_flags,
         "meta_extract": q_meta_extract,
         "token_stats": q_token_stats,
@@ -1867,6 +1926,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_latest_event": q_dedup_latest_event,
         "snapshot_delta": q_snapshot_delta,
         "incremental_dedup": q_incremental_dedup,
+        "normalize_text": q_normalize_text,
         "minhash_dups": q_minhash_dups,
         "simhash_dups": q_simhash_dups,
         "neardup_clusters": q_neardup_clusters,
@@ -1898,6 +1958,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprint": q_winnow_fingerprint,
         "ann_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "pq_topk": q_pq_topk,
         "embedding_dups": q_embedding_dups,
         "embedding_lsh_dups": q_embedding_lsh_dups,
         "ivf_dups": q_ivf_dups,
@@ -1928,6 +1989,7 @@ def oracle_sql() -> dict[str, str]:
         sql_token_count,
     )
     from pypdfium2_ray.functions.text import (
+        sql_normalize_text,
         sql_pii_count as _sql_pii_count,
         sql_redact_pii as _sql_redact_pii,
         sql_repetition_counts,
@@ -1966,6 +2028,16 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "extract_bounded": f"""
             SELECT 'doc://' || source || '/' || doc_id AS url,
+                   {ext_err} AS extracted_text
+            FROM documents""",
+        # density policy over the no-<main> corpus shape: the heuristic
+        # must reproduce the flagship bytes exactly
+        "density_extract": f"""
+            SELECT 'doc://' || source || '/' || doc_id AS url,
+                   {status_sql} AS status,
+                   {errc_sql} AS err_code,
+                   {npages_sql} AS n_pages,
+                   {nchars_err} AS n_chars,
                    {ext_err} AS extracted_text
             FROM documents""",
         # WARC-sourced flagship: identical per-url contract as
@@ -2124,6 +2196,10 @@ def oracle_sql() -> dict[str, str]:
                         WHEN o.fp = n.fp THEN 'unchanged'
                         ELSE 'changed' END AS delta
             FROM old o FULL OUTER JOIN new n ON o.url = n.url""",
+        "normalize_text": (
+            "SELECT doc_id, "
+            + sql_normalize_text("('“' || text || '”… — ok')")
+            + " AS norm_text FROM documents"),
         "incremental_dedup": """
             WITH a AS (
               SELECT md5(text) AS fp FROM documents WHERE doc_id % 4 <= 1),
