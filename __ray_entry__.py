@@ -1202,6 +1202,31 @@ def _extract_links_sql() -> str:
         FROM documents WHERE {ok}"""
 
 
+def q_anchor_text(sf_dir: str):
+    """Anchor-text index per link TARGET (stages/linkgraph.
+    anchor_text_index): n_refs / distinct-anchor count / sorted
+    '|'-joined anchor texts — per-block pre-combine, ONE href exchange,
+    reduceat+binary_join kernel. string_agg(ORDER BY) oracle over the
+    same synthesis-predicate link list as extract_links."""
+    from pypdfium2_ray.sources.cc_from_documents import read_cc_from_documents
+    from pypdfium2_ray.stages.linkgraph import anchor_text_index, extract_links
+    with _hint(sf_dir):
+        return anchor_text_index(
+            extract_links(read_cc_from_documents(sf_dir)))
+
+
+def _anchor_text_sql() -> str:
+    return f"""
+        WITH links AS ({_extract_links_sql()}),
+        pairs AS (
+          SELECT href, anchor, count(*) AS cnt
+          FROM links GROUP BY 1, 2)
+        SELECT href, sum(cnt)::BIGINT AS n_refs,
+               count(*)::BIGINT AS n_anchors,
+               string_agg(anchor, '|' ORDER BY anchor) AS anchors
+        FROM pairs GROUP BY href"""
+
+
 def q_link_pagerank(sf_dir: str):
     """The extraction tier feeding the graph tier END-TO-END: parse
     hyperlinks out of the raw crawl payloads (q_extract_links), keep the
@@ -1933,6 +1958,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_keep_one": q_neardup_keep_one,
         "pagerank": q_pagerank,
         "extract_links": q_extract_links,
+        "anchor_text": q_anchor_text,
         "link_pagerank": q_link_pagerank,
         "bm25_topk": q_bm25_topk,
         "url_dedup": q_url_dedup,
@@ -2409,6 +2435,7 @@ def oracle_sql() -> dict[str, str]:
               (SELECT doc_id FROM assign WHERE doc_id != component)""",
         "pagerank": _pagerank_sql(),
         "extract_links": _extract_links_sql(),
+        "anchor_text": _anchor_text_sql(),
         "link_pagerank": _link_pagerank_sql(),
         "bm25_topk": _bm25_sql(),
         "url_dedup": _url_dedup_sql(),

@@ -56,3 +56,35 @@ def test_links_to_edges_filters(ray_session):
     # /page/99 dangling (>=10), absolute URL not prefix-matched,
     # /page/02 parses as 2
     assert out == [[1, 3], [4, 2]]
+
+
+def test_anchor_text_index(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from pypdfium2_ray.stages.linkgraph import anchor_text_index
+    links = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "href": pa.array(["/a", "/a", "/a", "/b", "/b"]),
+        "anchor": pa.array(["one", "two", "one", "x", "x"])})
+    got = anchor_text_index(rd.from_arrow(links)).to_pandas() \
+        .sort_values("href").reset_index(drop=True)
+    assert got.values.tolist() == [
+        ["/a", 3, 2, "one|two"],
+        ["/b", 2, 1, "x"]]
+
+
+def test_anchor_text_partition_invariant(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from pypdfium2_ray.stages.linkgraph import anchor_text_index
+    n = 200
+    links = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "href": pa.array([f"/p{i % 7}" for i in range(n)]),
+        "anchor": pa.array([f"t{i % 13}" for i in range(n)])})
+    a = anchor_text_index(rd.from_arrow(links)).to_pandas() \
+        .sort_values("href").reset_index(drop=True)
+    b = anchor_text_index(rd.from_arrow(links).repartition(9),
+                          num_partitions=4).to_pandas() \
+        .sort_values("href").reset_index(drop=True)
+    assert a.values.tolist() == b.values.tolist()
