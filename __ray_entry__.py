@@ -1227,6 +1227,51 @@ def _anchor_text_sql() -> str:
         FROM pairs GROUP BY href"""
 
 
+def q_crawl_frontier(sf_dir: str):
+    """Crawl-frontier generation, composed purely from existing
+    primitives: parse out-links from raw payloads (extract_links), keep
+    intra-site page targets (links_to_edges — vectorized href parse),
+    per-block distinct pre-combine + one dst exchange (distinct_rows),
+    then ANTI join against the already-crawled id set (key_filter_join,
+    keys only) — the unseen targets a scheduler would enqueue next. The
+    crawled set is the EVEN doc_ids (a mid-crawl snapshot: at larger sf
+    the id space covers every link target, so all-docs-crawled would
+    leave a degenerate empty frontier). NOT-IN oracle over the synthesis
+    link predicates."""
+    from pypdfium2_ray.sources.cc_from_documents import read_cc_from_documents
+    from pypdfium2_ray.stages.dedup import distinct_rows
+    from pypdfium2_ray.stages.join import key_filter_join
+    from pypdfium2_ray.stages.linkgraph import extract_links, links_to_edges
+    from pypdfium2_ray.sources.cc_from_documents import LINK_MOD
+
+    def evens(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(_rem(t, 2), 0)).select(["doc_id"])
+
+    crawled = _docs(sf_dir, ["doc_id"]).map_batches(
+        evens, batch_format="pyarrow")
+    with _hint(sf_dir):
+        edges = links_to_edges(
+            extract_links(read_cc_from_documents(sf_dir)),
+            n_nodes=LINK_MOD)
+        targets = distinct_rows(edges.select_columns(["dst"]), ["dst"])
+        out = key_filter_join(targets, crawled, "dst",
+                              right_key="doc_id", mode="anti")
+    return _cast_i64(out, ["dst"])
+
+
+def _crawl_frontier_sql() -> str:
+    from pypdfium2_ray.sources.cc_from_documents import (
+        LINK_ADD, LINK_MOD, LINK_MULT, sql_is_bad, sql_is_enc,
+    )
+    ok = f"NOT {sql_is_bad()} AND NOT {sql_is_enc()}"
+    return f"""
+        SELECT DISTINCT
+               (doc_id * {LINK_MULT} + {LINK_ADD}) % {LINK_MOD} AS dst
+        FROM documents WHERE {ok}
+          AND (doc_id * {LINK_MULT} + {LINK_ADD}) % {LINK_MOD}
+              NOT IN (SELECT doc_id FROM documents WHERE doc_id % 2 = 0)"""
+
+
 def q_link_pagerank(sf_dir: str):
     """The extraction tier feeding the graph tier END-TO-END: parse
     hyperlinks out of the raw crawl payloads (q_extract_links), keep the
@@ -1959,6 +2004,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": q_pagerank,
         "extract_links": q_extract_links,
         "anchor_text": q_anchor_text,
+        "crawl_frontier": q_crawl_frontier,
         "link_pagerank": q_link_pagerank,
         "bm25_topk": q_bm25_topk,
         "url_dedup": q_url_dedup,
@@ -2436,6 +2482,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_sql(),
         "extract_links": _extract_links_sql(),
         "anchor_text": _anchor_text_sql(),
+        "crawl_frontier": _crawl_frontier_sql(),
         "link_pagerank": _link_pagerank_sql(),
         "bm25_topk": _bm25_sql(),
         "url_dedup": _url_dedup_sql(),
