@@ -352,3 +352,24 @@ def test_density_fast_and_stdlib_lanes_agree():
     finally:
         H.FAST_FEED_ENABLED = old
     assert [p.lines for p in fast.pages] == [p.lines for p in ref.pages]
+
+
+def test_flush_line_collapse_guard_equivalence():
+    """The _flush_line already-collapsed fast path must be invisible:
+    fuzz raw fragments against the unconditional sub+strip."""
+    import re
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    import pypdfium2_ray.docmodel.htmldoc as H
+    pat = re.compile(r"[ \t\r\n\f\v]+")
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(alphabet=" \t\r\n\f\v\xa0abZ.9", max_size=30))
+    def go(raw):
+        doc = H.parse_document(
+            ("<html><body><p>" + raw + "</p></body></html>").encode())
+        lines = [ln for p in doc.pages for ln in p.lines]
+        want = pat.sub(" ", raw).strip(" ")
+        assert lines == ([want] if want else [])
+
+    go()
