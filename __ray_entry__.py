@@ -119,6 +119,43 @@ def q_density_extract(sf_dir: str):
     return _cast_i64(out, ["err_code", "n_pages", "n_chars"])
 
 
+def q_tile_extract(sf_dir: str):
+    """Distributed document re-assembly end-to-end: parse each ok crawl
+    page, impose BOTH its pages onto one 2x1 sheet
+    (docmodel.serialize.tile_document — the FPDF_ImportNPagesToOne
+    analogue), SERIALIZE the result, re-parse the serialized bytes and
+    extract — exercising tile + save + reopen in one streaming stage.
+    The oracle composes the single-sheet text from the synthesis: tile
+    order == reading order, so the sheet is page1's lines then page2's,
+    CRLF-joined under one '# Page 1' frame."""
+    from pypdfium2_ray.docmodel.htmldoc import (
+        extract_document_text, parse_document)
+    from pypdfium2_ray.docmodel.layout import LayoutParams
+    from pypdfium2_ray.docmodel.serialize import (
+        serialize_document, tile_document)
+    from pypdfium2_ray.sources.cc_from_documents import read_cc_from_documents
+    layout = LayoutParams(page_width=1e9)
+
+    def f(t: pa.Table) -> pa.Table:
+        urls, n_pages, texts = [], [], []
+        for url, html in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+            doc = parse_document(html or b"", layout=layout)
+            if not doc.ok:
+                continue
+            tiled = tile_document(doc, cols=2, rows=1,
+                                  width=1190, height=842)
+            back = parse_document(serialize_document(tiled), layout=layout)
+            urls.append(url)
+            n_pages.append(len(back))
+            texts.append(extract_document_text(back, "range"))
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "n_pages": pa.array(n_pages, pa.int64()),
+                         "extracted_text": pa.array(texts, pa.string())})
+
+    return read_cc_from_documents(sf_dir).map_batches(
+        f, batch_format="pyarrow")
+
+
 def _warc_corpus(sf_dir: str) -> str:
     """The cc corpus materialized ONCE per sf_dir as WARC shards (Common
     Crawl's container format, sources/warc): built by the distributed
@@ -1971,6 +2008,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_bounded": q_extract_bounded,
         "warc_extract": q_warc_extract,
         "density_extract": q_density_extract,
+        "tile_extract": q_tile_extract,
         "doc_flags": q_doc_flags,
         "meta_extract": q_meta_extract,
         "token_stats": q_token_stats,
@@ -2068,7 +2106,8 @@ def oracle_sql() -> dict[str, str]:
     )
     _REP_SQL = sql_repetition_counts("text")
     from pypdfium2_ray.sources.cc_from_documents import (
-        sql_extracted_text, sql_n_chars, sql_is_bad, sql_is_enc)
+        _sql_page_texts, sql_extracted_text, sql_n_chars, sql_is_bad,
+        sql_is_enc)
 
     en_stop = "\\b(" + "|".join(LANG_STOPWORDS["en"]) + ")\\b"
     ext = sql_extracted_text("text")
@@ -2078,6 +2117,7 @@ def oracle_sql() -> dict[str, str]:
     # per-row (status, err_code, empty-output) discipline exactly —
     # err_code values are the PDFium constants (FORMAT=3, PASSWORD=4)
     bad, enc = sql_is_bad(), sql_is_enc()
+    p1_sql, p2_sql = _sql_page_texts("text")
     is_err = f"({bad} OR {enc})"
     status_sql = (f"CASE WHEN {bad} THEN 'format_error' "
                   f"WHEN {enc} THEN 'password_error' ELSE 'ok' END")
@@ -2102,6 +2142,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'doc://' || source || '/' || doc_id AS url,
                    {ext_err} AS extracted_text
             FROM documents""",
+        # 2x1 imposition + serialize + reopen: one sheet whose text is
+        # page1's lines then page2's under a single frame (ok rows only —
+        # tile refuses failed documents)
+        "tile_extract": f"""
+            SELECT 'doc://' || source || '/' || doc_id AS url,
+                   1::BIGINT AS n_pages,
+                   '# Page 1' || chr(10) || {p1_sql} || chr(13) || chr(10)
+                    || {p2_sql} || chr(10) AS extracted_text
+            FROM documents WHERE NOT {bad} AND NOT {enc}""",
         # density policy over the no-<main> corpus shape: the heuristic
         # must reproduce the flagship bytes exactly
         "density_extract": f"""

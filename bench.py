@@ -34,8 +34,13 @@ sys.path.insert(0, _REPO)
 #: corpus shape: each source doc appears REPLICAS times, body = the doc text
 #: repeated PARAGRAPHS times as separate <p> blocks (multi-line pages, real
 #: pagination + rect work per doc)
-REPLICAS = 72
+REPLICAS = int(os.environ.get("GRAFT_BENCH_REPLICAS", "72"))
 PARAGRAPHS = 20
+#: the --scaling comparison uses a 3x corpus: the parse kernel is now fast
+#: enough that the 72-replica corpus finishes in ~6 s at 32 CPUs, where
+#: fixed pipeline startup dominates the ratio; the SAME (larger) input at
+#: both levels is the honest cluster-size emulation
+SCALING_REPLICAS = int(os.environ.get("GRAFT_SCALING_REPLICAS", "216"))
 
 
 def _ensure_corpus(sf_dir: str) -> tuple[str, int, int]:
@@ -217,6 +222,7 @@ def _scaling_child(sf_dir: str, num_cpus: int) -> dict:
     env = dict(os.environ)
     env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
     env["OMP_NUM_THREADS"] = "1"
+    env["GRAFT_BENCH_REPLICAS"] = str(REPLICAS)   # children share the corpus
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, env=env, timeout=3600, cwd=_REPO)
     for line in out.stdout.splitlines():
@@ -254,6 +260,8 @@ def run_scaling(sf_dir: str, low: int = 8, high: int = 32,
     both levels see the same per-core clock — the honest stand-in for
     same-hardware nodes at two cluster sizes. Both raw and equalized
     low-level throughputs are reported."""
+    global REPLICAS
+    REPLICAS = SCALING_REPLICAS     # larger fixed input for BOTH levels
     _ensure_corpus(sf_dir)          # build cache outside all timed children
     samples = {low: [], high: []}
     raw_low = None
