@@ -1958,15 +1958,17 @@ _ANN_TOPK_SQL = f"""
 
 
 def q_image_resize(sf_dir: str):
-    """REAL resize end-to-end over a MIXED-format corpus: doc_id mod 3
-    picks PNG / uncompressed BMP / GIF (all three from-scratch codecs —
-    GIF exercises the LZW encode/decode round-trip); resize to half
-    (decode -> vectorized nearest-neighbor -> re-encode in the same
-    format), then header-parse the RESIZED payload back; the oracle
-    recomputes halved dims and the doc_id-mod format."""
+    """REAL resize end-to-end over a MIXED-format corpus: doc_id mod 4
+    picks PNG / uncompressed BMP / GIF / baseline JPEG (all four
+    from-scratch codecs — GIF exercises LZW, JPEG the DCT entropy
+    round-trip); resize to half (decode -> vectorized nearest-neighbor
+    -> re-encode in the same format), then header-parse the RESIZED
+    payload back; the oracle recomputes halved dims and the doc_id-mod
+    format."""
     import numpy as np
     from pypdfium2_ray.functions.bmp import encode_bmp
     from pypdfium2_ray.functions.gif import encode_gif
+    from pypdfium2_ray.functions.jpeg import encode_jpeg
     from pypdfium2_ray.functions.png import encode_png
     from pypdfium2_ray.functions.text import token_count
     from pypdfium2_ray.stages.multimodal import decode_images, resize_images
@@ -1979,7 +1981,8 @@ def q_image_resize(sf_dir: str):
             w = 2 + len(txt or "") % 64
             h = 2 + int(ntok) % 64
             img = np.zeros((h, w), dtype=np.uint8)
-            enc = (encode_png, encode_bmp, encode_gif)[did % 3]
+            enc = (encode_png, encode_bmp, encode_gif,
+                   encode_jpeg)[did % 4]
             payloads.append(enc(img))
         return pa.table({"id": t["doc_id"],
                          "data": pa.array(payloads, pa.binary())})
@@ -2714,8 +2717,8 @@ def oracle_sql() -> dict[str, str]:
         # resized payload must round-trip in its ORIGINAL format
         "image_resize": f"""
             SELECT doc_id AS id, 'ok' AS status,
-                   CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
-                        ELSE 'gif' END AS format,
+                   CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+                        WHEN 2 THEN 'gif' ELSE 'jpeg' END AS format,
                    CAST((2 + length(text) % 64) // 2 AS BIGINT) AS width,
                    CAST((2 + {sql_token_count('text')} % 64) // 2 AS BIGINT)
                      AS height

@@ -76,6 +76,9 @@ def _decode_pixels(payload: bytes, fmt: str) -> "np.ndarray | None":
         if fmt == "gif":
             from pypdfium2_ray.functions.gif import decode_gif
             return decode_gif(payload)
+        if fmt == "jpeg":
+            from pypdfium2_ray.functions.jpeg import decode_jpeg
+            return decode_jpeg(payload)
     except Exception:
         return None
     return None
@@ -181,9 +184,9 @@ class ResizeImage:
     REAL for PNG, uncompressed-BMP and GIF payloads (from-scratch decode
     -> vectorized nearest-neighbor -> re-encode in the SAME format, no
     image libraries; nearest-neighbor only gathers pixels, so a resized
-    GIF always fits its source palette); other formats (JPEG) pass
-    through with ``status='unsupported-format'`` (their pixel decoders
-    are PIL-gated, like DecodeImage mode='pil').
+    GIF always fits its source palette; JPEG re-encodes through the
+    baseline codec at quality 85 — lossy like any JPEG resave); unknown
+    formats pass through with ``status='unsupported-format'``.
     ``scale`` halves by default; explicit ``width``/``height`` win.
     """
 
@@ -199,6 +202,7 @@ class ResizeImage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         from pypdfium2_ray.functions.bmp import encode_bmp
         from pypdfium2_ray.functions.gif import encode_gif
+        from pypdfium2_ray.functions.jpeg import encode_jpeg
         from pypdfium2_ray.functions.png import encode_png
         ids = batch[self.id_col].to_pylist()
         payloads = batch[self.data_col].to_pylist()
@@ -206,7 +210,7 @@ class ResizeImage:
         for i, p in zip(ids, payloads):
             p = p or b""
             meta = parse_image_meta(p)
-            if meta is None or meta[0] not in ("png", "bmp", "gif"):
+            if meta is None or meta[0] not in ("png", "bmp", "gif", "jpeg"):
                 rows.append(dict(id=i, status="unsupported-format",
                                  width=0, height=0, data=p))
                 continue
@@ -222,7 +226,7 @@ class ResizeImage:
                  else max(1, int(img.shape[0] * self.scale)))
             out = _resize_nearest(img, w, h)
             enc = {"png": encode_png, "bmp": encode_bmp,
-                   "gif": encode_gif}[fmt](out)
+                   "gif": encode_gif, "jpeg": encode_jpeg}[fmt](out)
             rows.append(dict(id=i, status="ok", width=w, height=h,
                              data=enc))
         return pa.Table.from_pylist(rows, schema=pa.schema([

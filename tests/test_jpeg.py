@@ -1,0 +1,88 @@
+"""Baseline JPEG codec (functions/jpeg.py)."""
+
+import numpy as np
+import pytest
+
+from pypdfium2_ray.functions.jpeg import (
+    JpegFormatError, decode_jpeg, encode_jpeg)
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+    return 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+
+
+def _gradient(h, w):
+    x = np.linspace(0, 255, w)[None, :].repeat(h, 0)
+    y = np.linspace(0, 255, h)[:, None].repeat(w, 1)
+    return np.stack([x, y, (x + y) / 2], axis=-1).astype(np.uint8)
+
+
+def test_round_trip_444_psnr():
+    img = _gradient(45, 62)                 # odd dims exercise padding
+    back = decode_jpeg(encode_jpeg(img, quality=90))
+    assert back.shape == img.shape
+    assert _psnr(img, back) > 40
+
+
+def test_round_trip_420_psnr():
+    img = _gradient(33, 47)
+    back = decode_jpeg(encode_jpeg(img, quality=90, subsample=True))
+    assert back.shape == img.shape
+    assert _psnr(img, back) > 35
+
+
+def test_round_trip_gray():
+    rng = np.random.RandomState(1)
+    img = (rng.rand(24, 31) * 60 + 100).astype(np.uint8)   # low contrast
+    back = decode_jpeg(encode_jpeg(img, quality=95))
+    assert back.shape == img.shape and back.ndim == 2
+    assert _psnr(img, back) > 30
+
+
+def test_quality_monotone():
+    img = _gradient(40, 40)
+    lo = decode_jpeg(encode_jpeg(img, quality=20))
+    hi = decode_jpeg(encode_jpeg(img, quality=95))
+    assert _psnr(img, hi) > _psnr(img, lo)
+    assert len(encode_jpeg(img, quality=20)) < len(
+        encode_jpeg(img, quality=95))
+
+
+def test_flat_image_exact():
+    """A flat block has only a DC term — representable exactly."""
+    img = np.full((16, 16, 3), 128, np.uint8)
+    back = decode_jpeg(encode_jpeg(img, quality=85))
+    assert (back == img).all()
+
+
+def test_refusals_loud():
+    with pytest.raises(JpegFormatError):
+        decode_jpeg(b"\x89PNG not a jpeg")
+    img = _gradient(16, 16)
+    data = bytearray(encode_jpeg(img))
+    # flip SOF0 -> SOF2 (progressive): refuse, never wrong pixels
+    i = data.find(b"\xff\xc0")
+    data[i + 1] = 0xC2
+    with pytest.raises(JpegFormatError):
+        decode_jpeg(bytes(data))
+    # truncated entropy stream
+    with pytest.raises(JpegFormatError):
+        decode_jpeg(encode_jpeg(img)[:60])
+
+
+def test_resize_stage_handles_jpeg(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from pypdfium2_ray.stages.multimodal import resize_images
+    img = _gradient(40, 64)
+    t = pa.table({"id": pa.array([7], pa.int64()),
+                  "data": pa.array([encode_jpeg(img)], pa.binary())})
+    out = resize_images(rd.from_arrow(t), scale=0.5).to_pandas()
+    assert out["status"].tolist() == ["ok"]
+    assert (out["width"][0], out["height"][0]) == (32, 20)
+    back = decode_jpeg(bytes(out["data"][0]))
+    assert back.shape == (20, 32, 3)
+    # resized content tracks the source (nearest-neighbor + requantize)
+    small = img[::2, ::2][:20, :32]
+    assert _psnr(small, back) > 25
