@@ -485,6 +485,59 @@ def cmd_pageobjects(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """The end-to-end training-data journey as one command: crawl parquet
+    -> flagship extraction (density content policy for wild pages) ->
+    quality gate -> exact content dedup (keep-first per fingerprint) ->
+    deterministic hash-sharded export. Each stage is the already-tested
+    primitive; this subcommand is the composition a user of the
+    reference would actually run against a crawl dump."""
+    _init_ray()
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pypdfium2_ray.docmodel.layout import LayoutParams
+    from pypdfium2_ray.functions.text import fingerprint_md5
+    from pypdfium2_ray.pipelines.extract_text import extract_pipeline
+    from pypdfium2_ray.stages.dedup import dedup_by_url
+    from pypdfium2_ray.stages.exchange import partition_map
+    from pypdfium2_ray.stages.shuffle import write_shuffled
+    from pypdfium2_ray.stages.textstats import quality_filter
+
+    ds = extract_pipeline(
+        path=args.input, dedup=args.url_dedup, skew_split="blocks",
+        extract_opts=dict(include_pages=False, include_rects=False,
+                          content_policy=args.content_policy,
+                          layout=LayoutParams(page_width=1e9)))
+    ok = ds.filter(expr="status == 'ok'") \
+           .select_columns(["url", "warc_ts", "lang", "n_chars",
+                            "extracted_text"])
+    gated = quality_filter(ok, col="extracted_text",
+                           min_tokens=args.min_tokens)
+
+    def fp(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "fingerprint", fingerprint_md5(t["extracted_text"]))
+
+    def keep_first(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return t
+        t = t.sort_by([("fingerprint", "ascending"), ("url", "ascending")])
+        fps = t["fingerprint"].to_numpy(zero_copy_only=False)
+        import numpy as np
+        first = np.ones(len(fps), dtype=bool)
+        first[1:] = fps[1:] != fps[:-1]
+        return t.filter(pa.array(first))
+
+    deduped = partition_map(
+        gated.map_batches(fp, batch_format="pyarrow"),
+        ["fingerprint"], keep_first)
+    write_shuffled(deduped, args.output, key_col="url",
+                   n_shards=args.shards)
+    print(args.output)
+    return 0
+
+
 def cmd_fixtures(args) -> int:
     from pypdfium2_ray.sources.fixtures import write_cc_parquet
     write_cc_parquet(args.output, n_synthetic=args.synthetic)
@@ -613,6 +666,18 @@ def get_parser() -> argparse.ArgumentParser:
                     choices=["pos", "imginfo", "text"])
     sp.add_argument("--n-digits", type=int, default=4)
     sp.set_defaults(fn=cmd_pageobjects)
+
+    sp = sub.add_parser("curate",
+                        help="extract -> quality gate -> dedup -> "
+                             "shuffled shards, end to end")
+    sp.add_argument("input")
+    sp.add_argument("-o", "--output", required=True)
+    sp.add_argument("--content-policy", default="density",
+                    choices=["semantic", "density"])
+    sp.add_argument("--min-tokens", type=int, default=10)
+    sp.add_argument("--url-dedup", action="store_true")
+    sp.add_argument("--shards", type=int, default=16)
+    sp.set_defaults(fn=cmd_curate)
 
     sp = sub.add_parser("fixtures", help="write the fixture corpus")
     sp.add_argument("-o", "--output", required=True)

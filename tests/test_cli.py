@@ -154,3 +154,35 @@ def test_cli_decontam_three_tiers(ray_session, tmp_path):
     assert main(["decontam", src, "-o", out3, "--heldout", str(heldout),
                  "--method", "hash"]) == 0
     assert kept(out3) == [0, 1, 3]     # only the exact-equal doc
+
+
+def test_cli_curate_end_to_end(ray_session, tmp_path):
+    """extract -> quality gate -> exact dedup -> shuffled shards: plant a
+    content duplicate (identical page under two urls) and a too-short
+    page; the curated output keeps one of the twins and drops the stub."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    body = ("curated corpus body with plenty of ordinary words to pass "
+            "the token gate easily " * 3)
+    page = ("<html><body><main><p>" + body + "</p></main></body></html>"
+            ).encode()
+    stub = b"<html><body><main><p>tiny</p></main></body></html>"
+    uniq = ("<html><body><main><p>" + body + " unique tail</p></main>"
+            "</body></html>").encode()
+    cc = pa.table({
+        "url": pa.array([f"https://t.test/{i}" for i in range(4)]),
+        "warc_ts": pa.array([0] * 4, pa.timestamp("us")),
+        "html": pa.array([page, page, stub, uniq], pa.binary()),
+        "text": pa.array([""] * 4),
+        "lang": pa.array(["en"] * 4),
+    })
+    src = str(tmp_path / "cc.parquet")
+    pq.write_table(cc, src)
+    out = str(tmp_path / "curated")
+    assert main(["curate", src, "-o", out, "--shards", "2"]) == 0
+    t = pq.read_table(out)
+    # the stub fails the token gate; the twins share a fingerprint
+    assert t.num_rows == 2
+    assert len(set(t["extracted_text"].to_pylist())) == 2
+    assert {"shard", "pos", "fingerprint"} <= set(t.column_names)
