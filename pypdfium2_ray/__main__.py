@@ -485,6 +485,46 @@ def cmd_pageobjects(args) -> int:
     return 0
 
 
+def cmd_ingest(args) -> int:
+    """First-mile ingest: a directory of WARC shards -> cc_pages parquet,
+    resumable per shard (state/checkpoint manifest + lineage; rerunning
+    after a crash skips finished shards). Optionally runs extraction in
+    the same pass (--extract), so crawl containers stream straight to the
+    extracted table without an intermediate copy."""
+    _init_ray()
+    from pypdfium2_ray.sources.warc import read_warc
+    from pypdfium2_ray.state import run_checkpointed, shard_inputs
+
+    shards = shard_inputs(args.input, pattern=".warc.gz",
+                          group_size=args.group_size)
+    shards += [s for s in shard_inputs(args.input, pattern=".warc",
+                                       group_size=args.group_size)
+               if not str(s[1]).endswith(".warc.gz")]
+    if not shards:
+        raise SystemExit(f"ingest: no .warc/.warc.gz files in {args.input}")
+
+    if args.extract:
+        from pypdfium2_ray.docmodel.layout import LayoutParams
+        from pypdfium2_ray.pipelines.extract_text import extract_pipeline
+
+        def pipeline(path):
+            return extract_pipeline(
+                ds=read_warc(path), skew_split="blocks",
+                extract_opts=dict(include_pages=False, include_rects=False,
+                                  content_policy=args.content_policy,
+                                  layout=LayoutParams(page_width=1e9)))
+    else:
+        def pipeline(path):
+            return read_warc(path)
+
+    # non-extract output has no status column; _count_errors treats a
+    # missing column as zero errors
+    summary = run_checkpointed(shards, pipeline, args.output)
+    print(f"ran={len(summary['ran'])} skipped={len(summary['skipped'])} "
+          f"done={summary['total_done']}")
+    return 0
+
+
 def cmd_curate(args) -> int:
     """The end-to-end training-data journey as one command: crawl parquet
     -> flagship extraction (density content policy for wild pages) ->
@@ -666,6 +706,18 @@ def get_parser() -> argparse.ArgumentParser:
                     choices=["pos", "imginfo", "text"])
     sp.add_argument("--n-digits", type=int, default=4)
     sp.set_defaults(fn=cmd_pageobjects)
+
+    sp = sub.add_parser("ingest",
+                        help="WARC dir -> parquet (resumable per shard)")
+    sp.add_argument("input", help="directory of .warc/.warc.gz shards")
+    sp.add_argument("-o", "--output", required=True)
+    sp.add_argument("--extract", action="store_true",
+                    help="run extraction in the same pass")
+    sp.add_argument("--content-policy", default="semantic",
+                    choices=["semantic", "density"])
+    sp.add_argument("--group-size", type=int, default=1,
+                    help="WARC files per checkpoint shard")
+    sp.set_defaults(fn=cmd_ingest)
 
     sp = sub.add_parser("curate",
                         help="extract -> quality gate -> dedup -> "

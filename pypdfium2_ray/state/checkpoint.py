@@ -106,10 +106,17 @@ def _parquet_meta(path_or_dir: str | list[str]) -> tuple[int, int]:
         paths = [path_or_dir]
     rows = 0
     size = 0
+    unknown = False
     for p in paths:
-        rows += pq.ParquetFile(p).metadata.num_rows
         size += os.path.getsize(p)
-    return rows, size
+        if p.endswith(".parquet"):
+            rows += pq.ParquetFile(p).metadata.num_rows
+        else:
+            # non-parquet input shard (e.g. a WARC container): byte size
+            # is still footer-free truth; the row count is not knowable
+            # without a scan — report -1 (unknown), never a wrong number
+            unknown = True
+    return (-1 if unknown else rows), size
 
 
 def _count_errors(out_shard_dir: str, status_col: str = "status") -> int:

@@ -93,3 +93,42 @@ def test_sink_bytes_partitioning_invariant(ray_session, tmp_path):
         fa = open(f"{a}/part-{i:05d}.warc.gz", "rb").read()
         fb = open(f"{b}/part-{i:05d}.warc.gz", "rb").read()
         assert fa == fb
+
+
+def test_cli_ingest_warc_resumable(ray_session, tmp_path, capsys):
+    """WARC dir -> parquet via the checkpoint manifest; second run skips
+    finished shards; --extract streams straight to the extracted table."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from pypdfium2_ray.__main__ import main
+    from pypdfium2_ray.sources.cc_from_documents import documents_to_cc
+    docs = pa.table({
+        "doc_id": pa.array(range(24), pa.int64()),
+        "text": pa.array([f"ingest body {i} with several words" 
+                          for i in range(24)]),
+        "lang": pa.array(["en"] * 24),
+        "source": pa.array(["web"] * 24),
+    })
+    cc = documents_to_cc(docs, errors=False).select(
+        ["url", "warc_ts", "html"])
+    warc_dir = str(tmp_path / "warc")
+    write_warc_shards(rd.from_arrow(cc), warc_dir, n_shards=3)
+
+    out = str(tmp_path / "pages")
+    assert main(["ingest", warc_dir, "-o", out]) == 0
+    assert "ran=3 skipped=0" in capsys.readouterr().out
+    t = pads.dataset(out, format="parquet").to_table()
+    assert t.num_rows == 24
+    assert {"url", "warc_ts", "html"} <= set(t.column_names)
+    # resume: nothing re-runs
+    assert main(["ingest", warc_dir, "-o", out]) == 0
+    assert "ran=0 skipped=3" in capsys.readouterr().out
+
+    out2 = str(tmp_path / "extracted")
+    assert main(["ingest", warc_dir, "-o", out2, "--extract"]) == 0
+    t2 = pads.dataset(out2, format="parquet").to_table()
+    assert t2.num_rows == 24
+    assert set(t2["status"].to_pylist()) == {"ok"}
+    assert t2["extracted_text"][0].as_py().startswith("# Page 1\n")
