@@ -237,10 +237,14 @@ def _dht_segment(tclass: int, tid: int, spec) -> bytes:
 
 
 def encode_jpeg(img: np.ndarray, quality: int = 85,
-                subsample: bool = False) -> bytes:
+                subsample: bool = False,
+                restart_interval: int = 0) -> bytes:
     """Baseline JFIF bytes for a (h, w) grayscale or (h, w, 3) RGB uint8
-    array. ``subsample=True`` emits 4:2:0 (2x2 luma sampling) — also the
-    fixture generator for the decoder's general-MCU path."""
+    array. ``subsample=True`` emits 4:2:0 (2x2 luma sampling);
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs (crash-isolation in real encoders; here also the fixture
+    generator for the decoder's restart path). Both are also decoder
+    fixtures for the general-MCU and RST paths."""
     img = np.asarray(img, dtype=np.uint8)
     gray = img.ndim == 2
     h, w = img.shape[:2]
@@ -298,6 +302,8 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
     out += _dht_segment(0, 0, _DC_LUMA) + _dht_segment(1, 0, _AC_LUMA)
     if not gray:
         out += _dht_segment(0, 1, _DC_CHROMA) + _dht_segment(1, 1, _AC_CHROMA)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     # SOS
     sos = bytearray(bytes([ncomp]))
     sos += bytes([1, 0x00])
@@ -307,6 +313,20 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
     out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + bytes(sos)
 
     writer = _BitWriter()
+    mcu_done = 0
+    rst_idx = 0
+
+    def maybe_restart():
+        """Flush-align and emit RSTn between restart intervals (markers
+        bypass byte stuffing by design); DC predictors reset."""
+        nonlocal mcu_done, rst_idx, preds
+        mcu_done += 1
+        if restart_interval and mcu_done % restart_interval == 0:
+            writer.flush()
+            writer.out += bytes([0xFF, 0xD0 + (rst_idx & 7)])
+            rst_idx += 1
+            preds = [0] * len(preds)
+
     if gray or not subsample:
         # one MCU per block per component, components interleaved per MCU
         comp_blocks = []
@@ -323,6 +343,7 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
                 preds[ci] = _encode_plane_blocks(
                     comp_blocks[ci][m:m + 1], quants[ci], dcs[ci],
                     acs[ci], writer, preds[ci])
+            maybe_restart()
     else:
         # 4:2:0: MCU = 4 luma blocks (2x2) + 1 Cb + 1 Cr
         yb, yhb, ywb = _to_blocks(planes[0] - 128.0)
@@ -350,6 +371,7 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
                     cbd[my, mx][None], qc, dc_c, ac_c, writer, preds[1])
                 preds[2] = _encode_plane_blocks(
                     crd[my, mx][None], qc, dc_c, ac_c, writer, preds[2])
+                maybe_restart()
     writer.flush()
     out += writer.out
     out += b"\xff\xd9"                                        # EOI

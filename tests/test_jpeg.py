@@ -86,3 +86,22 @@ def test_resize_stage_handles_jpeg(ray_session):
     # resized content tracks the source (nearest-neighbor + requantize)
     small = img[::2, ::2][:20, :32]
     assert _psnr(small, back) > 25
+
+
+def test_restart_intervals_round_trip():
+    """DRI/RSTn path: every interval (including one-MCU and the trailing
+    marker when the MCU count divides the interval) decodes identically
+    well in both sampling modes."""
+    img = _gradient(45, 62)
+    base = _psnr(img, decode_jpeg(encode_jpeg(img, quality=90)))
+    for ri in (1, 3, 7):
+        for sub in (False, True):
+            back = decode_jpeg(encode_jpeg(img, quality=90, subsample=sub,
+                                           restart_interval=ri))
+            assert back.shape == img.shape
+            floor = 40 if not sub else 35
+            assert _psnr(img, back) > floor
+    # restart markers change framing only, not fidelity (4:4:4 case)
+    ri_psnr = _psnr(img, decode_jpeg(
+        encode_jpeg(img, quality=90, restart_interval=2)))
+    assert abs(ri_psnr - base) < 0.5
