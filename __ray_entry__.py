@@ -539,6 +539,55 @@ def q_doc_stats(sf_dir: str):
 # ---------------------------------------------------------------------------
 # dedup family
 
+#: Count-Min query config — shared with the oracle generator
+CM_WIDTH, CM_DEPTH = 2048, 4
+CM_QUERY_TOKENS = ("data", "the", "spark", "absent-token-xyz")
+
+
+def q_cm_counts(sf_dir: str):
+    """Count-Min point-count estimates (stages/freq.count_min_sketch):
+    per-block distinct pre-combine, ONE (d, cell) exchange with exact
+    integer cell sums, estimates = min over depth rows. The cell hash is
+    the md5_number_upper twin, so the ESTIMATES (including collision
+    over-counts and the absent token) are SQL-expressible exactly."""
+    from pypdfium2_ray.stages.freq import (
+        cm_estimate, count_min_sketch, explode_tokens)
+    toks = _docs(sf_dir, ["text"]).map_batches(
+        explode_tokens, batch_format="pyarrow")
+    with _hint(sf_dir):
+        sketch = count_min_sketch(toks, "token",
+                                  width=CM_WIDTH, depth=CM_DEPTH)
+    # the sketch is the bounded <= depth*width-row summary: the ONE
+    # legitimate driver collect
+    rows = pa.concat_tables(list(sketch.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    return cm_estimate(rows, list(CM_QUERY_TOKENS),
+                       width=CM_WIDTH, depth=CM_DEPTH)
+
+
+def _cm_counts_sql() -> str:
+    vals = ", ".join(f"('{v}')" for v in CM_QUERY_TOKENS)
+    ds = ", ".join(f"({d})" for d in range(CM_DEPTH))
+    return f"""
+        WITH tok AS (
+          SELECT unnest(regexp_split_to_array(text,
+                        '[ \t\r\n\f\v]+')) AS t
+          FROM documents),
+        cnt AS (SELECT t, count(*)::BIGINT AS c FROM tok
+                WHERE t <> '' GROUP BY t),
+        q(v) AS (VALUES {vals}),
+        d(d) AS (VALUES {ds}),
+        cells AS (
+          SELECT q.v, d.d,
+                 COALESCE(SUM(CASE WHEN
+                     md5_number_upper(d.d || ':' || cnt.t) % {CM_WIDTH}
+                     = md5_number_upper(d.d || ':' || q.v) % {CM_WIDTH}
+                   THEN cnt.c END), 0) AS sd
+          FROM q CROSS JOIN d LEFT JOIN cnt ON TRUE
+          GROUP BY q.v, d.d)
+        SELECT v AS value, min(sd)::BIGINT AS est FROM cells GROUP BY v"""
+
+
 def q_dedup_exact(sf_dir: str):
     from pypdfium2_ray.stages.agg import grouped_aggregate
     from pypdfium2_ray.stages.textstats import add_fingerprint
@@ -2038,6 +2087,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_delta": q_snapshot_delta,
         "incremental_dedup": q_incremental_dedup,
         "normalize_text": q_normalize_text,
+        "cm_counts": q_cm_counts,
         "minhash_dups": q_minhash_dups,
         "simhash_dups": q_simhash_dups,
         "neardup_clusters": q_neardup_clusters,
@@ -2324,6 +2374,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, "
             + sql_normalize_text("('“' || text || '”… — ok')")
             + " AS norm_text FROM documents"),
+        "cm_counts": _cm_counts_sql(),
         "incremental_dedup": """
             WITH a AS (
               SELECT md5(text) AS fp FROM documents WHERE doc_id % 4 <= 1),

@@ -388,3 +388,79 @@ def collocations(ds, text_col: str = "text", k: int = 20,
             "n_total", pa.array(np.full(t.num_rows, n_total, np.int64)))
 
     return j.map_batches(add_total, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch tier (Cormode & Muthukrishnan, J. Algorithms 2005)
+
+def count_min_sketch(make_ds, value_col: str, width: int = 1024,
+                     depth: int = 4, num_partitions: int | None = None):
+    """Distributed Count-Min sketch over a value stream: the mergeable
+    point-query summary (est >= true always; est <= true + e*N/width
+    w.p. 1 - (1/2)^depth) — the ALL-items companion of the Misra-Gries
+    heavy-hitter pass above (MG answers "who is frequent", CM answers
+    "how frequent is X" for ANY X without keeping the vocabulary).
+
+    Scale shape: per block, counts collapse to DISTINCT values first
+    (one md5 per distinct value, not per occurrence), the block's
+    NONZERO cells ship as pre-combined ``(d, cell, cnt)`` rows, ONE hash
+    exchange on (d, cell) sums them — cell counts are exact integer sums,
+    so the sketch is bit-identical at any partitioning. Cell hash is the
+    ``md5_number_upper`` twin (``md5_hash64(f"{d}:{value}")`` % width),
+    which makes even the ESTIMATES oracle-expressible in SQL.
+
+    Returns a Dataset of ``(d:int32, cell:int64, count:int64)`` nonzero
+    cells (<= depth*width rows total — the bounded summary; collect it
+    driver-side for point queries via :func:`cm_estimate`).
+    """
+    from pypdfium2_ray.functions.sketch import md5_hash64
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = t.select([value_col]).group_by([value_col]) \
+            .aggregate([([], "count_all")])
+        vals = vc[value_col].to_pylist()
+        cnts = vc["count_all"].to_numpy()
+        ds_, cells, counts = [], [], []
+        for d in range(depth):
+            for v, c in zip(vals, cnts):
+                ds_.append(d)
+                cells.append(md5_hash64(f"{d}:{v}".encode()) % width)
+                counts.append(int(c))
+        t2 = pa.table({"d": pa.array(ds_, pa.int32()),
+                       "cell": pa.array(cells, pa.int64()),
+                       "count": pa.array(counts, pa.int64())})
+        # collapse same-cell collisions within the block
+        g = t2.group_by(["d", "cell"]).aggregate([("count", "sum")])
+        return g.rename_columns(["d", "cell", "count"])
+
+    def combine(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"d": pa.array([], pa.int32()),
+                             "cell": pa.array([], pa.int64()),
+                             "count": pa.array([], pa.int64())})
+        g = t.group_by(["d", "cell"]).aggregate([("count", "sum")])
+        return g.rename_columns(["d", "cell", "count"])
+
+    ds = make_ds() if callable(make_ds) else make_ds
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partition_map(partials, ["d", "cell"], combine,
+                         num_partitions=num_partitions)
+
+
+def cm_estimate(sketch: pa.Table, values, width: int = 1024,
+                depth: int = 4) -> pa.Table:
+    """Point-query estimates from a COLLECTED sketch table (the bounded
+    <= depth*width-row summary): est(v) = min over d of cell count.
+    Returns ``(value, est)``."""
+    from pypdfium2_ray.functions.sketch import md5_hash64
+    lut = {(d, c): n for d, c, n in zip(sketch["d"].to_pylist(),
+                                        sketch["cell"].to_pylist(),
+                                        sketch["count"].to_pylist())}
+    out_v, out_e = [], []
+    for v in values:
+        est = min(lut.get((d, md5_hash64(f"{d}:{v}".encode()) % width), 0)
+                  for d in range(depth))
+        out_v.append(v)
+        out_e.append(int(est))
+    return pa.table({"value": pa.array(out_v, pa.string()),
+                     "est": pa.array(out_e, pa.int64())})

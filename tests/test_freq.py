@@ -190,3 +190,47 @@ def test_ngram_decontaminate(ray_session):
     assert set(out2.to_pandas()["doc_id"]) == {1, 2}
     with pytest.raises(ValueError):
         ngram_decontaminate(ds, ["too short"], n=3)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+
+def _cm_corpus():
+    import pyarrow as pa
+    # zipf-ish: 'alpha' x 60, 'beta' x 25, tail singletons
+    vals = ["alpha"] * 60 + ["beta"] * 25 + [f"tail{i}" for i in range(40)]
+    return pa.table({"tok": pa.array(vals, pa.string())})
+
+
+def test_count_min_never_underestimates(ray_session):
+    import ray.data as rd
+    from pypdfium2_ray.stages.freq import cm_estimate, count_min_sketch
+    t = _cm_corpus()
+    sk = count_min_sketch(rd.from_arrow(t), "tok",
+                          width=64, depth=4).to_pandas()
+    sk = __import__("pyarrow").Table.from_pandas(sk, preserve_index=False)
+    est = cm_estimate(sk, ["alpha", "beta", "tail0", "absent"],
+                      width=64, depth=4).to_pydict()
+    got = dict(zip(est["value"], est["est"]))
+    assert got["alpha"] >= 60 and got["beta"] >= 25 and got["tail0"] >= 1
+    # eps*N bound: e/width * N = 2.718/64 * 125 ~ 5.3
+    n = 125
+    for v, true in (("alpha", 60), ("beta", 25), ("tail0", 1),
+                    ("absent", 0)):
+        assert got[v] <= true + 6
+
+
+def test_count_min_partition_invariant(ray_session):
+    import ray.data as rd
+    from pypdfium2_ray.stages.freq import count_min_sketch
+    t = _cm_corpus()
+    a = count_min_sketch(rd.from_arrow(t), "tok",
+                         width=32, depth=3).to_pandas()
+    b = count_min_sketch(rd.from_arrow(t).repartition(9), "tok",
+                         width=32, depth=3, num_partitions=5).to_pandas()
+    key = ["d", "cell"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert a.values.tolist() == b.values.tolist()
+    # total mass per depth row == N exactly (sums are exact ints)
+    assert (a.groupby("d")["count"].sum() == 125).all()
