@@ -539,6 +539,28 @@ def q_doc_stats(sf_dir: str):
 # ---------------------------------------------------------------------------
 # dedup family
 
+def q_zorder_layout(sf_dir: str):
+    """Z-order (Morton) layout key over events (stages/zorder): bit
+    interleave of (user_id, ts-seconds) — the write-layout key that keeps
+    BOTH dimensions prunable (locality property tested in
+    tests/test_zorder.py); one vectorized pass, exact generated-SQL
+    twin."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.zorder import add_zorder_key
+    ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        secs = pc.divide(pc.cast(t["ts"], pa.int64()), 1_000_000)
+        return pa.table({"event_id": pc.cast(t["event_id"], pa.int64()),
+                         "a": pc.cast(t["user_id"], pa.int64()),
+                         "b": secs})
+
+    out = add_zorder_key(ds.map_batches(prep, batch_format="pyarrow"),
+                         "a", "b")
+    return out.select_columns(["event_id", "zkey"])
+
+
 #: Count-Min query config — shared with the oracle generator
 CM_WIDTH, CM_DEPTH = 2048, 4
 CM_QUERY_TOKENS = ("data", "the", "spark", "absent-token-xyz")
@@ -2088,6 +2110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": q_incremental_dedup,
         "normalize_text": q_normalize_text,
         "cm_counts": q_cm_counts,
+        "zorder_layout": q_zorder_layout,
         "minhash_dups": q_minhash_dups,
         "simhash_dups": q_simhash_dups,
         "neardup_clusters": q_neardup_clusters,
@@ -2171,6 +2194,8 @@ def oracle_sql() -> dict[str, str]:
     # err_code values are the PDFium constants (FORMAT=3, PASSWORD=4)
     bad, enc = sql_is_bad(), sql_is_enc()
     p1_sql, p2_sql = _sql_page_texts("text")
+    from pypdfium2_ray.stages.zorder import sql_zorder_key
+    _zorder_sql = sql_zorder_key("user_id", "(epoch_us(ts) // 1000000)")
     is_err = f"({bad} OR {enc})"
     status_sql = (f"CASE WHEN {bad} THEN 'format_error' "
                   f"WHEN {enc} THEN 'password_error' ELSE 'ok' END")
@@ -2375,6 +2400,9 @@ def oracle_sql() -> dict[str, str]:
             + sql_normalize_text("('“' || text || '”… — ok')")
             + " AS norm_text FROM documents"),
         "cm_counts": _cm_counts_sql(),
+        "zorder_layout": f"""
+            SELECT event_id, {_zorder_sql} AS zkey
+            FROM events""",
         "incremental_dedup": """
             WITH a AS (
               SELECT md5(text) AS fp FROM documents WHERE doc_id % 4 <= 1),
