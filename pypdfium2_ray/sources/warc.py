@@ -214,6 +214,8 @@ def read_warc(paths):
         paths = sorted(
             os.path.join(paths, f) for f in os.listdir(paths)
             if f.endswith((".warc", ".warc.gz")))
+        if not paths:
+            raise FileNotFoundError("no .warc/.warc.gz shards in directory")
     ds = rd.read_binary_files(paths)
     return ds.map_batches(_records_table, batch_format="pyarrow")
 

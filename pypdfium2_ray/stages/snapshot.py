@@ -121,17 +121,16 @@ def incremental_dedup(new_ds, state, fp_col: str = "fingerprint",
         state = rd.from_arrow(state.select([fp_col]))
     else:
         state = state.select_columns([fp_col])
-    new_cols = new_ds.schema().names
-    fp_type = dict(zip(new_ds.schema().names, new_ds.schema().types))[fp_col]
+    schema = new_ds.schema()
+    new_cols = list(schema.names)
+    new_types = dict(zip(schema.names, schema.types))   # plain dict: the
+    # worker closure must never capture the Dataset object itself
 
     def pad_state(t: pa.Table) -> pa.Table:
-        cols = {fp_col: t[fp_col].cast(fp_type)}
+        cols = {fp_col: t[fp_col].cast(new_types[fp_col])}
         for c in new_cols:
             if c != fp_col:
-                cols[c] = pa.nulls(
-                    t.num_rows,
-                    dict(zip(new_ds.schema().names,
-                             new_ds.schema().types))[c])
+                cols[c] = pa.nulls(t.num_rows, new_types[c])
         out = pa.table(cols).select(new_cols)
         return out.append_column(
             "__side", pa.array(np.zeros(t.num_rows, np.int8)))
