@@ -539,6 +539,32 @@ def q_doc_stats(sf_dir: str):
 # ---------------------------------------------------------------------------
 # dedup family
 
+def q_robots_gate(sf_dir: str):
+    """Crawl-politeness gate (functions/robots, RFC 9309 longest-match
+    semantics incl. the Allow override): per-host robots.txt rules parsed
+    once, broadcast, one streaming filter pass over the corpus urls. The
+    deterministic robots map exercises Disallow-all, prefix + longer-
+    Allow override, anchored wildcard, and absent-robots hosts; each rule
+    translates to an exact SQL predicate."""
+    from pypdfium2_ray.functions.robots import robots_gate
+    # src0: blocked entirely; src1: ids starting '1' blocked unless
+    # starting '12'; src2: ids ending in 7 blocked (anchored wildcard);
+    # every other host has no robots -> allowed
+    robots = {
+        "src0": "User-agent: *\nDisallow: /\n",
+        "src1": "User-agent: *\nDisallow: /1\nAllow: /12\n",
+        "src2": "User-agent: *\nDisallow: /*7$\n",
+    }
+    ds = _docs(sf_dir, ["doc_id", "source"]).map_batches(
+        lambda t: pa.table({
+            "url": pc.binary_join_element_wise(
+                "doc://", t["source"], "/",
+                pc.cast(t["doc_id"], pa.string()), ""),
+            "doc_id": pc.cast(t["doc_id"], pa.int64())}),
+        batch_format="pyarrow")
+    return robots_gate(ds, robots)
+
+
 def q_zorder_layout(sf_dir: str):
     """Z-order (Morton) layout key over events (stages/zorder): bit
     interleave of (user_id, ts-seconds) — the write-layout key that keeps
@@ -2111,6 +2137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": q_normalize_text,
         "cm_counts": q_cm_counts,
         "zorder_layout": q_zorder_layout,
+        "robots_gate": q_robots_gate,
         "minhash_dups": q_minhash_dups,
         "simhash_dups": q_simhash_dups,
         "neardup_clusters": q_neardup_clusters,
@@ -2403,6 +2430,19 @@ def oracle_sql() -> dict[str, str]:
         "zorder_layout": f"""
             SELECT event_id, {_zorder_sql} AS zkey
             FROM events""",
+        # RFC 9309 longest-match per synthesized host rules: src0 all
+        # blocked; src1 '/1' prefix blocked unless '/12' (Allow longer);
+        # src2 anchored '*7$'; other hosts allowed
+        "robots_gate": """
+            SELECT 'doc://' || source || '/' || doc_id AS url,
+                   doc_id
+            FROM documents
+            WHERE NOT (source = 'src0'
+                   OR (source = 'src1'
+                       AND doc_id::VARCHAR LIKE '1%'
+                       AND doc_id::VARCHAR NOT LIKE '12%')
+                   OR (source = 'src2'
+                       AND doc_id::VARCHAR LIKE '%7'))""",
         "incremental_dedup": """
             WITH a AS (
               SELECT md5(text) AS fp FROM documents WHERE doc_id % 4 <= 1),
