@@ -1832,16 +1832,52 @@ def q_distinct_users(sf_dir: str):
 def q_distinct_users_hll(sf_dir: str):
     """HyperLogLog tier of distinct_users: one 2^p-byte register row per
     (block, group) moves instead of the distinct pairs — the cardinality
-    path when the pair exchange stops being affordable. No SQL oracle
-    (approximate; ~1.6% standard error at p=12); correctness is the
-    relative-error-bound tests in tests/test_freq.py against the exact
-    op on the same table."""
+    path when the pair exchange stops being affordable. Runs the
+    ``hash="md5"`` tier so the ESTIMATE itself is SQL-exact (md5 registers,
+    exact-integer harmonic sum, libm-twinned linear-counting correction —
+    the Count-Min discipline applied to cardinality); the production
+    ``hash="fast"`` tier is bound-tested in tests/test_freq.py."""
     import ray.data as rd
     from pypdfium2_ray.stages.freq import grouped_distinct_hll
     ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
                          columns=["event_type", "user_id"])
     return grouped_distinct_hll(ds, ["event_type"], "user_id",
-                                combine="single_block")
+                                out="est_micro", combine="single_block",
+                                hash="md5")
+
+
+#: SQL twin of the md5 HLL tier (p=12): registers from md5_number_upper,
+#: rho via bin() bit length, the harmonic sum as the EXACT integer
+#: N = zeros*2^53 + sum(2^(53-rho)) in HUGEINT, and the same
+#: double-expression estimate order as stages/freq._hll_estimate_micro.
+_HLL_ORACLE = """
+    WITH vals AS (SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS v
+                  FROM events WHERE user_id IS NOT NULL),
+    h AS (SELECT event_type, md5_number_upper(v) AS h FROM vals),
+    rr AS (SELECT event_type, CAST(h >> 52 AS BIGINT) AS idx,
+                  CASE WHEN (h & 4503599627370495::UBIGINT) = 0 THEN 53
+                       ELSE 53 - length(bin(h & 4503599627370495::UBIGINT))
+                  END AS rho
+           FROM h),
+    regs AS (SELECT event_type, idx, MAX(rho) AS m
+             FROM rr GROUP BY event_type, idx),
+    agg AS (SELECT event_type, COUNT(*) AS npres,
+                   SUM(CAST(1::BIGINT << (53 - m) AS HUGEINT)) AS s
+            FROM regs GROUP BY event_type),
+    est AS (SELECT event_type, 4096 - npres AS zeros,
+                   CAST(4096 - npres AS HUGEINT)
+                     * 9007199254740992::HUGEINT + s AS n
+            FROM agg)
+    SELECT event_type,
+           CAST(floor(CASE
+                 WHEN ((0.7213 / (1 + 1.079 / 4096.0)) * 16777216.0)
+                      * 9007199254740992.0 / CAST(n AS DOUBLE) <= 10240.0
+                  AND zeros > 0
+                 THEN 4096.0 * ln(4096.0 / zeros)
+                 ELSE ((0.7213 / (1 + 1.079 / 4096.0)) * 16777216.0)
+                      * 9007199254740992.0 / CAST(n AS DOUBLE)
+               END * 1e6) AS BIGINT) AS est_micro
+    FROM est"""
 
 
 def q_events_median_sketch(sf_dir: str):
@@ -2743,6 +2779,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    count(DISTINCT user_id)::BIGINT AS n_distinct
             FROM events GROUP BY event_type""",
+        "distinct_users_hll": _HLL_ORACLE,
         "events_rollup": """
             SELECT event_type, count(*) AS n_events,
                    CAST(round(sum(value) * 10000) AS BIGINT) AS sum_value_e4,

@@ -279,25 +279,84 @@ def _hll_estimate(regs: np.ndarray) -> np.ndarray:
     return est
 
 
+def _hll_registers_md5(gid: np.ndarray, values: pd.Series, n_groups: int,
+                       p: int = HLL_P) -> np.ndarray:
+    """Register matrix with an exact SQL twin: hash = DuckDB
+    ``md5_number_upper(CAST(v AS VARCHAR))`` (``sketch.md5_hash64``), top
+    ``p`` bits pick the register, ``rho = (64-p+1) - bit_length(low bits)``.
+    Bit length comes from ``np.frexp``'s exponent — exact for any integer
+    below 2^53 (no log2 rounding hazard), hence the ``p >= 11`` bound."""
+    from pypdfium2_ray.functions.sketch import md5_hash64
+    assert p >= 11, "frexp bit-length needs the low field <= 53 bits"
+    codes, uniq = pd.factorize(values)           # md5 once per distinct value
+    hu = np.fromiter((md5_hash64(str(v).encode()) for v in uniq),
+                     dtype=np.uint64, count=len(uniq))
+    h = hu[codes]
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    low = h & np.uint64((1 << (64 - p)) - 1)
+    bl = np.frexp(low.astype(np.float64))[1]     # == bit_length; 0 for low=0
+    rho = ((64 - p + 1) - bl).astype(np.uint8)   # low=0 -> max rho, sentinel
+    regs = np.zeros((n_groups, 1 << p), np.uint8)
+    np.maximum.at(regs, (gid, idx), rho)
+    return regs
+
+
+def _hll_estimate_micro(regs: np.ndarray, p: int = HLL_P) -> np.ndarray:
+    """``floor(estimate * 1e6)`` per register row, SQL-reproducible: the
+    harmonic sum is a dyadic rational computed EXACTLY as the integer
+    ``N = zeros * 2^Q + sum(2^(Q - M_j))`` (``Q = 64-p+1`` = max rho), so
+    ``raw = (alpha*m^2) * 2^Q / N`` is one IEEE double expression evaluated
+    in the same order on both sides; the small-range correction's ``ln`` is
+    the platform libm on both numpy and DuckDB (bit-exact per the bm25
+    discipline, stages/bm25.py:31-37)."""
+    m = regs.shape[1]
+    q = 64 - p + 1
+    alpha = 0.7213 / (1 + 1.079 / m)
+    out = np.empty(regs.shape[0], np.int64)
+    for i in range(regs.shape[0]):               # few groups; exact int N
+        counts = np.bincount(regs[i], minlength=q + 1)
+        n = int(counts[0]) << q
+        for j in range(1, q + 1):
+            n += int(counts[j]) << (q - j)
+        zeros = int(counts[0])
+        raw = (alpha * (m * m)) * float(1 << q) / float(n)
+        est = m * np.log(m / zeros) if (raw <= 2.5 * m and zeros > 0) else raw
+        out[i] = int(np.floor(est * 1e6))
+    return out
+
+
 def grouped_distinct_hll(ds, keys: list[str], col: str,
                          out: str = "n_distinct_est", p: int = HLL_P,
                          num_partitions: int | None = None,
-                         combine: str = "exchange"):
+                         combine: str = "exchange", hash: str = "fast"):
     """Approximate distinct count per group — the sketch tier of
     :func:`grouped_distinct_count` for when the exact pair exchange is no
     longer affordable: each block emits ONE ``2^p``-byte register row per
     group (merge = elementwise max, order- and layout-independent), so the
     exchange moves ``n_blocks x n_groups`` fixed-size rows regardless of
     value cardinality. Standard error ~ ``1.04/sqrt(2^p)`` (~1.6% at the
-    default p=12; bound-tested in tests/test_freq.py)."""
+    default p=12; bound-tested in tests/test_freq.py).
+
+    ``hash="md5"`` switches to the SQL-twinned tier: md5-based registers
+    (one md5 per distinct value per block) and a fixed-point
+    ``floor(est*1e6)`` estimate whose every ingredient — register indices,
+    rho values, the exact-integer harmonic sum, the linear-counting
+    correction — is reproducible in DuckDB, making the ESTIMATE itself
+    (hash collisions and bias included) oracle-checkable, the same
+    discipline as the Count-Min tier. ``hash="fast"`` (default) keeps the
+    cheaper vectorized pandas hash and float estimate for production use."""
+    fixed_point = hash == "md5"
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.dropna(subset=[col])
+        if fixed_point:
+            df = df.drop_duplicates(subset=keys + [col])
         if not len(df):
             return pd.DataFrame({**{k: df[k] for k in keys},
                                  "__hll": pd.Series([], dtype=object)})
         gid = df.groupby(keys, sort=False, dropna=False).ngroup().to_numpy()
-        regs = _hll_registers(gid, df[col], int(gid.max()) + 1, p)
+        mk = _hll_registers_md5 if fixed_point else _hll_registers
+        regs = mk(gid, df[col], int(gid.max()) + 1, p)
         rep = np.unique(gid, return_index=True)[1]
         res = df.iloc[rep][keys].reset_index(drop=True)
         res["__hll"] = list(regs)                    # fixed-size u8 rows
@@ -310,7 +369,10 @@ def grouped_distinct_hll(ds, keys: list[str], col: str,
                       np.stack(df["__hll"].to_numpy()))  # merge = max
         rep = np.unique(gid, return_index=True)[1]
         res = df.iloc[rep][keys].reset_index(drop=True)
-        res[out] = np.round(_hll_estimate(regs)).astype(np.int64)
+        if fixed_point:
+            res[out] = _hll_estimate_micro(regs, p)
+        else:
+            res[out] = np.round(_hll_estimate(regs)).astype(np.int64)
         return res
 
     proj = ds.select_columns(keys + [col])

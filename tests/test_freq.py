@@ -141,16 +141,61 @@ def test_hll_registers_deterministic():
 
 
 def test_query_entries_agree(ray_session):
-    """distinct_users_hll (no SQL oracle) within 5% of the exact
-    distinct_users on the same table."""
+    """distinct_users_hll (md5 fixed-point tier, floor(est*1e6)) within 5%
+    of the exact distinct_users on the same table."""
     import __ray_entry__ as E
     sf = "/root/testdata/sf0.001"
     exact = E.queries()["distinct_users"](sf).to_pandas() \
         .set_index("event_type")["n_distinct"].sort_index()
     est = E.queries()["distinct_users_hll"](sf).to_pandas() \
-        .set_index("event_type")["n_distinct_est"].sort_index()
+        .set_index("event_type")["est_micro"].sort_index() / 1e6
     assert set(est.index) == set(exact.index)
     assert (((est - exact).abs() / exact) < 0.05).all()
+
+
+def test_hll_md5_tier_sql_exact(ray_session, tmp_path):
+    """The md5 HLL tier's ESTIMATE (registers, exact-integer harmonic sum,
+    linear-counting correction, collisions included) equals the DuckDB SQL
+    twin bit-for-bit, and is partition-invariant across block layouts and
+    both combine tiers."""
+    import duckdb
+    import ray.data as rd
+    rng = np.random.default_rng(9)
+    ev = pd.DataFrame({"k": rng.integers(0, 4, 30_000),
+                       "u": rng.integers(0, 8_000, 30_000)})
+    p = str(tmp_path / "ev.parquet")
+    ev.to_parquet(p, index=False)
+    sql = """
+        WITH vals AS (SELECT DISTINCT k, CAST(u AS VARCHAR) AS v FROM ev),
+        h AS (SELECT k, md5_number_upper(v) AS h FROM vals),
+        rr AS (SELECT k, CAST(h >> 52 AS BIGINT) AS idx,
+                      CASE WHEN (h & 4503599627370495::UBIGINT) = 0 THEN 53
+                           ELSE 53 - length(bin(h & 4503599627370495::UBIGINT))
+                      END AS rho FROM h),
+        regs AS (SELECT k, idx, MAX(rho) AS m FROM rr GROUP BY k, idx),
+        agg AS (SELECT k, COUNT(*) AS npres,
+                       SUM(CAST(1::BIGINT << (53 - m) AS HUGEINT)) AS s
+                FROM regs GROUP BY k),
+        est AS (SELECT k, 4096 - npres AS zeros,
+                       CAST(4096 - npres AS HUGEINT)
+                         * 9007199254740992::HUGEINT + s AS n FROM agg)
+        SELECT k, CAST(floor(CASE
+              WHEN ((0.7213 / (1 + 1.079 / 4096.0)) * 16777216.0)
+                   * 9007199254740992.0 / CAST(n AS DOUBLE) <= 10240.0
+               AND zeros > 0
+              THEN 4096.0 * ln(4096.0 / zeros)
+              ELSE ((0.7213 / (1 + 1.079 / 4096.0)) * 16777216.0)
+                   * 9007199254740992.0 / CAST(n AS DOUBLE)
+            END * 1e6) AS BIGINT) AS est_micro
+        FROM est"""
+    want = duckdb.connect().execute(sql).fetchdf() \
+        .set_index("k")["est_micro"].sort_index()
+    for blocks, combine in ((2, "single_block"), (8, "exchange")):
+        got = grouped_distinct_hll(
+            rd.read_parquet(p, override_num_blocks=blocks), ["k"], "u",
+            out="est_micro", combine=combine, hash="md5") \
+            .to_pandas().set_index("k")["est_micro"].sort_index()
+        assert got.equals(want), (combine, got, want)
 
 
 def test_explode_ngrams_boundaries(ray_session):
