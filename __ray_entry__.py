@@ -1054,18 +1054,10 @@ PR_DAMPING = 85
 PR_INIT = 10**9
 
 
-def q_pagerank(sf_dir: str):
-    """Link-graph PageRank (stages/pagerank — the canonical web-scale
-    iterative graph op): synthesize a deterministic 3-out-regular link
-    graph over the doc ids, run PR_ITERS damped integer fixed-point
-    iterations (two ids-only exchanges per iteration: rank->edge join +
-    per-dst sum). Integer-scaled arithmetic makes the result bit-identical
-    at any partitioning; the oracle unrolls the same update rule as
-    chained CTEs."""
+def _synth_link_edges(n: int):
+    """Per-batch builder of the synthetic skewed link graph (shared by
+    q_pagerank and q_hits — identical edge list both sides)."""
     import numpy as np
-    from pypdfium2_ray.stages.pagerank import pagerank
-    docs = _docs(sf_dir, ["doc_id"])
-    n = docs.count()
 
     def edges(t: pa.Table) -> pa.Table:
         s = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
@@ -1077,6 +1069,21 @@ def q_pagerank(sf_dir: str):
         return pa.table({"src": pa.array(srcs, pa.int64()),
                          "dst": pa.array(dst, pa.int64())})
 
+    return edges
+
+
+def q_pagerank(sf_dir: str):
+    """Link-graph PageRank (stages/pagerank — the canonical web-scale
+    iterative graph op): synthesize a deterministic 3-out-regular link
+    graph over the doc ids, run PR_ITERS damped integer fixed-point
+    iterations (two ids-only exchanges per iteration: rank->edge join +
+    per-dst sum). Integer-scaled arithmetic makes the result bit-identical
+    at any partitioning; the oracle unrolls the same update rule as
+    chained CTEs."""
+    from pypdfium2_ray.stages.pagerank import pagerank
+    docs = _docs(sf_dir, ["doc_id"])
+    n = docs.count()
+    edges = _synth_link_edges(n)
     nodes = docs.map_batches(
         lambda t: pa.table({"node": pc.cast(t["doc_id"], pa.int64())}),
         batch_format="pyarrow")
@@ -1536,6 +1543,76 @@ def _pagerank_sql(edges_cte: str | None = None) -> str:
             "GROUP BY e.dst) s USING (node))")
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT node AS doc_id, r AS rank_scaled FROM r{PR_ITERS}")
+
+
+HITS_ITERS = 4
+HITS_INIT = 10**6
+
+
+def q_hits(sf_dir: str):
+    """HITS hubs & authorities over the same synthetic skewed link graph
+    as q_pagerank (stages/hits): two lookup_join + grouped-sum exchanges
+    per half-step, integer max-rescale normalization (scale = max(1,
+    max(raw)//init)) so the whole trajectory is bit-identical at any
+    partitioning and unrollable as exact integer SQL."""
+    from pypdfium2_ray.stages.hits import hits
+    docs = _docs(sf_dir, ["doc_id"])
+    n = docs.count()
+    edges = _synth_link_edges(n)
+    nodes = docs.map_batches(
+        lambda t: pa.table({"node": pc.cast(t["doc_id"], pa.int64())}),
+        batch_format="pyarrow")
+    with _hint(sf_dir):
+        out = hits(docs.map_batches(edges, batch_format="pyarrow"),
+                   nodes, iters=HITS_ITERS, init=HITS_INIT)
+    return out.map_batches(
+        lambda t: pa.table({"doc_id": t["node"], "auth": t["auth"],
+                            "hub": t["hub"]}),
+        batch_format="pyarrow")
+
+
+def _hits_sql() -> str:
+    """The engine's exact half-step trajectory unrolled as chained CTEs:
+    per half-step a LEFT JOIN sum (COALESCE 0 keeps sinks/isolates) and the
+    integer rescale ``raw // greatest(max(raw) // init, 1)`` as a scalar
+    subquery — every op BIGINT/HUGEINT floor division on non-negative
+    values, bit-identical to stages/hits.py."""
+    init = HITS_INIT
+    ctes = [
+        "nodes AS MATERIALIZED (SELECT CAST(doc_id AS BIGINT) AS node FROM documents)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        f"edges AS MATERIALIZED ("
+        f"SELECT node AS src, (node * {PR_MULT} + 1) % (SELECT n FROM nn)"
+        " AS dst FROM nodes"
+        f" UNION ALL SELECT node, node % {PR_HUBS} FROM nodes"
+        " UNION ALL SELECT node, (node // 3) % (SELECT n FROM nn)"
+        " FROM nodes)",
+        f"h0 AS (SELECT node, CAST({init} AS BIGINT) AS v FROM nodes)",
+    ]
+    for k in range(HITS_ITERS):
+        ctes.append(
+            f"ar{k + 1} AS MATERIALIZED (SELECT n.node, COALESCE(s.v_sum, 0) AS raw "
+            "FROM nodes n LEFT JOIN ("
+            f"SELECT e.dst AS node, SUM(h.v) AS v_sum FROM edges e "
+            f"JOIN h{k} h ON e.src = h.node GROUP BY e.dst) s USING (node))")
+        ctes.append(
+            f"a{k + 1} AS MATERIALIZED (SELECT node, raw // greatest("
+            f"(SELECT max(raw) FROM ar{k + 1}) // {init}, 1) AS v "
+            f"FROM ar{k + 1})")
+        ctes.append(
+            f"hr{k + 1} AS MATERIALIZED (SELECT n.node, COALESCE(s.v_sum, 0) AS raw "
+            "FROM nodes n LEFT JOIN ("
+            f"SELECT e.src AS node, SUM(a.v) AS v_sum FROM edges e "
+            f"JOIN a{k + 1} a ON e.dst = a.node GROUP BY e.src) s "
+            "USING (node))")
+        ctes.append(
+            f"h{k + 1} AS MATERIALIZED (SELECT node, raw // greatest("
+            f"(SELECT max(raw) FROM hr{k + 1}) // {init}, 1) AS v "
+            f"FROM hr{k + 1})")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT a.node AS doc_id, CAST(a.v AS BIGINT) AS auth, "
+              f"CAST(h.v AS BIGINT) AS hub "
+              f"FROM a{HITS_ITERS} a JOIN h{HITS_ITERS} h USING (node)")
 
 
 # ---------------------------------------------------------------------------
@@ -2179,6 +2256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_clusters": q_neardup_clusters,
         "neardup_keep_one": q_neardup_keep_one,
         "pagerank": q_pagerank,
+        "hits": q_hits,
         "extract_links": q_extract_links,
         "anchor_text": q_anchor_text,
         "crawl_frontier": q_crawl_frontier,
@@ -2687,6 +2765,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.doc_id NOT IN
               (SELECT doc_id FROM assign WHERE doc_id != component)""",
         "pagerank": _pagerank_sql(),
+        "hits": _hits_sql(),
         "extract_links": _extract_links_sql(),
         "anchor_text": _anchor_text_sql(),
         "crawl_frontier": _crawl_frontier_sql(),
