@@ -1670,6 +1670,83 @@ def q_ngram_dups(sf_dir: str):
                                  num_perm=128, bands=32, threshold=0.5)
 
 
+HASH_EMBED_DIM = 64
+#: integer cosine threshold num/den for the hash-embed near-dup pass
+#: (0.9: the planted near-dup pairs plus same-template neighbors — 44
+#: pairs at sf0.001; 0.8 admits ~3.2k same-topic pairs at dim 64)
+TEXT_DUP_TAU = (9, 10)
+
+
+def q_hash_embed(sf_dir: str):
+    """Feature-hashing text embedding (stages/embed.hash_embed_long): one
+    signed md5-bucketed token-count row per nonzero bucket — a pure
+    per-block map with ZERO exchanges (tokens never leave their block).
+    Exact int64 values, twin = token explode + md5_number_upper % dim +
+    sign-bit CASE sum in SQL."""
+    from pypdfium2_ray.stages.embed import hash_embed_long
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return hash_embed_long(ds, dim=HASH_EMBED_DIM)
+
+
+def q_text_semantic_dups(sf_dir: str):
+    """Semantic near-dup pairs straight from RAW TEXT: hash-embed (zero
+    exchanges) then the integer-exact cosine broadcast tier —
+    ``cos >= 4/5`` tested as ``dot>0 AND dot^2*25 >= 16*|a|^2*|b|^2``, no
+    float anywhere, so the pair set AND its (dot, na2, nb2) evidence
+    columns are SQL-exact. Broadcast gated on the documents footer row
+    count (same regime rule as q_embedding_dups); beyond the gate, cast
+    the vectors to float and route through the stages/ann LSH/IVF tiers."""
+    import pyarrow.parquet as pq
+    from pypdfium2_ray.stages.embed import hash_embed, int_cosine_dup_pairs
+    rows = pq.ParquetFile(
+        f"{sf_dir.rstrip('/')}/documents.parquet").metadata.num_rows
+    if rows > EMB_BROADCAST_MAX_ROWS:
+        raise RuntimeError(
+            f"text_semantic_dups broadcast tier is gated at "
+            f"{EMB_BROADCAST_MAX_ROWS} rows (got {rows}); cast the "
+            "hash-embed vectors to float and use stages/ann LSH/IVF")
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    emb = hash_embed(ds, dim=HASH_EMBED_DIM).materialize()
+    corpus = emb.take_batch(rows, batch_format="pyarrow")
+    return int_cosine_dup_pairs(emb, corpus, *TEXT_DUP_TAU)
+
+
+#: shared CTE prefix: token explode -> md5 -> nonzero signed bucket sums
+#: (the exact twin of stages/embed._doc_token_matrix; MATERIALIZED — emb
+#: is referenced by both join sides and the norm CTE)
+_HASH_EMBED_CTES = f"""
+    tok AS MATERIALIZED (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           unnest(list_filter(regexp_split_to_array(text,
+                  '[ \\t\\r\\n\\f\\v]+'), t -> t <> '')) AS tok
+           FROM documents),
+    h AS (SELECT doc_id, md5_number_upper(tok) AS h FROM tok),
+    emb AS MATERIALIZED (SELECT doc_id,
+           CAST(h % {HASH_EMBED_DIM} AS BIGINT) AS bucket,
+           CAST(SUM(CASE WHEN ((h >> 6) & 1) = 1 THEN 1 ELSE -1 END)
+                AS BIGINT) AS val
+           FROM h GROUP BY doc_id, bucket
+           HAVING SUM(CASE WHEN ((h >> 6) & 1) = 1 THEN 1 ELSE -1 END)
+                  <> 0)"""
+
+_HASH_EMBED_SQL = ("WITH " + _HASH_EMBED_CTES
+                   + "\n    SELECT doc_id, bucket, val FROM emb")
+
+_TEXT_DUPS_SQL = ("WITH " + _HASH_EMBED_CTES + f""",
+    norm AS MATERIALIZED (SELECT doc_id, SUM(val * val) AS n2
+                          FROM emb GROUP BY doc_id),
+    dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                    SUM(a.val * b.val) AS dot
+             FROM emb a JOIN emb b
+               ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+             GROUP BY a.doc_id, b.doc_id)
+    SELECT d.id_a, d.id_b, CAST(d.dot AS BIGINT) AS dot,
+           CAST(na.n2 AS BIGINT) AS na2, CAST(nb.n2 AS BIGINT) AS nb2
+    FROM dots d JOIN norm na ON na.doc_id = d.id_a
+                JOIN norm nb ON nb.doc_id = d.id_b
+    WHERE d.dot > 0 AND d.dot * d.dot * {TEXT_DUP_TAU[1] ** 2}
+          >= {TEXT_DUP_TAU[0] ** 2} * na.n2 * nb.n2""")
+
+
 def q_winnow_fingerprint(sf_dir: str):
     """Rolling-hash (winnowing) document fingerprint: min md5-window hash
     + distinct-window count per document (functions.sketch.winnow_min_hash,
@@ -2283,6 +2360,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_user_per_type": q_top_user_per_type,
         "ngram_dups": q_ngram_dups,
         "winnow_fingerprint": q_winnow_fingerprint,
+        "hash_embed": q_hash_embed,
+        "text_semantic_dups": q_text_semantic_dups,
         "ann_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "pq_topk": q_pq_topk,
@@ -2804,6 +2883,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, n_inter, n_union FROM sim
             WHERE n_union = 0 OR n_inter / n_union >= 0.5""",
         "winnow_fingerprint": _WINNOW_SQL,
+        "hash_embed": _HASH_EMBED_SQL,
+        "text_semantic_dups": _TEXT_DUPS_SQL,
         # exact all-pairs Hamming over the md5-based simhash fingerprint
         # (sql_simhash_fingerprints == simhash64 bit-for-bit); pigeonhole
         # banding with bands=4 > max_dist=3 makes engine recall exact.
