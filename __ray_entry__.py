@@ -1670,6 +1670,49 @@ def q_ngram_dups(sf_dir: str):
                                  num_perm=128, bands=32, threshold=0.5)
 
 
+CHUNK_WINDOW = 32
+CHUNK_STEP = 24     # overlap 8 — the standard RAG sliding-window shape
+
+
+def q_rag_chunks(sf_dir: str):
+    """Token-window document chunking (stages/chunk.chunk_tokens): one
+    row per overlapping 32-token window (step 24) — zero exchanges, one
+    vectorized repeat/arange gather per block. Twin: lateral
+    generate_series + 1-based inclusive list slice."""
+    from pypdfium2_ray.stages.chunk import chunk_tokens
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return chunk_tokens(ds, window=CHUNK_WINDOW, step=CHUNK_STEP)
+
+
+def q_token_entropy(sf_dir: str):
+    """Per-document unigram entropy in fixed-point micro-nats
+    (stages/textstats.token_entropy): floor(ln(N/c)*1e6) per distinct
+    token, exact int64 weighted sum, one floor division — libm-twinned
+    both sides, zero exchanges."""
+    from pypdfium2_ray.stages.textstats import token_entropy
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return token_entropy(ds)
+
+
+_TOKEN_ENTROPY_SQL = """
+    WITH tok AS MATERIALIZED (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           unnest(list_filter(regexp_split_to_array(text,
+                  '[ \\t\\r\\n\\f\\v]+'), t -> t <> '')) AS tok
+           FROM documents),
+    cnt AS MATERIALIZED (SELECT doc_id, tok, count(*)::BIGINT AS c
+                         FROM tok GROUP BY doc_id, tok),
+    n AS MATERIALIZED (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n
+                       FROM cnt GROUP BY doc_id),
+    e AS (SELECT cnt.doc_id,
+          CAST(SUM(cnt.c * CAST(floor(ln(CAST(n.n AS DOUBLE) / cnt.c)
+                                      * 1e6) AS BIGINT)) AS BIGINT) AS s
+          FROM cnt JOIN n USING (doc_id) GROUP BY cnt.doc_id)
+    SELECT d.doc_id, CAST(COALESCE(n.n, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(e.s // n.n, 0) AS BIGINT) AS entropy_micro
+    FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents) d
+    LEFT JOIN n USING (doc_id) LEFT JOIN e USING (doc_id)"""
+
+
 HASH_EMBED_DIM = 64
 #: integer cosine threshold num/den for the hash-embed near-dup pass
 #: (0.9: the planted near-dup pairs plus same-template neighbors — 44
@@ -2362,6 +2405,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprint": q_winnow_fingerprint,
         "hash_embed": q_hash_embed,
         "text_semantic_dups": q_text_semantic_dups,
+        "rag_chunks": q_rag_chunks,
+        "token_entropy": q_token_entropy,
         "ann_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "pq_topk": q_pq_topk,
@@ -2394,6 +2439,7 @@ def oracle_sql() -> dict[str, str]:
         LANG_STOPWORDS, sql_bpe_token_count, sql_lang_pred, sql_term_count,
         sql_token_count,
     )
+    from pypdfium2_ray.stages.chunk import sql_chunk_tokens
     from pypdfium2_ray.functions.text import (
         sql_normalize_text,
         sql_pii_count as _sql_pii_count,
@@ -2885,6 +2931,8 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprint": _WINNOW_SQL,
         "hash_embed": _HASH_EMBED_SQL,
         "text_semantic_dups": _TEXT_DUPS_SQL,
+        "rag_chunks": sql_chunk_tokens(CHUNK_WINDOW, CHUNK_STEP),
+        "token_entropy": _TOKEN_ENTROPY_SQL,
         # exact all-pairs Hamming over the md5-based simhash fingerprint
         # (sql_simhash_fingerprints == simhash64 bit-for-bit); pigeonhole
         # banding with bands=4 > max_dist=3 makes engine recall exact.

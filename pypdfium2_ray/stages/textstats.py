@@ -249,3 +249,52 @@ def ngram_decontaminate(ds, heldout_texts: list[str], n: int = 3,
 
     contaminated = ds.map_batches(hits, batch_format="pyarrow")
     return key_filter_join(ds, contaminated, doc_col, mode="anti")
+
+
+def token_entropy(ds, id_col: str = "doc_id", col: str = "text"):
+    """Per-document unigram Shannon entropy — the distribution-shape
+    quality signal (low entropy = repetitive/boilerplate, high = diverse
+    prose; the same family as repetition_counts but weighting by
+    frequency, H = sum c_i/N * ln(N/c_i)).
+
+    Pure per-block map, zero exchanges (a document's tokens stay in its
+    block). Fixed-point oracle-parity discipline (stages/bm25.py:31-37):
+    the one transcendental is ``floor(ln(N/c) * 1e6)`` per DISTINCT
+    token, summed weighted by c as exact int64, then one floor division
+    by N — ``entropy_micro = (sum c_i * floor(ln(N/c_i)*1e6)) // N`` —
+    identical float64 inputs and platform libm on both numpy and DuckDB,
+    so the driver oracle matches bit-for-bit. Empty docs report (0, 0).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from pypdfium2_ray.functions.text import WS_RE
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        la = pc.split_pattern_regex(t[col], WS_RE)
+        if isinstance(la, pa.ChunkedArray):
+            la = la.combine_chunks()
+        flat = la.flatten()
+        row = np.repeat(np.arange(len(la), dtype=np.int64),
+                        np.diff(la.offsets.to_numpy()))
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        row = row[keep.to_numpy(zero_copy_only=False)]
+        n = np.bincount(row, minlength=len(la)).astype(np.int64)
+        s = np.zeros(len(la), np.int64)
+        if len(flat):
+            d = flat.dictionary_encode()
+            codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            key = row * len(d.dictionary) + codes      # (doc, token) pair id
+            uk, c = np.unique(key, return_counts=True)
+            urow = uk // len(d.dictionary)
+            lg = np.floor(np.log(n[urow] / c) * 1e6).astype(np.int64)
+            np.add.at(s, urow, c.astype(np.int64) * lg)
+        ent = np.where(n > 0, s // np.maximum(n, 1), 0)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "n_tokens": pa.array(n, pa.int64()),
+                         "entropy_micro": pa.array(ent, pa.int64())})
+
+    return ds.select_columns([id_col, col]) \
+             .map_batches(f, batch_format="pyarrow")
