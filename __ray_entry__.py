@@ -1615,6 +1615,77 @@ def _hits_sql() -> str:
               f"FROM a{HITS_ITERS} a JOIN h{HITS_ITERS} h USING (node)")
 
 
+def _synth_tri_edges(n: int):
+    """q_triangles edge builder: the shared pagerank/hits skewed graph
+    (``_synth_link_edges``) PLUS an intra-cluster chain link
+    (src -> src+1 when src % 3 != 2) — each 3-cluster then closes two
+    triangles with its shared ``(src//3) % n`` target, keeping the
+    triangle population dense (~2n/3) at every sf instead of relying on
+    the sparse modular coincidences of the base graph alone."""
+    base = _synth_link_edges(n)
+
+    def edges(t: pa.Table) -> pa.Table:
+        import numpy as np
+        b = base(t)
+        s = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        m = (s % 3 != 2) & (s + 1 < n)
+        extra = pa.table({"src": pa.array(s[m], pa.int64()),
+                          "dst": pa.array(s[m] + 1, pa.int64())})
+        return pa.concat_tables([b, extra])
+
+    return edges
+
+
+def q_triangles(sf_dir: str):
+    """Per-node triangle counts over the synthetic link graph
+    (stages/triangles — degree-oriented wedge generation + oriented-edge
+    semi-join, Suri & Vassilvitskii WWW'11): all exchanges carry 2-3
+    int64s, hub skew is neutralized by the (degree, id) orientation, and
+    the count is exact — the all-pairs-free SQL twin enumerates each
+    triangle once via the u<v canonical three-way join."""
+    from pypdfium2_ray.stages.triangles import triangle_counts
+    docs = _docs(sf_dir, ["doc_id"])
+    n = docs.count()
+    edges = docs.map_batches(_synth_tri_edges(n), batch_format="pyarrow")
+    with _hint(sf_dir):
+        out = triangle_counts(edges)
+    return out.map_batches(
+        lambda t: pa.table({"doc_id": t["node"],
+                            "n_triangles": t["n_triangles"]}),
+        batch_format="pyarrow")
+
+
+def _triangles_sql() -> str:
+    """Canonical-triangle enumeration: distinct undirected u<v edges,
+    three-way join (a<b<c exactly once), per-corner explode + count —
+    the same triangle SET the oriented engine confirms, so the per-node
+    counts match exactly. ``und`` is MATERIALIZED: DuckDB would otherwise
+    inline the DISTINCT subtree into all three join references."""
+    return f"""
+        WITH nodes AS (SELECT CAST(doc_id AS BIGINT) AS node FROM documents),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        edges AS (
+          SELECT node AS src, (node * {PR_MULT} + 1) % (SELECT n FROM nn)
+                 AS dst FROM nodes
+          UNION ALL SELECT node, node % {PR_HUBS} FROM nodes
+          UNION ALL SELECT node, (node // 3) % (SELECT n FROM nn) FROM nodes
+          UNION ALL SELECT node, node + 1 FROM nodes
+            WHERE node % 3 <> 2 AND node + 1 < (SELECT n FROM nn)),
+        und AS MATERIALIZED (
+          SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+          FROM edges WHERE src <> dst),
+        tri AS (
+          SELECT e1.u AS a, e1.v AS b, e2.v AS c
+          FROM und e1
+          JOIN und e2 ON e2.u = e1.v
+          JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+        tn AS (SELECT a AS node FROM tri
+               UNION ALL SELECT b FROM tri
+               UNION ALL SELECT c FROM tri)
+        SELECT node AS doc_id, count(*) AS n_triangles
+        FROM tn GROUP BY node"""
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 
@@ -2377,6 +2448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_keep_one": q_neardup_keep_one,
         "pagerank": q_pagerank,
         "hits": q_hits,
+        "triangles": q_triangles,
         "extract_links": q_extract_links,
         "anchor_text": q_anchor_text,
         "crawl_frontier": q_crawl_frontier,
@@ -2891,6 +2963,7 @@ def oracle_sql() -> dict[str, str]:
               (SELECT doc_id FROM assign WHERE doc_id != component)""",
         "pagerank": _pagerank_sql(),
         "hits": _hits_sql(),
+        "triangles": _triangles_sql(),
         "extract_links": _extract_links_sql(),
         "anchor_text": _anchor_text_sql(),
         "crawl_frontier": _crawl_frontier_sql(),
