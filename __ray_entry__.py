@@ -796,6 +796,25 @@ def q_simhash_dups(sf_dir: str):
         return simhash_dup_pairs(ds, ngram_n=3, bands=4, max_dist=3)
 
 
+#: fp_neighbors value window (unsigned-64 fingerprint line): ~C(n,2) *
+#: 2*delta/2^64 expected pairs on a uniform corpus — a handful at
+#: sf0.001, ~400 at sf0.01
+FPN_DELTA = 1 << 48
+
+
+def q_fp_neighbors(sf_dir: str):
+    """Sorted-neighborhood blocking pairs (stages/blocking): docs whose
+    64-bit simhash fingerprints land within FPN_DELTA of each other on
+    the unsigned line. ONE range-bucket exchange with halo replication
+    (delta/W = 1/256 of rows ride twice); the exactly-once emission rule
+    (higher member native) makes the pair set — and the exact distances
+    — hash-comparable to the HUGEINT range-join SQL twin."""
+    from pypdfium2_ray.stages.blocking import fingerprint_window_pairs
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    with _hint(sf_dir):
+        return fingerprint_window_pairs(ds, ngram_n=3, delta=FPN_DELTA)
+
+
 def q_top_user_per_type(sf_dir: str):
     """Grouped mode (most frequent value per group, deterministic
     tie-break): exact (event_type, user) counts then grouped_topk(k=1) —
@@ -2444,6 +2463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_gate": q_robots_gate,
         "minhash_dups": q_minhash_dups,
         "simhash_dups": q_simhash_dups,
+        "fp_neighbors": q_fp_neighbors,
         "neardup_clusters": q_neardup_clusters,
         "neardup_keep_one": q_neardup_keep_one,
         "pagerank": q_pagerank,
@@ -3015,6 +3035,25 @@ def oracle_sql() -> dict[str, str]:
                    bit_count(xor(a.fp, b.fp))::BIGINT AS hamming
             FROM fp a JOIN fp b ON a.id < b.id
             WHERE bit_count(xor(a.fp, b.fp)) <= 3""",
+        # the engine maps the unsigned fingerprint into signed space by
+        # flipping the top bit (skey = u - 2^63); the twin performs the
+        # same flip in HUGEINT (no BIGINT literal fits 2^63) and ranges
+        # in HUGEINT so no subtraction can overflow — DuckDB plans the
+        # BETWEEN predicate as an IEJoin, its own sorted-neighborhood
+        "fp_neighbors": f"""
+            WITH fp AS ({_SIMHASH_FP_SQL}),
+            sk AS (SELECT id, CAST(CASE WHEN fp >= 0
+                     THEN CAST(fp AS HUGEINT) - 9223372036854775808
+                     ELSE CAST(fp AS HUGEINT) + 9223372036854775808 END
+                   AS BIGINT) AS skey FROM fp)
+            SELECT a.id AS id_a, b.id AS id_b,
+                   CAST(abs(CAST(a.skey AS HUGEINT) - b.skey) AS BIGINT)
+                     AS fp_dist
+            FROM sk a JOIN sk b
+              ON a.id < b.id
+             AND CAST(b.skey AS HUGEINT)
+                 BETWEEN CAST(a.skey AS HUGEINT) - {FPN_DELTA}
+                     AND CAST(a.skey AS HUGEINT) + {FPN_DELTA}""",
         "ann_topk": _ANN_TOPK_SQL,
         # full-probe IVF == brute force (tests/test_ann.py equivalence), so
         # the exact top-k SQL is a true oracle for the IVF code path too
