@@ -1674,6 +1674,70 @@ def q_triangles(sf_dir: str):
         batch_format="pyarrow")
 
 
+#: crawl_depth: seeds are doc_id % 500 == 7 (1 seed at sf0.001 scaling
+#: to 100 at sf0.1); 6 hops over the 3-out-regular graph reaches most
+#: of the corpus without the result degenerating to all-zeros
+BFS_SEED_MOD = 500
+BFS_SEED_RESIDUE = 7
+BFS_HOPS = 6
+
+
+def q_crawl_depth(sf_dir: str):
+    """Crawl depth from the seed list (stages/bfs — Pregel-style frontier
+    BFS over the synthetic link graph): min directed hops from any seed,
+    clipped at BFS_HOPS; per hop ONE frontier-onto-edges repartition join
+    + ONE grouped min, rows are (node, depth) int64 pairs only. The min
+    semilattice makes the result bit-identical at any partitioning and
+    the fixed hop count unrolls to exact integer SQL."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.bfs import bfs_depths
+    docs = _docs(sf_dir, ["doc_id"])
+    n = docs.count()
+    edges = docs.map_batches(_synth_link_edges(n), batch_format="pyarrow")
+
+    def seed_rows(t: pa.Table) -> pa.Table:
+        import numpy as np
+        node = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(
+            node[node % BFS_SEED_MOD == BFS_SEED_RESIDUE], pa.int64())})
+
+    seeds = docs.map_batches(seed_rows, batch_format="pyarrow")
+    with _hint(sf_dir):
+        out = bfs_depths(edges, seeds, hops=BFS_HOPS)
+    return out.map_batches(
+        lambda t: pa.table({"doc_id": t["node"], "depth": t["depth"]}),
+        batch_format="pyarrow")
+
+
+def _crawl_depth_sql() -> str:
+    """One chained CTE per hop (the pagerank/hits unroll discipline):
+    d_{k+1} = grouped min over d_k UNION ALL (edges JOIN d_k ON src).
+    Expanding ALL settled rows (not just the frontier) re-derives only
+    larger-or-equal depths, so the engine's frontier optimization is
+    invisible. MATERIALIZED per hop: DuckDB would otherwise inline each
+    d_k into the next hop's two references, doubling the plan per hop."""
+    ctes = [
+        "nodes AS (SELECT CAST(doc_id AS BIGINT) AS node FROM documents)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        f"edges AS MATERIALIZED ("
+        f"SELECT node AS src, (node * {PR_MULT} + 1) % (SELECT n FROM nn)"
+        " AS dst FROM nodes"
+        f" UNION ALL SELECT node, node % {PR_HUBS} FROM nodes"
+        " UNION ALL SELECT node, (node // 3) % (SELECT n FROM nn)"
+        " FROM nodes)",
+        f"d0 AS (SELECT node, CAST(0 AS BIGINT) AS depth FROM nodes "
+        f"WHERE node % {BFS_SEED_MOD} = {BFS_SEED_RESIDUE})",
+    ]
+    for k in range(BFS_HOPS):
+        ctes.append(
+            f"d{k + 1} AS MATERIALIZED (SELECT node, min(depth) AS depth "
+            f"FROM (SELECT node, depth FROM d{k} "
+            f"UNION ALL SELECT e.dst, d.depth + 1 "
+            f"FROM edges e JOIN d{k} d ON e.src = d.node) GROUP BY node)")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node AS doc_id, depth FROM d{BFS_HOPS}")
+
+
 def _triangles_sql() -> str:
     """Canonical-triangle enumeration: distinct undirected u<v edges,
     three-way join (a<b<c exactly once), per-corner explode + count —
@@ -2469,6 +2533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": q_pagerank,
         "hits": q_hits,
         "triangles": q_triangles,
+        "crawl_depth": q_crawl_depth,
         "extract_links": q_extract_links,
         "anchor_text": q_anchor_text,
         "crawl_frontier": q_crawl_frontier,
@@ -2984,6 +3049,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_sql(),
         "hits": _hits_sql(),
         "triangles": _triangles_sql(),
+        "crawl_depth": _crawl_depth_sql(),
         "extract_links": _extract_links_sql(),
         "anchor_text": _anchor_text_sql(),
         "crawl_frontier": _crawl_frontier_sql(),
