@@ -796,6 +796,67 @@ def q_simhash_dups(sf_dir: str):
         return simhash_dup_pairs(ds, ngram_n=3, bands=4, max_dist=3)
 
 
+#: content-defined chunking: 16-char gear window, 6 mask bits (expected
+#: 64-char chunks) — small enough that the sf corpora share real chunks
+CDC_WINDOW = 16
+CDC_MASK_BITS = 6
+
+
+def q_shared_chunks(sf_dir: str):
+    """Cross-document shared chunks via content-defined chunking
+    (stages/cdc — FastCDC-lineage windowed gear hash over code points):
+    boundaries cut where the W-char gear sum hits the mask, chunk md5s
+    pre-combined (occurrences + distinct docs) per block, ONE hash
+    exchange on chunk_md5. The mask test commutes with uint64 wraparound
+    (2^mask_bits | 2^64), so the HUGEINT SQL twin is exact."""
+    from pypdfium2_ray.stages.cdc import shared_chunks
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    with _hint(sf_dir):
+        return shared_chunks(ds, window=CDC_WINDOW, mask_bits=CDC_MASK_BITS)
+
+
+def _shared_chunks_sql() -> str:
+    """Per-position windowed gear sum as a W-wide self-join (weight
+    2^(distance), summed in HUGEINT — the 48-bit gear keeps each shifted
+    term within BIGINT for ``<<``), boundary rows -> lag() spans + the
+    per-doc tail, chunk md5 + rollup. Short docs (< W chars) fall out of
+    the tail branch as their single full-length chunk."""
+    w, mask = CDC_WINDOW, (1 << CDC_MASK_BITS)
+    return f"""
+        WITH ch AS (SELECT doc_id, text FROM documents
+                    WHERE text IS NOT NULL AND length(text) > 0),
+        pos AS (SELECT doc_id, i, unicode(substr(text, i, 1)) AS cp
+                FROM ch, unnest(generate_series(1, length(text))) AS t(i)),
+        g AS (SELECT doc_id, i,
+                     CAST(md5_number_upper(cp::VARCHAR) >> 16 AS BIGINT)
+                       AS gv FROM pos),
+        h AS (SELECT a.doc_id, a.i,
+                     sum(CAST(b.gv << (a.i - b.i) AS HUGEINT)) AS hsum
+              FROM g a JOIN g b ON b.doc_id = a.doc_id
+                   AND b.i BETWEEN a.i - {w - 1} AND a.i
+              WHERE a.i >= {w}
+              GROUP BY a.doc_id, a.i),
+        bnd AS (SELECT doc_id, i FROM h WHERE hsum % {mask} = 0),
+        spans AS (
+          SELECT doc_id,
+                 COALESCE(lag(i) OVER (PARTITION BY doc_id ORDER BY i),
+                          0) + 1 AS s,
+                 i AS e
+          FROM bnd
+          UNION ALL
+          SELECT c.doc_id, COALESCE(mx.m, 0) + 1, length(c.text)
+          FROM ch c LEFT JOIN (SELECT doc_id, max(i) AS m FROM bnd
+                               GROUP BY doc_id) mx USING (doc_id)
+          WHERE length(c.text) > COALESCE(mx.m, 0)),
+        chunks AS (SELECT sp.doc_id,
+                          md5(substr(c.text, sp.s, sp.e - sp.s + 1))
+                            AS chunk_md5
+                   FROM spans sp JOIN ch c USING (doc_id))
+        SELECT chunk_md5, count(*) AS n_occurrences,
+               count(DISTINCT doc_id) AS n_docs
+        FROM chunks GROUP BY chunk_md5 HAVING count(*) >= 2"""
+
+
 #: fp_neighbors value window (unsigned-64 fingerprint line): ~C(n,2) *
 #: 2*delta/2^64 expected pairs on a uniform corpus — a handful at
 #: sf0.001, ~400 at sf0.01
@@ -2528,6 +2589,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dups": q_minhash_dups,
         "simhash_dups": q_simhash_dups,
         "fp_neighbors": q_fp_neighbors,
+        "shared_chunks": q_shared_chunks,
         "neardup_clusters": q_neardup_clusters,
         "neardup_keep_one": q_neardup_keep_one,
         "pagerank": q_pagerank,
@@ -3050,6 +3112,7 @@ def oracle_sql() -> dict[str, str]:
         "hits": _hits_sql(),
         "triangles": _triangles_sql(),
         "crawl_depth": _crawl_depth_sql(),
+        "shared_chunks": _shared_chunks_sql(),
         "extract_links": _extract_links_sql(),
         "anchor_text": _anchor_text_sql(),
         "crawl_frontier": _crawl_frontier_sql(),
