@@ -796,6 +796,61 @@ def q_simhash_dups(sf_dir: str):
         return simhash_dup_pairs(ds, ngram_n=3, bands=4, max_dist=3)
 
 
+#: deterministic walk corpus: 2 walks per node, 4 steps
+WALKS_PER_NODE = 2
+WALK_LEN = 4
+
+
+def q_graph_walks(sf_dir: str):
+    """Deterministic DeepWalk-style walk corpus (stages/walks): the next
+    edge at step s of walk w from node u is md5_64(f\"{w}|{s}|{u}\") %
+    outdeg(u) — run/shard/cluster-invariant training sequences with an
+    exact md5_number_upper SQL twin. One edge-ranking exchange, then two
+    ids-only joins per step; sinks end walks via the inner join."""
+    from pypdfium2_ray.stages.walks import graph_walks
+    docs = _docs(sf_dir, ["doc_id"])
+    n = docs.count()
+    edges = docs.map_batches(_synth_link_edges(n), batch_format="pyarrow")
+    nodes = docs.map_batches(
+        lambda t: pa.table({"node": pc.cast(t["doc_id"], pa.int64())}),
+        batch_format="pyarrow")
+    with _hint(sf_dir):
+        return graph_walks(edges, nodes, walks_per_node=WALKS_PER_NODE,
+                           length=WALK_LEN)
+
+
+def _graph_walks_sql() -> str:
+    """Per-step CTE: join the previous positions onto row_number-ranked
+    edges where the rank equals the md5 choice (both sides UBIGINT, the
+    full-range modulo the engine computes in exact python ints)."""
+    T, L = WALKS_PER_NODE, WALK_LEN
+    ctes = [
+        "nodes AS (SELECT CAST(doc_id AS BIGINT) AS node FROM documents)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        f"edges AS MATERIALIZED ("
+        f"SELECT node AS src, (node * {PR_MULT} + 1) % (SELECT n FROM nn)"
+        " AS dst FROM nodes"
+        f" UNION ALL SELECT node, node % {PR_HUBS} FROM nodes"
+        " UNION ALL SELECT node, (node // 3) % (SELECT n FROM nn)"
+        " FROM nodes)",
+        "ie AS MATERIALIZED (SELECT src, dst,"
+        " row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS r,"
+        " count(*) OVER (PARTITION BY src) AS outdeg FROM edges)",
+        f"w0 AS (SELECT node * {T} + t AS walk_id, node FROM nodes,"
+        f" unnest(generate_series(0, {T - 1})) AS u(t))",
+    ]
+    for s in range(L):
+        ctes.append(
+            f"w{s + 1} AS MATERIALIZED (SELECT w.walk_id, e.dst AS node "
+            f"FROM w{s} w JOIN ie e ON e.src = w.node "
+            f"AND CAST(e.r AS UBIGINT) = md5_number_upper("
+            f"w.walk_id::VARCHAR || '|{s}|' || w.node::VARCHAR) "
+            f"% CAST(e.outdeg AS UBIGINT))")
+    parts = [f"SELECT walk_id, CAST({p} AS BIGINT) AS pos, node FROM w{p}"
+             for p in range(L + 1)]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(parts)
+
+
 #: content-defined chunking: 16-char gear window, 6 mask bits (expected
 #: 64-char chunks) — small enough that the sf corpora share real chunks
 CDC_WINDOW = 16
@@ -2590,6 +2645,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dups": q_simhash_dups,
         "fp_neighbors": q_fp_neighbors,
         "shared_chunks": q_shared_chunks,
+        "graph_walks": q_graph_walks,
         "neardup_clusters": q_neardup_clusters,
         "neardup_keep_one": q_neardup_keep_one,
         "pagerank": q_pagerank,
@@ -3113,6 +3169,7 @@ def oracle_sql() -> dict[str, str]:
         "triangles": _triangles_sql(),
         "crawl_depth": _crawl_depth_sql(),
         "shared_chunks": _shared_chunks_sql(),
+        "graph_walks": _graph_walks_sql(),
         "extract_links": _extract_links_sql(),
         "anchor_text": _anchor_text_sql(),
         "crawl_frontier": _crawl_frontier_sql(),
