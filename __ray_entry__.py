@@ -796,6 +796,37 @@ def q_simhash_dups(sf_dir: str):
         return simhash_dup_pairs(ds, ngram_n=3, bands=4, max_dist=3)
 
 
+def q_cocitation(sf_dir: str):
+    """Co-citation 'related pages' pairs (stages/triangles
+    .cocitation_counts — Dean & Henzinger WWW'99): page pairs linked by
+    >= 2 distinct sources over the synthetic graph; one src exchange for
+    distinct-target pair generation (out-degree-quadratic, loud max_out
+    cap), one packed-key exchange for the counts."""
+    from pypdfium2_ray.stages.triangles import cocitation_counts
+    docs = _docs(sf_dir, ["doc_id"])
+    n = docs.count()
+    edges = docs.map_batches(_synth_link_edges(n), batch_format="pyarrow")
+    with _hint(sf_dir):
+        return cocitation_counts(edges, min_count=2)
+
+
+def _cocitation_sql() -> str:
+    return f"""
+        WITH nodes AS (SELECT CAST(doc_id AS BIGINT) AS node FROM documents),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        edges AS (
+          SELECT node AS src, (node * {PR_MULT} + 1) % (SELECT n FROM nn)
+                 AS dst FROM nodes
+          UNION ALL SELECT node, node % {PR_HUBS} FROM nodes
+          UNION ALL SELECT node, (node // 3) % (SELECT n FROM nn)
+          FROM nodes),
+        de AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges
+                            WHERE src <> dst)
+        SELECT a.dst AS id_a, b.dst AS id_b, count(*) AS n_common
+        FROM de a JOIN de b ON a.src = b.src AND a.dst < b.dst
+        GROUP BY a.dst, b.dst HAVING count(*) >= 2"""
+
+
 #: deterministic walk corpus: 2 walks per node, 4 steps
 WALKS_PER_NODE = 2
 WALK_LEN = 4
@@ -2646,6 +2677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fp_neighbors": q_fp_neighbors,
         "shared_chunks": q_shared_chunks,
         "graph_walks": q_graph_walks,
+        "cocitation": q_cocitation,
         "neardup_clusters": q_neardup_clusters,
         "neardup_keep_one": q_neardup_keep_one,
         "pagerank": q_pagerank,
@@ -3170,6 +3202,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_depth": _crawl_depth_sql(),
         "shared_chunks": _shared_chunks_sql(),
         "graph_walks": _graph_walks_sql(),
+        "cocitation": _cocitation_sql(),
         "extract_links": _extract_links_sql(),
         "anchor_text": _anchor_text_sql(),
         "crawl_frontier": _crawl_frontier_sql(),
