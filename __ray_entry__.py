@@ -943,6 +943,75 @@ def _shared_chunks_sql() -> str:
         FROM chunks GROUP BY chunk_md5 HAVING count(*) >= 2"""
 
 
+#: template threshold: a chunk is per-source boilerplate when it appears
+#: in >= 1/5 of the source's chunk-producing docs (and >= 2 of them)
+TPL_FRAC = (1, 5)
+
+
+def q_template_chunks(sf_dir: str):
+    """Per-source template (boilerplate) chunks (stages/cdc
+    .template_chunks): CDC chunk contents present in >= 20% of a
+    source's docs — the nav-bar/footer detector. Numerators AND the
+    per-source denominators both derive from ONE chunk-row scan (the
+    denominator rides the exchange as ``chunk_md5=''`` sentinel rows),
+    so the whole rollup is one pass + ONE hash exchange on source.
+    Threshold compared in exact integers: n_docs*5 >= src_docs."""
+    from pypdfium2_ray.stages.cdc import template_chunks
+    ds = _docs(sf_dir, ["doc_id", "text", "source"])
+    with _hint(sf_dir):
+        return template_chunks(ds, group_col="source", window=CDC_WINDOW,
+                               mask_bits=CDC_MASK_BITS,
+                               frac_num=TPL_FRAC[0], frac_den=TPL_FRAC[1])
+
+
+def _template_chunks_sql() -> str:
+    """Same chunker CTEs as _shared_chunks_sql (source carried through),
+    plus a per-source chunk-producing-doc total and the integer-exact
+    20% threshold."""
+    w, mask = CDC_WINDOW, (1 << CDC_MASK_BITS)
+    num, den = TPL_FRAC
+    return f"""
+        WITH ch AS (SELECT doc_id, text, source FROM documents
+                    WHERE text IS NOT NULL AND length(text) > 0),
+        pos AS (SELECT doc_id, i, unicode(substr(text, i, 1)) AS cp
+                FROM ch, unnest(generate_series(1, length(text))) AS t(i)),
+        g AS (SELECT doc_id, i,
+                     CAST(md5_number_upper(cp::VARCHAR) >> 16 AS BIGINT)
+                       AS gv FROM pos),
+        h AS (SELECT a.doc_id, a.i,
+                     sum(CAST(b.gv << (a.i - b.i) AS HUGEINT)) AS hsum
+              FROM g a JOIN g b ON b.doc_id = a.doc_id
+                   AND b.i BETWEEN a.i - {w - 1} AND a.i
+              WHERE a.i >= {w}
+              GROUP BY a.doc_id, a.i),
+        bnd AS (SELECT doc_id, i FROM h WHERE hsum % {mask} = 0),
+        spans AS (
+          SELECT doc_id,
+                 COALESCE(lag(i) OVER (PARTITION BY doc_id ORDER BY i),
+                          0) + 1 AS s,
+                 i AS e
+          FROM bnd
+          UNION ALL
+          SELECT c.doc_id, COALESCE(mx.m, 0) + 1, length(c.text)
+          FROM ch c LEFT JOIN (SELECT doc_id, max(i) AS m FROM bnd
+                               GROUP BY doc_id) mx USING (doc_id)
+          WHERE length(c.text) > COALESCE(mx.m, 0)),
+        chunks AS (SELECT sp.doc_id, c.source,
+                          md5(substr(c.text, sp.s, sp.e - sp.s + 1))
+                            AS chunk_md5
+                   FROM spans sp JOIN ch c USING (doc_id)),
+        tot AS (SELECT source, count(*) AS src_docs FROM ch
+                GROUP BY source),
+        agg AS (SELECT source, chunk_md5,
+                       count(DISTINCT doc_id) AS n_docs
+                FROM chunks GROUP BY source, chunk_md5)
+        SELECT a.source, a.chunk_md5, a.n_docs::BIGINT AS n_docs,
+               t.src_docs::BIGINT AS src_docs
+        FROM agg a JOIN tot t USING (source)
+        WHERE a.n_docs * {den} >= t.src_docs * {num}
+          AND a.n_docs >= 2"""
+
+
 #: fp_neighbors value window (unsigned-64 fingerprint line): ~C(n,2) *
 #: 2*delta/2^64 expected pairs on a uniform corpus — a handful at
 #: sf0.001, ~400 at sf0.01
@@ -2676,6 +2745,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dups": q_simhash_dups,
         "fp_neighbors": q_fp_neighbors,
         "shared_chunks": q_shared_chunks,
+        "template_chunks": q_template_chunks,
         "graph_walks": q_graph_walks,
         "cocitation": q_cocitation,
         "neardup_clusters": q_neardup_clusters,
@@ -3201,6 +3271,7 @@ def oracle_sql() -> dict[str, str]:
         "triangles": _triangles_sql(),
         "crawl_depth": _crawl_depth_sql(),
         "shared_chunks": _shared_chunks_sql(),
+        "template_chunks": _template_chunks_sql(),
         "graph_walks": _graph_walks_sql(),
         "cocitation": _cocitation_sql(),
         "extract_links": _extract_links_sql(),

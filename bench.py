@@ -174,7 +174,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "distinct_users", "shipping_priority",
                      "cohort_retention", "span_dedup",
                      "bm25_topk", "pagerank", "hits", "url_dedup",
-                     "distinct_users_hll",
+                     "distinct_users_hll", "triangles", "crawl_depth",
+                     "fp_neighbors", "shared_chunks",
                      "density_extract", "warc_extract",
                      "snapshot_delta", "incremental_dedup"]
     E._warc_corpus(sf_dir)   # materialize the WARC shard cache untimed

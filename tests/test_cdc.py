@@ -127,3 +127,73 @@ def test_duckdb_twin_on_tiny_corpus(tmp_path):
     import __ray_entry__ as E
     orc = con.execute(E.oracle_sql()["shared_chunks"]).fetchall()
     assert mine == sorted((h, int(a), int(b)) for h, a, b in orc)
+
+
+def _tpl(t, **kw):
+    from pypdfium2_ray.stages.cdc import template_chunks
+    with partition_hint(kw.pop("parts", 2)):
+        out = template_chunks(rd.from_arrow(t), **kw).to_pandas()
+    return sorted(map(tuple, out.to_numpy()))
+
+
+def test_template_chunks_semantics():
+    # host A: 5 docs, 4 share TEXTS[0]'s chunks (80% >= 20%), one odd doc;
+    # host B: 3 distinct docs -> no chunk clears min_docs=2.
+    rows = ([(i, TEXTS[0], "a.com") for i in range(4)]
+            + [(4, TEXTS[5], "a.com")]
+            + [(10 + i, TEXTS[5] + f"@{i}" * 40, "b.com") for i in range(3)])
+    t = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "text": pa.array([r[1] for r in rows], pa.string()),
+                  "source": pa.array([r[2] for r in rows], pa.string())})
+    out = _tpl(t)
+    from pypdfium2_ray.stages.cdc import DEFAULT_WINDOW, DEFAULT_MASK_BITS
+    ck = _CdcChunks("doc_id", "text", DEFAULT_WINDOW, DEFAULT_MASK_BITS)
+    tpl_md5s = {hashlib.md5(c.encode()).hexdigest()
+                for c in ck.chunks_of(TEXTS[0])}
+    assert {r[0] for r in out} == {"a.com"}
+    assert {r[1] for r in out} == tpl_md5s
+    for src, md5h, n_docs, src_docs in out:
+        assert (n_docs, src_docs) == (4, 5)
+
+
+def test_template_chunks_threshold_boundary():
+    # 1/5 threshold: 1 of 5 docs fails min_docs=2; 2 of 10 passes exactly;
+    # 2 of 11 fails (2*5 < 11).
+    def corpus(n_total, n_dup):
+        rows = [(i, TEXTS[0], "h") for i in range(n_dup)]
+        rows += [(100 + i, TEXTS[5] + f"#{i}" * 30, "h")
+                 for i in range(n_total - n_dup)]
+        return pa.table(
+            {"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+             "text": pa.array([r[1] for r in rows], pa.string()),
+             "source": pa.array([r[2] for r in rows], pa.string())})
+
+    assert _tpl(corpus(5, 1)) == []            # min_docs=2 gate
+    assert len(_tpl(corpus(10, 2))) > 0        # 2*5 >= 10: boundary in
+    assert _tpl(corpus(11, 2)) == []           # 2*5 < 11: boundary out
+
+
+def test_template_chunks_layout_invariance():
+    rows = [(i, TEXTS[i % 3] + TEXTS[0], f"s{i % 2}") for i in range(12)]
+    t = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "text": pa.array([r[1] for r in rows], pa.string()),
+                  "source": pa.array([r[2] for r in rows], pa.string())})
+
+    def run(parts, blocks):
+        ds = rd.from_arrow(t).repartition(blocks)
+        from pypdfium2_ray.stages.cdc import template_chunks
+        with partition_hint(parts):
+            out = template_chunks(ds).to_pandas()
+        return sorted(map(tuple, out.to_numpy()))
+
+    assert run(1, 1) == run(3, 5)
+
+
+def test_cdc_carry_col_replication():
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array([TEXTS[0], TEXTS[4]], pa.string()),
+                  "source": pa.array(["x.org", "y.org"], pa.string())})
+    out = cdc_chunk_rows(rd.from_arrow(t), carry_col="source").to_pandas()
+    assert list(out.columns) == ["doc_id", "chunk_md5", "source"]
+    assert set(out[out.doc_id == 1]["source"]) == {"x.org"}
+    assert set(out[out.doc_id == 2]["source"]) == {"y.org"}
