@@ -1012,6 +1012,87 @@ def _template_chunks_sql() -> str:
           AND a.n_docs >= 2"""
 
 
+def _decorate_boilerplate(t):
+    """Plant deterministic per-source boilerplate lines around each doc
+    (the normalize_text planting pattern — the synthetic corpus is
+    single-line, so the template structure is SQL-composed identically
+    on both sides): a nav header + copyright footer on EVERY doc (100%),
+    a promo line on doc_id%3==0 (33% >= 20% threshold: stripped), a rare
+    notice on doc_id%50==0 (2% < 20%: kept)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    t = t.filter(pc.is_valid(t["text"]))
+    did = pc.cast(t["doc_id"], pa.int64()).combine_chunks()
+    src = pc.cast(t["source"], pa.string()).combine_chunks()
+    d = did.to_numpy(zero_copy_only=False)
+    cat = (lambda *parts: pc.binary_join_element_wise(*parts, ""))
+    promo = pc.if_else(pa.array(d % 3 == 0),
+                       cat("subscribe to ", src, " newsletter\n"),
+                       pa.scalar(""))
+    rare = pc.if_else(pa.array(d % 50 == 0),
+                      cat("rare notice ", src, "\n"), pa.scalar(""))
+    text = cat("home | ", src, " | about\n", promo,
+               t["text"].combine_chunks(), "\n", rare, "(c) 2026 ", src)
+    return pa.table({"doc_id": did, "text": text, "source": src})
+
+
+def q_strip_boilerplate(sf_dir: str):
+    """Per-source boilerplate LINE stripping (stages/boilerplate
+    .strip_boilerplate — the rewrite tier of the template family):
+    lines in >= 20% of a source's docs are removed and the doc
+    reassembled. Census pays ONE source exchange (sentinel-row
+    denominators on the same exchange); the rewrite pays one more with
+    the text payload crossing the wire once. Planted header/footer
+    (100%) and promo (33%) lines must vanish; the rare notice (2%) and
+    the body must survive — threshold exercised on both sides."""
+    from pypdfium2_ray.stages.boilerplate import strip_boilerplate
+    ds = _docs(sf_dir, ["doc_id", "text", "source"]).map_batches(
+        _decorate_boilerplate, batch_format="pyarrow")
+    with _hint(sf_dir):
+        return strip_boilerplate(ds, frac_num=TPL_FRAC[0],
+                                 frac_den=TPL_FRAC[1])
+
+
+def _strip_boilerplate_sql() -> str:
+    """Line explode via the list-index idiom (no WITH ORDINALITY in
+    DuckDB), per-source frequency census, LEFT-JOIN template flag,
+    ordered string_agg rebuild; COALESCE('') keeps all-boilerplate docs
+    alive like the engine does."""
+    num, den = TPL_FRAC
+    return f"""
+        WITH d0 AS (SELECT doc_id, source, text FROM documents
+                    WHERE text IS NOT NULL),
+        dec AS (SELECT doc_id, source,
+                  'home | ' || source || ' | about' || chr(10) ||
+                  CASE WHEN doc_id % 3 = 0 THEN
+                    'subscribe to ' || source || ' newsletter' || chr(10)
+                    ELSE '' END ||
+                  text || chr(10) ||
+                  CASE WHEN doc_id % 50 = 0 THEN
+                    'rare notice ' || source || chr(10) ELSE '' END ||
+                  '(c) 2026 ' || source AS text
+                FROM d0),
+        ls AS (SELECT doc_id, source, string_split(text, chr(10)) AS l
+               FROM dec),
+        lines AS (SELECT doc_id, source, i, l[i] AS ln
+                  FROM ls, unnest(generate_series(1, len(l))) AS t(i)),
+        tot AS (SELECT source, count(*) AS sd FROM dec GROUP BY source),
+        freq AS (SELECT source, md5(ln) AS lm,
+                        count(DISTINCT doc_id) AS n
+                 FROM lines GROUP BY source, md5(ln)),
+        tpl AS (SELECT f.source, f.lm FROM freq f JOIN tot USING (source)
+                WHERE f.n * {den} >= sd * {num} AND f.n >= 2),
+        mk AS (SELECT l.doc_id, l.i, l.ln, (t.lm IS NOT NULL) AS is_tpl
+               FROM lines l LEFT JOIN tpl t
+                 ON t.source = l.source AND t.lm = md5(l.ln))
+        SELECT doc_id,
+               COALESCE(string_agg(ln, chr(10) ORDER BY i)
+                        FILTER (WHERE NOT is_tpl), '') AS clean_text,
+               (count(*) FILTER (WHERE is_tpl))::BIGINT AS n_dropped
+        FROM mk GROUP BY doc_id"""
+
+
 #: fp_neighbors value window (unsigned-64 fingerprint line): ~C(n,2) *
 #: 2*delta/2^64 expected pairs on a uniform corpus — a handful at
 #: sf0.001, ~400 at sf0.01
@@ -2746,6 +2827,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fp_neighbors": q_fp_neighbors,
         "shared_chunks": q_shared_chunks,
         "template_chunks": q_template_chunks,
+        "strip_boilerplate": q_strip_boilerplate,
         "graph_walks": q_graph_walks,
         "cocitation": q_cocitation,
         "neardup_clusters": q_neardup_clusters,
@@ -3272,6 +3354,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_depth": _crawl_depth_sql(),
         "shared_chunks": _shared_chunks_sql(),
         "template_chunks": _template_chunks_sql(),
+        "strip_boilerplate": _strip_boilerplate_sql(),
         "graph_walks": _graph_walks_sql(),
         "cocitation": _cocitation_sql(),
         "extract_links": _extract_links_sql(),

@@ -180,22 +180,23 @@ def shared_chunks(ds, id_col: str = "doc_id", text_col: str = "text",
                          num_partitions=num_partitions)
 
 
-def _tpl_partial(group_col: str):
-    """Per-block pre-combine for the template rollup. Two row kinds share
-    one schema (group, chunk_md5, docs):
+def _tpl_partial(group_col: str, md5_col: str = "chunk_md5"):
+    """Per-block pre-combine for the template rollup (shared by the CDC
+    chunk tier and stages/boilerplate's line tier via *md5_col*). Two row
+    kinds share one schema (group, md5_col, docs):
 
-    - chunk partials: distinct docs of *group* containing *chunk_md5*
+    - unit partials: distinct docs of *group* containing *md5_col*
       in this block;
-    - denominator sentinels (``chunk_md5 = ''`` — an md5 hex is never
-      empty): distinct chunk-producing docs of *group* in this block.
+    - denominator sentinels (``md5_col = ''`` — an md5 hex is never
+      empty): distinct unit-producing docs of *group* in this block.
 
     A document lives in exactly one block, so both distinct-doc partials
     are disjoint across blocks and sum exactly after the exchange."""
 
     def fn(t: pa.Table) -> pa.Table:
-        dd = (t.group_by([group_col, "chunk_md5", "doc_id"],
+        dd = (t.group_by([group_col, md5_col, "doc_id"],
                          use_threads=False).aggregate([])
-              .group_by([group_col, "chunk_md5"], use_threads=False)
+              .group_by([group_col, md5_col], use_threads=False)
               .aggregate([([], "count_all")]))
         tot = (t.group_by([group_col, "doc_id"], use_threads=False)
                .aggregate([]).group_by([group_col], use_threads=False)
@@ -204,28 +205,28 @@ def _tpl_partial(group_col: str):
             pc.cast(dd[group_col], pa.string()).combine_chunks(),
             pc.cast(tot[group_col], pa.string()).combine_chunks()])
         md5 = pa.concat_arrays([
-            dd["chunk_md5"].combine_chunks(),
+            dd[md5_col].combine_chunks(),
             pa.array([""] * tot.num_rows, pa.string())])
         docs = pa.concat_arrays([
             pc.cast(dd["count_all"], pa.int64()).combine_chunks(),
             pc.cast(tot["count_all"], pa.int64()).combine_chunks()])
-        return pa.table({group_col: grp, "chunk_md5": md5, "docs": docs})
+        return pa.table({group_col: grp, md5_col: md5, "docs": docs})
 
     return fn
 
 
 def _tpl_final(group_col: str, frac_num: int, frac_den: int,
-               min_docs: int):
+               min_docs: int, md5_col: str = "chunk_md5"):
     def fn(t: pa.Table) -> pa.Table:
         empty = pa.table({group_col: pa.array([], pa.string()),
-                          "chunk_md5": pa.array([], pa.string()),
+                          md5_col: pa.array([], pa.string()),
                           "n_docs": pa.array([], pa.int64()),
                           "src_docs": pa.array([], pa.int64())})
-        if t.num_rows == 0 or "chunk_md5" not in t.column_names:
+        if t.num_rows == 0 or md5_col not in t.column_names:
             return empty
-        g = t.group_by([group_col, "chunk_md5"],
+        g = t.group_by([group_col, md5_col],
                        use_threads=False).aggregate([("docs", "sum")])
-        is_tot = pc.equal(g["chunk_md5"], "")
+        is_tot = pc.equal(g[md5_col], "")
         tot = g.filter(is_tot)
         ch = g.filter(pc.invert(is_tot))
         if ch.num_rows == 0 or tot.num_rows == 0:
@@ -240,7 +241,7 @@ def _tpl_final(group_col: str, frac_num: int, frac_den: int,
                              pc.multiply(sd, pa.scalar(frac_num, pa.int64()))),
             pc.greater_equal(nd, pa.scalar(min_docs, pa.int64())))
         out = pa.table({group_col: j[group_col],
-                        "chunk_md5": j["chunk_md5"],
+                        md5_col: j[md5_col],
                         "n_docs": nd, "src_docs": sd})
         return out.filter(keep)
 
