@@ -2121,6 +2121,59 @@ def q_ngram_dups(sf_dir: str):
                                  num_perm=128, bands=32, threshold=0.5)
 
 
+#: ppjoin threshold: word-bigram Jaccard — dups on this corpus sit >0.75
+#: and background <0.5, so 0.6 is mid-gap (verified by measurement)
+PPJ_TAU = 0.6
+
+
+def q_ppjoin_dups(sf_dir: str):
+    """EXACT set-similarity self-join via prefix filtering
+    (stages/ppjoin.ppjoin_dup_pairs — Chaudhuri ICDE'06 / Xiao WWW'08 /
+    Vernica SIGMOD'10): recall-1 candidate generation from md5-ordered
+    prefix tokens (ids-only rows, ONE tok_key exchange, vectorized
+    bucket pairing + slacked length filter), exact Jaccard verify on
+    semi-join-prefiltered text joins. The deterministic counterpart of
+    minhash_dups/ngram_dups: no bands, no probability — the SQL
+    all-pairs twin is an oracle by definition, not by tuned recall."""
+    from pypdfium2_ray.stages.ppjoin import ppjoin_dup_pairs
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    with _hint(sf_dir):
+        return ppjoin_dup_pairs(ds, tau=PPJ_TAU, shingle_k=2,
+                                shingle_kind="word")
+
+
+def _ppjoin_dups_sql() -> str:
+    """Word-bigram all-pairs exact Jaccard. The length prefilter carries
+    an integer slack of 1 so IEEE rounding of tau*len can never drop a
+    qualifying pair — the final fl-division compare (shared with the
+    engine's verify) decides membership."""
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 regexp_extract_all(text, '[^ \t\r\n\f\v]+') AS w
+          FROM documents),
+        sh AS (
+          SELECT doc_id, CASE
+            WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+            WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+            ELSE list_distinct([array_to_string(w[i:i+1], ' ')
+                                for i in range(1, len(w))])
+          END AS s FROM toks),
+        cand AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           AND least(len(a.s), len(b.s))
+               >= {PPJ_TAU} * greatest(len(a.s), len(b.s)) - 1),
+        sim AS (
+          SELECT id_a, id_b,
+                 len(list_intersect(sa, sb))::BIGINT AS n_inter,
+                 (len(sa) + len(sb) - len(list_intersect(sa, sb)))::BIGINT
+                   AS n_union
+          FROM cand)
+        SELECT id_a, id_b, n_inter, n_union FROM sim
+        WHERE n_union = 0 OR n_inter / n_union >= {PPJ_TAU}"""
+
+
 CHUNK_WINDOW = 32
 CHUNK_STEP = 24     # overlap 8 — the standard RAG sliding-window shape
 
@@ -2861,6 +2914,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_rolling_7d": q_user_rolling_7d,
         "top_user_per_type": q_top_user_per_type,
         "ngram_dups": q_ngram_dups,
+        "ppjoin_dups": q_ppjoin_dups,
         "winnow_fingerprint": q_winnow_fingerprint,
         "hash_embed": q_hash_embed,
         "text_semantic_dups": q_text_semantic_dups,
@@ -3369,6 +3423,7 @@ def oracle_sql() -> dict[str, str]:
         "meta_extract": _meta_extract_sql(),
         "ngram_decontaminate": _ngram_decontaminate_sql(),
         # word-trigram variant of the exact all-pairs Jaccard oracle
+        "ppjoin_dups": _ppjoin_dups_sql(),
         "ngram_dups": """
             WITH toks AS (
               SELECT doc_id,
