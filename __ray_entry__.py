@@ -1659,6 +1659,39 @@ def _extract_links_sql() -> str:
         FROM documents WHERE {ok}"""
 
 
+def q_extract_tables(sf_dir: str):
+    """HTML <table> extraction to relational cell rows
+    (stages/tables.extract_tables): per-doc SAX table walk behind the
+    SHARED decode gate (decode_payload — identical refusal set to the
+    flagship parse, so the deterministic error slice emits nothing and
+    the oracle's synthesis predicate is exact). Pure per-block map, zero
+    exchanges. The wrap='table' page shape plants a 5-row metadata table
+    whose cells are pure (doc_id, lang, source, length(text))
+    expressions — the oracle reconstructs all 10 cells per ok doc."""
+    from pypdfium2_ray.sources.cc_from_documents import read_cc_from_documents
+    from pypdfium2_ray.stages.tables import extract_tables
+    return extract_tables(read_cc_from_documents(sf_dir, wrap="table"))
+
+
+def _extract_tables_sql() -> str:
+    from pypdfium2_ray.sources.cc_from_documents import sql_is_bad, sql_is_enc
+    ok = f"NOT {sql_is_bad()} AND NOT {sql_is_enc()}"
+    cells = [
+        (0, 0, "TRUE", "'key'"), (0, 1, "TRUE", "'value'"),
+        (1, 0, "FALSE", "'id'"), (1, 1, "FALSE", "CAST(doc_id AS VARCHAR)"),
+        (2, 0, "FALSE", "'lang'"), (2, 1, "FALSE", "lang"),
+        (3, 0, "FALSE", "'source'"), (3, 1, "FALSE", "source"),
+        (4, 0, "FALSE", "'chars'"),
+        (4, 1, "FALSE", "CAST(length(text) AS VARCHAR)"),
+    ]
+    parts = [
+        f"SELECT doc_id, 0::BIGINT AS table_idx, {r}::BIGINT AS row_idx, "
+        f"{c}::BIGINT AS col_idx, {h} AS is_header, {v} AS cell "
+        f"FROM documents WHERE {ok}"
+        for r, c, h, v in cells]
+    return " UNION ALL ".join(parts)
+
+
 def q_anchor_text(sf_dir: str):
     """Anchor-text index per link TARGET (stages/linkgraph.
     anchor_text_index): n_refs / distinct-anchor count / sorted
@@ -2890,6 +2923,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangles": q_triangles,
         "crawl_depth": q_crawl_depth,
         "extract_links": q_extract_links,
+        "extract_tables": q_extract_tables,
         "anchor_text": q_anchor_text,
         "crawl_frontier": q_crawl_frontier,
         "link_pagerank": q_link_pagerank,
@@ -3412,6 +3446,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_walks": _graph_walks_sql(),
         "cocitation": _cocitation_sql(),
         "extract_links": _extract_links_sql(),
+        "extract_tables": _extract_tables_sql(),
         "anchor_text": _anchor_text_sql(),
         "crawl_frontier": _crawl_frontier_sql(),
         "link_pagerank": _link_pagerank_sql(),

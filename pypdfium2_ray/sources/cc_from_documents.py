@@ -125,6 +125,20 @@ def documents_to_cc(batch: pa.Table, errors: bool = True,
             _BOILER_TOP,
             '<nav><a href="/page/', rel_str, '">rel ', doc_id_str,
             "</a></nav>", "<main>", *content, "</main>", _BOILER_BOTTOM)
+    elif wrap == "table":
+        # single-page shape with a 5-row metadata <table> whose cells are
+        # pure (doc_id, lang, source, length(text)) expressions — the
+        # extract_tables oracle reconstructs them in SQL verbatim
+        n_str = pc.cast(pc.utf8_length(batch["text"]), pa.string())
+        parts = (
+            _BOILER_TOP, "<main><h1>Doc ", doc_id_str, "</h1><p>",
+            batch["text"], "</p>",
+            '<table class="meta"><tr><th>key</th><th>value</th></tr>',
+            "<tr><td>id</td><td>", doc_id_str, "</td></tr>",
+            "<tr><td>lang</td><td>", batch["lang"], "</td></tr>",
+            "<tr><td>source</td><td>", batch["source"], "</td></tr>",
+            "<tr><td>chars</td><td>", n_str, "</td></tr>",
+            "</table></main>", _BOILER_BOTTOM)
     else:   # "divs"
         parts = (
             '<div class="menu"><a href="/">Home</a> '
