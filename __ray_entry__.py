@@ -2824,6 +2824,64 @@ _ANN_TOPK_SQL = f"""
                                ORDER BY sim DESC, vec_id) <= {ANN_K}"""
 
 
+#: image twins: doc_id % 40 == 1 shares its predecessor's pixels
+IMG_TWIN_MOD = 40
+
+
+def q_image_dups(sf_dir: str):
+    """Perceptual image near-dup pairs (stages/imagedup.image_dup_pairs):
+    REAL decode (three lossless from-scratch codecs cycled by doc_id%3 —
+    a PNG twin of a BMP twin still collides, the re-encode-dedup story)
+    -> REAL NN downsample -> dHash -> shared simhash pigeonhole banding
+    + hamming verify, recall exact at max_dist<=bands-1. The planted
+    image encodes md5_hash64(visual_id) bit-for-bit in its horizontal
+    gradients (±1 steps from 32 at even columns; the 9x8 downsample
+    lands exactly on them), so the pipeline's recovered fingerprint —
+    and therefore every pair — is the md5_number_upper SQL expression."""
+    import numpy as np
+    from pypdfium2_ray.functions.bmp import encode_bmp
+    from pypdfium2_ray.functions.gif import encode_gif
+    from pypdfium2_ray.functions.png import encode_png
+    from pypdfium2_ray.functions.sketch import md5_hash64
+    from pypdfium2_ray.stages.imagedup import image_dup_pairs
+
+    def to_img(t: pa.Table) -> pa.Table:
+        payloads = []
+        for did in t["doc_id"].to_pylist():
+            v = did - 1 if did % IMG_TWIN_MOD == 1 else did
+            fp = md5_hash64(str(v).encode())
+            img = np.empty((16, 18), np.uint8)
+            for j in range(8):
+                c, vals = 32, [32]
+                for k in range(8):
+                    c += 1 if (fp >> (j * 8 + k)) & 1 else -1
+                    vals.append(c)
+                row = np.repeat(np.array(vals, np.uint8), 2)
+                img[2 * j] = row
+                img[2 * j + 1] = row
+            enc = (encode_png, encode_bmp, encode_gif)[did % 3]
+            payloads.append(enc(img))
+        return pa.table({"id": t["doc_id"],
+                         "data": pa.array(payloads, pa.binary())})
+
+    ds = _docs(sf_dir, ["doc_id"]).map_batches(to_img,
+                                               batch_format="pyarrow")
+    with _hint(sf_dir):
+        return image_dup_pairs(ds, bands=4, max_dist=3)
+
+
+def _image_dups_sql() -> str:
+    return f"""
+        WITH f AS (SELECT doc_id,
+            md5_number_upper(CAST(doc_id - CASE WHEN doc_id % {IMG_TWIN_MOD}
+                = 1 THEN 1 ELSE 0 END AS VARCHAR)) AS fp
+          FROM documents)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.fp, b.fp))::BIGINT AS hamming
+        FROM f a JOIN f b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.fp, b.fp)) <= 3"""
+
+
 def q_image_resize(sf_dir: str):
     """REAL resize end-to-end over a MIXED-format corpus: doc_id mod 4
     picks PNG / uncompressed BMP / GIF / baseline JPEG (all four
@@ -2978,6 +3036,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decode_images": q_decode_images,
         "image_meta": q_image_meta,
         "image_resize": q_image_resize,
+        "image_dups": q_image_dups,
     }
 
 
@@ -3654,6 +3713,7 @@ def oracle_sql() -> dict[str, str]:
         # nearest-neighbor resize: floor halves (source dims >= 2);
         # format alternates by doc_id parity (even=png, odd=bmp) — the
         # resized payload must round-trip in its ORIGINAL format
+        "image_dups": _image_dups_sql(),
         "image_resize": f"""
             SELECT doc_id AS id, 'ok' AS status,
                    CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
