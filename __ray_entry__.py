@@ -2154,6 +2154,35 @@ def q_ngram_dups(sf_dir: str):
                                  num_perm=128, bands=32, threshold=0.5)
 
 
+def q_rollup_stats(sf_dir: str):
+    """Hierarchical ROLLUP(source, lang) corpus report
+    (stages/rollup.rollup_aggregate): finest groups + per-source
+    subtotals + grand total with the RAW table exchanged once — coarser
+    levels derive from the previous level's materialized finalized rows
+    (distributive aggregate algebra: count/sum re-sum, max re-maxes),
+    so level L's exchange carries |groups| rows, not |docs|. ``level``
+    mirrors SQL's 2 - grouping(source) - grouping(lang)."""
+    from pypdfium2_ray.stages.rollup import rollup_aggregate
+    ds = _docs(sf_dir, ["source", "lang", "n_chars"])
+    with _hint(sf_dir):
+        return rollup_aggregate(
+            ds, keys=["source", "lang"],
+            aggs={"n_docs": ("count",), "total_chars": ("sum", "n_chars"),
+                  "max_chars": ("max", "n_chars")},
+            fill="(all)")
+
+
+def _rollup_stats_sql() -> str:
+    return """
+        SELECT COALESCE(source, '(all)') AS source,
+               COALESCE(lang, '(all)') AS lang,
+               count(*)::BIGINT AS n_docs,
+               sum(n_chars)::BIGINT AS total_chars,
+               max(n_chars)::BIGINT AS max_chars,
+               (2 - grouping(source) - grouping(lang))::BIGINT AS level
+        FROM documents GROUP BY ROLLUP(source, lang)"""
+
+
 #: ppjoin threshold: word-bigram Jaccard — dups on this corpus sit >0.75
 #: and background <0.5, so 0.6 is mid-gap (verified by measurement)
 PPJ_TAU = 0.6
@@ -3007,6 +3036,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_user_per_type": q_top_user_per_type,
         "ngram_dups": q_ngram_dups,
         "ppjoin_dups": q_ppjoin_dups,
+        "rollup_stats": q_rollup_stats,
         "winnow_fingerprint": q_winnow_fingerprint,
         "hash_embed": q_hash_embed,
         "text_semantic_dups": q_text_semantic_dups,
@@ -3518,6 +3548,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_decontaminate": _ngram_decontaminate_sql(),
         # word-trigram variant of the exact all-pairs Jaccard oracle
         "ppjoin_dups": _ppjoin_dups_sql(),
+        "rollup_stats": _rollup_stats_sql(),
         "ngram_dups": """
             WITH toks AS (
               SELECT doc_id,
