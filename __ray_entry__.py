@@ -2154,6 +2154,76 @@ def q_ngram_dups(sf_dir: str):
                                  num_perm=128, bands=32, threshold=0.5)
 
 
+#: corpus-global repeated-line threshold (strip_repeated query)
+GLOBAL_LINE_MIN = 10
+
+
+def _decorate_global_lines(t):
+    """Planted lines for the GLOBAL scrub: a CDN banner on every doc
+    (always stripped), a 'via <source>' footer (stripped when the source
+    has >= GLOBAL_LINE_MIN docs), and a rare doc_id%97 notice in 7
+    variants whose strip/keep flips WITH SCALE (~7 docs/variant at
+    sf0.01 < 10 kept; ~73 at sf0.1 >= 10 stripped) — the oracle tracks
+    the same census, so the flip verifies global counting, not a
+    constant."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    t = t.filter(pc.is_valid(t["text"]))
+    did = pc.cast(t["doc_id"], pa.int64()).combine_chunks()
+    src = pc.cast(t["source"], pa.string()).combine_chunks()
+    d = did.to_numpy(zero_copy_only=False)
+    cat = (lambda *parts: pc.binary_join_element_wise(*parts, ""))
+    var = pc.cast(pa.array(d % 7, pa.int64()), pa.string())
+    notice = pc.if_else(pa.array(d % 97 == 0),
+                        cat("notice ", var, "\n"), pa.scalar(""))
+    text = cat("cdn: served by example-cdn\n", notice,
+               t["text"].combine_chunks(), "\nvia ", src)
+    return pa.table({"doc_id": did, "text": text})
+
+
+def q_strip_repeated(sf_dir: str):
+    """Corpus-GLOBAL repeated-line scrub (stages/boilerplate
+    .strip_repeated_lines): lines in >= 10 distinct docs ANYWHERE
+    removed everywhere. The census is the only exchange (pre-combined
+    md5 rows); the template set is a bounded heavy-hitter set
+    (<= occurrences/min_count), broadcast once via ray.put, and the
+    rewrite is a pure per-block map — doc text NEVER crosses the wire
+    (the shape the per-source strip_boilerplate cannot use, since its
+    sets are per-group unbounded)."""
+    from pypdfium2_ray.stages.boilerplate import strip_repeated_lines
+    ds = _docs(sf_dir, ["doc_id", "text", "source"]).map_batches(
+        _decorate_global_lines, batch_format="pyarrow")
+    with _hint(sf_dir):
+        return strip_repeated_lines(ds, min_count=GLOBAL_LINE_MIN)
+
+
+def _strip_repeated_sql() -> str:
+    m = GLOBAL_LINE_MIN
+    return f"""
+        WITH d0 AS (SELECT doc_id, source, text FROM documents
+                    WHERE text IS NOT NULL),
+        dec AS (SELECT doc_id,
+                  'cdn: served by example-cdn' || chr(10) ||
+                  CASE WHEN doc_id % 97 = 0 THEN
+                    'notice ' || CAST(doc_id % 7 AS VARCHAR) || chr(10)
+                    ELSE '' END ||
+                  text || chr(10) || 'via ' || source AS text
+                FROM d0),
+        ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM dec),
+        lines AS (SELECT doc_id, i, l[i] AS ln
+                  FROM ls, unnest(generate_series(1, len(l))) AS t(i)),
+        freq AS (SELECT md5(ln) AS lm, count(DISTINCT doc_id) AS n
+                 FROM lines GROUP BY md5(ln)),
+        tpl AS (SELECT lm FROM freq WHERE n >= {m}),
+        mk AS (SELECT l.doc_id, l.i, l.ln, (t.lm IS NOT NULL) AS is_tpl
+               FROM lines l LEFT JOIN tpl t ON t.lm = md5(l.ln))
+        SELECT doc_id,
+               COALESCE(string_agg(ln, chr(10) ORDER BY i)
+                        FILTER (WHERE NOT is_tpl), '') AS clean_text,
+               (count(*) FILTER (WHERE is_tpl))::BIGINT AS n_dropped
+        FROM mk GROUP BY doc_id"""
+
+
 def q_rollup_stats(sf_dir: str):
     """Hierarchical ROLLUP(source, lang) corpus report
     (stages/rollup.rollup_aggregate): finest groups + per-source
@@ -3037,6 +3107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_dups": q_ngram_dups,
         "ppjoin_dups": q_ppjoin_dups,
         "rollup_stats": q_rollup_stats,
+        "strip_repeated": q_strip_repeated,
         "winnow_fingerprint": q_winnow_fingerprint,
         "hash_embed": q_hash_embed,
         "text_semantic_dups": q_text_semantic_dups,
@@ -3549,6 +3620,7 @@ def oracle_sql() -> dict[str, str]:
         # word-trigram variant of the exact all-pairs Jaccard oracle
         "ppjoin_dups": _ppjoin_dups_sql(),
         "rollup_stats": _rollup_stats_sql(),
+        "strip_repeated": _strip_repeated_sql(),
         "ngram_dups": """
             WITH toks AS (
               SELECT doc_id,

@@ -129,6 +129,114 @@ def template_lines(ds, id_col: str = "doc_id", text_col: str = "text",
                          num_partitions=num_partitions)
 
 
+def repeated_lines(ds, id_col: str = "doc_id", text_col: str = "text",
+                   min_count: int = 10,
+                   num_partitions: int | None = None):
+    """Corpus-GLOBAL repeated-line census: Dataset[(line_md5, n_docs)]
+    for every line present in >= ``min_count`` distinct documents —
+    the CCNet-style repeated-paragraph detector with no per-source
+    scoping. Per-block pre-combine to distinct (line_md5, docs)
+    partials, ONE line_md5 exchange. Output size is bounded by
+    ``total_line_occurrences / min_count`` (a heavy-hitter set), which
+    is what makes the broadcast rewrite tier
+    (:func:`strip_repeated_lines`) legal."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[text_col]))
+        if t.num_rows == 0:
+            return pa.table({"line_md5": pa.array([], pa.string()),
+                             "docs": pa.array([], pa.int64())})
+        flat, idx, _ = _explode_lines(t, text_col)
+        lt = pa.table({"line_md5": _md5_per_line(flat),
+                       "doc": pa.array(idx)})
+        dd = (lt.group_by(["line_md5", "doc"], use_threads=False)
+              .aggregate([])
+              .group_by(["line_md5"], use_threads=False)
+              .aggregate([([], "count_all")]))
+        return pa.table({"line_md5": dd["line_md5"],
+                         "docs": pc.cast(dd["count_all"], pa.int64())})
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"line_md5": pa.array([], pa.string()),
+                             "n_docs": pa.array([], pa.int64())})
+        g = t.group_by(["line_md5"],
+                       use_threads=False).aggregate([("docs", "sum")])
+        n = pc.cast(g["docs_sum"], pa.int64())
+        out = pa.table({"line_md5": g["line_md5"], "n_docs": n})
+        return out.filter(pc.greater_equal(n, min_count))
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partition_map(partials, ["line_md5"], final,
+                         num_partitions=num_partitions)
+
+
+def strip_repeated_lines(ds, id_col: str = "doc_id",
+                         text_col: str = "text", min_count: int = 10,
+                         max_broadcast: int = 5_000_000,
+                         num_partitions: int | None = None):
+    """Corpus-global repeated-line scrub: every line occurring in >=
+    ``min_count`` distinct docs ANYWHERE is removed from every doc and
+    the text reassembled — Dataset[(doc_id, clean_text, n_dropped)].
+
+    Distributed shape differs from the per-source
+    :func:`strip_boilerplate` on purpose: with no group key, the
+    template set cannot co-partition with the docs, but it IS a
+    heavy-hitter set (|set| <= total_line_occurrences / min_count), so
+    it is broadcast ONCE (``ray.put``, plasma-local reads) and the
+    rewrite is a pure per-block map — the text payload NEVER crosses the
+    wire; the only exchange in the whole operator is the census's
+    pre-combined md5 rows. ``max_broadcast`` is the loud ceiling: a set
+    beyond it means ``min_count`` is too low for the corpus (the
+    strip_boilerplate exchange shape is the fallback).
+
+    The input lineage executes twice (census + rewrite) — feed a
+    materialized/checkpointed table, as with strip_boilerplate."""
+    import ray
+    tpl = repeated_lines(ds, id_col=id_col, text_col=text_col,
+                         min_count=min_count,
+                         num_partitions=num_partitions).materialize()
+    n_tpl = tpl.count()
+    if n_tpl > max_broadcast:
+        raise ValueError(
+            f"repeated-line set has {n_tpl} entries > max_broadcast="
+            f"{max_broadcast}: raise min_count or use the per-source "
+            "strip_boilerplate exchange shape")
+    md5s = pa.concat_arrays([
+        b["line_md5"].combine_chunks()
+        for b in tpl.iter_batches(batch_format="pyarrow", batch_size=None)
+        if b.num_rows] or [pa.array([], pa.string())])
+    tpl_ref = ray.put(md5s)
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        tset = ray.get(tpl_ref)                  # plasma-local, zero-copy
+        t = t.filter(pc.is_valid(t[text_col]))
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "clean_text": pa.array([], pa.string()),
+                             "n_dropped": pa.array([], pa.int64())})
+        flat, idx, lens = _explode_lines(t, text_col)
+        if len(tset) and len(flat):
+            keep = np.logical_not(
+                pc.is_in(_md5_per_line(flat), value_set=tset)
+                .to_numpy(zero_copy_only=False))
+        else:
+            keep = np.ones(len(flat), dtype=bool)
+        kept = (np.bincount(idx[keep], minlength=n).astype(np.int64)
+                if len(idx) else np.zeros(n, np.int64))
+        offsets = np.zeros(n + 1, np.int64)
+        np.cumsum(kept, out=offsets[1:])
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), flat.filter(pa.array(keep)))
+        return pa.table({
+            "doc_id": pc.cast(t[id_col], pa.int64()),
+            "clean_text": pc.binary_join(lists, "\n"),
+            "n_dropped": pa.array(lens - kept, pa.int64())})
+
+    return ds.map_batches(rewrite, batch_format="pyarrow")
+
+
 def strip_boilerplate(ds, id_col: str = "doc_id", text_col: str = "text",
                       group_col: str = "source",
                       frac_num: int = DEFAULT_FRAC[0],

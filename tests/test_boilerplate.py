@@ -106,3 +106,60 @@ def test_template_lines_census():
     r = out.iloc[0]
     assert (r["source"], r["line_md5"], r["n_docs"], r["src_docs"]) == \
         ("a", hashlib.md5(HDR.encode()).hexdigest(), 5, 5)
+
+
+def test_repeated_lines_census_and_global_strip():
+    from pypdfium2_ray.stages.boilerplate import (repeated_lines,
+                                                  strip_repeated_lines)
+    # "common" in 12 docs (>= 10), "semi" in 9 (< 10), bodies unique
+    rows = [(i, f"common\nsemi\nbody {i}" if i < 9
+             else f"common\nbody {i}", "s") for i in range(12)]
+    t = _corpus(rows)
+    with partition_hint(2):
+        census = repeated_lines(rd.from_arrow(t), min_count=10).to_pandas()
+    assert len(census) == 1
+    assert census.iloc[0]["line_md5"] == hashlib.md5(b"common").hexdigest()
+    assert census.iloc[0]["n_docs"] == 12
+    with partition_hint(2):
+        out = strip_repeated_lines(rd.from_arrow(t),
+                                   min_count=10).to_pandas()
+    got = {int(r.doc_id): (r.clean_text, int(r.n_dropped))
+           for r in out.itertuples()}
+    assert got[0] == ("semi\nbody 0", 1)
+    assert got[11] == ("body 11", 1)
+
+
+def test_strip_repeated_crosses_sources():
+    # global census ignores source boundaries: 5+5 docs of two sources
+    # share a line -> stripped with min_count=10
+    from pypdfium2_ray.stages.boilerplate import strip_repeated_lines
+    rows = [(i, f"shared\nbody {i}", "a" if i < 5 else "b")
+            for i in range(10)]
+    with partition_hint(2):
+        out = strip_repeated_lines(rd.from_arrow(_corpus(rows)),
+                                   min_count=10).to_pandas()
+    assert (out["n_dropped"] == 1).all()
+
+
+def test_strip_repeated_broadcast_cap():
+    import pytest
+    from pypdfium2_ray.stages.boilerplate import strip_repeated_lines
+    rows = [(i, "x\ny", "s") for i in range(4)]
+    with pytest.raises(ValueError, match="max_broadcast"):
+        with partition_hint(2):
+            strip_repeated_lines(rd.from_arrow(_corpus(rows)), min_count=2,
+                                 max_broadcast=1).to_pandas()
+
+
+def test_strip_repeated_partition_invariance():
+    from pypdfium2_ray.stages.boilerplate import strip_repeated_lines
+    rows = [(i, f"hdr\nbody {i % 5}", f"s{i % 3}") for i in range(20)]
+    t = _corpus(rows)
+
+    def run(parts, blocks):
+        ds = rd.from_arrow(t).repartition(blocks)
+        with partition_hint(parts):
+            out = strip_repeated_lines(ds, min_count=4).to_pandas()
+        return sorted(map(tuple, out.to_numpy()))
+
+    assert run(1, 1) == run(3, 5)
