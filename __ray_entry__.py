@@ -2154,6 +2154,55 @@ def q_ngram_dups(sf_dir: str):
                                  num_perm=128, bands=32, threshold=0.5)
 
 
+def q_canonical_resolve(sf_dir: str):
+    """Canonical-chain resolution by pointer doubling
+    (stages/canonical.resolve_canonical — Wyllie-style path compression):
+    rounds=3 squares f three times, resolving every chain up to length 8
+    in THREE ids-only exchanges instead of eight sequential follows; the
+    planted functional graph (descend-to-multiple-of-8 chains, %101==55
+    up-jumps forming 2-cycles, +1 edges off the table's top edge
+    exercising the identity completion) covers chains, roots, cycles and
+    out-of-set targets. Result defined as f^(2^rounds) + is_root flag —
+    exact on cycles too, so the unrolled MATERIALIZED self-join twin is
+    bit-identical."""
+    import numpy as np
+    from pypdfium2_ray.stages.canonical import resolve_canonical
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        u = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        v = np.where(u % 101 == 55, u + 1,
+                     np.where(u % 8 == 0, u, u - 1))
+        return pa.table({"src": pa.array(u, pa.int64()),
+                         "dst": pa.array(v, pa.int64())})
+
+    ds = _docs(sf_dir, ["doc_id"]).map_batches(to_edges,
+                                               batch_format="pyarrow")
+    with _hint(sf_dir):
+        return resolve_canonical(ds, rounds=3)
+
+
+def _canonical_resolve_sql() -> str:
+    return """
+        WITH nodes AS (SELECT doc_id AS u FROM documents),
+        e0 AS MATERIALIZED (
+          SELECT u, CASE WHEN u % 101 = 55 THEN u + 1
+                         WHEN u % 8 = 0 THEN u
+                         ELSE u - 1 END AS v FROM nodes),
+        f1 AS MATERIALIZED (
+          SELECT * FROM e0
+          UNION ALL
+          SELECT DISTINCT v, v FROM e0
+          WHERE v NOT IN (SELECT u FROM e0)),
+        f2 AS MATERIALIZED (SELECT a.u, b.v FROM f1 a JOIN f1 b
+                            ON b.u = a.v),
+        f4 AS MATERIALIZED (SELECT a.u, b.v FROM f2 a JOIN f2 b
+                            ON b.u = a.v),
+        f8 AS MATERIALIZED (SELECT a.u, b.v FROM f4 a JOIN f4 b
+                            ON b.u = a.v)
+        SELECT f8.u AS src, f8.v AS canon, (p.v = f8.v) AS is_root
+        FROM f8 JOIN f1 p ON p.u = f8.v"""
+
+
 #: corpus-global repeated-line threshold (strip_repeated query)
 GLOBAL_LINE_MIN = 10
 
@@ -3108,6 +3157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppjoin_dups": q_ppjoin_dups,
         "rollup_stats": q_rollup_stats,
         "strip_repeated": q_strip_repeated,
+        "canonical_resolve": q_canonical_resolve,
         "winnow_fingerprint": q_winnow_fingerprint,
         "hash_embed": q_hash_embed,
         "text_semantic_dups": q_text_semantic_dups,
@@ -3621,6 +3671,7 @@ def oracle_sql() -> dict[str, str]:
         "ppjoin_dups": _ppjoin_dups_sql(),
         "rollup_stats": _rollup_stats_sql(),
         "strip_repeated": _strip_repeated_sql(),
+        "canonical_resolve": _canonical_resolve_sql(),
         "ngram_dups": """
             WITH toks AS (
               SELECT doc_id,
