@@ -1692,6 +1692,38 @@ def _extract_tables_sql() -> str:
     return " UNION ALL ".join(parts)
 
 
+def q_extract_jsonld(sf_dir: str):
+    """JSON-LD structured-data extraction (stages/structured
+    .extract_jsonld): ld+json script bodies (CDATA to the tokenizer)
+    -> json.loads -> flattened scalar rows with dotted/indexed paths,
+    behind the SHARED decode gate. The wrap='ld' page plants a
+    schema.org Article whose 8 scalar fields (incl. a nested author.name
+    and a keywords[i] array) are pure SQL expressions."""
+    from pypdfium2_ray.sources.cc_from_documents import read_cc_from_documents
+    from pypdfium2_ray.stages.structured import extract_jsonld
+    return extract_jsonld(read_cc_from_documents(sf_dir, wrap="ld"))
+
+
+def _extract_jsonld_sql() -> str:
+    from pypdfium2_ray.sources.cc_from_documents import sql_is_bad, sql_is_enc
+    ok = f"NOT {sql_is_bad()} AND NOT {sql_is_enc()}"
+    fields = [
+        ("'@context'", "'https://schema.org'", "str"),
+        ("'@type'", "'Article'", "str"),
+        ("'headline'", "'Doc ' || CAST(doc_id AS VARCHAR)", "str"),
+        ("'wordCount'", "CAST(length(text) AS VARCHAR)", "num"),
+        ("'inLanguage'", "lang", "str"),
+        ("'author.name'", "source", "str"),
+        ("'keywords[0]'", "'crawl'", "str"),
+        ("'keywords[1]'", "lang", "str"),
+    ]
+    parts = [
+        f"SELECT doc_id, 0::BIGINT AS block_idx, {p} AS path, "
+        f"{v} AS value, '{t}' AS value_type FROM documents WHERE {ok}"
+        for p, v, t in fields]
+    return " UNION ALL ".join(parts)
+
+
 def q_anchor_text(sf_dir: str):
     """Anchor-text index per link TARGET (stages/linkgraph.
     anchor_text_index): n_refs / distinct-anchor count / sorted
@@ -3130,6 +3162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_depth": q_crawl_depth,
         "extract_links": q_extract_links,
         "extract_tables": q_extract_tables,
+        "extract_jsonld": q_extract_jsonld,
         "anchor_text": q_anchor_text,
         "crawl_frontier": q_crawl_frontier,
         "link_pagerank": q_link_pagerank,
@@ -3657,6 +3690,7 @@ def oracle_sql() -> dict[str, str]:
         "cocitation": _cocitation_sql(),
         "extract_links": _extract_links_sql(),
         "extract_tables": _extract_tables_sql(),
+        "extract_jsonld": _extract_jsonld_sql(),
         "anchor_text": _anchor_text_sql(),
         "crawl_frontier": _crawl_frontier_sql(),
         "link_pagerank": _link_pagerank_sql(),

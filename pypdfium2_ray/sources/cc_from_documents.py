@@ -139,6 +139,20 @@ def documents_to_cc(batch: pa.Table, errors: bool = True,
             "<tr><td>source</td><td>", batch["source"], "</td></tr>",
             "<tr><td>chars</td><td>", n_str, "</td></tr>",
             "</table></main>", _BOILER_BOTTOM)
+    elif wrap == "ld":
+        # single-page shape with a schema.org Article JSON-LD block whose
+        # scalar fields are pure (doc_id, lang, source, length(text))
+        # expressions — the extract_jsonld oracle reconstructs them
+        n_str = pc.cast(pc.utf8_length(batch["text"]), pa.string())
+        parts = (
+            _BOILER_TOP,
+            '<script type="application/ld+json">{"@context":'
+            '"https://schema.org","@type":"Article","headline":"Doc ',
+            doc_id_str, '","wordCount":', n_str, ',"inLanguage":"',
+            batch["lang"], '","author":{"name":"', batch["source"],
+            '"},"keywords":["crawl","', batch["lang"], '"]}</script>',
+            "<main><h1>Doc ", doc_id_str, "</h1><p>", batch["text"],
+            "</p></main>", _BOILER_BOTTOM)
     else:   # "divs"
         parts = (
             '<div class="menu"><a href="/">Home</a> '
