@@ -2813,6 +2813,54 @@ def q_events_median_sketch(sf_dir: str):
                                    combine="single_block")  # fixed enum
 
 
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_funnel(sf_dir: str):
+    """Ordered conversion funnel (stages/funnel.funnel): deepest
+    view->click->purchase stage per user with STRICT chaining (each step
+    strictly after the previous step's first time), convert_us for full
+    conversions (-1 sentinel otherwise — no NULLs, the driver gate
+    cannot order mixed-null columns). Events pre-filtered to step types
+    and projected to (user, step, int64 µs) before the ONE user
+    exchange; the kernel is chained groupby-min/merge pandas, int64
+    throughout (reindex fills are int64 MAX, never NaN — the
+    bigint-float trap)."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.funnel import funnel
+    ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["user_id", "event_type", "ts"])
+    with _hint(sf_dir, "events"):
+        return funnel(ds, steps=FUNNEL_STEPS)
+
+
+def _funnel_sql() -> str:
+    s1, s2, s3 = FUNNEL_STEPS
+    return f"""
+        WITH e AS (SELECT user_id, event_type, ts FROM events
+                   WHERE event_type IN ('{s1}', '{s2}', '{s3}')),
+        t1 AS (SELECT user_id, min(ts) AS ts1 FROM e
+               WHERE event_type = '{s1}' GROUP BY user_id),
+        t2 AS (SELECT e.user_id, min(e.ts) AS ts2 FROM e
+               JOIN t1 USING (user_id)
+               WHERE event_type = '{s2}' AND e.ts > t1.ts1
+               GROUP BY e.user_id),
+        t3 AS (SELECT e.user_id, min(e.ts) AS ts3 FROM e
+               JOIN t2 USING (user_id)
+               WHERE event_type = '{s3}' AND e.ts > t2.ts2
+               GROUP BY e.user_id),
+        u AS (SELECT DISTINCT user_id FROM e)
+        SELECT u.user_id,
+               (CASE WHEN ts3 IS NOT NULL THEN 3
+                     WHEN ts2 IS NOT NULL THEN 2
+                     WHEN ts1 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                 AS stage,
+               COALESCE(epoch_us(ts3) - epoch_us(ts1), -1)::BIGINT
+                 AS convert_us
+        FROM u LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+               LEFT JOIN t3 USING (user_id)"""
+
+
 def q_session_stats(sf_dir: str):
     """Per-session aggregates: sessionize (gap 30 min) then group by
     (user, session) — event count and session span in seconds. The classic
@@ -3212,6 +3260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": q_distinct_users,
         "distinct_users_hll": q_distinct_users_hll,
         "session_stats": q_session_stats,
+        "funnel": q_funnel,
         "events_hourly": q_events_hourly,
         "events_hourly_sliding": q_events_hourly_sliding,
         "sliding_distinct_users": q_sliding_distinct_users,
@@ -3821,6 +3870,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(median(value) * 10000) AS BIGINT)
                      AS median_value_e4
             FROM events GROUP BY event_type""",
+        "funnel": _funnel_sql(),
         "session_stats": """
             WITH d AS (
               SELECT event_id, user_id, ts,
