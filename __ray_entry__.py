@@ -2813,6 +2813,61 @@ def q_events_median_sketch(sf_dir: str):
                                    combine="single_block")  # fixed enum
 
 
+def q_interval_coverage(sf_dir: str):
+    """Gaps-and-islands interval merge (stages/intervals
+    .interval_coverage): per-user overlap-merged coverage of synthetic
+    watch-windows [ts, ts + (event_id%120+30) min] — islands split where
+    s > running max(e) (touching merges), covered = sum of island
+    spans. ONE user exchange; kernel is lexsort + Cython groupby.cummax
+    + reduceat, int64 µs end to end."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.intervals import interval_coverage
+
+    def to_iv(t: pa.Table) -> pa.Table:
+        s = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        eid = pc.cast(t["event_id"], pa.int64())
+        rem = pc.subtract(eid, pc.multiply(pc.divide(eid, 120), 120))
+        mins = pc.add(rem, 30)
+        dur = pc.multiply(mins, pa.scalar(60_000_000, pa.int64()))
+        return pa.table({"user_id": pc.cast(t["user_id"], pa.int64()),
+                         "s": s, "e": pc.add(s, dur)})
+
+    ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["user_id", "event_id", "ts"]
+                         ).map_batches(to_iv, batch_format="pyarrow")
+    with _hint(sf_dir, "events"):
+        out = interval_coverage(ds, key_col="user_id")
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["user_id", "n_islands", "covered"])
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+def _interval_coverage_sql() -> str:
+    return """
+        WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+                           epoch_us(ts) + (event_id % 120 + 30)
+                             * 60 * 1000000 AS e
+                    FROM events),
+        m AS (SELECT user_id, s, e,
+                     CASE WHEN max(e) OVER w IS NULL
+                               OR s > max(e) OVER w
+                          THEN 1 ELSE 0 END AS ni
+              FROM iv WINDOW w AS (PARTITION BY user_id ORDER BY s, e
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING)),
+        isl AS (SELECT user_id, s, e,
+                       sum(ni) OVER (PARTITION BY user_id ORDER BY s, e
+                                     ROWS UNBOUNDED PRECEDING) AS island
+                FROM m),
+        per AS (SELECT user_id, island, max(e) - min(s) AS cov
+                FROM isl GROUP BY user_id, island)
+        SELECT user_id, count(*)::BIGINT AS n_islands,
+               sum(cov)::BIGINT AS covered
+        FROM per GROUP BY user_id"""
+
+
 FUNNEL_STEPS = ("view", "click", "purchase")
 
 
@@ -3261,6 +3316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_hll": q_distinct_users_hll,
         "session_stats": q_session_stats,
         "funnel": q_funnel,
+        "interval_coverage": q_interval_coverage,
         "events_hourly": q_events_hourly,
         "events_hourly_sliding": q_events_hourly_sliding,
         "sliding_distinct_users": q_sliding_distinct_users,
@@ -3871,6 +3927,7 @@ def oracle_sql() -> dict[str, str]:
                      AS median_value_e4
             FROM events GROUP BY event_type""",
         "funnel": _funnel_sql(),
+        "interval_coverage": _interval_coverage_sql(),
         "session_stats": """
             WITH d AS (
               SELECT event_id, user_id, ts,
