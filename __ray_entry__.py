@@ -2813,6 +2813,41 @@ def q_events_median_sketch(sf_dir: str):
                                    combine="single_block")  # fixed enum
 
 
+VOCAB_MIN_COUNT = 2
+
+
+def q_vocab_coverage(sf_dir: str):
+    """Tokenizer-prep vocabulary table (stages/vocab.vocab_coverage):
+    exact global token census (per-block Counter pre-combine, ONE token
+    exchange), (cnt DESC, token ASC) total-order ranks, EXACT integer
+    cumulative coverage (cum_cnt/total_cnt, denominator counting
+    below-cut occurrences from the same census — nothing rescans the
+    corpus). The post-cut ordered scan is single-partition by design
+    with a loud ceiling (heavy-hitter bound <= occurrences/min_count)."""
+    from pypdfium2_ray.stages.vocab import vocab_coverage
+    ds = _docs(sf_dir, ["text"])
+    with _hint(sf_dir):
+        return vocab_coverage(ds, min_count=VOCAB_MIN_COUNT)
+
+
+def _vocab_coverage_sql() -> str:
+    return f"""
+        WITH tok AS (SELECT unnest(regexp_extract_all(text,
+                       '[^ \t\r\n\f\v]+')) AS token FROM documents
+                     WHERE text IS NOT NULL),
+        cnt AS (SELECT token, count(*)::BIGINT AS c FROM tok
+                GROUP BY token),
+        tot AS (SELECT sum(c)::BIGINT AS t FROM cnt),
+        v AS (SELECT token, c,
+                     row_number() OVER (ORDER BY c DESC, token) AS rank,
+                     sum(c) OVER (ORDER BY c DESC, token
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+              FROM cnt WHERE c >= {VOCAB_MIN_COUNT})
+        SELECT rank::BIGINT AS rank, token, c AS cnt,
+               cum::BIGINT AS cum_cnt, (SELECT t FROM tot) AS total_cnt
+        FROM v"""
+
+
 def q_interval_coverage(sf_dir: str):
     """Gaps-and-islands interval merge (stages/intervals
     .interval_coverage): per-user overlap-merged coverage of synthetic
@@ -3317,6 +3352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_stats": q_session_stats,
         "funnel": q_funnel,
         "interval_coverage": q_interval_coverage,
+        "vocab_coverage": q_vocab_coverage,
         "events_hourly": q_events_hourly,
         "events_hourly_sliding": q_events_hourly_sliding,
         "sliding_distinct_users": q_sliding_distinct_users,
@@ -3928,6 +3964,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type""",
         "funnel": _funnel_sql(),
         "interval_coverage": _interval_coverage_sql(),
+        "vocab_coverage": _vocab_coverage_sql(),
         "session_stats": """
             WITH d AS (
               SELECT event_id, user_id, ts,
