@@ -176,6 +176,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "bm25_topk", "pagerank", "hits", "url_dedup",
                      "distinct_users_hll", "triangles", "crawl_depth",
                      "fp_neighbors", "shared_chunks",
+                     "template_chunks", "strip_boilerplate",
+                     "strip_repeated", "ppjoin_dups", "extract_tables",
+                     "extract_jsonld", "image_dups", "rollup_stats",
+                     "canonical_resolve", "funnel", "interval_coverage",
+                     "vocab_coverage", "graph_walks", "cocitation",
                      "density_extract", "warc_extract",
                      "snapshot_delta", "incremental_dedup"]
     E._warc_corpus(sf_dir)   # materialize the WARC shard cache untimed
