@@ -2334,8 +2334,13 @@ def _rollup_stats_sql() -> str:
         FROM documents GROUP BY ROLLUP(source, lang)"""
 
 
-#: ppjoin threshold: word-bigram Jaccard — dups on this corpus sit >0.75
-#: and background <0.5, so 0.6 is mid-gap (verified by measurement)
+#: ppjoin threshold: word-trigram Jaccard — dups on this corpus sit
+#: >0.75 and background <0.4, so 0.6 is mid-gap (measured). Trigrams,
+#: not bigrams: the synthetic 30-word vocab admits only ~900 bigrams, so
+#: bigram prefix buckets average hundreds of docs and candidate mass
+#: goes quadratic (measured 72 s at sf0.1) — the degenerate small-vocab
+#: regime the ppjoin module docstring warns about; 27k trigrams restore
+#: Zipf-like bucket sizes (2 s)
 PPJ_TAU = 0.6
 
 
@@ -2351,12 +2356,12 @@ def q_ppjoin_dups(sf_dir: str):
     from pypdfium2_ray.stages.ppjoin import ppjoin_dup_pairs
     ds = _docs(sf_dir, ["doc_id", "text"])
     with _hint(sf_dir):
-        return ppjoin_dup_pairs(ds, tau=PPJ_TAU, shingle_k=2,
+        return ppjoin_dup_pairs(ds, tau=PPJ_TAU, shingle_k=3,
                                 shingle_kind="word")
 
 
 def _ppjoin_dups_sql() -> str:
-    """Word-bigram all-pairs exact Jaccard. The length prefilter carries
+    """Word-trigram all-pairs exact Jaccard. The length prefilter carries
     an integer slack of 1 so IEEE rounding of tau*len can never drop a
     qualifying pair — the final fl-division compare (shared with the
     engine's verify) decides membership."""
@@ -2368,9 +2373,9 @@ def _ppjoin_dups_sql() -> str:
         sh AS (
           SELECT doc_id, CASE
             WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
-            WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
-            ELSE list_distinct([array_to_string(w[i:i+1], ' ')
-                                for i in range(1, len(w))])
+            WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+            ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+                                for i in range(1, len(w) - 1)])
           END AS s FROM toks),
         cand AS (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb

@@ -26,6 +26,15 @@ Correctness never depends on the choice (any shared total order
 satisfies the theorem); only candidate volume does. Ties are broken by
 token bytes, so the order is a true total order at any partitioning.
 
+REGIME WARNING — prefix filtering presumes a Zipf-ish token space:
+candidate mass is sum-of-squares over prefix-token bucket sizes, so a
+corpus whose shingle universe is SMALL (tiny vocab, short shingles)
+makes every bucket huge and the join quadratic regardless of order
+(measured 36x on a 30-word-vocab synthetic corpus going word bigrams ->
+trigrams: ~900 possible bigrams vs 27k trigrams). Pick shingles with
+enough distinctness for the corpus, and watch the loud max_bucket
+truncation log — it is also the quadratic-regime alarm.
+
 Distributed costs: prefix rows are ``(doc_id:int64, size:int64,
 tok_key:int64)`` — ids only, ONE hash exchange on ``tok_key``; bucket
 pairing is the vectorized triu kernel with the loud ``max_bucket``
