@@ -2818,6 +2818,51 @@ def q_events_median_sketch(sf_dir: str):
                                    combine="single_block")  # fixed enum
 
 
+def q_path_census(sf_dir: str):
+    """URL path-prefix census (stages/pathcensus.path_prefix_census):
+    page counts per path prefix at every depth — per-DEPTH vectorized
+    prefix build (bounded loop over levels, never rows), pre-combined
+    partials, ONE prefix exchange, loud max_depth truncation. Planted
+    3-level paths /cat{id%5}/sub{id%17}/p{id} behind a real
+    scheme+host (exercising the scheme strip)."""
+    from pypdfium2_ray.stages.pathcensus import path_prefix_census
+
+    def to_urls(t: pa.Table) -> pa.Table:
+        did = pc.cast(t["doc_id"], pa.int64())
+        m5 = pc.subtract(did, pc.multiply(pc.divide(did, 5), 5))
+        m17 = pc.subtract(did, pc.multiply(pc.divide(did, 17), 17))
+        url = pc.binary_join_element_wise(
+            "https://", pc.cast(t["source"], pa.string()),
+            "/cat", pc.cast(m5, pa.string()),
+            "/sub", pc.cast(m17, pa.string()),
+            "/p", pc.cast(did, pa.string()), "")
+        return pa.table({"url": url})
+
+    ds = _docs(sf_dir, ["doc_id", "source"]).map_batches(
+        to_urls, batch_format="pyarrow")
+    with _hint(sf_dir):
+        return path_prefix_census(ds, max_depth=8)
+
+
+def _path_census_sql() -> str:
+    return """
+        WITH pref AS (
+          SELECT '/cat' || CAST(doc_id % 5 AS VARCHAR) AS prefix,
+                 1 AS depth FROM documents
+          UNION ALL
+          SELECT '/cat' || CAST(doc_id % 5 AS VARCHAR)
+                 || '/sub' || CAST(doc_id % 17 AS VARCHAR), 2
+          FROM documents
+          UNION ALL
+          SELECT '/cat' || CAST(doc_id % 5 AS VARCHAR)
+                 || '/sub' || CAST(doc_id % 17 AS VARCHAR)
+                 || '/p' || CAST(doc_id AS VARCHAR), 3
+          FROM documents)
+        SELECT prefix, depth::BIGINT AS depth,
+               count(*)::BIGINT AS n_pages
+        FROM pref GROUP BY prefix, depth"""
+
+
 VOCAB_MIN_COUNT = 2
 
 
@@ -3358,6 +3403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel": q_funnel,
         "interval_coverage": q_interval_coverage,
         "vocab_coverage": q_vocab_coverage,
+        "path_census": q_path_census,
         "events_hourly": q_events_hourly,
         "events_hourly_sliding": q_events_hourly_sliding,
         "sliding_distinct_users": q_sliding_distinct_users,
@@ -3970,6 +4016,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel": _funnel_sql(),
         "interval_coverage": _interval_coverage_sql(),
         "vocab_coverage": _vocab_coverage_sql(),
+        "path_census": _path_census_sql(),
         "session_stats": """
             WITH d AS (
               SELECT event_id, user_id, ts,
