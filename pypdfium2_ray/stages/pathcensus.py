@@ -56,7 +56,7 @@ def path_prefix_census(ds, url_col: str = "url", max_depth: int = 8,
         # filter empty segments per list (leading/trailing slashes)
         flat = pc.list_flatten(segs)
         lens = pc.list_value_length(segs).to_numpy().astype(np.int64)
-        nonempty = pc.notequal(flat, "").to_numpy(zero_copy_only=False)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
         doc_idx = np.repeat(np.arange(len(lens)), lens)
         kept_counts = (np.bincount(doc_idx[nonempty], minlength=len(lens))
                        .astype(np.int64) if len(doc_idx)
