@@ -180,7 +180,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "strip_repeated", "ppjoin_dups", "extract_tables",
                      "extract_jsonld", "image_dups", "rollup_stats",
                      "canonical_resolve", "funnel", "interval_coverage",
-                     "vocab_coverage", "graph_walks", "cocitation",
+                     "vocab_coverage", "path_census", "graph_walks", "cocitation",
                      "density_extract", "warc_extract",
                      "snapshot_delta", "incremental_dedup"]
     E._warc_corpus(sf_dir)   # materialize the WARC shard cache untimed

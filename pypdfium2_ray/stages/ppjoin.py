@@ -160,7 +160,7 @@ def _prefix_pairs_partition(df: pd.DataFrame, tau: float,
             "the join is no longer exact — raise max_bucket or use "
             "freq_order_top to demote frequent tokens", n_trunc,
             max_bucket, int(lengths.max()))
-    out_a, out_b, sz_a, sz_b = [], [], [], []
+    out_a, out_b = [], []
     for r in np.flatnonzero(lengths >= 2):
         s = starts[r]
         m = int(min(lengths[r], max_bucket))
@@ -176,8 +176,6 @@ def _prefix_pairs_partition(df: pd.DataFrame, tau: float,
         keep = lo.astype(np.float64) >= (tau - 1e-9) * hi
         out_a.append(a[keep])
         out_b.append(b[keep])
-        sz_a.append(sa[keep])
-        sz_b.append(sb[keep])
     cat = (lambda xs: np.concatenate(xs) if xs else np.zeros(0, np.int64))
     return pa.table({"id_a": pa.array(cat(out_a), pa.int64()),
                      "id_b": pa.array(cat(out_b), pa.int64())})
