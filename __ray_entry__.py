@@ -2036,6 +2036,70 @@ def q_triangles(sf_dir: str):
         batch_format="pyarrow")
 
 
+#: kcore: k=5 peels the shared densified graph non-trivially (degree-4
+#: chain/cluster nodes die, hub neighborhoods survive); 3 peel rounds is
+#: the bounded-round contract (the BFS fixed-hop discipline) — the peel
+#: has NOT converged at 3 rounds (fixpoint is ~20-36 rounds on this
+#: graph) and both sides define the result as the 3-round peel
+KCORE_K = 5
+KCORE_ROUNDS = 3
+
+
+def q_kcore(sf_dir: str):
+    """Bounded-round k-core peel over the synthetic link graph
+    (stages/kcore — synchronous distributed peeling, Montresor PODC'11
+    lineage): per round ONE pre-combined degree exchange + TWO ids-only
+    repartition semi-joins remove every node with degree < k from the
+    undirected simple graph; output (doc_id, deg) is each survivor's
+    degree within the final induced subgraph. Deterministic at any
+    partitioning (synchronous removal), unrolled by the SQL twin as
+    chained MATERIALIZED CTEs."""
+    from pypdfium2_ray.stages.kcore import kcore
+    docs = _docs(sf_dir, ["doc_id"])
+    n = docs.count()
+    edges = docs.map_batches(_synth_tri_edges(n), batch_format="pyarrow")
+    with _hint(sf_dir):
+        out = kcore(edges, k=KCORE_K, rounds=KCORE_ROUNDS)
+    return out.map_batches(
+        lambda t: pa.table({"doc_id": t["node"], "deg": t["deg"]}),
+        batch_format="pyarrow")
+
+
+def _kcore_sql() -> str:
+    """Unrolled peel: e0 = distinct canonical undirected (both-dir)
+    edges of the shared densified graph; per round deg -> survivors
+    (deg >= k) -> induced edges. MATERIALIZED per hop: e_r is referenced
+    by both d_{r+1} and e_{r+1}, and DuckDB's default inlining would
+    re-evaluate the chain exponentially (the hits-oracle lesson)."""
+    k = KCORE_K
+    parts = ["""
+WITH nodes AS (SELECT CAST(doc_id AS BIGINT) AS node FROM documents),
+nn AS (SELECT count(*) AS n FROM nodes),
+raw AS (
+  SELECT node AS src, (node * 7919 + 1) % (SELECT n FROM nn) AS dst FROM nodes
+  UNION ALL SELECT node, node % 97 FROM nodes
+  UNION ALL SELECT node, (node // 3) % (SELECT n FROM nn) FROM nodes
+  UNION ALL SELECT node, node + 1 FROM nodes
+    WHERE node % 3 <> 2 AND node + 1 < (SELECT n FROM nn)),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+  FROM raw WHERE src <> dst),
+e0 AS MATERIALIZED (
+  SELECT lo AS s, hi AS d FROM und UNION ALL SELECT hi, lo FROM und)"""]
+    for r in range(1, KCORE_ROUNDS + 1):
+        parts.append(f""",
+d{r} AS MATERIALIZED (
+  SELECT s, count(*) AS c FROM e{r - 1} GROUP BY s),
+n{r} AS MATERIALIZED (SELECT s FROM d{r} WHERE c >= {k}),
+e{r} AS MATERIALIZED (
+  SELECT e.s, e.d FROM e{r - 1} e
+  JOIN n{r} a ON e.s = a.s JOIN n{r} b ON e.d = b.s)""")
+    parts.append(f"""
+SELECT s AS doc_id, count(*)::BIGINT AS deg
+FROM e{KCORE_ROUNDS} GROUP BY s""")
+    return "".join(parts)
+
+
 #: crawl_depth: seeds are doc_id % 500 == 7 (1 seed at sf0.001 scaling
 #: to 100 at sf0.1); 6 hops over the 3-out-regular graph reaches most
 #: of the corpus without the result degenerating to all-zeros
@@ -3347,6 +3411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": q_pagerank,
         "hits": q_hits,
         "triangles": q_triangles,
+        "kcore": q_kcore,
         "crawl_depth": q_crawl_depth,
         "extract_links": q_extract_links,
         "extract_tables": q_extract_tables,
@@ -3874,6 +3939,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_sql(),
         "hits": _hits_sql(),
         "triangles": _triangles_sql(),
+        "kcore": _kcore_sql(),
         "crawl_depth": _crawl_depth_sql(),
         "shared_chunks": _shared_chunks_sql(),
         "template_chunks": _template_chunks_sql(),
