@@ -1412,6 +1412,57 @@ def q_pagerank(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_trustrank(sf_dir: str):
+    """Seed-personalized PageRank — TrustRank (stages/pagerank
+    .personalized_pagerank, Gyongyi VLDB'04): the teleport term lands
+    only on the trusted seed set (doc_id % 500 == 7, the BFS seed list),
+    so authority flows outward from seeds and spam-like unreachable
+    clusters stay at 0. Same two-exchange-per-iteration budget as
+    pagerank — the static seed base folds into the sum exchange as a
+    max aggregate; integer fixed-point, bit-identical at any
+    partitioning, unrolled by the twin as chained CTEs."""
+    from pypdfium2_ray.stages.pagerank import personalized_pagerank
+    docs = _docs(sf_dir, ["doc_id"])
+    n = docs.count()
+    edges = _synth_link_edges(n)
+    nodes = docs.map_batches(
+        lambda t: pa.table({"node": pc.cast(t["doc_id"], pa.int64())}),
+        batch_format="pyarrow")
+    def seed_rows(t: pa.Table) -> pa.Table:
+        node = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(
+            node[node % BFS_SEED_MOD == BFS_SEED_RESIDUE], pa.int64())})
+
+    seeds = docs.map_batches(seed_rows, batch_format="pyarrow")
+    with _hint(sf_dir):
+        out = personalized_pagerank(
+            docs.map_batches(edges, batch_format="pyarrow"), nodes, seeds,
+            iters=PR_ITERS, damping_pct=PR_DAMPING, init=PR_INIT)
+    return out.map_batches(
+        lambda t: pa.table({"doc_id": t["node"], "trust_scaled": t["rank"]}),
+        batch_format="pyarrow")
+
+
+def _trustrank_sql() -> str:
+    base = ((100 - PR_DAMPING) * PR_INIT) // 100
+    seed = (f"CASE WHEN n.node % {BFS_SEED_MOD} = {BFS_SEED_RESIDUE} "
+            f"THEN {base} ELSE 0 END")
+    n0 = (f"SELECT node, CASE WHEN node % {BFS_SEED_MOD} = "
+          f"{BFS_SEED_RESIDUE} THEN CAST({PR_INIT} AS BIGINT) "
+          f"ELSE 0 END AS r FROM nodes")
+    parts = [f"""WITH nodes AS (SELECT CAST(doc_id AS BIGINT) AS node FROM documents),
+nn AS (SELECT count(*) AS n FROM nodes),
+edges AS (SELECT node AS src, (node * {PR_MULT} + 1) % (SELECT n FROM nn) AS dst FROM nodes UNION ALL SELECT node, node % {PR_HUBS} FROM nodes UNION ALL SELECT node, (node // 3) % (SELECT n FROM nn) FROM nodes),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+r0 AS ({n0})"""]
+    for i in range(1, PR_ITERS + 1):
+        parts.append(f""",
+r{i} AS (SELECT n.node, CAST({seed} + {PR_DAMPING} * COALESCE(s.insum, 0) // 100 AS BIGINT) AS r FROM nodes n LEFT JOIN (SELECT e.dst AS node, SUM(r.r // d.outdeg) AS insum FROM edges e JOIN r{i - 1} r ON e.src = r.node JOIN deg d ON d.src = e.src GROUP BY e.dst) s USING (node))""")
+    parts.append(
+        f"\nSELECT node AS doc_id, r AS trust_scaled FROM r{PR_ITERS}")
+    return "".join(parts)
+
+
 #: held-out "benchmark prompts" for n-gram-overlap decontamination —
 #: each embeds a word trigram that genuinely occurs in the corpus (df
 #: 7-9 at sf0.001), surrounded by novel words (the paraphrase case the
@@ -3409,6 +3460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_clusters": q_neardup_clusters,
         "neardup_keep_one": q_neardup_keep_one,
         "pagerank": q_pagerank,
+        "trustrank": q_trustrank,
         "hits": q_hits,
         "triangles": q_triangles,
         "kcore": q_kcore,
@@ -3937,6 +3989,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.doc_id NOT IN
               (SELECT doc_id FROM assign WHERE doc_id != component)""",
         "pagerank": _pagerank_sql(),
+        "trustrank": _trustrank_sql(),
         "hits": _hits_sql(),
         "triangles": _triangles_sql(),
         "kcore": _kcore_sql(),

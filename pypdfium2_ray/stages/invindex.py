@@ -73,3 +73,109 @@ def build_inverted_index(ds, doc_col: str = "doc_id",
 
     return partition_map(pairs, ["term"], kernel,
                          num_partitions=num_partitions)
+
+
+def explode_doc_token_positions(t: pa.Table, doc_col: str = "doc_id",
+                                text_col: str = "text") -> pa.Table:
+    """One ``(doc_id, term, pos)`` row per token occurrence, ``pos``
+    being the token's 0-based index within the doc's EMPTY-FILTERED
+    token sequence (matching the SQL twins' ``list_filter`` indexing —
+    doubled/leading whitespace does not create phantom positions).
+    Fully vectorized: offsets arithmetic + one run-rebuild over the
+    keep mask, no Python per row."""
+    import numpy as np
+    toks = pc.split_pattern_regex(t[text_col], WS_RE)
+    la = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    flat = la.flatten()
+    offs = la.offsets.to_numpy()
+    lens = np.diff(offs)
+    doc_idx = np.repeat(np.arange(len(la), dtype=np.int64), lens)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    doc_kept = doc_idx[keep]
+    # position within the filtered per-doc run: global arange minus the
+    # first kept index of each doc's run (docs arrive flat-ordered)
+    if len(doc_kept):
+        starts = np.flatnonzero(np.diff(doc_kept, prepend=doc_kept[0] - 1))
+        run_lens = np.diff(np.append(starts, len(doc_kept)))
+        pos = np.arange(len(doc_kept), dtype=np.int64) - np.repeat(
+            starts, run_lens)
+    else:
+        pos = np.zeros(0, np.int64)
+    docs = pc.take(pc.cast(t[doc_col], pa.int64()), pa.array(doc_kept))
+    return pa.table({"doc_id": docs.combine_chunks() if isinstance(
+        docs, pa.ChunkedArray) else docs,
+        "term": flat.filter(pa.array(keep)),
+        "pos": pa.array(pos, pa.int64())})
+
+
+def positional_postings(ds, doc_col: str = "doc_id",
+                        text_col: str = "text",
+                        num_partitions: int | None = None):
+    """The positional-index artifact: ``(term, doc_id, pos)`` rows
+    hash-partitioned BY TERM (one exchange) — a doc's postings for two
+    different terms live in different partitions, exactly the layout a
+    serialized inverted index has.  :func:`phrase_match` consumes this
+    (or any postings table of unknown partitioning)."""
+    rows = ds.select_columns([doc_col, text_col]).map_batches(
+        lambda t: explode_doc_token_positions(t, doc_col, text_col),
+        batch_size=None, batch_format="pyarrow")
+    return partition_map(rows, ["term"], lambda t: t,
+                         num_partitions=num_partitions)
+
+
+def phrase_match(postings, phrase: list[str],
+                 num_partitions: int | None = None):
+    """Exact phrase query answered FROM POSTINGS ALONE — the
+    index-side positional intersection (the classic IR phrase-query
+    join; Manning/Raghavan/Schutze IIR ch.2 is the public textbook
+    form): token ``j`` of the phrase must occur at ``pos = start + j``.
+
+    Shape: per block, postings rows filter to the phrase's terms (the
+    tiny term set is a plain captured constant — only matching rows
+    leave the block) and emit ``(doc_id, adj = pos - j, j)`` per phrase
+    slot ``j`` the term fills (repeated phrase terms emit one row per
+    slot); ONE exchange on ``(doc_id, adj)``; the per-partition kernel
+    is a single vectorized group-count — a group holds ``len(phrase)``
+    rows iff every slot matched, because ``(doc_id, adj, j)`` rows are
+    unique by construction (a doc position holds exactly one term).
+
+    Returns ``(doc_id, pos)`` match-start rows.  Phrase terms must be
+    non-empty (the tokenizer never emits empty terms)."""
+    import numpy as np
+    k = len(phrase)
+    if k == 0 or any(not w for w in phrase):
+        raise ValueError("phrase must be non-empty words")
+    slots: dict[str, list[int]] = {}
+    for j, w in enumerate(phrase):
+        slots.setdefault(w, []).append(j)
+    terms = list(slots)
+
+    def emit(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t["term"], value_set=pa.array(terms))
+        t = t.filter(m)
+        docs = pc.cast(t["doc_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        pos = pc.cast(t["pos"], pa.int64()).to_numpy(zero_copy_only=False)
+        out_d, out_a, out_j = [], [], []
+        for term, js in slots.items():
+            sel = pc.equal(t["term"], term).to_numpy(zero_copy_only=False)
+            for j in js:
+                out_d.append(docs[sel])
+                out_a.append(pos[sel] - j)
+                out_j.append(np.full(int(sel.sum()), j, np.int64))
+        cat = (lambda xs: np.concatenate(xs) if xs
+               else np.zeros(0, np.int64))
+        return pa.table({"doc_id": pa.array(cat(out_d), pa.int64()),
+                         "adj": pa.array(cat(out_a), pa.int64()),
+                         "j": pa.array(cat(out_j), pa.int64())})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        g = t.group_by(["doc_id", "adj"],
+                       use_threads=False).aggregate([("j", "count")])
+        g = g.filter(pc.and_(pc.equal(g["j_count"], k),
+                             pc.greater_equal(g["adj"], 0)))
+        return pa.table({"doc_id": g["doc_id"], "pos": g["adj"]})
+
+    rows = postings.map_batches(emit, batch_format="pyarrow")
+    return partition_map(rows, ["doc_id", "adj"], kernel,
+                         num_partitions=num_partitions)
