@@ -1412,6 +1412,40 @@ def q_pagerank(sf_dir: str):
         batch_format="pyarrow")
 
 
+#: phrase with live occurrences at every sf (9/3/10 match starts)
+PHRASE = ("big", "order", "scan")
+
+
+def q_phrase_search(sf_dir: str):
+    """Exact phrase query answered from the positional inverted index
+    (stages/invindex.positional_postings + phrase_match — the IR
+    textbook positional intersection, Manning IIR ch.2): postings are
+    built term-partitioned (one exchange — the index layout, a doc's
+    terms deliberately NOT co-located), then each phrase slot j emits
+    ids-only (doc, pos - j, j) rows and ONE (doc, adj) exchange +
+    vectorized group-count finds starts where all slots align. Returns
+    (doc_id, pos) match starts."""
+    from pypdfium2_ray.stages.invindex import (phrase_match,
+                                               positional_postings)
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    with _hint(sf_dir):
+        postings = positional_postings(ds)
+        return phrase_match(postings, list(PHRASE))
+
+
+def _phrase_search_sql() -> str:
+    k = len(PHRASE)
+    cond = " AND ".join(f"a[i+{j}] = '{w}'" for j, w in enumerate(PHRASE))
+    ws = r"'[ \t\r\n\f\v]+'"
+    return f"""
+        WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(
+                   text, {ws}), x -> x <> '') AS a FROM documents)
+        SELECT doc_id,
+               unnest([i - 1 for i in range(1, len(a) - {k - 2})
+                       if {cond}])::BIGINT AS pos
+        FROM t"""
+
+
 def q_trustrank(sf_dir: str):
     """Seed-personalized PageRank — TrustRank (stages/pagerank
     .personalized_pagerank, Gyongyi VLDB'04): the teleport term lands
@@ -3441,6 +3475,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats": q_doc_stats,
         "top_docs_per_domain": q_top_docs_per_domain,
         "inverted_index": q_inverted_index,
+        "phrase_search": q_phrase_search,
         "dedup_exact": q_dedup_exact,
         "dedup_latest_event": q_dedup_latest_event,
         "snapshot_delta": q_snapshot_delta,
@@ -3712,6 +3747,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs,
                    CAST(sum(length(text)) AS BIGINT) AS sum_chars
             FROM documents GROUP BY 1""",
+        "phrase_search": _phrase_search_sql(),
         "inverted_index": """
             WITH toks AS (
               SELECT doc_id, unnest(regexp_split_to_array(text,
