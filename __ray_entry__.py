@@ -1412,6 +1412,53 @@ def q_pagerank(sf_dir: str):
         batch_format="pyarrow")
 
 
+#: dup_spans: 5-token sliding windows, >=2 corpus-wide occurrences —
+#: 58/71/2468 maximal spans at sf0.001/0.01/0.1 (live scale growth)
+DSP_WINDOW = 5
+DSP_MIN_COUNT = 2
+
+
+def q_dup_spans(sf_dir: str):
+    """Any-alignment duplicated-span detection (stages/dupspans — the
+    Lee ACL'22 ExactSubstr semantics in distributable sliding-gram
+    form): census every sliding 5-token gram (per-block pre-combined
+    md5 partials, ONE exchange — the operator's only one), broadcast
+    the bounded duplicated-gram set once, then a pure per-block span
+    pass merges each doc's hit windows into maximal [s_tok, e_tok)
+    spans — doc text never crosses the wire. Catches duplicates at ANY
+    offset, unlike the fixed-window span_dedup."""
+    from pypdfium2_ray.stages.dupspans import dup_spans
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    with _hint(sf_dir):
+        return dup_spans(ds, window=DSP_WINDOW, min_count=DSP_MIN_COUNT)
+
+
+def _dup_spans_sql() -> str:
+    w, mc = DSP_WINDOW, DSP_MIN_COUNT
+    cat = " || ' ' || ".join(f"a[i+{j}]" if j else "a[i]" for j in range(w))
+    ws = r"'[ \t\r\n\f\v]+'"
+    return f"""
+WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(
+           text, {ws}), x -> x <> '') AS a FROM documents),
+g AS (SELECT doc_id, unnest([{{'p': i - 1, 'h': md5({cat})}}
+      for i in range(1, len(a) - {w - 2})]) AS x FROM t),
+gg AS (SELECT doc_id, x.p AS s, x.p + {w} AS e, x.h AS h FROM g),
+dup AS (SELECT h FROM gg GROUP BY h HAVING count(*) >= {mc}),
+hit AS (SELECT doc_id, s, e FROM gg JOIN dup USING (h)),
+m AS (SELECT doc_id, s, e,
+             CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+                  THEN 1 ELSE 0 END AS ni
+      FROM hit WINDOW w AS (PARTITION BY doc_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING)),
+isl AS (SELECT doc_id, s, e,
+               sum(ni) OVER (PARTITION BY doc_id ORDER BY s, e
+                             ROWS UNBOUNDED PRECEDING) AS island FROM m)
+SELECT doc_id, min(s)::BIGINT AS s_tok, max(e)::BIGINT AS e_tok,
+       count(*)::BIGINT AS n_windows
+FROM isl GROUP BY doc_id, island"""
+
+
 #: phrase with live occurrences at every sf (9/3/10 match starts)
 PHRASE = ("big", "order", "scan")
 
@@ -3513,6 +3560,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_score": q_lm_score,
         "ngram_decontaminate": q_ngram_decontaminate,
         "span_dedup": q_span_dedup,
+        "dup_spans": q_dup_spans,
         "stratified_sample": q_stratified_sample,
         "audio_features": q_audio_features,
         "embedding_centroids": q_embedding_centroids,
@@ -3987,6 +4035,7 @@ def oracle_sql() -> dict[str, str]:
               <= 30""",
         # fixed 10-token windows; list-comprehension chunking mirrors the
         # engine's offsets-based chunk grouping exactly
+        "dup_spans": _dup_spans_sql(),
         "span_dedup": """
             WITH toks AS (
               SELECT doc_id,
