@@ -2539,6 +2539,57 @@ def _rollup_stats_sql() -> str:
 #: Zipf-like bucket sizes (2 s)
 PPJ_TAU = 0.6
 
+#: containment threshold: |inner ∩ outer| / |inner| >= 0.8 over word
+#: trigrams — 56/50/512 ordered pairs at sf0.001/0.01/0.1
+CONTAIN_TAU = 0.8
+
+
+def q_containment_dups(sf_dir: str):
+    """EXACT asymmetric-containment self-join
+    (stages/ppjoin.containment_pairs): every ORDERED pair where >= 80%
+    of the inner doc's word-trigram shingles appear in the outer doc —
+    the quote / partial-duplicate direction symmetric Jaccard tiers
+    cannot see (a short page verbatim inside a long one has low Jaccard
+    but containment ~1). Recall 1 by construction: inner-prefix x
+    outer-full bucket pairing under the md5 token order (ids-only rows,
+    ONE tok_key exchange), exact verify on semi-join-prefiltered text
+    joins."""
+    from pypdfium2_ray.stages.ppjoin import containment_pairs
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    with _hint(sf_dir):
+        return containment_pairs(ds, tau=CONTAIN_TAU, shingle_k=3,
+                                 shingle_kind="word")
+
+
+def _containment_sql() -> str:
+    """Shared-shingle-prefiltered all-pairs twin (sound: tau > 0 and
+    n_inner >= 1 force n_inter >= 1, so qualifying pairs share a
+    shingle; the integer length filter 10*|outer| >= 8*|inner| follows
+    from n_inter <= |outer|). Final predicate is the same IEEE-double
+    division compare the engine's verify uses."""
+    ws = r"[^ \t\r\n\f\v]+"
+    return f"""
+WITH toks AS (SELECT doc_id, regexp_extract_all(text, '{ws}') AS w
+              FROM documents),
+sh AS MATERIALIZED (SELECT doc_id, CASE
+        WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+        WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+                            for i in range(1, len(w) - 1)])
+      END AS s FROM toks),
+ex AS MATERIALIZED (SELECT doc_id, unnest(s) AS g FROM sh),
+cp AS (SELECT DISTINCT a.doc_id AS id_in, b.doc_id AS id_out
+       FROM ex a JOIN ex b USING (g) WHERE a.doc_id <> b.doc_id),
+cand AS (SELECT id_in, id_out, sa.s AS sa, sb.s AS sb
+         FROM cp JOIN sh sa ON sa.doc_id = cp.id_in
+                 JOIN sh sb ON sb.doc_id = cp.id_out
+         WHERE 10 * len(sb.s) >= 8 * len(sa.s) AND len(sa.s) > 0),
+sim AS (SELECT id_in, id_out,
+               len(list_intersect(sa, sb))::BIGINT AS n_inter,
+               len(sa)::BIGINT AS n_inner FROM cand)
+SELECT id_in, id_out, n_inter, n_inner FROM sim
+WHERE n_inter / n_inner >= {CONTAIN_TAU}"""
+
 
 def q_ppjoin_dups(sf_dir: str):
     """EXACT set-similarity self-join via prefix filtering
@@ -3576,6 +3627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_user_per_type": q_top_user_per_type,
         "ngram_dups": q_ngram_dups,
         "ppjoin_dups": q_ppjoin_dups,
+        "containment_dups": q_containment_dups,
         "rollup_stats": q_rollup_stats,
         "strip_repeated": q_strip_repeated,
         "canonical_resolve": q_canonical_resolve,
@@ -4099,6 +4151,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_decontaminate": _ngram_decontaminate_sql(),
         # word-trigram variant of the exact all-pairs Jaccard oracle
         "ppjoin_dups": _ppjoin_dups_sql(),
+        "containment_dups": _containment_sql(),
         "rollup_stats": _rollup_stats_sql(),
         "strip_repeated": _strip_repeated_sql(),
         "canonical_resolve": _canonical_resolve_sql(),
