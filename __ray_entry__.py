@@ -2232,6 +2232,71 @@ FROM e{KCORE_ROUNDS} GROUP BY s""")
     return "".join(parts)
 
 
+#: communities: 3 synchronous LPA rounds over the shared densified
+#: graph — the bounded-round contract (synchronous LPA can 2-cycle on
+#: bipartite regions, so a fixed R is part of the operator definition,
+#: not a truncation); 3 rounds already collapses the graph to large
+#: hub-anchored communities
+LPA_ROUNDS = 3
+
+
+def q_communities(sf_dir: str):
+    """Bounded-round synchronous label propagation over the synthetic
+    link graph (stages/labelprop — Raghavan Phys.Rev.E'07 with the
+    deterministic synchronous/min-label-tie-break contract): label(v,0)
+    = v, each round every node takes its neighbors' modal label (ties
+    to the smallest). Per round: ONE ids-only label-fetch join + ONE
+    src exchange with a vectorized count/argmax kernel — bit-identical
+    at any partitioning; the twin unrolls the same R rounds."""
+    from pypdfium2_ray.stages.labelprop import label_propagation
+    docs = _docs(sf_dir, ["doc_id"])
+    n = docs.count()
+    edges = docs.map_batches(_synth_tri_edges(n), batch_format="pyarrow")
+    with _hint(sf_dir):
+        out = label_propagation(edges, rounds=LPA_ROUNDS)
+    return out.map_batches(
+        lambda t: pa.table({"doc_id": t["node"],
+                            "community": t["community"]}),
+        batch_format="pyarrow")
+
+
+def _communities_sql() -> str:
+    """Unrolled synchronous LPA: e0 = the kcore twin's canonical
+    both-direction edge set; per round neighbor-label counts ->
+    row_number() pick of (max count, min label). MATERIALIZED per hop
+    (each l_r feeds the next round's join — the hits-oracle inlining
+    lesson)."""
+    parts = ["""
+WITH nodes AS (SELECT CAST(doc_id AS BIGINT) AS node FROM documents),
+nn AS (SELECT count(*) AS n FROM nodes),
+raw AS (
+  SELECT node AS src, (node * 7919 + 1) % (SELECT n FROM nn) AS dst FROM nodes
+  UNION ALL SELECT node, node % 97 FROM nodes
+  UNION ALL SELECT node, (node // 3) % (SELECT n FROM nn) FROM nodes
+  UNION ALL SELECT node, node + 1 FROM nodes
+    WHERE node % 3 <> 2 AND node + 1 < (SELECT n FROM nn)),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+  FROM raw WHERE src <> dst),
+e0 AS MATERIALIZED (
+  SELECT lo AS s, hi AS d FROM und UNION ALL SELECT hi, lo FROM und),
+l0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS lbl FROM e0)"""]
+    for r in range(1, LPA_ROUNDS + 1):
+        parts.append(f""",
+c{r} AS (
+  SELECT e.s AS node, l.lbl, count(*) AS c
+  FROM e0 e JOIN l{r - 1} l ON l.node = e.d GROUP BY 1, 2),
+l{r} AS MATERIALIZED (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY c DESC, lbl) AS rn
+    FROM c{r}) WHERE rn = 1)""")
+    parts.append(f"""
+SELECT node AS doc_id, lbl AS community FROM l{LPA_ROUNDS}""")
+    return "".join(parts)
+
+
 #: crawl_depth: seeds are doc_id % 500 == 7 (1 seed at sf0.001 scaling
 #: to 100 at sf0.1); 6 hops over the 3-out-regular graph reaches most
 #: of the corpus without the result degenerating to all-zeros
@@ -3597,6 +3662,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits": q_hits,
         "triangles": q_triangles,
         "kcore": q_kcore,
+        "communities": q_communities,
         "crawl_depth": q_crawl_depth,
         "extract_links": q_extract_links,
         "extract_tables": q_extract_tables,
@@ -4130,6 +4196,7 @@ def oracle_sql() -> dict[str, str]:
         "hits": _hits_sql(),
         "triangles": _triangles_sql(),
         "kcore": _kcore_sql(),
+        "communities": _communities_sql(),
         "crawl_depth": _crawl_depth_sql(),
         "shared_chunks": _shared_chunks_sql(),
         "template_chunks": _template_chunks_sql(),
