@@ -2656,6 +2656,45 @@ SELECT id_in, id_out, n_inter, n_inner FROM sim
 WHERE n_inter / n_inner >= {CONTAIN_TAU}"""
 
 
+def q_gram_novelty(sf_dir: str):
+    """Per-doc n-gram novelty (stages/novelty.gram_novelty — the Gopher
+    duplicated-fraction family as first-occurrence attribution): n_grams
+    = distinct word trigrams, n_novel = those whose global min(doc_id)
+    is this doc. ids-only rows through ONE gram-hash exchange (min-doc
+    attribution + per-doc partials in one vectorized kernel), then one
+    tiny sum exchange; the twin groups by the same md5 >> 3 hash so
+    collisions replicate instead of diverging."""
+    from pypdfium2_ray.stages.novelty import gram_novelty
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    with _hint(sf_dir):
+        return gram_novelty(ds, k=3, shingle_kind="word")
+
+
+def _gram_novelty_sql() -> str:
+    """Same per-doc-distinct hashed-trigram rows, min-doc attribution
+    via a grouped min + join; hash = md5_number_upper >> 3 (the
+    md5_hash64 twin), so the rare gram collisions are identical."""
+    ws = r"[^ \t\r\n\f\v]+"
+    return f"""
+WITH toks AS (SELECT doc_id, regexp_extract_all(text, '{ws}') AS w
+              FROM documents),
+sh AS (SELECT doc_id, CASE
+        WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+        WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+                            for i in range(1, len(w) - 1)])
+      END AS s FROM toks),
+dg AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+         CAST(md5_number_upper(unnest(s)) >> 3 AS BIGINT) AS g
+  FROM sh),
+mins AS (SELECT g, min(doc_id) AS first_doc FROM dg GROUP BY g)
+SELECT dg.doc_id, count(*)::BIGINT AS n_grams,
+       sum(CASE WHEN mins.first_doc = dg.doc_id THEN 1 ELSE 0 END)::BIGINT
+         AS n_novel
+FROM dg JOIN mins USING (g) GROUP BY dg.doc_id"""
+
+
 def q_ppjoin_dups(sf_dir: str):
     """EXACT set-similarity self-join via prefix filtering
     (stages/ppjoin.ppjoin_dup_pairs — Chaudhuri ICDE'06 / Xiao WWW'08 /
@@ -3694,6 +3733,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_dups": q_ngram_dups,
         "ppjoin_dups": q_ppjoin_dups,
         "containment_dups": q_containment_dups,
+        "gram_novelty": q_gram_novelty,
         "rollup_stats": q_rollup_stats,
         "strip_repeated": q_strip_repeated,
         "canonical_resolve": q_canonical_resolve,
@@ -4219,6 +4259,7 @@ def oracle_sql() -> dict[str, str]:
         # word-trigram variant of the exact all-pairs Jaccard oracle
         "ppjoin_dups": _ppjoin_dups_sql(),
         "containment_dups": _containment_sql(),
+        "gram_novelty": _gram_novelty_sql(),
         "rollup_stats": _rollup_stats_sql(),
         "strip_repeated": _strip_repeated_sql(),
         "canonical_resolve": _canonical_resolve_sql(),
