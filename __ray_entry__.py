@@ -2656,6 +2656,41 @@ SELECT id_in, id_out, n_inter, n_inner FROM sim
 WHERE n_inter / n_inner >= {CONTAIN_TAU}"""
 
 
+#: bpe_merges: top-40 merge candidates — large enough to exercise the
+#: tie-break region, small enough that the twin's LIMIT stays cheap
+BPE_TOPK = 40
+
+
+def q_bpe_merges(sf_dir: str):
+    """One BPE-training counting round (stages/bpe.merge_pair_counts,
+    Sennrich ACL'16): adjacent character-pair counts over the corpus,
+    weighted by word frequency — the word-freq factoring means the
+    per-word pair loop runs once per DISTINCT word (vocab-sized), the
+    occurrence dimension is vectorized Arrow split/flatten/group-count.
+    Two pre-combined exchanges + the topk partial bound; (cnt DESC,
+    pair ASC) is a total order so the top-40 set is unique."""
+    from pypdfium2_ray.stages.bpe import merge_pair_counts
+    ds = _docs(sf_dir, ["text"])
+    with _hint(sf_dir):
+        return merge_pair_counts(ds, k=BPE_TOPK)
+
+
+def _bpe_merges_sql() -> str:
+    """Word-freq table, per-word overlapping 2-char substrings weighted
+    by f, global count, same (cnt DESC, pair) total order."""
+    ws = r"[^ \t\r\n\f\v]+"
+    return f"""
+WITH toks AS (SELECT regexp_extract_all(text, '{ws}') AS w FROM documents),
+words AS (SELECT unnest(w) AS word FROM toks),
+wf AS MATERIALIZED (SELECT word, count(*)::BIGINT AS f
+                    FROM words GROUP BY word),
+pr AS (SELECT unnest([substr(word, i, 2)
+                      for i in range(1, length(word))]) AS pair, f
+       FROM wf),
+agg AS (SELECT pair, sum(f)::BIGINT AS cnt FROM pr GROUP BY pair)
+SELECT pair, cnt FROM agg ORDER BY cnt DESC, pair LIMIT {BPE_TOPK}"""
+
+
 def q_gram_novelty(sf_dir: str):
     """Per-doc n-gram novelty (stages/novelty.gram_novelty — the Gopher
     duplicated-fraction family as first-occurrence attribution): n_grams
@@ -3734,6 +3769,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppjoin_dups": q_ppjoin_dups,
         "containment_dups": q_containment_dups,
         "gram_novelty": q_gram_novelty,
+        "bpe_merges": q_bpe_merges,
         "rollup_stats": q_rollup_stats,
         "strip_repeated": q_strip_repeated,
         "canonical_resolve": q_canonical_resolve,
@@ -4260,6 +4296,7 @@ def oracle_sql() -> dict[str, str]:
         "ppjoin_dups": _ppjoin_dups_sql(),
         "containment_dups": _containment_sql(),
         "gram_novelty": _gram_novelty_sql(),
+        "bpe_merges": _bpe_merges_sql(),
         "rollup_stats": _rollup_stats_sql(),
         "strip_repeated": _strip_repeated_sql(),
         "canonical_resolve": _canonical_resolve_sql(),
