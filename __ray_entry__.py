@@ -2656,6 +2656,47 @@ SELECT id_in, id_out, n_inter, n_inner FROM sim
 WHERE n_inter / n_inner >= {CONTAIN_TAU}"""
 
 
+#: weighted_sample: k=100, weight = length tier least(1 + n_chars//200, 8)
+WSAMPLE_K = 100
+
+
+def q_weighted_sample(sf_dir: str):
+    """Deterministic weighted sampling without replacement
+    (stages/textstats.weighted_hash_sample — expanded-multiset bottom-k,
+    Cohen & Kaplan PODC'07 sketch semantics): inclusion odds scale with
+    an integer length-tier weight, priorities are min-of-w md5 draws
+    (no floats, no libm — the u^(1/w) exponential-keys trick would not
+    twin bit-for-bit), selection is the topk partial bound. Stable
+    across runs, shard layouts and cluster sizes."""
+    from pypdfium2_ray.stages.textstats import weighted_hash_sample
+    ds = _docs(sf_dir, ["doc_id", "n_chars"])
+
+    def tier(t: pa.Table) -> pa.Table:
+        w = pc.min_element_wise(
+            pc.add(pc.divide(pc.cast(t["n_chars"], pa.int64()), 200), 1),
+            pa.scalar(8, pa.int64()))
+        return t.append_column("wt", w)
+
+    with _hint(sf_dir):
+        return weighted_hash_sample(
+            ds.map_batches(tier, batch_format="pyarrow"),
+            key_col="doc_id", weight_col="wt", k=WSAMPLE_K)
+
+
+def _weighted_sample_sql() -> str:
+    """Same expansion: unnest(range(wt)) unit copies, min md5 priority,
+    (p, doc_id) bottom-k."""
+    return f"""
+WITH w AS (SELECT doc_id, n_chars,
+                  LEAST(1 + n_chars // 200, 8) AS wt FROM documents),
+ex AS (SELECT doc_id, n_chars, wt, unnest(range(wt)) AS j FROM w),
+pri AS (SELECT doc_id, n_chars, wt,
+               min(md5_number_upper(doc_id::VARCHAR || ':'
+                                    || j::VARCHAR)) AS p
+        FROM ex GROUP BY 1, 2, 3)
+SELECT doc_id, n_chars, wt FROM pri ORDER BY p, doc_id LIMIT {WSAMPLE_K}"""
+
+
 #: bpe_merges: top-40 merge candidates — large enough to exercise the
 #: tie-break region, small enough that the twin's LIMIT stays cheap
 BPE_TOPK = 40
@@ -3770,6 +3811,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_dups": q_containment_dups,
         "gram_novelty": q_gram_novelty,
         "bpe_merges": q_bpe_merges,
+        "weighted_sample": q_weighted_sample,
         "rollup_stats": q_rollup_stats,
         "strip_repeated": q_strip_repeated,
         "canonical_resolve": q_canonical_resolve,
@@ -4297,6 +4339,7 @@ def oracle_sql() -> dict[str, str]:
         "containment_dups": _containment_sql(),
         "gram_novelty": _gram_novelty_sql(),
         "bpe_merges": _bpe_merges_sql(),
+        "weighted_sample": _weighted_sample_sql(),
         "rollup_stats": _rollup_stats_sql(),
         "strip_repeated": _strip_repeated_sql(),
         "canonical_resolve": _canonical_resolve_sql(),

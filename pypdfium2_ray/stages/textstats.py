@@ -136,6 +136,70 @@ def hash_sample(ds, key_col: str, modulus: int = 10, keep: int = 0):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+#: weighted_hash_sample refuses weights above this: the md5 expansion is
+#: w calls per row, so an unbounded weight column would smuggle per-row
+#: O(w) work in — clip/bucket the weight upstream instead (loud, the
+#: no-silent-caps discipline)
+MAX_SAMPLE_WEIGHT = 64
+
+
+def weighted_hash_sample(ds, key_col: str, weight_col: str, k: int):
+    """Deterministic weighted sampling without replacement: ``k`` rows,
+    inclusion odds proportional to the row's positive INTEGER weight.
+
+    Semantics are the expanded-multiset bottom-k (the bottom-k sketch
+    over a weighted universe, e.g. Cohen & Kaplan, "Summarizing data
+    using bottom-k sketches", PODC 2007 — public literature): each row
+    competes as ``w`` independent unit copies, copy ``j`` drawing the
+    64-bit key ``md5(key || ':' || j)``; the row's priority is its
+    MINIMUM draw and the global ``k`` smallest priorities win (ties —
+    2^-64 events — break by key).  Exactly reproduces "uniform bottom-k
+    over the corpus with every row repeated w times, deduped by key",
+    with no replication and no floats: integer md5 min instead of the
+    ``u^(1/w)`` exponential-keys trick, whose libm ``pow`` the SQL twin
+    could not match bit-for-bit.  Deterministic across runs, shard
+    layouts and cluster sizes, like :func:`hash_sample`.
+
+    The per-row ``w`` md5 calls are inherent per-value work
+    (``hash_sample`` convention); weights must be small ints — buckets,
+    quality tiers, clipped sizes — and > ``MAX_SAMPLE_WEIGHT`` raises.
+    Selection is the ``stages/topk`` partial bound: only ``k x
+    n_blocks`` (priority, row) partials ever move, no global sort.
+
+    SQL twin: ``min(md5_number_upper(key::VARCHAR || ':' || j))`` over
+    ``unnest(range(w))`` + ``ORDER BY p, key LIMIT k``.
+    """
+    from pypdfium2_ray.functions.sketch import md5_hash64
+    from pypdfium2_ray.stages.topk import topk
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def pri(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_pylist()
+        ws = t[weight_col].to_pylist()
+        out = []
+        for key, w in zip(keys, ws):
+            if w is None or w < 1 or w != int(w):
+                raise ValueError(
+                    f"weighted_hash_sample: weight must be a positive "
+                    f"integer, got {w!r} for key {key!r}")
+            if w > MAX_SAMPLE_WEIGHT:
+                raise ValueError(
+                    f"weighted_hash_sample: weight {w} for key {key!r} "
+                    f"exceeds MAX_SAMPLE_WEIGHT={MAX_SAMPLE_WEIGHT} — "
+                    f"bucket/clip the weight column upstream (the md5 "
+                    f"expansion is w hashes per row by design)")
+            s = str(key)
+            out.append(min(md5_hash64(f"{s}:{j}".encode())
+                           for j in range(int(w))))
+        return t.append_column("__pri", pa.array(out, pa.uint64()))
+
+    ranked = ds.map_batches(pri, batch_format="pyarrow")
+    win = topk(ranked, ["__pri", key_col], k, descending=False)
+    return win.map_batches(lambda t: t.drop_columns(["__pri"]),
+                           batch_format="pyarrow")
+
+
 def substring_scan(ds, phrases: list[str], doc_col: str = "doc_id",
                    text_col: str = "text"):
     """Benchmark-contamination scan by SUBSTRING (the complement of the
