@@ -2656,6 +2656,36 @@ SELECT id_in, id_out, n_inter, n_inner FROM sim
 WHERE n_inter / n_inner >= {CONTAIN_TAU}"""
 
 
+def q_doc_keywords(sf_dir: str):
+    """Per-doc keyword extraction by tf/df rank (stages/keywords — the
+    tf-idf family with RATIONAL scoring: one IEEE division of two
+    int64s, bit-reproducible in the oracle, where any log-idf variant
+    would put libm in the gate). Block-local vectorized tf (a doc is
+    one row, so tf is final with NO exchange), one pre-combined df
+    exchange, one word-keyed repartition join, grouped_topk per doc."""
+    from pypdfium2_ray.stages.keywords import doc_keywords
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    with _hint(sf_dir):
+        return doc_keywords(ds, k=3)
+
+
+def _doc_keywords_sql() -> str:
+    ws = r"[^ \t\r\n\f\v]+"
+    return f"""
+WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '{ws}'))
+                AS word FROM documents),
+tf AS MATERIALIZED (SELECT doc_id, word, count(*)::BIGINT AS tf
+                    FROM toks GROUP BY 1, 2),
+df AS (SELECT word, count(*)::BIGINT AS df FROM tf GROUP BY word),
+sc AS (SELECT tf.doc_id, tf.word, tf.tf, df.df,
+              row_number() OVER (
+                PARTITION BY tf.doc_id
+                ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.word)
+                AS rn
+       FROM tf JOIN df USING (word))
+SELECT doc_id, word, tf, df FROM sc WHERE rn <= 3"""
+
+
 #: weighted_sample: k=100, weight = length tier least(1 + n_chars//200, 8)
 WSAMPLE_K = 100
 
@@ -3812,6 +3842,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gram_novelty": q_gram_novelty,
         "bpe_merges": q_bpe_merges,
         "weighted_sample": q_weighted_sample,
+        "doc_keywords": q_doc_keywords,
         "rollup_stats": q_rollup_stats,
         "strip_repeated": q_strip_repeated,
         "canonical_resolve": q_canonical_resolve,
@@ -4340,6 +4371,7 @@ def oracle_sql() -> dict[str, str]:
         "gram_novelty": _gram_novelty_sql(),
         "bpe_merges": _bpe_merges_sql(),
         "weighted_sample": _weighted_sample_sql(),
+        "doc_keywords": _doc_keywords_sql(),
         "rollup_stats": _rollup_stats_sql(),
         "strip_repeated": _strip_repeated_sql(),
         "canonical_resolve": _canonical_resolve_sql(),
