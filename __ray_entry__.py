@@ -333,6 +333,44 @@ def q_sessions(sf_dir: str):
         return sessionize(ds, key="user_id", ts_col="ts", gap_s=1800)
 
 
+def q_collapse_repeats(sf_dir: str):
+    """Consecutive-duplicate run collapse (sessionize.collapse_repeats —
+    gaps-and-islands): per user, runs of equal event_type in (ts,
+    event_id) order collapse to (user, type, run_len, first_ts,
+    min_event_id) — the retry-storm / double-fire compaction pass. ONE
+    user exchange + one whole-partition vectorized kernel (mask,
+    cumsum, Cython groupby agg)."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.sessionize import collapse_repeats
+    ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type"])
+    with _hint(sf_dir, "events"):
+        return collapse_repeats(ds)
+
+
+def _collapse_repeats_sql() -> str:
+    """The gaps-and-islands statement of the same runs: lag boundary
+    marks, running sum for run ids, min/count aggregates per run."""
+    return """
+WITH o AS (
+  SELECT user_id, event_id, event_type, ts,
+         lag(event_type) OVER w AS pv
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+m AS (
+  SELECT *, CASE WHEN pv IS NULL OR pv <> event_type THEN 1 ELSE 0 END
+         AS st FROM o),
+r AS (
+  SELECT *, sum(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS run
+  FROM m)
+SELECT user_id, min(event_type) AS event_type,
+       count(*)::BIGINT AS run_len, min(ts) AS first_ts,
+       min(event_id)::BIGINT AS min_event_id
+FROM r GROUP BY user_id, run"""
+
+
 def q_text_slice(sf_dir: str):
     """get_text_range analogue (textpage.py:104-146): chars [10, 60)."""
     def f(t: pa.Table) -> pa.Table:
@@ -3773,6 +3811,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_slice": q_text_slice,
         "bpe_tokens": q_bpe_tokens,
         "sessions": q_sessions,
+        "collapse_repeats": q_collapse_repeats,
         "quality_filter": q_quality_filter,
         "hash_sample": q_hash_sample,
         "decontaminate": q_decontaminate,
@@ -4372,6 +4411,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _bpe_merges_sql(),
         "weighted_sample": _weighted_sample_sql(),
         "doc_keywords": _doc_keywords_sql(),
+        "collapse_repeats": _collapse_repeats_sql(),
         "rollup_stats": _rollup_stats_sql(),
         "strip_repeated": _strip_repeated_sql(),
         "canonical_resolve": _canonical_resolve_sql(),

@@ -92,3 +92,48 @@ def cohort_retention(ds, user_col: str = "user_id", ts_col: str = "ts",
     return grouped_distinct_count(cells, ["cohort_day", "day_offset"],
                                   user_col, out="n_users",
                                   num_partitions=num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# consecutive-duplicate run collapse
+
+def collapse_repeats(ds, key: str = "user_id", ts_col: str = "ts",
+                     val_col: str = "event_type", id_col: str = "event_id",
+                     num_partitions: int | None = None):
+    """Collapse each per-key RUN of consecutive equal ``val_col`` events
+    (ordered by ``(ts, id)``) into one row — the telemetry compaction
+    pass that removes retry storms / double-fires / held-down-key spam
+    before sessionization or funnel analysis (the streaming-world
+    "deduplicate consecutive" primitive, batch form; the classic
+    gaps-and-islands problem, which is how the SQL twin states it).
+
+    Output per run: ``(key, val, run_len, first_ts, min_event_id)``.
+    The last two are MIN-aggregates over the run (well-defined under
+    any tie order), not "fields of the first row", so the result is a
+    pure function of the input set.
+
+    Plan: ONE hash exchange on *key* (``exchange.partition_map``), then
+    one whole-partition vectorized kernel — mergesort by (key, ts, id),
+    boundary mask via shifted equality, run ids by cumsum, one Cython
+    ``groupby.agg`` (size + two mins). No per-group Python; same
+    one-key-fits-one-worker partitioning contract as :func:`sessionize`.
+    """
+    from pypdfium2_ray.stages.exchange import partition_map
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts_col, id_col], kind="mergesort")
+        same = (df[key].eq(df[key].shift())
+                & df[val_col].eq(df[val_col].shift()))
+        run = (~same).cumsum()
+        g = df.groupby(run.values, sort=False)
+        out = pd.DataFrame({
+            key: g[key].first(),
+            val_col: g[val_col].first(),
+            "run_len": g[ts_col].size().astype("int64"),
+            "first_ts": g[ts_col].min(),
+            "min_event_id": g[id_col].min().astype("int64"),
+        })
+        return out.reset_index(drop=True)
+
+    return partition_map(ds, [key], per_partition, batch_format="pandas",
+                         num_partitions=num_partitions)
