@@ -333,6 +333,55 @@ def q_sessions(sf_dir: str):
         return sessionize(ds, key="user_id", ts_col="ts", gap_s=1800)
 
 
+def _jsonl_corpus(sf_dir: str) -> str:
+    """The (doc_id, text, lang, source) corpus materialized ONCE per
+    sf_dir as gzip JSONL shards (sources/jsonl distributed sink into a
+    temp dir + atomic rename — idempotent, crash-safe, keyed by the
+    documents footer row count like _warc_corpus)."""
+    import hashlib
+    import os
+    import pyarrow.parquet as pq
+    rows = pq.ParquetFile(
+        f"{sf_dir.rstrip('/')}/documents.parquet").metadata.num_rows
+    tag = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
+    out = f"/tmp/graft_jsonl_{tag}_{rows}"
+    if os.path.isdir(out):
+        return out
+    import ray.data as rd
+    from pypdfium2_ray.sources.jsonl import write_jsonl_shards
+    tmp = out + ".build"
+    ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/documents.parquet",
+                         columns=["doc_id", "text", "lang", "source"])
+    with _hint(sf_dir):
+        write_jsonl_shards(ds, tmp, n_shards=8, key_col="doc_id")
+    os.replace(tmp, out)
+    return out
+
+
+def q_jsonl_tokens(sf_dir: str):
+    """Token/quality counters computed from native gzip JSONL shards
+    (sources/jsonl.read_jsonl: one shard file per read task, per-file
+    inflate + Arrow C++ JSON parse — rows never pass through Python
+    objects) instead of Parquet. The Parquet-path token_stats SQL is
+    the oracle, proving the JSONL sink+source round-trips the corpus
+    losslessly (escapes, unicode, ints) at driver-gate scale."""
+    from pypdfium2_ray.stages.textstats import add_quality_columns
+    with _hint(sf_dir):
+        ds = read_jsonl_docs(_jsonl_corpus(sf_dir))
+        ds = ds.map_batches(add_quality_columns, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "n_chars_text", "n_tokens",
+                              "n_punct", "n_stopwords"])
+
+
+def read_jsonl_docs(path: str):
+    import pyarrow as _pa
+
+    from pypdfium2_ray.sources.jsonl import read_jsonl
+    return read_jsonl(path, schema=_pa.schema(
+        [("doc_id", _pa.int64()), ("text", _pa.string()),
+         ("lang", _pa.string()), ("source", _pa.string())]))
+
+
 def q_collapse_repeats(sf_dir: str):
     """Consecutive-duplicate run collapse (sessionize.collapse_repeats —
     gaps-and-islands): per user, runs of equal event_type in (ts,
@@ -3812,6 +3861,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_tokens": q_bpe_tokens,
         "sessions": q_sessions,
         "collapse_repeats": q_collapse_repeats,
+        "jsonl_tokens": q_jsonl_tokens,
         "quality_filter": q_quality_filter,
         "hash_sample": q_hash_sample,
         "decontaminate": q_decontaminate,
@@ -4014,6 +4064,13 @@ def oracle_sql() -> dict[str, str]:
                    (CASE WHEN {is_err} THEN 0 ELSE 1 END)::BIGINT AS pagemode
             FROM documents""",
         "token_stats": f"""
+            SELECT doc_id,
+                   length(text) AS n_chars_text,
+                   {sql_token_count('text')} AS n_tokens,
+                   length(regexp_extract_all(text, '[.!?]')) AS n_punct,
+                   length(regexp_extract_all(text, '{en_stop}')) AS n_stopwords
+            FROM documents""",
+        "jsonl_tokens": f"""
             SELECT doc_id,
                    length(text) AS n_chars_text,
                    {sql_token_count('text')} AS n_tokens,
