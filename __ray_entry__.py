@@ -358,6 +358,51 @@ def _jsonl_corpus(sf_dir: str) -> str:
     return out
 
 
+def q_curate_corpus(sf_dir: str):
+    """The composed curation pipeline — quality gate -> exact dedup
+    (keep min id) -> deterministic 1-in-3 hash sample — as ONE
+    streaming chain: the vectorized Gopher/C4 filter and the md5
+    fingerprint are per-block maps, the dedup keep-one is the
+    pipeline's ONLY exchange, the sample is a pure filter on the
+    survivor ids. No driver materialization anywhere; this is the
+    shape a user runs end-to-end at corpus scale, and the oracle is
+    the same composition of the per-stage twins (nested CTEs), proving
+    the stages compose without semantic drift."""
+    from pypdfium2_ray.stages.agg import grouped_aggregate
+    from pypdfium2_ray.stages.textstats import (
+        add_fingerprint, hash_sample, quality_filter)
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    kept = quality_filter(ds, min_tokens=50, max_tokens=100_000,
+                          min_mean_token_chars=3.0,
+                          max_mean_token_chars=9.0,
+                          min_stopword_frac=0.01, emit_counters=True)
+    fp = kept.map_batches(add_fingerprint, batch_format="pyarrow") \
+             .select_columns(["doc_id", "n_tokens", "fingerprint"])
+    with _hint(sf_dir):
+        uniq = grouped_aggregate(fp, ["fingerprint"], {
+            "doc_id": ("doc_id", "min"),
+            "n_tokens": ("n_tokens", "min"),   # equal texts, equal counts
+            "n_dups": (None, "count")})
+    uniq = uniq.map_batches(
+        lambda t: t.drop_columns(["fingerprint"]), batch_format="pyarrow")
+    return _cast_i64(hash_sample(uniq, "doc_id", modulus=3, keep=1),
+                     ["n_tokens", "n_dups"])
+
+
+def _curate_corpus_sql() -> str:
+    """The same three stages as nested CTEs: the quality twin's WHERE,
+    md5(text) keep-min-id dedup, md5_number_upper id sample."""
+    return f"""
+WITH q AS (SELECT doc_id, text, {_QF_TOKS} AS n_tokens
+           FROM documents WHERE {_QF_WHERE}),
+d AS (SELECT md5(text) AS fp, min(doc_id) AS doc_id,
+             min(n_tokens)::BIGINT AS n_tokens,
+             count(*)::BIGINT AS n_dups
+      FROM q GROUP BY fp)
+SELECT doc_id, n_tokens, n_dups FROM d
+WHERE md5_number_upper(doc_id::VARCHAR) % 3 = 1"""
+
+
 def q_jsonl_tokens(sf_dir: str):
     """Token/quality counters computed from native gzip JSONL shards
     (sources/jsonl.read_jsonl: one shard file per read task, per-file
@@ -3862,6 +3907,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions": q_sessions,
         "collapse_repeats": q_collapse_repeats,
         "jsonl_tokens": q_jsonl_tokens,
+        "curate_corpus": q_curate_corpus,
         "quality_filter": q_quality_filter,
         "hash_sample": q_hash_sample,
         "decontaminate": q_decontaminate,
@@ -4469,6 +4515,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": _weighted_sample_sql(),
         "doc_keywords": _doc_keywords_sql(),
         "collapse_repeats": _collapse_repeats_sql(),
+        "curate_corpus": _curate_corpus_sql(),
         "rollup_stats": _rollup_stats_sql(),
         "strip_repeated": _strip_repeated_sql(),
         "canonical_resolve": _canonical_resolve_sql(),
