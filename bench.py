@@ -181,6 +181,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "extract_jsonld", "image_dups", "rollup_stats",
                      "canonical_resolve", "funnel", "interval_coverage",
                      "vocab_coverage", "path_census", "graph_walks", "cocitation",
+                     "kcore", "trustrank", "communities", "dup_spans",
+                     "phrase_search", "containment_dups", "gram_novelty",
+                     "bpe_merges", "weighted_sample", "doc_keywords",
+                     "collapse_repeats", "jsonl_tokens", "curate_corpus",
                      "density_extract", "warc_extract",
                      "snapshot_delta", "incremental_dedup"]
     E._warc_corpus(sf_dir)   # materialize the WARC shard cache untimed
