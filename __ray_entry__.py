@@ -2949,6 +2949,91 @@ def q_ppjoin_dups(sf_dir: str):
                                 shingle_kind="word")
 
 
+#: jaccard_knn: top-2 neighbors per doc above the ppjoin threshold
+KNN_K = 2
+
+
+def q_jaccard_knn(sf_dir: str):
+    """Per-doc k-nearest-neighbor lists over the EXACT Jaccard pair set
+    (the dedup-clustering input): ppjoin's recall-1 pairs expanded to
+    both directions, similarity = n_inter/n_union (0/0 -> 1.0, the
+    family's dup convention — one IEEE division, oracle-exact), then
+    stages/topk.grouped_topk keeps each doc's top-2 by (sim DESC, nbr
+    ASC). Pure composition: the only additions over ppjoin_dups are a
+    vectorized direction flip and the partial-bound per-doc top-k."""
+    from pypdfium2_ray.stages.ppjoin import ppjoin_dup_pairs
+    from pypdfium2_ray.stages.topk import grouped_topk
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    with _hint(sf_dir):
+        pairs = ppjoin_dup_pairs(ds, tau=PPJ_TAU, shingle_k=3,
+                                 shingle_kind="word")
+
+        def both_dirs(t: pa.Table) -> pa.Table:
+            import numpy as np
+            a = t["id_a"].to_numpy(zero_copy_only=False)
+            b = t["id_b"].to_numpy(zero_copy_only=False)
+            ni = t["n_inter"].to_numpy(zero_copy_only=False)
+            nu = t["n_union"].to_numpy(zero_copy_only=False)
+            ni2 = np.concatenate([ni, ni])
+            nu2 = np.concatenate([nu, nu])
+            sim = np.where(nu2 == 0, 1.0,
+                           ni2 / np.where(nu2 == 0, 1, nu2))
+            return pa.table({
+                "doc_id": pa.array(np.concatenate([a, b]), pa.int64()),
+                "nbr": pa.array(np.concatenate([b, a]), pa.int64()),
+                "n_inter": pa.array(ni2, pa.int64()),
+                "n_union": pa.array(nu2, pa.int64()),
+                "__sim": pa.array(sim, pa.float64())})
+
+        out = grouped_topk(
+            pairs.map_batches(both_dirs, batch_format="pyarrow"),
+            keys=["doc_id"], order_cols=["__sim", "nbr"], k=KNN_K,
+            descending=[True, False])
+    return out.map_batches(lambda t: t.drop_columns(["__sim"]),
+                           batch_format="pyarrow")
+
+
+def _jaccard_knn_sql() -> str:
+    """The ppjoin twin's sim CTE, both directions, row_number top-k by
+    the same (sim DESC, nbr) order."""
+    ws = r"[^ \t\r\n\f\v]+"
+    return f"""
+WITH toks AS (SELECT doc_id, regexp_extract_all(text, '{ws}') AS w
+              FROM documents),
+sh AS (SELECT doc_id, CASE
+        WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+        WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+                            for i in range(1, len(w) - 1)])
+      END AS s FROM toks),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+   AND least(len(a.s), len(b.s))
+       >= {PPJ_TAU} * greatest(len(a.s), len(b.s)) - 1),
+sim AS (
+  SELECT id_a, id_b,
+         len(list_intersect(sa, sb))::BIGINT AS n_inter,
+         (len(sa) + len(sb) - len(list_intersect(sa, sb)))::BIGINT
+           AS n_union
+  FROM cand
+  WHERE (len(sa) + len(sb) - len(list_intersect(sa, sb))) = 0
+     OR len(list_intersect(sa, sb))
+        / (len(sa) + len(sb) - len(list_intersect(sa, sb))) >= {PPJ_TAU}),
+bi AS (
+  SELECT id_a AS doc_id, id_b AS nbr, n_inter, n_union FROM sim
+  UNION ALL
+  SELECT id_b, id_a, n_inter, n_union FROM sim),
+rk AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id
+    ORDER BY CASE WHEN n_union = 0 THEN 1.0
+                  ELSE CAST(n_inter AS DOUBLE) / n_union END DESC,
+             nbr) AS rn
+  FROM bi)
+SELECT doc_id, nbr, n_inter, n_union FROM rk WHERE rn <= {KNN_K}"""
+
+
 def _ppjoin_dups_sql() -> str:
     """Word-trigram all-pairs exact Jaccard. The length prefilter carries
     an integer slack of 1 so IEEE rounding of tau*len can never drop a
@@ -3973,6 +4058,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_user_per_type": q_top_user_per_type,
         "ngram_dups": q_ngram_dups,
         "ppjoin_dups": q_ppjoin_dups,
+        "jaccard_knn": q_jaccard_knn,
         "containment_dups": q_containment_dups,
         "gram_novelty": q_gram_novelty,
         "bpe_merges": q_bpe_merges,
@@ -4509,6 +4595,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_decontaminate": _ngram_decontaminate_sql(),
         # word-trigram variant of the exact all-pairs Jaccard oracle
         "ppjoin_dups": _ppjoin_dups_sql(),
+        "jaccard_knn": _jaccard_knn_sql(),
         "containment_dups": _containment_sql(),
         "gram_novelty": _gram_novelty_sql(),
         "bpe_merges": _bpe_merges_sql(),
