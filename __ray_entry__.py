@@ -1625,6 +1625,38 @@ def _phrase_search_sql() -> str:
         FROM t"""
 
 
+#: bool_search: all_of / none_of term sets (mid-selectivity, ~10%)
+BOOL_ALL = ("vector", "window")
+BOOL_NONE = ("spark",)
+
+
+def q_bool_search(sf_dir: str):
+    """Conjunctive boolean retrieval with negation
+    (stages/invindex.boolean_search): docs containing every all_of term
+    and no none_of term. Because a document is row-contained this is a
+    ZERO-exchange streaming map — per block: tokenize, is_in-filter to
+    the query terms, distinct (doc, term), one pyarrow group_by counts
+    positive/total query-term hits per doc."""
+    from pypdfium2_ray.stages.invindex import boolean_search
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return boolean_search(ds, list(BOOL_ALL), list(BOOL_NONE))
+
+
+def _bool_search_sql() -> str:
+    ws = r"[^ \t\r\n\f\v]+"
+    pos = ", ".join(f"'{t}'" for t in BOOL_ALL)
+    neg = ", ".join(f"'{t}'" for t in BOOL_NONE)
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT doc_id, unnest(regexp_extract_all(text, '{ws}')) AS term
+  FROM documents),
+m AS (SELECT doc_id,
+             sum((term IN ({pos}))::INT) AS np,
+             sum((term IN ({neg}))::INT) AS nn
+      FROM pairs GROUP BY doc_id)
+SELECT doc_id FROM m WHERE np = {len(BOOL_ALL)} AND nn = 0"""
+
+
 def q_trustrank(sf_dir: str):
     """Seed-personalized PageRank — TrustRank (stages/pagerank
     .personalized_pagerank, Gyongyi VLDB'04): the teleport term lands
@@ -2949,6 +2981,70 @@ def q_ppjoin_dups(sf_dir: str):
                                 shingle_kind="word")
 
 
+def q_postings_compress(sf_dir: str):
+    """Index-compression accounting (invindex.compressed_posting_sizes
+    + functions/varint — the IR-textbook LEB128 gap encoding): per
+    term, df and the ACTUAL byte size of the delta-varint posting
+    list. The kernel really encodes (one vectorized varint_encode over
+    the partition's concatenated gap array, buffer length asserted
+    against the width sum); the twin reproduces the widths via the
+    lag-gap + threshold-CASE formula — identical for every value
+    < 2^56, far above any doc id."""
+    from pypdfium2_ray.stages.invindex import compressed_posting_sizes
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    with _hint(sf_dir):
+        return compressed_posting_sizes(ds)
+
+
+def _postings_compress_sql() -> str:
+    ws = r"[^ \t\r\n\f\v]+"
+    width = ("1 + (x >= 128)::INT + (x >= 16384)::INT"
+             " + (x >= 2097152)::INT + (x >= 268435456)::INT"
+             " + (x >= 34359738368)::INT + (x >= 4398046511104)::INT"
+             " + (x >= 562949953421312)::INT")
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT doc_id, unnest(regexp_extract_all(text, '{ws}')) AS term
+  FROM documents),
+g AS (
+  SELECT term, doc_id,
+         doc_id - lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id)
+           AS gap
+  FROM pairs),
+v AS (SELECT term, COALESCE(gap, doc_id) AS x FROM g)
+SELECT term, count(*)::BIGINT AS df, sum({width})::BIGINT AS n_bytes
+FROM v GROUP BY term"""
+
+
+#: editdist_dups: Levenshtein prefix key length / distance threshold
+ED_PLEN = 20
+ED_K = 1
+
+
+def q_editdist_dups(sf_dir: str):
+    """Levenshtein near-dup pairs over the 20-char key prefix
+    (stages/editdist — FastSS deletion-neighborhood candidates +
+    vectorized exact-DP verify): the third similarity family next to
+    Jaccard and Hamming, the title/URL-variant dedup measure. Candidate
+    recall is exact by the deletion theorem; the oracle is the honest
+    all-pairs levenshtein join (DuckDB's native function), which the
+    engine beats by never comparing beyond shared-variant buckets."""
+    from pypdfium2_ray.stages.editdist import editdist_dup_pairs
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    with _hint(sf_dir):
+        return editdist_dup_pairs(ds, prefix_len=ED_PLEN, max_dist=ED_K)
+
+
+def _editdist_sql() -> str:
+    return f"""
+WITH p AS (SELECT doc_id, substr(text, 1, {ED_PLEN}) AS s FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       levenshtein(a.s, b.s)::BIGINT AS dist
+FROM p a JOIN p b ON a.doc_id < b.doc_id
+WHERE abs(length(a.s) - length(b.s)) <= {ED_K}
+  AND levenshtein(a.s, b.s) <= {ED_K}"""
+
+
 #: jaccard_knn: top-2 neighbors per doc above the ppjoin threshold
 KNN_K = 2
 
@@ -4004,6 +4100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_domain": q_top_docs_per_domain,
         "inverted_index": q_inverted_index,
         "phrase_search": q_phrase_search,
+        "bool_search": q_bool_search,
         "dedup_exact": q_dedup_exact,
         "dedup_latest_event": q_dedup_latest_event,
         "snapshot_delta": q_snapshot_delta,
@@ -4059,6 +4156,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_dups": q_ngram_dups,
         "ppjoin_dups": q_ppjoin_dups,
         "jaccard_knn": q_jaccard_knn,
+        "editdist_dups": q_editdist_dups,
+        "postings_compress": q_postings_compress,
         "containment_dups": q_containment_dups,
         "gram_novelty": q_gram_novelty,
         "bpe_merges": q_bpe_merges,
@@ -4291,6 +4390,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(length(text)) AS BIGINT) AS sum_chars
             FROM documents GROUP BY 1""",
         "phrase_search": _phrase_search_sql(),
+        "bool_search": _bool_search_sql(),
         "inverted_index": """
             WITH toks AS (
               SELECT doc_id, unnest(regexp_split_to_array(text,
@@ -4596,6 +4696,8 @@ def oracle_sql() -> dict[str, str]:
         # word-trigram variant of the exact all-pairs Jaccard oracle
         "ppjoin_dups": _ppjoin_dups_sql(),
         "jaccard_knn": _jaccard_knn_sql(),
+        "editdist_dups": _editdist_sql(),
+        "postings_compress": _postings_compress_sql(),
         "containment_dups": _containment_sql(),
         "gram_novelty": _gram_novelty_sql(),
         "bpe_merges": _bpe_merges_sql(),

@@ -179,3 +179,96 @@ def phrase_match(postings, phrase: list[str],
     rows = postings.map_batches(emit, batch_format="pyarrow")
     return partition_map(rows, ["doc_id", "adj"], kernel,
                          num_partitions=num_partitions)
+
+
+def boolean_search(ds, all_of: list[str], none_of: list[str] = (),
+                   doc_col: str = "doc_id", text_col: str = "text"):
+    """Dataset of ``(doc_id,)`` — docs containing EVERY term in
+    ``all_of`` and NO term in ``none_of`` (conjunctive boolean
+    retrieval with negation, the other classic IR query next to
+    :func:`phrase_match`).
+
+    Because a document is row-contained, this needs NO exchange at
+    all: each block tokenizes, filters to the query terms (``pc.is_in``
+    against the tiny term list), distincts (doc, term) and counts
+    positive/negative hits per doc with pyarrow ``group_by`` — a pure
+    streaming map, embarrassingly parallel at any corpus size."""
+    if not all_of:
+        raise ValueError("all_of must name at least one term "
+                         "(pure-negation scans the whole corpus)")
+    pos = pa.array(sorted(set(all_of)), pa.string())
+    qset = pa.array(sorted(set(all_of) | set(none_of)), pa.string())
+    n_pos = len(pos)
+
+    def match(t: pa.Table) -> pa.Table:
+        pairs = explode_doc_tokens(t, doc_col, text_col)
+        pairs = pairs.filter(pc.is_in(pairs["term"], value_set=qset))
+        pairs = pairs.group_by(["doc_id", "term"],
+                               use_threads=False).aggregate([])
+        is_pos = pc.cast(pc.is_in(pairs["term"], value_set=pos),
+                         pa.int64())
+        g = pa.table({"doc_id": pairs["doc_id"], "is_pos": is_pos}) \
+            .group_by(["doc_id"], use_threads=False) \
+            .aggregate([("is_pos", "sum"), ("is_pos", "count")])
+        keep = pc.and_(pc.equal(g["is_pos_sum"], n_pos),
+                       pc.equal(g["is_pos_count"], n_pos))
+        return g.filter(keep).select(["doc_id"])
+
+    return ds.select_columns([doc_col, text_col]).map_batches(
+        match, batch_size=None, batch_format="pyarrow")
+
+
+def compressed_posting_sizes(ds, doc_col: str = "doc_id",
+                             text_col: str = "text",
+                             num_partitions: int | None = None):
+    """Dataset of ``(term, df, n_bytes)`` — the LEB128 gap-compressed
+    size of each term's posting list (the IR-textbook index-compression
+    accounting: sorted distinct doc ids -> first id + deltas -> varint
+    bytes, ``functions/varint``).
+
+    The kernel ENCODES for real, vectorized across the whole partition:
+    gaps for every term's postings are computed in one lexsorted pass
+    (run-start rows keep their absolute id, the rest take the delta),
+    ONE ``varint_encode`` call over the concatenated gap array produces
+    the actual buffer, and per-term byte counts are a bincount over the
+    returned widths — the buffer length is asserted against the width
+    sum, so the reported sizes are the bytes a shard writer would emit,
+    not an analytic estimate. The SQL twin computes the same widths via
+    the lag-gap + threshold-CASE formula (identical for all values
+    < 2^56, far above any doc id here). Same ONE term exchange as
+    :func:`build_inverted_index`."""
+    import pandas as pd
+
+    from pypdfium2_ray.functions.varint import varint_encode
+
+    def explode(t: pa.Table) -> pa.Table:
+        pairs = explode_doc_tokens(t, doc_col, text_col)
+        return pairs.group_by(["doc_id", "term"],
+                              use_threads=False).aggregate([])
+
+    pairs = ds.select_columns([doc_col, text_col]).map_batches(
+        explode, batch_size=None, batch_format="pyarrow")
+
+    def kernel(t: pa.Table) -> pa.Table:
+        t = t.group_by(["term", "doc_id"], use_threads=False).aggregate([])
+        t = t.sort_by([("term", "ascending"), ("doc_id", "ascending")])
+        if t.num_rows == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64()),
+                             "n_bytes": pa.array([], pa.int64())})
+        codes, uniq = pd.factorize(t["term"].to_pandas(), sort=False)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        first = np.empty(len(doc), dtype=bool)
+        first[0] = True
+        first[1:] = codes[1:] != codes[:-1]
+        gaps = np.where(first, doc, doc - np.roll(doc, 1))
+        buf, widths = varint_encode(gaps.astype(np.uint64))
+        assert len(buf) == int(widths.sum())     # real bytes, not a model
+        df_counts = np.bincount(codes)
+        n_bytes = np.bincount(codes, weights=widths).astype(np.int64)
+        return pa.table({"term": pa.array(uniq, pa.string()),
+                         "df": pa.array(df_counts, pa.int64()),
+                         "n_bytes": pa.array(n_bytes, pa.int64())})
+
+    return partition_map(pairs, ["term"], kernel,
+                         num_partitions=num_partitions)

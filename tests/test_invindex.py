@@ -77,3 +77,21 @@ def test_grouped_topk_matches_pandas(ray_session, tmp_path):
     key = lambda d: sorted(map(tuple, d[["g", "score", "id"]].to_numpy()))
     assert key(got) == key(want)
     assert len(got) == len(want)
+
+
+def test_boolean_search(ray_session, corpus):
+    """AND/NOT retrieval matches the brute-force set; zero exchanges
+    (pure map) so no partition hint is needed."""
+    import ray.data as rd
+
+    from pypdfium2_ray.stages.invindex import boolean_search
+    p, df = corpus
+    want = sorted(
+        did for did, text in zip(df["doc_id"], df["text"])
+        if {"w1", "w2"} <= set(text.split()) and "w3" not in text.split())
+    got = boolean_search(rd.read_parquet(p, override_num_blocks=4),
+                         ["w1", "w2"], ["w3"]).to_pandas()
+    assert sorted(got["doc_id"]) == want
+    assert len(want) > 0
+    with pytest.raises(ValueError):
+        boolean_search(rd.read_parquet(p), [], ["w3"])
