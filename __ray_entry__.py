@@ -1345,6 +1345,43 @@ def q_shuffle_assign(sf_dir: str):
     return _cast_i64(out, ["n_chars"])
 
 
+#: negative_pairs: hash-ring buckets / negatives per anchor
+NEG_BUCKETS = 16
+NEG_K = 2
+
+
+def q_negative_pairs(sf_dir: str):
+    """Deterministic contrastive-negative mining (stages/shuffle.
+    ring_negative_pairs): k=2 negatives per doc by cyclic next-neighbor
+    pairing within md5-hash buckets sorted by (md5 >> 1, doc_id) — the
+    in-batch-negatives recipe with no RNG, reproducible across runs and
+    cluster sizes. One ids-only exchange; the twin replays the ring
+    with row_number/count window functions."""
+    from pypdfium2_ray.stages.shuffle import ring_negative_pairs
+    ds = _docs(sf_dir, ["doc_id"])
+    with _hint(sf_dir):
+        return ring_negative_pairs(ds, key_col="doc_id",
+                                   n_buckets=NEG_BUCKETS, k=NEG_K)
+
+
+def _negative_pairs_sql() -> str:
+    js = ", ".join(str(j) for j in range(1, NEG_K + 1))
+    return f"""
+WITH h AS (SELECT doc_id,
+                  md5_number_upper(doc_id::VARCHAR) AS m FROM documents),
+r AS (SELECT doc_id,
+             (m % {NEG_BUCKETS})::BIGINT AS bkt,
+             row_number() OVER (PARTITION BY m % {NEG_BUCKETS}
+                                ORDER BY m >> 1, doc_id) AS rn,
+             count(*) OVER (PARTITION BY m % {NEG_BUCKETS}) AS c
+      FROM h),
+js AS (SELECT unnest([{js}]) AS j)
+SELECT a.doc_id AS anchor, nb.doc_id AS negative
+FROM r a CROSS JOIN js
+JOIN r nb ON nb.bkt = a.bkt AND nb.rn = (a.rn - 1 + js.j) % a.c + 1
+WHERE js.j < a.c"""
+
+
 def q_semantic_dedup(sf_dir: str):
     """SemDeDup (Abbas et al. 2023): k-means the embedding space, drop
     rows whose in-cluster cosine to a lower-id member exceeds tau
@@ -4147,6 +4184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collocations": q_collocations,
         "semantic_dedup": q_semantic_dedup,
         "shuffle_assign": q_shuffle_assign,
+        "negative_pairs": q_negative_pairs,
         "pack_offsets": q_pack_offsets,
         "length_rank": q_length_rank,
         "cohort_retention": q_cohort_retention,
@@ -4567,6 +4605,7 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY md5_number_upper(doc_id::VARCHAR) >> 1,
                                doc_id) - 1)::BIGINT AS pos
             FROM documents""",
+        "negative_pairs": _negative_pairs_sql(),
         # integer PMI ingredients only — the float log is the caller's
         "collocations": """
             WITH toks AS (

@@ -81,3 +81,55 @@ def write_shuffled(ds, out_dir: str, key_col: str = "doc_id",
                                 num_partitions=num_partitions)
     out.write_parquet(out_dir, partition_cols=["shard"])
     return out_dir
+
+
+def ring_negative_pairs(ds, key_col: str = "doc_id", n_buckets: int = 16,
+                        k: int = 2, num_partitions: int | None = None):
+    """``(anchor, negative)`` — k deterministic contrastive negatives
+    per row, mined by RING PAIRING over the hash-shuffled order: rows
+    land in ``md5(key) % n_buckets`` buckets, each bucket sorts by
+    ``(md5(key) >> 1, key)``, and row i pairs with rows i+1..i+k
+    (cyclic). Because the hash order is content-keyed and uniform, the
+    neighbors are uniform random draws from the corpus — yet the pair
+    set is a pure function of the key set: identical across runs,
+    cluster sizes and retries (random negative sampling without an RNG,
+    the in-batch-negatives recipe of contrastive training made
+    reproducible).
+
+    Ids-only: the ONE exchange carries (key, bucket, halved-hash);
+    a size-c bucket emits only offsets j < c (j >= c wraps onto the
+    anchor itself or a neighbor already emitted under j mod c), so
+    singleton buckets emit nothing, no pair repeats, and every
+    negative differs from its anchor. Scale: buckets hold
+    ~n/n_buckets rows; n_buckets grows with the corpus (it is a shard
+    count, not a cluster property)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    hashed = ds.select_columns([key_col]).map_batches(
+        _add_shard_hash(key_col, n_buckets), batch_format="pyarrow")
+
+    def kernel(t: pa.Table) -> pa.Table:
+        sh = t["shard"].to_numpy(zero_copy_only=False)
+        h = t["__h"].to_numpy(zero_copy_only=False)
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((keys, h, sh))
+        sh_s, keys_s = sh[order], keys[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], sh_s[1:] != sh_s[:-1])))
+        sizes = np.diff(np.append(starts, len(sh_s)))
+        offs = np.repeat(starts, sizes)
+        c = np.repeat(sizes, sizes)
+        pos = np.arange(len(sh_s)) - offs
+        anchors, negatives = [], []
+        for j in range(1, k + 1):
+            keep = j < c
+            tgt = offs[keep] + (pos[keep] + j) % c[keep]
+            anchors.append(keys_s[keep])
+            negatives.append(keys_s[tgt])
+        cat = (lambda xs: np.concatenate(xs) if xs else
+               np.zeros(0, np.int64))
+        return pa.table({"anchor": pa.array(cat(anchors), pa.int64()),
+                         "negative": pa.array(cat(negatives), pa.int64())})
+
+    return partition_map(hashed, ["shard"], kernel,
+                         num_partitions=num_partitions)

@@ -54,3 +54,42 @@ def test_write_shuffled_hive_layout(ray_session, tmp_path):
     assert t.num_rows == 40
     assert sorted(t.column("shard").unique().to_pylist()) == \
         sorted({md5_hash64(str(i).encode()) % 4 for i in range(40)})
+
+
+def _brute_ring(ids, n_buckets, k):
+    exp = set()
+    for b in range(n_buckets):
+        ring = sorted(
+            (i for i in ids if md5_hash64(str(i).encode()) % n_buckets == b),
+            key=lambda i: (md5_hash64(str(i).encode()) >> 1, i))
+        c = len(ring)
+        for p, a in enumerate(ring):
+            for j in range(1, k + 1):
+                if j < c:
+                    exp.add((a, ring[(p + j) % c]))
+    return exp
+
+
+def test_ring_negative_pairs(ray_session):
+    from pypdfium2_ray.stages.shuffle import ring_negative_pairs
+    t = _table()
+    for parts, hint in ((1, 2), (7, 3)):
+        with partition_hint(hint):
+            out = ring_negative_pairs(rd.from_arrow(t).repartition(parts),
+                                      n_buckets=4, k=2).to_pandas()
+        got = set(zip(out.anchor, out.negative))
+        assert got == _brute_ring(range(60), 4, 2)
+        assert len(got) == len(out)            # no duplicate pairs
+        assert (out.anchor != out.negative).all()
+
+
+def test_ring_negative_pairs_singleton_and_tiny_buckets(ray_session):
+    from pypdfium2_ray.stages.shuffle import ring_negative_pairs
+    # 2 rows, many buckets: most buckets singleton (emit nothing), a
+    # 2-bucket emits only j=1 in each direction
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64())})
+    with partition_hint(2):
+        out = ring_negative_pairs(rd.from_arrow(t), n_buckets=1,
+                                  k=3).to_pandas()
+    got = set(zip(out.anchor, out.negative))
+    assert got == {(0, 1), (1, 0)} and len(out) == 2
