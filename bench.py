@@ -186,7 +186,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "bpe_merges", "weighted_sample", "doc_keywords",
                      "collapse_repeats", "jsonl_tokens", "curate_corpus",
                      "density_extract", "warc_extract",
-                     "snapshot_delta", "incremental_dedup"]
+                     "snapshot_delta", "incremental_dedup",
+                     "jaccard_knn", "postings_compress", "editdist_dups",
+                     "bool_search", "negative_pairs"]
     E._warc_corpus(sf_dir)   # materialize the WARC shard cache untimed
     qs = E.queries()
     for name in bench_queries:
