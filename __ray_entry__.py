@@ -3082,6 +3082,28 @@ WHERE abs(length(a.s) - length(b.s)) <= {ED_K}
   AND levenshtein(a.s, b.s) <= {ED_K}"""
 
 
+def q_dup_owner(sf_dir: str):
+    """Canonical-owner assignment for every doc (stages/dedup.
+    prefix_dup_owner): docs sharing a 20-char prefix key cluster
+    together; dup_of = cluster min id when the cluster has >= 2
+    members, else -1 (sentinel, never NULL — gate convention). ONE
+    key exchange; owner lookup + assignment fused into the group
+    kernel via Cython groupby.transform."""
+    from pypdfium2_ray.stages.dedup import prefix_dup_owner
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    with _hint(sf_dir):
+        return prefix_dup_owner(ds, prefix_len=ED_PLEN)
+
+
+def _dup_owner_sql() -> str:
+    return f"""
+WITH f AS (SELECT doc_id, substr(text, 1, {ED_PLEN}) AS k FROM documents),
+g AS (SELECT k, min(doc_id) AS owner, count(*) AS c FROM f GROUP BY k)
+SELECT f.doc_id,
+       COALESCE(CASE WHEN g.c > 1 THEN g.owner END, -1)::BIGINT AS dup_of
+FROM f JOIN g USING (k)"""
+
+
 #: jaccard_knn: top-2 neighbors per doc above the ppjoin threshold
 KNN_K = 2
 
@@ -4195,6 +4217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppjoin_dups": q_ppjoin_dups,
         "jaccard_knn": q_jaccard_knn,
         "editdist_dups": q_editdist_dups,
+        "dup_owner": q_dup_owner,
         "postings_compress": q_postings_compress,
         "containment_dups": q_containment_dups,
         "gram_novelty": q_gram_novelty,
@@ -4736,6 +4759,7 @@ def oracle_sql() -> dict[str, str]:
         "ppjoin_dups": _ppjoin_dups_sql(),
         "jaccard_knn": _jaccard_knn_sql(),
         "editdist_dups": _editdist_sql(),
+        "dup_owner": _dup_owner_sql(),
         "postings_compress": _postings_compress_sql(),
         "containment_dups": _containment_sql(),
         "gram_novelty": _gram_novelty_sql(),

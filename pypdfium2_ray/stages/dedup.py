@@ -488,3 +488,49 @@ def span_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
                          num_partitions=num_partitions)
     return partition_map(kept, ["doc_id"], _reassemble_spans,
                          num_partitions=num_partitions)
+
+
+def prefix_dup_owner(ds, id_col: str = "doc_id", text_col: str = "text",
+                     prefix_len: int = 20, sentinel: int = -1,
+                     num_partitions: int | None = None):
+    """``(doc_id, dup_of)`` — canonical-owner ASSIGNMENT for every row
+    (the left-outer complement of the dedup family, which only emits
+    pairs or survivors): docs sharing a ``prefix_len``-char key prefix
+    form a cluster, ``dup_of`` is the cluster's min doc id when the
+    cluster has >= 2 members and ``sentinel`` otherwise (never null —
+    the driver gate cannot sort mixed-null columns; the SQL twin wraps
+    the same rule in COALESCE/CASE).
+
+    The prefix key is the template/title fingerprint tier: boilerplate
+    templates, mirrored headlines and republished articles share their
+    opening characters long before full-text hashes agree. ONE hash
+    exchange on the key, then a whole-partition pandas
+    ``groupby.transform`` (min + size, both Cython) — owner lookup and
+    assignment fused into the group kernel, no separate join."""
+    import pandas as pd
+
+    import pyarrow.compute as pc
+
+    from pypdfium2_ray.stages.exchange import partition_map
+
+    def keyed(t: pa.Table) -> pa.Table:
+        key = pc.utf8_slice_codeunits(
+            pc.fill_null(t[text_col], ""), 0, prefix_len)
+        return pa.table({"doc_id": pc.cast(t[id_col], pa.int64()),
+                         "__key": key})
+
+    keys_ds = ds.select_columns([id_col, text_col]).map_batches(
+        keyed, batch_format="pyarrow")
+
+    def kernel(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby("__key", sort=False)["doc_id"]
+        owner = g.transform("min").to_numpy()
+        size = g.transform("size").to_numpy()
+        dup_of = np.where(size > 1, owner, sentinel)
+        return pa.table({"doc_id": pa.array(df["doc_id"].to_numpy(),
+                                            pa.int64()),
+                         "dup_of": pa.array(dup_of, pa.int64())})
+
+    return partition_map(keys_ds, ["__key"], kernel,
+                         num_partitions=num_partitions)

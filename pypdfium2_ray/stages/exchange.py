@@ -151,9 +151,17 @@ def lookup_join(target, target_cols: dict[str, pa.DataType],
                 source_payload: dict[str, str] | None = None,
                 distinct_target_on: list[str] | None = None,
                 num_partitions: int | None = None,
-                prefilter_keys: int | None = None):
+                prefilter_keys: int | None = None,
+                how: str = "inner"):
     """Repartition (hash) join: attach *source*'s payload columns onto
-    *target* rows where ``target[key_col] == source[source_key]`` (inner).
+    *target* rows where ``target[key_col] == source[source_key]``.
+
+    ``how="inner"`` (default) keeps matched target rows; ``how="left"``
+    keeps every target row, null-filling the payload columns where no
+    source key matches (``index_in`` yields null indices and ``take``
+    propagates them — the outer variant costs nothing extra). Callers
+    whose output feeds the driver hash gate should ``fill_null`` the
+    payloads with a sentinel (the gate cannot sort mixed None/str).
 
     Both sides are null-padded to one shared schema, tagged, unioned, and
     hash-exchanged ONCE on the key; each partition then runs a single
@@ -192,6 +200,8 @@ def lookup_join(target, target_cols: dict[str, pa.DataType],
     ~1% of non-matching source rows slip into the exchange instead of
     all of them.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     if distinct_target_on is not None:
         assert key_col in distinct_target_on
     t_names = list(target_cols)
@@ -271,9 +281,10 @@ def lookup_join(target, target_cols: dict[str, pa.DataType],
             tgt = tgt.filter(pa.array(~dup.to_numpy()))
         idx = pc.index_in(tgt[key_col].combine_chunks(),
                           value_set=src[key_col].combine_chunks())
-        mask = pc.is_valid(idx)
-        tgt = tgt.filter(mask)
-        idx = idx.filter(mask)
+        if how == "inner":
+            mask = pc.is_valid(idx)
+            tgt = tgt.filter(mask)
+            idx = idx.filter(mask)
         cols = {c: tgt[c] for c in t_names}
         for c in p_names:
             cols[c] = pc.take(src[c].combine_chunks(), idx)

@@ -111,3 +111,22 @@ def test_duplicate_ids_produce_no_self_pairs(ray_session):
     # identical texts: exactly the (1, 2) pair — and NOT (1, 1)
     assert sorted(map(tuple, out[["id_a", "id_b"]].to_numpy())) == [(1, 2)]
     assert (out["hamming"] == 0).all()
+
+
+def test_prefix_dup_owner(ray_session):
+    import ray.data as rd
+
+    from pypdfium2_ray.stages.dedup import prefix_dup_owner
+    from pypdfium2_ray.stages.exchange import partition_hint
+    texts = {10: "aaaa bbbb cccc", 3: "aaaa bbbb cccc TAIL DIFFERS",
+             7: "aaaa bbbb cccc other tail", 5: "unique doc",
+             2: "another unique", 9: "aaaa bbbb cccc"}
+    t = pa.table({"doc_id": pa.array(list(texts), pa.int64()),
+                  "text": pa.array(list(texts.values()))})
+    for parts in (1, 4):
+        with partition_hint(3):
+            out = prefix_dup_owner(rd.from_arrow(t).repartition(parts),
+                                   prefix_len=14).to_pandas()
+        got = dict(zip(out.doc_id, out.dup_of))
+        # prefix-14 cluster {10,3,7,9} -> owner 3; singletons -> -1
+        assert got == {10: 3, 3: 3, 7: 3, 9: 3, 5: -1, 2: -1}

@@ -209,3 +209,24 @@ def test_lookup_join_bloom_prefilter_tier(ray_session):
     b = bloomed.sort_values("k").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
     assert len(a) == 300
+
+
+def test_lookup_join_left_outer(ray_session):
+    """how='left' keeps unmatched target rows with null payload; matched
+    rows identical to the inner result."""
+    import ray.data as rd
+    target = pa.table({"id": pa.array([1, 2, 3, 4, 2], pa.int64())})
+    source = pa.table({"sid": pa.array([2, 4], pa.int64()),
+                       "payload": ["p2", "p4"]})
+    out = lookup_join(
+        rd.from_arrow(target).repartition(3), {"id": pa.int64()},
+        rd.from_arrow(source), source_key="sid", key_col="id",
+        payload_cols={"payload": pa.string()},
+        num_partitions=3, how="left").to_pandas()
+    got = sorted(zip(out["id"], out["payload"].fillna("<null>")))
+    assert got == [(1, "<null>"), (2, "p2"), (2, "p2"), (3, "<null>"),
+                   (4, "p4")]
+    with pytest.raises(ValueError):
+        lookup_join(rd.from_arrow(target), {"id": pa.int64()},
+                    rd.from_arrow(source), source_key="sid", key_col="id",
+                    payload_cols={"payload": pa.string()}, how="full")
