@@ -3509,6 +3509,18 @@ def q_top_orders(sf_dir: str):
     return top_orders(sf_dir)
 
 
+def q_late_orders(sf_dir: str):
+    """TPC-H Q4-shaped EXISTS semi-join (pipelines/relational.
+    late_orders): orders per priority with >= 1 lineitem shipped > 60
+    days after the order date. Decorrelated: EXISTS over a monotone
+    predicate == per-orderkey MAX, so lineitem collapses to partials +
+    one key exchange, one repartition join, vectorized filter,
+    single-block enum count."""
+    from pypdfium2_ray.pipelines.relational import late_orders
+    with _hint(sf_dir, "lineitem"):
+        return _cast_i64(late_orders(sf_dir), ["n_late"])
+
+
 def q_events_rollup(sf_dir: str):
     from pypdfium2_ray.pipelines.relational import events_rollup
     with _hint(sf_dir, "events"):
@@ -4241,6 +4253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": q_pricing_summary,
         "orders_by_region": q_orders_by_region,
         "top_orders": q_top_orders,
+        "late_orders": q_late_orders,
         "events_rollup": q_events_rollup,
         "events_median": q_events_median,
         "events_median_sketch": q_events_median_sketch,
@@ -4858,6 +4871,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey,
                    CAST(round(o_totalprice * 100) AS BIGINT) AS o_totalprice_cents
             FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+        "late_orders": """
+            SELECT o_orderpriority, count(*)::BIGINT AS n_late
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate
+                                               + INTERVAL 60 DAY)
+            GROUP BY o_orderpriority""",
         "heavy_bigrams": """
             WITH arrs AS (
               SELECT list_filter(regexp_split_to_array(text,

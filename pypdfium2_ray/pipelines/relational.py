@@ -186,3 +186,48 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING", k: int = 10):
                             "revenue_e4": pc.cast(t["revenue_e4"],
                                                   pa.int64())}),
         batch_format="pyarrow")
+
+
+def late_orders(sf_dir: str, days: int = 60):
+    """TPC-H Q4-shaped EXISTS semi-join with a correlated date
+    predicate: orders per priority having at least one lineitem shipped
+    more than *days* after the order date.
+
+    The decorrelation move: ``EXISTS(shipdate > orderdate + days)`` ==
+    ``max(shipdate) > orderdate + days`` (the predicate is monotone in
+    shipdate), so the lineitem side collapses to a per-orderkey MAX —
+    per-block partials, ONE pre-combined key exchange — and the
+    correlated comparison becomes a vectorized int64 filter after ONE
+    repartition join onto orders. The priority count finishes in the
+    single-block combine (fixed 5-value enum, no exchange).
+    """
+    import pyarrow.compute as pc
+
+    from pypdfium2_ray.stages.agg import grouped_aggregate
+    from pypdfium2_ray.stages.exchange import lookup_join
+
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    maxship = grouped_aggregate(line, ["l_orderkey"],
+                                {"max_ship": ("l_shipdate", "max")})
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority",
+                                      "o_orderdate"])
+    j = lookup_join(orders,
+                    {"o_orderkey": pa.int64(),
+                     "o_orderpriority": pa.string(),
+                     "o_orderdate": pa.timestamp("us")},
+                    maxship, source_key="l_orderkey", key_col="o_orderkey",
+                    payload_cols={"max_ship": pa.timestamp("us")})
+
+    lag_us = days * 86_400 * 1_000_000
+
+    def late(t: pa.Table) -> pa.Table:
+        ship = pc.cast(t["max_ship"], pa.int64())
+        odate = pc.cast(t["o_orderdate"], pa.int64())
+        keep = pc.greater(ship, pc.add(odate, lag_us))
+        return t.filter(keep).select(["o_orderpriority"])
+
+    hits = j.map_batches(late, batch_format="pyarrow")
+    return grouped_aggregate(hits, ["o_orderpriority"],
+                             {"n_late": (None, "count")},
+                             combine="single_block")

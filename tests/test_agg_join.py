@@ -199,3 +199,34 @@ def test_stratified_sample_deterministic_quota(ray_session):
         out2 = stratified_sample(rd.from_arrow(t), ["grp"], "doc_id",
                                  k=5).to_pandas()
     assert sorted(out2.doc_id) == sorted(out.doc_id)
+
+
+def test_late_orders_decorrelation_edges(ray_session, tmp_path):
+    """EXISTS via per-key MAX: strict > at exactly +days excluded;
+    orders with no lineitems excluded; one late lineitem suffices."""
+    import pandas as pd
+
+    from pypdfium2_ray.pipelines.relational import late_orders
+    from pypdfium2_ray.stages.exchange import partition_hint
+    d0 = pd.Timestamp("2024-01-01")
+    day = pd.Timedelta(days=1)
+    orders = pd.DataFrame({
+        "o_orderkey": [1, 2, 3, 4],
+        "o_custkey": [1] * 4,
+        "o_orderstatus": ["O"] * 4,
+        "o_totalprice": [1.0] * 4,
+        "o_orderdate": [d0] * 4,
+        "o_orderpriority": ["1-URGENT", "1-URGENT", "2-HIGH", "2-HIGH"],
+    })
+    li = pd.DataFrame({
+        "l_orderkey": [1, 1, 2, 3],          # order 4: no lineitems
+        "l_shipdate": [d0 + 61 * day, d0 + day,   # 1: late (one suffices)
+                       d0 + 60 * day,             # 2: exactly +60 — NOT late
+                       d0 + 100 * day],           # 3: late
+    })
+    orders.to_parquet(tmp_path / "orders.parquet", index=False)
+    li.to_parquet(tmp_path / "lineitem.parquet", index=False)
+    with partition_hint(2):
+        out = late_orders(str(tmp_path)).to_pandas()
+    got = dict(zip(out.o_orderpriority, out.n_late))
+    assert got == {"1-URGENT": 1, "2-HIGH": 1}
