@@ -427,6 +427,50 @@ def read_jsonl_docs(path: str):
          ("lang", _pa.string()), ("source", _pa.string())]))
 
 
+def _csv_corpus(sf_dir: str) -> str:
+    """The corpus as gzip CSV shards, materialized once per sf_dir
+    (sources/csvfmt sink; same idempotent temp-then-rename cache
+    discipline as _jsonl_corpus)."""
+    import hashlib
+    import os
+    import pyarrow.parquet as pq
+    rows = pq.ParquetFile(
+        f"{sf_dir.rstrip('/')}/documents.parquet").metadata.num_rows
+    tag = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
+    out = f"/tmp/graft_csv_{tag}_{rows}"
+    if os.path.isdir(out):
+        return out
+    import ray.data as rd
+    from pypdfium2_ray.sources.csvfmt import write_csv_shards
+    tmp = out + ".build"
+    ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/documents.parquet",
+                         columns=["doc_id", "text", "lang", "source"])
+    with _hint(sf_dir):
+        write_csv_shards(ds, tmp, n_shards=8, key_col="doc_id")
+    os.replace(tmp, out)
+    return out
+
+
+def q_csv_tokens(sf_dir: str):
+    """Token/quality counters computed from native gzip CSV shards
+    (sources/csvfmt.read_csv_shards: one shard per read task, per-file
+    inflate + Arrow C++ CSV parse, schema-pinned types). The
+    Parquet-path token_stats SQL is the oracle, proving the CSV
+    sink+source round-trips the corpus losslessly (RFC-4180 quoting:
+    embedded commas/quotes/newlines) at driver-gate scale."""
+    import pyarrow as _pa
+
+    from pypdfium2_ray.sources.csvfmt import read_csv_shards
+    from pypdfium2_ray.stages.textstats import add_quality_columns
+    schema = _pa.schema([("doc_id", _pa.int64()), ("text", _pa.string()),
+                         ("lang", _pa.string()), ("source", _pa.string())])
+    with _hint(sf_dir):
+        ds = read_csv_shards(_csv_corpus(sf_dir), schema=schema)
+        ds = ds.map_batches(add_quality_columns, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "n_chars_text", "n_tokens",
+                              "n_punct", "n_stopwords"])
+
+
 def q_collapse_repeats(sf_dir: str):
     """Consecutive-duplicate run collapse (sessionize.collapse_repeats —
     gaps-and-islands): per user, runs of equal event_type in (ts,
@@ -4159,6 +4203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions": q_sessions,
         "collapse_repeats": q_collapse_repeats,
         "jsonl_tokens": q_jsonl_tokens,
+        "csv_tokens": q_csv_tokens,
         "curate_corpus": q_curate_corpus,
         "quality_filter": q_quality_filter,
         "hash_sample": q_hash_sample,
@@ -4376,6 +4421,13 @@ def oracle_sql() -> dict[str, str]:
                    length(regexp_extract_all(text, '{en_stop}')) AS n_stopwords
             FROM documents""",
         "jsonl_tokens": f"""
+            SELECT doc_id,
+                   length(text) AS n_chars_text,
+                   {sql_token_count('text')} AS n_tokens,
+                   length(regexp_extract_all(text, '[.!?]')) AS n_punct,
+                   length(regexp_extract_all(text, '{en_stop}')) AS n_stopwords
+            FROM documents""",
+        "csv_tokens": f"""
             SELECT doc_id,
                    length(text) AS n_chars_text,
                    {sql_token_count('text')} AS n_tokens,
