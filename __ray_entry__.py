@@ -627,6 +627,53 @@ def q_decontaminate(sf_dir: str):
                                tier="exchange")
 
 
+#: crawl_schedule: per-domain fetches allowed per tick
+CRAWL_BUDGET = 5
+
+
+def q_crawl_schedule(sf_dir: str):
+    """Politeness scheduling over the crawl frontier (the crawler-side
+    op next to robots_gate/crawl_frontier): each url gets a fetch tick
+    = rank-within-its-domain // budget, ranked by the deterministic
+    md5 priority — at most CRAWL_BUDGET fetches per domain per tick,
+    reproducible across runs. ONE host exchange via topk.grouped_rank
+    (vectorized window rank), then a pure map for the tick."""
+    from pypdfium2_ray.functions.sketch import md5_hash64
+    from pypdfium2_ray.sources.cc_from_documents import read_cc_from_documents
+    from pypdfium2_ray.stages.topk import grouped_rank
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(t["url"], r"^doc://(?P<host>[^/]+)/")
+        pri = [md5_hash64(u.encode()) >> 1 for u in t["url"].to_pylist()]
+        return pa.table({"url": t["url"],
+                         "host": pc.struct_field(ex, "host"),
+                         "pri": pa.array(pri, pa.int64())})
+
+    ds = read_cc_from_documents(sf_dir).map_batches(
+        keyed, batch_format="pyarrow")
+    with _hint(sf_dir):
+        ranked = grouped_rank(ds, ["host"], ["pri", "url"], out="rank")
+
+    def tick(t: pa.Table) -> pa.Table:
+        r = pc.cast(t["rank"], pa.int64())
+        tk = pc.divide(pc.subtract(r, 1), CRAWL_BUDGET)
+        return pa.table({"url": t["url"], "host": t["host"],
+                         "tick": pc.cast(tk, pa.int64())})
+
+    return ranked.map_batches(tick, batch_format="pyarrow")
+
+
+def _crawl_schedule_sql() -> str:
+    return f"""
+WITH u AS (SELECT 'doc://' || source || '/' || doc_id AS url,
+                  source AS host FROM documents),
+r AS (SELECT url, host,
+             row_number() OVER (PARTITION BY host
+                 ORDER BY md5_number_upper(url) >> 1, url) AS rn
+      FROM u)
+SELECT url, host, ((rn - 1) // {CRAWL_BUDGET})::BIGINT AS tick FROM r"""
+
+
 def q_domain_stats(sf_dir: str):
     """Per-domain rollup over the cc corpus urls (crawl curation: docs and
     chars by host, host extracted with a vectorized regex)."""
@@ -3601,6 +3648,33 @@ def q_events_median(sf_dir: str):
     return _cast_i64(_scale_cols(out, {"median_value_e4": 10_000}), [])
 
 
+def q_user_decay(sf_dir: str):
+    """Recency-decayed per-user activity score (stages/agg.
+    grouped_decay_sum): each event contributes value_e4 >> hours-back
+    from the user's latest event (half-life 1h, shift-capped at 40) —
+    exponential decay with exact integer semantics on both engines (a
+    binary shift, never libm pow). ONE user exchange, two Cython
+    groupby passes."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import grouped_decay_sum
+    ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+    with _hint(sf_dir, "events"):
+        return grouped_decay_sum(ds, ["user_id"], "ts", "value")
+
+
+def _user_decay_sql() -> str:
+    return """
+WITH e AS (SELECT user_id, ts, round(value * 10000)::BIGINT AS v,
+                  max(ts) OVER (PARTITION BY user_id) AS latest
+           FROM events)
+SELECT user_id,
+       sum(v // (1::BIGINT << least(
+           (epoch_us(latest) - epoch_us(ts)) // 3600000000,
+           40)))::BIGINT AS decay_e4
+FROM e GROUP BY user_id"""
+
+
 def q_heavy_bigrams(sf_dir: str):
     """Exact heavy-hitter word bigrams across the corpus via the two-pass
     Misra-Gries sketch-then-verify op (stages/freq.heavy_hitters): blocks
@@ -4299,6 +4373,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_region": q_orders_by_region,
         "top_orders": q_top_orders,
         "late_orders": q_late_orders,
+        "crawl_schedule": q_crawl_schedule,
+        "user_decay": q_user_decay,
         "events_rollup": q_events_rollup,
         "events_median": q_events_median,
         "events_median_sketch": q_events_median_sketch,
@@ -4517,6 +4593,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1""",
         "phrase_search": _phrase_search_sql(),
         "bool_search": _bool_search_sql(),
+        "crawl_schedule": _crawl_schedule_sql(),
+        "user_decay": _user_decay_sql(),
         "inverted_index": """
             WITH toks AS (
               SELECT doc_id, unnest(regexp_split_to_array(text,

@@ -200,3 +200,48 @@ def grouped_quantile_sketch(ds, keys: list[str], col: str, q: float = 0.5,
             finalize, batch_size=None, batch_format="pandas")
     return partition_map(partials, keys, finalize, batch_format="pandas",
                          num_partitions=num_partitions)
+
+
+def grouped_decay_sum(ds, keys: list[str], ts_col: str, value_col: str,
+                      out: str = "decay_e4",
+                      unit_us: int = 3_600_000_000, max_shift: int = 40,
+                      scale: int = 10_000,
+                      num_partitions: int | None = None):
+    """Recency-decayed grouped sum — the exponential-decay activity
+    score (recommender/abuse-detection recency weighting) with EXACT
+    integer semantics: each row contributes ``round(value*scale) >>
+    min(age_units, max_shift)`` where age is whole ``unit_us``
+    intervals back from the GROUP's latest event (half-life = one
+    unit). The decay is a binary shift on both engines — no libm
+    ``pow`` whose rounding the SQL twin could not reproduce; the twin
+    is ``v // (1::BIGINT << least(age, max_shift))``. Values must be
+    nonnegative (>> floors, SQL // truncates toward zero — equal only
+    for >= 0; enforced loudly). ONE hash exchange; the kernel is two
+    Cython groupby passes (transform max + sum), zero per-group Python.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({**{k: df[k] for k in keys},
+                                 out: pd.Series([], dtype="int64")})
+        # normalize to us regardless of the block's datetime64 resolution
+        # (parquet arrives [us], pandas-born frames [ns] — the window.py
+        # unit guard, without it ns inputs age 1000x too fast)
+        ts = df[ts_col].to_numpy().astype("datetime64[us]").view("int64")
+        latest = df.groupby(keys, sort=False)[ts_col].transform("max") \
+            .to_numpy().astype("datetime64[us]").view("int64")
+        age = (latest - ts) // unit_us
+        v = np.rint(df[value_col].to_numpy() * scale).astype(np.int64)
+        if (v < 0).any():
+            raise ValueError("grouped_decay_sum requires nonnegative "
+                             "values: >> floors but SQL // truncates, "
+                             "so negatives diverge between the engines")
+        shift = np.minimum(age, max_shift)
+        g = df[keys].assign(**{out: v >> shift})
+        return g.groupby(keys, sort=False, as_index=False)[out].sum()
+
+    ds = ds.select_columns(keys + [ts_col, value_col])
+    return partition_map(ds, keys, kernel, batch_format="pandas",
+                         num_partitions=num_partitions)

@@ -230,3 +230,32 @@ def test_late_orders_decorrelation_edges(ray_session, tmp_path):
         out = late_orders(str(tmp_path)).to_pandas()
     got = dict(zip(out.o_orderpriority, out.n_late))
     assert got == {"1-URGENT": 1, "2-HIGH": 1}
+
+
+def test_grouped_decay_sum(ray_session):
+    import pandas as pd
+    import pytest as _pytest
+    import ray.data as rd
+
+    from pypdfium2_ray.stages.agg import grouped_decay_sum
+    from pypdfium2_ray.stages.exchange import partition_hint
+    t0 = pd.Timestamp("2024-03-01 12:00:00")
+    h = pd.Timedelta(hours=1)
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 2, 3],
+        "ts": [t0, t0 - h, t0 - 3 * h,       # ages 0,1,3 vs user max
+               t0 - 5 * h, t0 - 5 * h - 50 * 3600 * h / 3600,  # cap>40
+               t0],
+        "value": [1.0, 1.0, 8.0, 2.0, 3.0, 0.5]})
+    with partition_hint(2):
+        out = grouped_decay_sum(rd.from_pandas(df).repartition(3),
+                                ["user_id"], "ts", "value").to_pandas()
+    got = dict(zip(out.user_id, out.decay_e4))
+    # u1: 10000>>0 + 10000>>1 + 80000>>3 = 25000
+    # u2: latest = t0-5h -> ages 0 and 50(capped 40): 20000 + 30000>>40=0
+    # u3: 5000
+    assert got == {1: 25000, 2: 20000, 3: 5000}
+    with _pytest.raises(Exception, match="nonnegative"):
+        bad = df.assign(value=[-1.0] * 6)
+        grouped_decay_sum(rd.from_pandas(bad), ["user_id"], "ts",
+                          "value").to_pandas()
