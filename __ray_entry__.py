@@ -3675,6 +3675,56 @@ SELECT user_id,
 FROM e GROUP BY user_id"""
 
 
+def q_lang_mode(sf_dir: str):
+    """Per-source dominant language (stages/agg.grouped_mode): the
+    modal lang per source with (count DESC, lang ASC) tie-break — the
+    majority-label aggregate of mixture accounting. Per-block counts
+    pre-combine, ONE source exchange, vectorized argmax kernel."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import grouped_mode
+    ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/documents.parquet",
+                         columns=["source", "lang"])
+    with _hint(sf_dir):
+        return grouped_mode(ds, ["source"], "lang",
+                            out_val="mode_lang", out_n="n_docs")
+
+
+def _lang_mode_sql() -> str:
+    return """
+WITH c AS (SELECT source, lang, count(*)::BIGINT AS n
+           FROM documents GROUP BY 1, 2),
+r AS (SELECT source, lang, n,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n DESC, lang) AS rn
+      FROM c)
+SELECT source, lang AS mode_lang, n AS n_docs FROM r WHERE rn = 1"""
+
+
+def q_user_gap_stats(sf_dir: str):
+    """Per-user inter-arrival-time stats (stages/sessionize.gap_stats):
+    gaps between consecutive events in ts order, integer microseconds
+    end-to-end — the lead/lag window family as a batch aggregate
+    (burstiness / bot-cadence features). Single-event users emit
+    nothing; ONE user exchange, lexsort+diff+mask kernel."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.sessionize import gap_stats
+    ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["user_id", "ts"])
+    with _hint(sf_dir, "events"):
+        return gap_stats(ds)
+
+
+def _user_gap_stats_sql() -> str:
+    return """
+WITH g AS (SELECT user_id,
+                  epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                      PARTITION BY user_id ORDER BY ts) AS gap
+           FROM events)
+SELECT user_id, count(*)::BIGINT AS n_gaps, min(gap)::BIGINT AS min_gap_us,
+       max(gap)::BIGINT AS max_gap_us, sum(gap)::BIGINT AS sum_gap_us
+FROM g WHERE gap IS NOT NULL GROUP BY user_id"""
+
+
 def q_heavy_bigrams(sf_dir: str):
     """Exact heavy-hitter word bigrams across the corpus via the two-pass
     Misra-Gries sketch-then-verify op (stages/freq.heavy_hitters): blocks
@@ -4375,6 +4425,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_orders": q_late_orders,
         "crawl_schedule": q_crawl_schedule,
         "user_decay": q_user_decay,
+        "lang_mode": q_lang_mode,
+        "user_gap_stats": q_user_gap_stats,
         "events_rollup": q_events_rollup,
         "events_median": q_events_median,
         "events_median_sketch": q_events_median_sketch,
@@ -4595,6 +4647,8 @@ def oracle_sql() -> dict[str, str]:
         "bool_search": _bool_search_sql(),
         "crawl_schedule": _crawl_schedule_sql(),
         "user_decay": _user_decay_sql(),
+        "lang_mode": _lang_mode_sql(),
+        "user_gap_stats": _user_gap_stats_sql(),
         "inverted_index": """
             WITH toks AS (
               SELECT doc_id, unnest(regexp_split_to_array(text,

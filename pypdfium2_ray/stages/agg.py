@@ -245,3 +245,38 @@ def grouped_decay_sum(ds, keys: list[str], ts_col: str, value_col: str,
     ds = ds.select_columns(keys + [ts_col, value_col])
     return partition_map(ds, keys, kernel, batch_format="pandas",
                          num_partitions=num_partitions)
+
+
+def grouped_mode(ds, keys: list[str], col: str, out_val: str = "mode",
+                 out_n: str = "n", num_partitions: int | None = None):
+    """Per-group MODE with a deterministic tie-break: the value of
+    ``col`` with the highest count per key group, ties broken by
+    smallest value — so the result is a pure function of the input set
+    (the dominant-language / dominant-mime / majority-label aggregate).
+
+    Classic two-level shape: per-block (keys, col) counts via pyarrow
+    ``group_by`` shrink the wire to <= one row per (block, key, value),
+    ONE hash exchange on *keys*, then a vectorized per-partition argmax
+    (sum counts, sort by (n DESC, value ASC), keep first per key) —
+    no per-group Python."""
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(keys + [col], use_threads=False).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(keys + [col, "__n"])
+
+    pre = ds.select_columns(keys + [col]).map_batches(
+        partial, batch_size=None, batch_format="pyarrow")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys + [col], sort=False, as_index=False)["__n"] \
+            .sum()
+        g = g.sort_values(keys + ["__n", col],
+                          ascending=[True] * len(keys) + [False, True],
+                          kind="mergesort")
+        g = g.drop_duplicates(keys, keep="first")
+        return g.rename(columns={col: out_val, "__n": out_n})
+
+    return partition_map(pre, keys, kernel, batch_format="pandas",
+                         num_partitions=num_partitions)

@@ -137,3 +137,48 @@ def collapse_repeats(ds, key: str = "user_id", ts_col: str = "ts",
 
     return partition_map(ds, [key], per_partition, batch_format="pandas",
                          num_partitions=num_partitions)
+
+
+def gap_stats(ds, key_col: str = "user_id", ts_col: str = "ts",
+              num_partitions: int | None = None):
+    """Per-key inter-arrival-time statistics: ``(key, n_gaps,
+    min_gap_us, max_gap_us, sum_gap_us)`` over the gaps between
+    consecutive events in timestamp order — the lead/lag window family
+    as a batch aggregate (bot-cadence / burstiness features). Keys with
+    a single event emit nothing (no gaps), matching the twin's ``WHERE
+    gap IS NOT NULL``. Gaps stay integer microseconds end-to-end; the
+    gap sequence is a pure function of each key's timestamp MULTISET
+    (equal-ts ties diff to zero under any tie order). ONE hash
+    exchange, whole-partition vectorized kernel: lexsort, diff,
+    key-boundary mask, one Cython groupby agg."""
+    import numpy as np
+    import pandas as pd
+
+    from pypdfium2_ray.stages.exchange import partition_map
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({key_col: pd.Series([], df[key_col].dtype
+                                                    if key_col in df
+                                                    else "int64"),
+                                 "n_gaps": pd.Series([], "int64"),
+                                 "min_gap_us": pd.Series([], "int64"),
+                                 "max_gap_us": pd.Series([], "int64"),
+                                 "sum_gap_us": pd.Series([], "int64")})
+        key = df[key_col].to_numpy()
+        us = df[ts_col].to_numpy().astype("datetime64[us]").view("int64")
+        order = np.lexsort((us, key))
+        key, us = key[order], us[order]
+        d = np.diff(us)
+        same = key[1:] == key[:-1]
+        g = pd.DataFrame({key_col: key[1:][same], "gap": d[same]})
+        agg = g.groupby(key_col, sort=False, as_index=False)["gap"] \
+            .agg(n_gaps="count", min_gap_us="min", max_gap_us="max",
+                 sum_gap_us="sum")
+        for c in ("n_gaps", "min_gap_us", "max_gap_us", "sum_gap_us"):
+            agg[c] = agg[c].astype("int64")
+        return agg
+
+    proj = ds.select_columns([key_col, ts_col])
+    return partition_map(proj, [key_col], kernel, batch_format="pandas",
+                         num_partitions=num_partitions)

@@ -259,3 +259,19 @@ def test_grouped_decay_sum(ray_session):
         bad = df.assign(value=[-1.0] * 6)
         grouped_decay_sum(rd.from_pandas(bad), ["user_id"], "ts",
                           "value").to_pandas()
+
+
+def test_grouped_mode_tiebreak(ray_session):
+    import ray.data as rd
+
+    from pypdfium2_ray.stages.agg import grouped_mode
+    from pypdfium2_ray.stages.exchange import partition_hint
+    t = pa.table({"k": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+                  "v": ["b", "a", "b", "a",      # tie 2-2 -> 'a' wins
+                        "z", "z"]})
+    for parts in (1, 3):
+        with partition_hint(2):
+            out = grouped_mode(rd.from_arrow(t).repartition(parts),
+                               ["k"], "v").to_pandas()
+        got = {r.k: (r.mode, r.n) for r in out.itertuples()}
+        assert got == {1: ("a", 2), 2: ("z", 2)}

@@ -292,3 +292,26 @@ def test_rolling_window_low_t_never_crosses_key(ray_session):
                                  window=7).to_pandas()
     got = {(r.k, r.d): r.rolling_sum for r in out.itertuples()}
     assert got == {(1, 3): 5, (1, 4): 10, (2, 0): 7}
+
+
+def test_gap_stats(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from pypdfium2_ray.stages.exchange import partition_hint
+    from pypdfium2_ray.stages.sessionize import gap_stats
+    t0 = pd.Timestamp("2024-01-01")
+    s = pd.Timedelta(seconds=1)
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 2, 3],
+        "ts": [t0, t0 + 5 * s, t0 + 5 * s,    # gaps 5s, 0s (tie)
+               t0 + 9 * s, t0 + 2 * s,        # unsorted input: gap 7s
+               t0]})                          # single event: no row
+    for parts in (1, 4):
+        with partition_hint(2):
+            out = gap_stats(rd.from_pandas(df).repartition(parts)) \
+                .to_pandas()
+        got = {r.user_id: (r.n_gaps, r.min_gap_us, r.max_gap_us,
+                           r.sum_gap_us) for r in out.itertuples()}
+        assert got == {1: (2, 0, 5_000_000, 5_000_000),
+                       2: (1, 7_000_000, 7_000_000, 7_000_000)}
