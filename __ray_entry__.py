@@ -270,6 +270,24 @@ def q_lang_id(sf_dir: str):
     return ds.select_columns(["doc_id", "lang_pred"])
 
 
+def q_lang_confusion(sf_dir: str):
+    """Declared-vs-predicted language confusion matrix — the
+    model-eval accounting table for the lang_id heuristic: counts per
+    (lang, lang_pred) pair. Vectorized lang_pred per block + the
+    single-block enum-rollup combine (pair cardinality is fixed at any
+    corpus size)."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import grouped_aggregate
+    from pypdfium2_ray.stages.textstats import add_lang_pred
+    ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/documents.parquet",
+                         columns=["lang", "text"])
+    ds = ds.map_batches(add_lang_pred, batch_format="pyarrow") \
+        .select_columns(["lang", "lang_pred"])
+    return grouped_aggregate(ds, ["lang", "lang_pred"],
+                             {"n_docs": (None, "count")},
+                             combine="single_block")
+
+
 def q_fingerprint(sf_dir: str):
     from pypdfium2_ray.stages.textstats import add_fingerprint
     ds = _docs(sf_dir, ["doc_id", "text"])
@@ -3675,6 +3693,48 @@ SELECT user_id,
 FROM e GROUP BY user_id"""
 
 
+def q_props_stats(sf_dir: str):
+    """Semi-structured field projection + rollup over the events JSON
+    props column: extract $.k with Arrow's C++ JSON block parser (the
+    whole column joins to one newline-delimited buffer per block — rows
+    never pass through Python objects; a loud guard rejects embedded
+    newlines, which the corpus convention forbids), then the per-type
+    enum rollup in the single-block combine tier."""
+    import io
+
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import grouped_aggregate
+
+    def extract(t: pa.Table) -> pa.Table:
+        import pyarrow.json as pj
+        pr = pc.fill_null(t["props"], "{}")
+        if pc.any(pc.match_substring(pr, "\n")).as_py():
+            raise ValueError("props values must be single-line JSON "
+                             "for the block parse")
+        payload = "\n".join(pr.to_pylist()).encode()
+        parsed = pj.read_json(io.BytesIO(payload))
+        return pa.table({"event_type": t["event_type"],
+                         "k": pc.cast(parsed["k"], pa.int64())})
+
+    ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["event_type", "props"])
+    ds = ds.map_batches(extract, batch_size=None, batch_format="pyarrow")
+    return _cast_i64(grouped_aggregate(
+        ds, ["event_type"],
+        {"n_events": (None, "count"), "sum_k": ("k", "sum"),
+         "min_k": ("k", "min"), "max_k": ("k", "max")},
+        combine="single_block"), ["sum_k", "min_k", "max_k"])
+
+
+def _props_stats_sql() -> str:
+    return """
+SELECT event_type, count(*)::BIGINT AS n_events,
+       sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+       min(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS min_k,
+       max(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS max_k
+FROM events GROUP BY event_type"""
+
+
 def q_lang_mode(sf_dir: str):
     """Per-source dominant language (stages/agg.grouped_mode): the
     modal lang per source with (count DESC, lang ASC) tie-break — the
@@ -4426,6 +4486,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_schedule": q_crawl_schedule,
         "user_decay": q_user_decay,
         "lang_mode": q_lang_mode,
+        "props_stats": q_props_stats,
+        "lang_confusion": q_lang_confusion,
         "user_gap_stats": q_user_gap_stats,
         "events_rollup": q_events_rollup,
         "events_median": q_events_median,
@@ -4565,6 +4627,10 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": f"""
             SELECT doc_id, {sql_lang_pred('text')} AS lang_pred
             FROM documents""",
+        "lang_confusion": f"""
+            SELECT lang, {sql_lang_pred('text')} AS lang_pred,
+                   count(*)::BIGINT AS n_docs
+            FROM documents GROUP BY 1, 2""",
         "fingerprint": """
             SELECT doc_id, md5(text) AS fingerprint FROM documents""",
         "term_search": f"""
@@ -4648,6 +4714,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_schedule": _crawl_schedule_sql(),
         "user_decay": _user_decay_sql(),
         "lang_mode": _lang_mode_sql(),
+        "props_stats": _props_stats_sql(),
         "user_gap_stats": _user_gap_stats_sql(),
         "inverted_index": """
             WITH toks AS (

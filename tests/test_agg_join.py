@@ -275,3 +275,18 @@ def test_grouped_mode_tiebreak(ray_session):
                                ["k"], "v").to_pandas()
         got = {r.k: (r.mode, r.n) for r in out.itertuples()}
         assert got == {1: ("a", 2), 2: ("z", 2)}
+
+
+def test_props_extract_newline_guard(ray_session, tmp_path):
+    """The block JSON parse requires single-line values — multiline
+    props must raise loudly, not silently shift rows."""
+    import importlib
+
+    import pytest as _pytest
+    import pyarrow.parquet as pq
+    E = importlib.import_module("__ray_entry__")
+    pq.write_table(pa.table({"event_type": ["a"],
+                             "props": ['{"k":\n 1}']}),
+                   str(tmp_path / "events.parquet"))
+    with _pytest.raises(Exception, match="single-line"):
+        E.queries()["props_stats"](str(tmp_path)).to_pandas()
