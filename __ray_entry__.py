@@ -3693,6 +3693,92 @@ SELECT user_id,
 FROM e GROUP BY user_id"""
 
 
+def q_merge_snapshot(sf_dir: str):
+    """Changelog MERGE (stages/snapshot.apply_changelog — the
+    upsert/delete incremental-materialization primitive of
+    log-structured table formats): base snapshot + a deterministic
+    synthetic changelog (updates for doc_id%5==0 at v1, deletes for
+    doc_id%7==3 at v2, inserts keyed doc_id+1e7 for doc_id%11==0);
+    per key the highest version wins, winning deletes drop the key.
+    Union + ONE key exchange + vectorized keep-last kernel with a loud
+    (key, version)-uniqueness contract."""
+    from pypdfium2_ray.stages.snapshot import apply_changelog
+
+    def as_base(t: pa.Table) -> pa.Table:
+        import numpy as np
+        n = t.num_rows
+        return pa.table({
+            "doc_id": t["doc_id"], "text": t["text"],
+            "version": pa.array(np.zeros(n, np.int64)),
+            "op": pa.array(["upsert"] * n)})
+
+    def as_delta(t: pa.Table) -> pa.Table:
+        import numpy as np
+        ids = t["doc_id"].combine_chunks()
+        txt = t["text"].combine_chunks()
+        idn = ids.to_numpy(zero_copy_only=False)
+        upd_m = pa.array(idn % 5 == 0)
+        n_upd = int((idn % 5 == 0).sum())
+        upd = pa.table({
+            "doc_id": ids.filter(upd_m),
+            "text": pc.binary_join_element_wise(
+                txt.filter(upd_m), " [v2]", ""),
+            "version": pa.array(np.full(n_upd, 1, np.int64)),
+            "op": pa.array(["upsert"] * n_upd)})
+        del_m = pa.array(idn % 7 == 3)
+        n_del = int((idn % 7 == 3).sum())
+        dele = pa.table({
+            "doc_id": ids.filter(del_m),
+            "text": pa.array([""] * n_del, pa.string()),
+            "version": pa.array(np.full(n_del, 2, np.int64)),
+            "op": pa.array(["delete"] * n_del)})
+        ins_m = pa.array(idn % 11 == 0)
+        n_ins = int((idn % 11 == 0).sum())
+        ins_ids = ids.filter(ins_m)
+        ins = pa.table({
+            "doc_id": pc.add(ins_ids, 10_000_000),
+            "text": pc.binary_join_element_wise(
+                "new doc ", pc.cast(ins_ids, pa.string()), ""),
+            "version": pa.array(np.full(n_ins, 1, np.int64)),
+            "op": pa.array(["upsert"] * n_ins)})
+        return pa.concat_tables([upd, dele, ins])
+
+    base = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        as_base, batch_format="pyarrow")
+    delta = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        as_delta, batch_format="pyarrow")
+    with _hint(sf_dir):
+        merged = apply_changelog(base, delta)
+
+    def final(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "rev": pc.cast(t["version"], pa.int64()),
+            "n_chars": pc.cast(pc.utf8_length(t["text"]), pa.int64())})
+
+    return merged.map_batches(final, batch_format="pyarrow")
+
+
+def _merge_snapshot_sql() -> str:
+    return """
+WITH log AS (
+  SELECT doc_id, text, 0 AS version, 'upsert' AS op FROM documents
+  UNION ALL
+  SELECT doc_id, text || ' [v2]', 1, 'upsert' FROM documents
+  WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id, '', 2, 'delete' FROM documents WHERE doc_id % 7 = 3
+  UNION ALL
+  SELECT doc_id + 10000000, 'new doc ' || doc_id, 1, 'upsert'
+  FROM documents WHERE doc_id % 11 = 0),
+r AS (SELECT doc_id, text, version, op,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY version DESC) AS rn
+      FROM log)
+SELECT doc_id, version::BIGINT AS rev, length(text)::BIGINT AS n_chars
+FROM r WHERE rn = 1 AND op = 'upsert'"""
+
+
 def q_props_stats(sf_dir: str):
     """Semi-structured field projection + rollup over the events JSON
     props column: extract $.k with Arrow's C++ JSON block parser (the
@@ -4487,6 +4573,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_decay": q_user_decay,
         "lang_mode": q_lang_mode,
         "props_stats": q_props_stats,
+        "merge_snapshot": q_merge_snapshot,
         "lang_confusion": q_lang_confusion,
         "user_gap_stats": q_user_gap_stats,
         "events_rollup": q_events_rollup,
@@ -4715,6 +4802,7 @@ def oracle_sql() -> dict[str, str]:
         "user_decay": _user_decay_sql(),
         "lang_mode": _lang_mode_sql(),
         "props_stats": _props_stats_sql(),
+        "merge_snapshot": _merge_snapshot_sql(),
         "user_gap_stats": _user_gap_stats_sql(),
         "inverted_index": """
             WITH toks AS (

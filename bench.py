@@ -188,7 +188,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "density_extract", "warc_extract",
                      "snapshot_delta", "incremental_dedup",
                      "jaccard_knn", "postings_compress", "editdist_dups",
-                     "bool_search", "negative_pairs"]
+                     "bool_search", "negative_pairs", "dup_owner",
+                     "late_orders", "csv_tokens", "crawl_schedule",
+                     "user_decay", "lang_mode", "user_gap_stats",
+                     "props_stats", "lang_confusion"]
     E._warc_corpus(sf_dir)   # materialize the WARC shard cache untimed
     qs = E.queries()
     for name in bench_queries:

@@ -169,3 +169,37 @@ def append_state(survivors, state_dir: str, fp_col: str = "fingerprint"):
     set under ``state_dir`` (append-only layout: the next run's
     ``read_parquet(state_dir)`` sees the union — no rewrite, resumable)."""
     survivors.select_columns([fp_col]).write_parquet(state_dir)
+
+
+def apply_changelog(base, delta, key_col: str = "doc_id",
+                    version_col: str = "version", op_col: str = "op",
+                    num_partitions: int | None = None):
+    """MERGE a changelog into a base snapshot — the incremental-
+    materialization primitive (the upsert/delete semantics of
+    log-structured table formats): both sides share one schema
+    ``(key, payload..., version, op)`` with op in {'upsert',
+    'delete'}; per key the HIGHEST version wins, and a winning delete
+    removes the key. Returns the new snapshot (op column dropped).
+
+    (key, version) must be unique across base ∪ delta — the changelog
+    contract; enforced loudly per partition so a malformed log can
+    never silently pick a winner by sort accident. Union + ONE hash
+    exchange on the key + a vectorized keep-last kernel (mergesort,
+    drop_duplicates, boolean mask) — the snapshot_delta shape with
+    winner-selection instead of classification."""
+    import pandas as pd
+
+    u = base.union(delta)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if df.duplicated([key_col, version_col]).any():
+            raise ValueError(
+                "apply_changelog: duplicate (key, version) rows in the "
+                "changelog — winners would depend on sort accident")
+        df = df.sort_values([key_col, version_col], kind="mergesort")
+        keep = df.drop_duplicates(key_col, keep="last")
+        keep = keep[keep[op_col] != "delete"]
+        return keep.drop(columns=[op_col])
+
+    return partition_map(u, [key_col], kernel, batch_format="pandas",
+                         num_partitions=num_partitions)

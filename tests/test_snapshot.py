@@ -66,3 +66,40 @@ def test_incremental_dedup_state_roundtrip(ray_session, tmp_path):
     surv2 = incremental_dedup(
         second, rd.read_parquet(state_dir)).to_pandas()
     assert surv2["url"].tolist() == ["d"]    # y already in state
+
+
+def test_apply_changelog(ray_session):
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray.data as rd
+
+    from pypdfium2_ray.stages.exchange import partition_hint
+    from pypdfium2_ray.stages.snapshot import apply_changelog
+
+    def t(rows):
+        return pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "version": pa.array([r[2] for r in rows], pa.int64()),
+            "op": pa.array([r[3] for r in rows])})
+
+    base = t([(1, "a", 0, "upsert"), (2, "b", 0, "upsert"),
+              (3, "c", 0, "upsert")])
+    delta = t([(1, "a2", 1, "upsert"),          # update wins
+               (1, "a3", 3, "upsert"),          # later update wins more
+               (2, "", 5, "delete"),            # delete wins
+               (4, "d", 1, "upsert"),           # insert
+               (4, "", 2, "delete"),            # ...then deleted
+               (5, "e", 1, "upsert")])
+    for parts in (1, 3):
+        with partition_hint(2):
+            out = apply_changelog(
+                rd.from_arrow(base).repartition(parts),
+                rd.from_arrow(delta)).to_pandas()
+        got = {r.doc_id: (r.text, r.version) for r in out.itertuples()}
+        assert got == {1: ("a3", 3), 3: ("c", 0), 5: ("e", 1)}
+        assert "op" not in out.columns
+    dup = t([(1, "x", 0, "upsert")])
+    with _pytest.raises(Exception, match="duplicate"):
+        apply_changelog(rd.from_arrow(base),
+                        rd.from_arrow(dup)).to_pandas()
