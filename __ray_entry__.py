@@ -3693,6 +3693,124 @@ SELECT user_id,
 FROM e GROUP BY user_id"""
 
 
+def _docs_v2(sf_dir: str):
+    """Deterministic second crawl of the documents table: doc_id%9==4
+    gone, doc_id%6==1 text-updated (' UPD'), doc_id%13==2 re-published
+    under doc_id+1e7 (' NEWDOC') — every rule pure doc_id arithmetic so
+    the oracle composes it in SQL."""
+    import ray.data as rd
+
+    def mutate(t: pa.Table) -> pa.Table:
+        import numpy as np
+        idn = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        base = t.filter(pa.array(idn % 9 != 4))
+        bid = base["doc_id"].combine_chunks()
+        bidn = bid.to_numpy(zero_copy_only=False)
+        upd = pa.array(bidn % 6 == 1)
+        text2 = pc.if_else(
+            upd, pc.binary_join_element_wise(
+                base["text"].combine_chunks(), " UPD", ""),
+            base["text"].combine_chunks())
+        v2 = pa.table({"doc_id": bid, "text": text2,
+                       "lang": base["lang"], "source": base["source"]})
+        new_m = pa.array(bidn % 13 == 2)
+        nid = bid.filter(new_m)
+        new = pa.table({
+            "doc_id": pc.add(nid, 10_000_000),
+            "text": pc.binary_join_element_wise(
+                base["text"].combine_chunks().filter(new_m),
+                " NEWDOC", ""),
+            "lang": base["lang"].combine_chunks().filter(new_m),
+            "source": base["source"].combine_chunks().filter(new_m)})
+        return pa.concat_tables([v2, new])
+
+    ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/documents.parquet",
+                         columns=["doc_id", "text", "lang", "source"])
+    return ds.map_batches(mutate, batch_format="pyarrow")
+
+
+_EXTRACT_COLS = ["url", "status", "err_code", "n_pages", "n_chars",
+                 "extracted_text"]
+
+
+def _v1_extract_cache(sf_dir: str) -> str:
+    """The v1 crawl's extraction results persisted ONCE per sf_dir as
+    parquet — the stored artifact a production incremental run reuses
+    (the incremental_dedup persisted-state convention; idempotent
+    temp-then-rename cache like _warc_corpus)."""
+    import hashlib
+    import os
+    import pyarrow.parquet as pq
+    rows = pq.ParquetFile(
+        f"{sf_dir.rstrip('/')}/documents.parquet").metadata.num_rows
+    tag = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
+    out = f"/tmp/graft_xv1_{tag}_{rows}"
+    if os.path.isdir(out):
+        return out
+    tmp = out + ".build"
+    v1 = _extract(sf_dir, "range").select_columns(_EXTRACT_COLS)
+    v1.write_parquet(tmp)
+    os.replace(tmp, out)
+    return out
+
+
+def q_incremental_extract(sf_dir: str):
+    """The incremental crawl round, composed end-to-end: fingerprint
+    both snapshots (ids+hash only), snapshot_delta classifies each url,
+    ONLY new/changed pages run the extraction stack (semi-join before
+    the parser — the whole point of incrementality), unchanged urls
+    reuse the persisted v1 results, and the union is the new extraction
+    table. The ORACLE is the full recompute over the v2 documents —
+    incremental must equal full, byte-exact per url, or the composition
+    is wrong. Exchanges: 1 delta classify + 2 keys-only semi joins; the
+    delta table is materialized once as the split point (production
+    writes it to parquet instead)."""
+    from functools import partial as _p
+
+    import ray.data as rd
+    from pypdfium2_ray.docmodel.layout import LayoutParams
+    from pypdfium2_ray.functions.sketch import md5_hash64
+    from pypdfium2_ray.pipelines.extract_text import extract_pipeline
+    from pypdfium2_ray.sources.cc_from_documents import (
+        documents_to_cc, read_cc_from_documents)
+    from pypdfium2_ray.stages.join import key_filter_join
+    from pypdfium2_ray.stages.snapshot import snapshot_delta
+
+    def add_fp(t: pa.Table) -> pa.Table:
+        fp = [md5_hash64(v) >> 1 for v in t["html"].to_pylist()]
+        return pa.table({"url": t["url"],
+                         "fingerprint": pa.array(fp, pa.int64())})
+
+    v1_cc = read_cc_from_documents(sf_dir)
+    v2_cc = _docs_v2(sf_dir).map_batches(documents_to_cc,
+                                         batch_format="pyarrow")
+    with _hint(sf_dir):
+        delta = snapshot_delta(
+            v1_cc.map_batches(add_fp, batch_format="pyarrow"),
+            v2_cc.map_batches(add_fp, batch_format="pyarrow"),
+            key="url").materialize()
+        todo = delta.filter(
+            expr="delta == 'new' or delta == 'changed'") \
+            .select_columns(["url"])
+        same = delta.filter(expr="delta == 'unchanged'") \
+            .select_columns(["url"])
+        prior = rd.read_parquet(_v1_extract_cache(sf_dir))
+        reuse = key_filter_join(prior, same, "url", mode="semi",
+                                tier="exchange")
+        fresh_in = key_filter_join(v2_cc, todo, "url", mode="semi",
+                                   tier="exchange")
+        fresh = extract_pipeline(
+            ds=fresh_in, skew_split=True,
+            extract_opts=dict(strategy="range", include_pages=False,
+                              include_rects=False,
+                              layout=LayoutParams(page_width=1e9)))
+    fresh = _cast_i64(fresh.select_columns(_EXTRACT_COLS),
+                      ["err_code", "n_pages", "n_chars"])
+    reuse = _cast_i64(reuse.select_columns(_EXTRACT_COLS),
+                      ["err_code", "n_pages", "n_chars"])
+    return reuse.union(fresh)
+
+
 def q_merge_snapshot(sf_dir: str):
     """Changelog MERGE (stages/snapshot.apply_changelog — the
     upsert/delete incremental-materialization primitive of
@@ -4574,6 +4692,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_mode": q_lang_mode,
         "props_stats": q_props_stats,
         "merge_snapshot": q_merge_snapshot,
+        "incremental_extract": q_incremental_extract,
         "lang_confusion": q_lang_confusion,
         "user_gap_stats": q_user_gap_stats,
         "events_rollup": q_events_rollup,
@@ -4651,6 +4770,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'doc://' || source || '/' || doc_id AS url,
                    {ext_err} AS extracted_text
             FROM documents""",
+        # incremental == full recompute: the oracle extracts the ENTIRE
+        # v2 snapshot directly; the engine reuses v1 results for
+        # unchanged urls and parses only new/changed pages
+        "incremental_extract": f"""
+            WITH docs2 AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 6 = 1 THEN text || ' UPD'
+                          ELSE text END AS text,
+                     lang, source
+              FROM documents WHERE doc_id % 9 <> 4
+              UNION ALL
+              SELECT doc_id + 10000000, text || ' NEWDOC', lang, source
+              FROM documents WHERE doc_id % 9 <> 4 AND doc_id % 13 = 2)
+            SELECT 'doc://' || source || '/' || doc_id AS url,
+                   {status_sql} AS status,
+                   {errc_sql} AS err_code,
+                   {npages_sql} AS n_pages,
+                   {nchars_err} AS n_chars,
+                   {ext_err} AS extracted_text
+            FROM docs2""",
         # 2x1 imposition + serialize + reopen: one sheet whose text is
         # page1's lines then page2's under a single frame (ok rows only —
         # tile refuses failed documents)

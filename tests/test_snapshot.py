@@ -103,3 +103,25 @@ def test_apply_changelog(ray_session):
     with _pytest.raises(Exception, match="duplicate"):
         apply_changelog(rd.from_arrow(base),
                         rd.from_arrow(dup)).to_pandas()
+
+
+def test_docs_v2_mutation_rules(ray_session, tmp_path):
+    """The synthetic second crawl behind incremental_extract: gone rows
+    dropped, update marker on %6==1, re-publications keyed +1e7."""
+    import importlib
+
+    import pandas as pd
+    E = importlib.import_module("__ray_entry__")
+    df = pd.DataFrame({
+        "doc_id": list(range(20)),
+        "text": [f"t{i}" for i in range(20)],
+        "lang": ["en"] * 20, "source": ["s"] * 20})
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+    out = E._docs_v2(str(tmp_path)).to_pandas()
+    got = dict(zip(out.doc_id, out.text))
+    assert 4 not in got and 13 not in got          # %9==4 gone
+    assert got[1] == "t1 UPD" and got[7] == "t7 UPD" and got[19] == "t19 UPD"
+    assert got[0] == "t0" and got[2] == "t2"
+    assert got[10_000_002] == "t2 NEWDOC"          # %13==2 re-published
+    assert got[10_000_015] == "t15 NEWDOC"
+    assert len(got) == 18 + 2
