@@ -1576,6 +1576,36 @@ def q_audio_features(sf_dir: str):
     return _cast_i64(out, ["sample_rate", "channels", "bits_per_sample"])
 
 
+def q_audio_resample(sf_dir: str):
+    """REAL audio resample end-to-end (multimodal.ResampleAudio — the
+    audio analogue of image_resize): same deterministic PCM synth as
+    audio_features, decimate by 2 (NN gather on the frame axis), halve
+    the rate, RE-ENCODE, and report the re-parsed container's integer
+    features — the oracle recomputes the decimated sample math
+    (range step 2) from the documents table alone, so the full decode →
+    gather → encode → decode chain is hash-gated."""
+    import numpy as np
+
+    from pypdfium2_ray.functions.wav import encode_wav
+    from pypdfium2_ray.stages.multimodal import resample_audio
+
+    def to_wav(t: pa.Table) -> pa.Table:
+        payloads = []
+        for d, n in zip(t["doc_id"].to_pylist(), t["n_chars"].to_pylist()):
+            s = ((np.arange(int(n), dtype=np.int64) * 7 + int(d)) % 65536
+                 - 32768).astype(np.int16)
+            payloads.append(encode_wav(s, 8000 + (int(d) % 4) * 4000))
+        return pa.table({"id": t["doc_id"],
+                         "data": pa.array(payloads, pa.binary())})
+
+    ds = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        to_wav, batch_format="pyarrow")
+    out = resample_audio(ds, factor=2).select_columns(
+        ["id", "sample_rate", "n_samples", "duration_us", "sum_sq",
+         "peak"])
+    return _cast_i64(out, ["sample_rate"])
+
+
 def q_stratified_sample(sf_dir: str):
     """Per-language quota sample (data mixing: cap every language at 30
     docs) with deterministic md5-hash membership — stages/topk.
@@ -4693,6 +4723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_stats": q_props_stats,
         "merge_snapshot": q_merge_snapshot,
         "incremental_extract": q_incremental_extract,
+        "audio_resample": q_audio_resample,
         "lang_confusion": q_lang_confusion,
         "user_gap_stats": q_user_gap_stats,
         "events_rollup": q_events_rollup,
@@ -5172,6 +5203,24 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(CAST(list_max(
                      [abs((i*7+doc_id)%65536-32768)
                       for i in range(0, n_chars)]) AS BIGINT), 0) AS peak
+            FROM documents""",
+        # decimate-by-2: the surviving samples are the even indices of
+        # the same synth formula; rate halves, count = ceil(n/2)
+        "audio_resample": """
+            SELECT doc_id AS id,
+                   ((8000 + (doc_id % 4) * 4000) // 2)::BIGINT
+                     AS sample_rate,
+                   ((n_chars + 1) // 2)::BIGINT AS n_samples,
+                   (((n_chars + 1) // 2)::BIGINT * 1000000)
+                     // ((8000 + (doc_id % 4) * 4000) // 2) AS duration_us,
+                   COALESCE(CAST(list_sum(
+                     [((i*7+doc_id)%65536-32768)*((i*7+doc_id)%65536-32768)
+                      for i in range(0, n_chars, 2)]) AS BIGINT), 0)
+                     AS sum_sq,
+                   COALESCE(CAST(list_max(
+                     [abs((i*7+doc_id)%65536-32768)
+                      for i in range(0, n_chars, 2)]) AS BIGINT), 0)
+                     AS peak
             FROM documents""",
         # halved hash (>>1) keeps UBIGINT int64-safe; >>1 is monotonic so
         # the quota membership is identical on both sides

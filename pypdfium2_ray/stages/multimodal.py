@@ -367,3 +367,75 @@ def decode_audio(ds, id_col: str = "id", data_col: str = "data",
         fn_constructor_kwargs=dict(id_col=id_col, data_col=data_col),
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, **mb_kwargs)
+
+
+class ResampleAudio:
+    """Actor-pool stage: decimate each WAV payload by an integer
+    ``factor`` (keep every factor-th sample — the nearest-neighbor
+    resample of the audio tier, the analogue of ResizeImage's NN
+    gather), re-encode with the rate divided by the same factor, and
+    emit the RE-PARSED container's features — so the output verifies
+    the full decode → gather → encode → decode round trip, not just the
+    arithmetic. Multi-channel payloads decimate along the frame axis.
+    Failed parses follow the DecodeAudio status discipline."""
+
+    def __init__(self, factor: int = 2, id_col: str = "id",
+                 data_col: str = "data"):
+        if factor < 1:
+            raise ValueError("factor must be >= 1")
+        from pypdfium2_ray.functions import wav
+        self.wav = wav
+        self.factor = factor
+        self.id_col = id_col
+        self.data_col = data_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        payloads = batch[self.data_col].to_pylist()
+        rows = {name: [] for name in AUDIO_META_SCHEMA.names}
+        for i, p in zip(ids, payloads):
+            vals = dict.fromkeys(AUDIO_META_SCHEMA.names)
+            vals["id"] = i
+            try:
+                decoded = self.wav.decode_wav(p or b"")
+            except ValueError:
+                decoded, vals["status"] = None, "unsupported-codec"
+            else:
+                vals["status"] = "ok" if decoded else "unknown-format"
+            if decoded is not None:
+                s, meta = decoded
+                out = np.ascontiguousarray(s[::self.factor])
+                rate = max(1, meta["sample_rate"] // self.factor)
+                rt, meta2 = self.wav.decode_wav(
+                    self.wav.encode_wav(out, rate))
+                vals.update(
+                    sample_rate=meta2["sample_rate"],
+                    channels=meta2["channels"],
+                    bits_per_sample=meta2["bits_per_sample"],
+                    n_samples=meta2["n_samples"],
+                    duration_us=meta2["n_samples"] * 1_000_000
+                    // meta2["sample_rate"])
+                if rt.dtype != np.float32 and rt.size:
+                    r64 = rt.astype(np.int64)
+                    vals["sum_sq"] = int((r64 * r64).sum())
+                    vals["peak"] = int(np.abs(r64).max())
+                else:
+                    vals["sum_sq"] = 0 if rt.size == 0 else vals["sum_sq"]
+                    vals["peak"] = 0 if rt.size == 0 else vals["peak"]
+            for name in rows:
+                rows[name].append(vals[name])
+        return pa.table(
+            {name: pa.array(rows[name], AUDIO_META_SCHEMA.field(name).type)
+             for name in AUDIO_META_SCHEMA.names})
+
+
+def resample_audio(ds, factor: int = 2, id_col: str = "id",
+                   data_col: str = "data", batch_size: int = 64,
+                   concurrency=(1, 8), **mb_kwargs):
+    """Audio-resample stage (same payload-aware sizing as decode)."""
+    return ds.map_batches(
+        ResampleAudio,
+        fn_constructor_kwargs=dict(factor=factor, id_col=id_col,
+                                   data_col=data_col),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, **mb_kwargs)

@@ -464,3 +464,26 @@ def test_resize_nearest_identity_and_channels():
     assert (_resize_nearest(img, 6, 4) == img).all()      # identity
     rgb = np.repeat(img[..., None], 3, axis=2)
     assert _resize_nearest(rgb, 3, 2).shape == (2, 3, 3)
+
+
+def test_resample_audio_roundtrip(ray_session):
+    """Decimate-by-k: the re-encoded container parses back to exactly
+    s[::k] at rate//k; malformed payloads keep the status discipline."""
+    import numpy as np
+    import ray.data as rd
+
+    from pypdfium2_ray.functions.wav import encode_wav
+    from pypdfium2_ray.stages.multimodal import resample_audio
+    s = ((np.arange(11, dtype=np.int64) * 3 - 5) % 100).astype(np.int16)
+    t = pa.table({"id": pa.array([1, 2], pa.int64()),
+                  "data": pa.array([encode_wav(s, 8000), b"not a wav"],
+                                   pa.binary())})
+    out = resample_audio(rd.from_arrow(t), factor=3).to_pandas() \
+        .set_index("id")
+    want = s[::3].astype(np.int64)
+    assert out.loc[1, "status"] == "ok"
+    assert out.loc[1, "n_samples"] == len(want) == 4
+    assert out.loc[1, "sample_rate"] == 8000 // 3
+    assert out.loc[1, "sum_sq"] == int((want * want).sum())
+    assert out.loc[1, "peak"] == int(np.abs(want).max())
+    assert out.loc[2, "status"] == "unknown-format"
