@@ -4019,6 +4019,35 @@ SELECT user_id, count(*)::BIGINT AS n_gaps, min(gap)::BIGINT AS min_gap_us,
 FROM g WHERE gap IS NOT NULL GROUP BY user_id"""
 
 
+def q_events_quartiles(sf_dir: str):
+    """Exact per-type DISCRETE quartiles (agg.grouped_order_stats): the
+    actual element at index q*(n-1)//4 under the (value, event_id)
+    total order — real rows, no interpolation, so doubles hash-match
+    the row_number twin bit-for-bit (interpolated quantiles would put
+    IEEE expression order in the gate). One exchange, one vectorized
+    gather kernel."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import grouped_order_stats
+    ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["event_type", "value", "event_id"])
+    with _hint(sf_dir, "events"):
+        return grouped_order_stats(ds, ["event_type"], "value",
+                                   tiebreak="event_id")
+
+
+def _events_quartiles_sql() -> str:
+    picks = ", ".join(
+        f"max(CASE WHEN rn - 1 = {q} * (c - 1) // 4 THEN value END) AS q{q}"
+        for q in (1, 2, 3))
+    return f"""
+WITH r AS (SELECT event_type, value,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY value, event_id) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS c
+           FROM events)
+SELECT event_type, {picks} FROM r GROUP BY event_type"""
+
+
 def q_heavy_bigrams(sf_dir: str):
     """Exact heavy-hitter word bigrams across the corpus via the two-pass
     Misra-Gries sketch-then-verify op (stages/freq.heavy_hitters): blocks
@@ -4726,6 +4755,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_resample": q_audio_resample,
         "lang_confusion": q_lang_confusion,
         "user_gap_stats": q_user_gap_stats,
+        "events_quartiles": q_events_quartiles,
         "events_rollup": q_events_rollup,
         "events_median": q_events_median,
         "events_median_sketch": q_events_median_sketch,
@@ -4974,6 +5004,7 @@ def oracle_sql() -> dict[str, str]:
         "props_stats": _props_stats_sql(),
         "merge_snapshot": _merge_snapshot_sql(),
         "user_gap_stats": _user_gap_stats_sql(),
+        "events_quartiles": _events_quartiles_sql(),
         "inverted_index": """
             WITH toks AS (
               SELECT doc_id, unnest(regexp_split_to_array(text,

@@ -280,3 +280,40 @@ def grouped_mode(ds, keys: list[str], col: str, out_val: str = "mode",
 
     return partition_map(pre, keys, kernel, batch_format="pandas",
                          num_partitions=num_partitions)
+
+
+def grouped_order_stats(ds, keys: list[str], col: str, tiebreak: str,
+                        quarters=(1, 2, 3),
+                        num_partitions: int | None = None):
+    """Exact per-group DISCRETE order statistics: for each quarter q the
+    ACTUAL element at sorted index ``q*(n-1)//4`` under the total order
+    ``(col, tiebreak)`` — no interpolation, so the values are real rows
+    and the SQL twin (row_number == index+1) matches bit-for-bit even on
+    doubles (where interpolated quantiles would put IEEE expression
+    order in the gate). Same colocation shape as grouped_median: one
+    hash exchange, then a single vectorized kernel (lexsort, run
+    geometry, one fancy-index gather per quarter)."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({**{k: df[k] for k in keys},
+                                 **{f"q{q}": pd.Series([], df[col].dtype)
+                                    for q in quarters}})
+        order = np.lexsort([df[tiebreak].to_numpy(), df[col].to_numpy()]
+                           + [df[k].to_numpy() for k in reversed(keys)])
+        kd = df.iloc[order]
+        gid = kd.groupby(keys, sort=False).ngroup().to_numpy()
+        starts = np.flatnonzero(np.concatenate(
+            ([True], gid[1:] != gid[:-1])))
+        sizes = np.diff(np.append(starts, len(gid)))
+        vals = kd[col].to_numpy()
+        out = {k: kd[k].to_numpy()[starts] for k in keys}
+        for q in quarters:
+            out[f"q{q}"] = vals[starts + q * (sizes - 1) // 4]
+        return pd.DataFrame(out)
+
+    proj = ds.select_columns(keys + [col, tiebreak])
+    return partition_map(proj, keys, kernel, batch_format="pandas",
+                         num_partitions=num_partitions)

@@ -290,3 +290,26 @@ def test_props_extract_newline_guard(ray_session, tmp_path):
                    str(tmp_path / "events.parquet"))
     with _pytest.raises(Exception, match="single-line"):
         E.queries()["props_stats"](str(tmp_path)).to_pandas()
+
+
+def test_grouped_order_stats(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pypdfium2_ray.stages.agg import grouped_order_stats
+    from pypdfium2_ray.stages.exchange import partition_hint
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame({"g": rng.randint(0, 4, 200),
+                       "v": rng.rand(200),
+                       "id": np.arange(200)})
+    for parts in (1, 5):
+        with partition_hint(3):
+            out = grouped_order_stats(
+                rd.from_pandas(df).repartition(parts), ["g"], "v",
+                tiebreak="id").to_pandas().set_index("g").sort_index()
+        for g, grp in df.groupby("g"):
+            vals = grp.sort_values(["v", "id"])["v"].to_numpy()
+            n = len(vals)
+            for q in (1, 2, 3):
+                assert out.loc[g, f"q{q}"] == vals[q * (n - 1) // 4], (g, q)
