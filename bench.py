@@ -191,7 +191,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "bool_search", "negative_pairs", "dup_owner",
                      "late_orders", "csv_tokens", "crawl_schedule",
                      "user_decay", "lang_mode", "user_gap_stats",
-                     "props_stats", "lang_confusion"]
+                     "props_stats", "lang_confusion", "merge_snapshot",
+                     "incremental_extract", "audio_resample",
+                     "events_quartiles"]
     E._warc_corpus(sf_dir)   # materialize the WARC shard cache untimed
     qs = E.queries()
     for name in bench_queries:
