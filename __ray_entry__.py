@@ -4019,6 +4019,32 @@ SELECT user_id, count(*)::BIGINT AS n_gaps, min(gap)::BIGINT AS min_gap_us,
 FROM g WHERE gap IS NOT NULL GROUP BY user_id"""
 
 
+def q_event_transitions(sf_dir: str):
+    """Markov transition counts over per-user event streams
+    (sessionize.transition_counts): every adjacent (prev_type,
+    next_type) pair in (ts, event_id) order, summed across users — the
+    sequence-mining aggregate (funnel checks one fixed pattern; this
+    counts them all). ONE user exchange emitting per-partition partial
+    pair counts; the enum-sized final combine is single-block."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.sessionize import transition_counts
+    ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["user_id", "ts", "event_type",
+                                  "event_id"])
+    with _hint(sf_dir, "events"):
+        return _cast_i64(transition_counts(ds), ["n"])
+
+
+def _event_transitions_sql() -> str:
+    return """
+WITH s AS (SELECT user_id, event_type,
+                  lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev
+           FROM events)
+SELECT prev AS prev_type, event_type AS next_type, count(*)::BIGINT AS n
+FROM s WHERE prev IS NOT NULL GROUP BY 1, 2"""
+
+
 def q_events_quartiles(sf_dir: str):
     """Exact per-type DISCRETE quartiles (agg.grouped_order_stats): the
     actual element at index q*(n-1)//4 under the (value, event_id)
@@ -4756,6 +4782,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_confusion": q_lang_confusion,
         "user_gap_stats": q_user_gap_stats,
         "events_quartiles": q_events_quartiles,
+        "event_transitions": q_event_transitions,
         "events_rollup": q_events_rollup,
         "events_median": q_events_median,
         "events_median_sketch": q_events_median_sketch,
@@ -5005,6 +5032,7 @@ def oracle_sql() -> dict[str, str]:
         "merge_snapshot": _merge_snapshot_sql(),
         "user_gap_stats": _user_gap_stats_sql(),
         "events_quartiles": _events_quartiles_sql(),
+        "event_transitions": _event_transitions_sql(),
         "inverted_index": """
             WITH toks AS (
               SELECT doc_id, unnest(regexp_split_to_array(text,

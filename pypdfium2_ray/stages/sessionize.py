@@ -182,3 +182,51 @@ def gap_stats(ds, key_col: str = "user_id", ts_col: str = "ts",
     proj = ds.select_columns([key_col, ts_col])
     return partition_map(proj, [key_col], kernel, batch_format="pandas",
                          num_partitions=num_partitions)
+
+
+def transition_counts(ds, key_col: str = "user_id", ts_col: str = "ts",
+                      label_col: str = "event_type",
+                      tiebreak: str = "event_id",
+                      num_partitions: int | None = None):
+    """Markov transition counts over per-key ordered event streams:
+    ``(prev_label, next_label, n)`` summed across all keys — the
+    sequence-mining aggregate behind next-action models and
+    session-flow dashboards (funnel checks ONE fixed pattern; this
+    counts every adjacent pair). Order within a key is (ts, tiebreak).
+
+    ONE hash exchange on the key; the kernel lexsorts the partition,
+    masks key boundaries, and counts pairs with a single Cython
+    groupby — emitting per-partition PARTIAL counts. The final combine
+    is single-block (label alphabets are enum-like: the pair space is
+    |labels|^2 regardless of corpus size), so no second exchange."""
+    import numpy as np
+    import pandas as pd
+
+    from pypdfium2_ray.stages.agg import grouped_aggregate
+    from pypdfium2_ray.stages.exchange import partition_map
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"prev_type": pd.Series([], "object"),
+                                 "next_type": pd.Series([], "object"),
+                                 "__n": pd.Series([], "int64")})
+        key = df[key_col].to_numpy()
+        ts = df[ts_col].to_numpy().astype("datetime64[us]").view("int64")
+        tb = df[tiebreak].to_numpy()
+        order = np.lexsort((tb, ts, key))
+        key = key[order]
+        lab = df[label_col].to_numpy()[order]
+        same = key[1:] == key[:-1]
+        pairs = pd.DataFrame({"prev_type": lab[:-1][same],
+                              "next_type": lab[1:][same]})
+        g = pairs.groupby(["prev_type", "next_type"], sort=False,
+                          as_index=False).size()
+        return g.rename(columns={"size": "__n"}).astype({"__n": "int64"})
+
+    proj = ds.select_columns([key_col, ts_col, label_col, tiebreak])
+    partials = partition_map(proj, [key_col], kernel,
+                             batch_format="pandas",
+                             num_partitions=num_partitions)
+    return grouped_aggregate(partials, ["prev_type", "next_type"],
+                             {"n": ("__n", "sum")},
+                             combine="single_block")

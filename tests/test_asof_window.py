@@ -315,3 +315,26 @@ def test_gap_stats(ray_session):
                            r.sum_gap_us) for r in out.itertuples()}
         assert got == {1: (2, 0, 5_000_000, 5_000_000),
                        2: (1, 7_000_000, 7_000_000, 7_000_000)}
+
+
+def test_transition_counts(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from pypdfium2_ray.stages.exchange import partition_hint
+    from pypdfium2_ray.stages.sessionize import transition_counts
+    t0 = pd.Timestamp("2024-01-01")
+    s = pd.Timedelta(seconds=1)
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 2, 3],
+        "event_id": [10, 11, 12, 20, 21, 30],
+        # u1: a->b->a ; u2 out of order in input: b then a by ts
+        "ts": [t0, t0 + s, t0 + 2 * s, t0 + 5 * s, t0 + 4 * s, t0],
+        "event_type": ["a", "b", "a", "b", "a", "a"]})
+    for parts in (1, 4):
+        with partition_hint(2):
+            out = transition_counts(
+                rd.from_pandas(df).repartition(parts)).to_pandas()
+        got = {(r.prev_type, r.next_type): r.n for r in out.itertuples()}
+        # u2 sorted by ts: a(21) -> b(20); u3 single event contributes 0
+        assert got == {("a", "b"): 2, ("b", "a"): 1}
