@@ -3221,6 +3221,35 @@ WHERE abs(length(a.s) - length(b.s)) <= {ED_K}
   AND levenshtein(a.s, b.s) <= {ED_K}"""
 
 
+#: editdist2_dups: deeper key, distance-2 threshold
+ED2_PLEN = 24
+ED2_K = 2
+
+
+def q_editdist2_dups(sf_dir: str):
+    """Depth-2 FastSS (the general-k tier of editdist_dups): Levenshtein
+    distance <= 2 over the 24-char prefix via two-deletion
+    neighborhoods — 1 + L + C(L,2) variant hashes per key, each a
+    three-segment rolling-hash combine (no variant strings ever
+    materialize), recall exact by the FastSS theorem, candidates
+    bounded d <= 4 so the exact DP verify does the filtering."""
+    from pypdfium2_ray.stages.editdist import editdist_dup_pairs
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    with _hint(sf_dir):
+        return editdist_dup_pairs(ds, prefix_len=ED2_PLEN,
+                                  max_dist=ED2_K)
+
+
+def _editdist2_sql() -> str:
+    return f"""
+WITH p AS (SELECT doc_id, substr(text, 1, {ED2_PLEN}) AS s FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       levenshtein(a.s, b.s)::BIGINT AS dist
+FROM p a JOIN p b ON a.doc_id < b.doc_id
+WHERE abs(length(a.s) - length(b.s)) <= {ED2_K}
+  AND levenshtein(a.s, b.s) <= {ED2_K}"""
+
+
 def q_dup_owner(sf_dir: str):
     """Canonical-owner assignment for every doc (stages/dedup.
     prefix_dup_owner): docs sharing a 20-char prefix key cluster
@@ -4747,6 +4776,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppjoin_dups": q_ppjoin_dups,
         "jaccard_knn": q_jaccard_knn,
         "editdist_dups": q_editdist_dups,
+        "editdist2_dups": q_editdist2_dups,
         "dup_owner": q_dup_owner,
         "postings_compress": q_postings_compress,
         "containment_dups": q_containment_dups,
@@ -5358,6 +5388,7 @@ def oracle_sql() -> dict[str, str]:
         "ppjoin_dups": _ppjoin_dups_sql(),
         "jaccard_knn": _jaccard_knn_sql(),
         "editdist_dups": _editdist_sql(),
+        "editdist2_dups": _editdist2_sql(),
         "dup_owner": _dup_owner_sql(),
         "postings_compress": _postings_compress_sql(),
         "containment_dups": _containment_sql(),

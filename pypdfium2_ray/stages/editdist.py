@@ -64,10 +64,11 @@ def _codepoint_matrix(strs: list[str], lens: np.ndarray,
     return mat
 
 
-def _variant_hashes(mat: np.ndarray, lens: np.ndarray
+def _variant_hashes(mat: np.ndarray, lens: np.ndarray, k: int = 1
                     ) -> tuple[np.ndarray, np.ndarray]:
-    """``(doc_row_idx, hash)`` for every deletion-neighborhood member
-    (the string itself + each single-deletion variant).
+    """``(doc_row_idx, hash)`` for every depth-``k`` deletion-
+    neighborhood member (the string itself, each single-deletion
+    variant, and for k=2 each two-deletion variant).
 
     Rolling polynomial hashes make this O(width) vectorized passes:
     with pre[j] = H(s[:j]) and suf[j] = Σ_{t>=j} (c_t+1)·P^(L-1-t),
@@ -108,6 +109,27 @@ def _variant_hashes(mat: np.ndarray, lens: np.ndarray
              + _LMIX * (li - 1).astype(np.uint64))
         rows_out.append(all_rows[m])
         hash_out.append(h)
+    if k >= 2:
+        # two deletions at i < j: variant = A+B+C with A=s[:i],
+        # B=s[i+1:j], C=s[j+1:]; H(ABC) = H(A)P^(|B|+|C|) + H(B)P^|C|
+        # + H(C), where the standalone mid hash is the prefix
+        # difference H(B) = pre[j] - pre[i+1]*P^|B| (mod 2^64)
+        for i in range(width - 1):
+            if not (lens > i + 1).any():
+                break
+            for j in range(i + 1, width):
+                m = lens > j
+                if not m.any():
+                    break
+                li = lens[m]
+                lb = j - i - 1
+                lc = (li - 1 - j).astype(np.int64)
+                h_mid = pre[m, j] - pre[m, i + 1] * pw[lb]
+                h = (pre[m, i] * pw[lb + lc] + h_mid * pw[lc]
+                     + suf[m, j + 1]
+                     + _LMIX * (li - 2).astype(np.uint64))
+                rows_out.append(all_rows[m])
+                hash_out.append(h)
     return np.concatenate(rows_out), np.concatenate(hash_out)
 
 
@@ -145,12 +167,13 @@ def editdist_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                        num_partitions: int | None = None):
     """``(id_a, id_b, dist)`` — unordered id pairs whose ``prefix_len``-char
     key prefixes are within Levenshtein distance ``max_dist`` (id_a <
-    id_b). Only k=1 deletion neighborhoods are generated; general-k
-    FastSS (all <=k-deletion variants) is a straightforward extension
-    left until a caller needs it."""
-    if max_dist != 1:
+    id_b). Depth-1 and depth-2 deletion neighborhoods are implemented
+    (k=2 emits 1 + L + C(L,2) variant hashes per key — recall is exact
+    by the FastSS theorem; shared variants only bound d <= 2k, so the
+    exact DP verify stays mandatory)."""
+    if max_dist not in (1, 2):
         raise NotImplementedError("deletion neighborhoods generated for "
-                                  "max_dist=1 only")
+                                  "max_dist in {1, 2}")
 
     def keyed(t: pa.Table) -> pa.Table:
         key = pc.utf8_slice_codeunits(
@@ -166,7 +189,7 @@ def editdist_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         lens = pc.utf8_length(kt["__key"]).to_numpy(
             zero_copy_only=False).astype(np.int64)
         mat = _codepoint_matrix(strs, lens, prefix_len)
-        rows, hashes = _variant_hashes(mat, lens)
+        rows, hashes = _variant_hashes(mat, lens, k=max_dist)
         ids = kt["doc_id"].to_numpy(zero_copy_only=False)[rows]
         return pa.table({
             "doc_id": pa.array(ids, pa.int64()),
