@@ -3677,6 +3677,34 @@ def q_top_orders(sf_dir: str):
     return top_orders(sf_dir)
 
 
+def q_returned_revenue(sf_dir: str):
+    """TPC-H Q10-shaped top-20 customers by returned-item revenue
+    (pipelines/relational.returned_revenue): fact x fact x dimension x
+    tiny-dimension — four keyed exchanges (two pre-combined aggs, two
+    repartition joins; customer scales so it is never broadcast),
+    nation broadcast, partial-bound top-k, integer-exact revenue."""
+    from pypdfium2_ray.pipelines.relational import returned_revenue
+    with _hint(sf_dir, "lineitem"):
+        return returned_revenue(sf_dir)
+
+
+def _returned_revenue_sql() -> str:
+    return """
+WITH rev AS (
+  SELECT o_custkey,
+         sum((round(l_extendedprice*100))::BIGINT
+             * (100 - (round(l_discount*100))::BIGINT))::BIGINT
+           AS revenue_e4
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R' GROUP BY o_custkey)
+SELECT c.c_custkey, c.c_name, n.n_name,
+       (round(c.c_acctbal*100))::BIGINT AS acctbal_cents,
+       r.revenue_e4
+FROM rev r JOIN customer c ON r.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+ORDER BY r.revenue_e4 DESC, c.c_custkey LIMIT 20"""
+
+
 def q_late_orders(sf_dir: str):
     """TPC-H Q4-shaped EXISTS semi-join (pipelines/relational.
     late_orders): orders per priority with >= 1 lineitem shipped > 60
@@ -4802,6 +4830,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_region": q_orders_by_region,
         "top_orders": q_top_orders,
         "late_orders": q_late_orders,
+        "returned_revenue": q_returned_revenue,
         "crawl_schedule": q_crawl_schedule,
         "user_decay": q_user_decay,
         "lang_mode": q_lang_mode,
@@ -5496,6 +5525,7 @@ def oracle_sql() -> dict[str, str]:
                             AND l.l_shipdate > o.o_orderdate
                                                + INTERVAL 60 DAY)
             GROUP BY o_orderpriority""",
+        "returned_revenue": _returned_revenue_sql(),
         "heavy_bigrams": """
             WITH arrs AS (
               SELECT list_filter(regexp_split_to_array(text,

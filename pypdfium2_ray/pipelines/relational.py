@@ -231,3 +231,86 @@ def late_orders(sf_dir: str, days: int = 60):
     return grouped_aggregate(hits, ["o_orderpriority"],
                              {"n_late": (None, "count")},
                              combine="single_block")
+
+
+def returned_revenue(sf_dir: str, k: int = 20):
+    """TPC-H Q10-shaped returned-item report: top-k customers by
+    revenue on returned lineitems, with name / nation / account
+    balance attached — the multi-join analytics shape (fact x fact x
+    dimension x tiny-dimension).
+
+    Exchange budget: per-row integer revenue is a block map, then FOUR
+    keyed exchanges — revenue pre-combined per orderkey, repartition
+    join to orders for the custkey, revenue pre-combined per custkey,
+    repartition join to customer for the payload (customer SCALES with
+    the data — never broadcast it) — while the 25-row nation dimension
+    IS broadcast (stages/join.broadcast_join), and the final top-k is
+    the partial-bound selection (k x n_blocks rows move, no global
+    sort). Revenue is integer-exact: cents x (100 - discount
+    hundredths) summed as int64 (the shipping_priority convention)."""
+    import numpy as np
+
+    from pypdfium2_ray.stages.agg import grouped_aggregate
+    from pypdfium2_ray.stages.exchange import lookup_join
+    from pypdfium2_ray.stages.join import broadcast_join
+    from pypdfium2_ray.stages.topk import topk
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_extendedprice", "l_discount",
+                  "l_returnflag"]).filter(expr="l_returnflag == 'R'")
+
+    def rev_rows(t: pa.Table) -> pa.Table:
+        p = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = t["l_discount"].to_numpy(zero_copy_only=False)
+        rev = (np.rint(p * 100.0).astype(np.int64)
+               * (100 - np.rint(d * 100.0).astype(np.int64)))
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "rev": pa.array(rev, pa.int64())})
+
+    per_order = grouped_aggregate(
+        line.map_batches(rev_rows, batch_format="pyarrow"),
+        ["l_orderkey"], {"rev": ("rev", "sum")})
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    j1 = lookup_join(per_order,
+                     {"l_orderkey": pa.int64(), "rev": pa.int64()},
+                     orders, source_key="o_orderkey",
+                     key_col="l_orderkey",
+                     payload_cols={"o_custkey": pa.int64()})
+    per_cust = grouped_aggregate(j1, ["o_custkey"],
+                                 {"revenue_e4": ("rev", "sum")})
+
+    customer = _read(sf_dir, "customer",
+                     ["c_custkey", "c_name", "c_nationkey", "c_acctbal"])
+    j2 = lookup_join(per_cust,
+                     {"o_custkey": pa.int64(), "revenue_e4": pa.int64()},
+                     customer, source_key="c_custkey",
+                     key_col="o_custkey",
+                     payload_cols={"c_name": pa.string(),
+                                   "c_nationkey": pa.int64(),
+                                   "c_acctbal": pa.float64()})
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    nation = pq.read_table(f"{sf_dir.rstrip('/')}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    # the parquet dimension key is int32; the joined-side key was cast
+    # to int64 by lookup_join — align before the Arrow hash join
+    nation = pa.table({"n_nationkey": pc.cast(nation["n_nationkey"],
+                                              pa.int64()),
+                       "n_name": nation["n_name"]})
+    j3 = broadcast_join(j2, nation, keys=["c_nationkey"],
+                        right_keys=["n_nationkey"])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        cents = np.rint(t["c_acctbal"].to_numpy(zero_copy_only=False)
+                        * 100.0).astype(np.int64)
+        return pa.table({
+            "c_custkey": pc.cast(t["o_custkey"], pa.int64()),
+            "c_name": t["c_name"], "n_name": t["n_name"],
+            "acctbal_cents": pa.array(cents, pa.int64()),
+            "revenue_e4": pc.cast(t["revenue_e4"], pa.int64())})
+
+    out = j3.map_batches(finalize, batch_format="pyarrow")
+    return topk(out, ["revenue_e4", "c_custkey"], k,
+                descending=[True, False])
