@@ -76,3 +76,43 @@ def test_no_native_wide_ops_anywhere(ray_session):
     from pypdfium2_ray.stages.dedup import prefix_dup_owner
     b = exchange_budget(prefix_dup_owner(_docs_ds()))
     assert b["sorts"] == 0 and b["aggregates"] == 0
+
+
+def test_query_pipeline_budgets(ray_session, tmp_path):
+    """Multi-exchange pipeline budgets, exactly as their docstrings
+    claim: late_orders 2 (max agg + join; enum count is single-block),
+    returned_revenue 4 (two pre-combined aggs + two repartition joins;
+    nation is broadcast), event_transitions 1 (user exchange; the pair
+    combine is single-block)."""
+    import importlib
+
+    import numpy as np
+    import pandas as pd
+    E = importlib.import_module("__ray_entry__")
+    # tiny self-contained sf dir
+    d0 = pd.Timestamp("2024-01-01")
+    pd.DataFrame({"o_orderkey": [1], "o_custkey": [1],
+                  "o_orderstatus": ["O"], "o_totalprice": [1.0],
+                  "o_orderdate": [d0], "o_orderpriority": ["1-URGENT"]}
+                 ).to_parquet(tmp_path / "orders.parquet", index=False)
+    pd.DataFrame({"l_orderkey": [1], "l_extendedprice": [1.0],
+                  "l_discount": [0.0], "l_returnflag": ["R"],
+                  "l_shipdate": [d0]}
+                 ).to_parquet(tmp_path / "lineitem.parquet", index=False)
+    pd.DataFrame({"c_custkey": [1], "c_name": ["c"],
+                  "c_nationkey": np.array([0], np.int32),
+                  "c_acctbal": [1.0], "c_mktsegment": ["B"]}
+                 ).to_parquet(tmp_path / "customer.parquet", index=False)
+    pd.DataFrame({"n_nationkey": np.array([0], np.int32),
+                  "n_name": ["X"], "n_regionkey": np.array([0], np.int32)}
+                 ).to_parquet(tmp_path / "nation.parquet", index=False)
+    pd.DataFrame({"event_id": [1, 2], "user_id": [1, 1],
+                  "ts": [d0, d0 + pd.Timedelta(seconds=1)],
+                  "event_type": ["a", "b"], "value": [1.0, 2.0],
+                  "props": ['{"k": 1}'] * 2}
+                 ).to_parquet(tmp_path / "events.parquet", index=False)
+    q = E.queries()
+    sf = str(tmp_path)
+    assert count_exchanges(q["late_orders"](sf)) == 2
+    assert count_exchanges(q["returned_revenue"](sf)) == 4
+    assert count_exchanges(q["event_transitions"](sf)) == 1
