@@ -4076,6 +4076,53 @@ SELECT user_id, count(*)::BIGINT AS n_gaps, min(gap)::BIGINT AS min_gap_us,
 FROM g WHERE gap IS NOT NULL GROUP BY user_id"""
 
 
+def q_overlap_pairs(sf_dir: str):
+    """Per-user interval OVERLAP join (intervals.overlap_join): events
+    become sessions [ts, ts + (1 + value_e2 % 600) s); even event_ids
+    are side A, odd side B; emit every same-user cross-side overlapping
+    pair — the temporal-join primitive point-in-interval range joins
+    cannot express. ONE user exchange + an output-sensitive vectorized
+    offset sweep (pass d compares the partition shifted by d; monotone
+    starts make the first empty pass a proof of completeness)."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.intervals import overlap_join
+
+    def to_iv(t: pa.Table) -> pa.Table:
+        import numpy as np
+        ts = t["ts"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").view("int64")
+        v = np.rint(t["value"].combine_chunks().to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        eid = t["event_id"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "user_id": t["user_id"],
+            "s": pa.array(ts, pa.int64()),
+            "e": pa.array(ts + (1 + v % 600) * 1_000_000, pa.int64()),
+            "side": pa.array((eid % 2).astype(np.int8)),
+            "event_id": t["event_id"]})
+
+    ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+    ds = ds.map_batches(to_iv, batch_format="pyarrow")
+    with _hint(sf_dir, "events"):
+        return overlap_join(ds, "user_id", "s", "e", "side", "event_id")
+
+
+def _overlap_pairs_sql() -> str:
+    return """
+WITH iv AS (SELECT event_id, user_id, epoch_us(ts) AS s,
+                   epoch_us(ts)
+                     + (1 + (round(value*100))::BIGINT % 600) * 1000000
+                     AS e
+            FROM events),
+a AS (SELECT * FROM iv WHERE event_id % 2 = 0),
+b AS (SELECT * FROM iv WHERE event_id % 2 = 1)
+SELECT a.event_id AS id_a, b.event_id AS id_b
+FROM a JOIN b ON a.user_id = b.user_id
+WHERE a.s < b.e AND b.s < a.e"""
+
+
 def q_event_transitions(sf_dir: str):
     """Markov transition counts over per-user event streams
     (sessionize.transition_counts): every adjacent (prev_type,
@@ -4842,6 +4889,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_gap_stats": q_user_gap_stats,
         "events_quartiles": q_events_quartiles,
         "event_transitions": q_event_transitions,
+        "overlap_pairs": q_overlap_pairs,
         "events_rollup": q_events_rollup,
         "events_median": q_events_median,
         "events_median_sketch": q_events_median_sketch,
@@ -5092,6 +5140,7 @@ def oracle_sql() -> dict[str, str]:
         "user_gap_stats": _user_gap_stats_sql(),
         "events_quartiles": _events_quartiles_sql(),
         "event_transitions": _event_transitions_sql(),
+        "overlap_pairs": _overlap_pairs_sql(),
         "inverted_index": """
             WITH toks AS (
               SELECT doc_id, unnest(regexp_split_to_array(text,

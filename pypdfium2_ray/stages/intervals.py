@@ -81,3 +81,65 @@ def interval_coverage(ds, key_col: str = "key", start_col: str = "s",
     rows = ds.map_batches(project, batch_format="pyarrow")
     return partition_map(rows, ["key"], _kernel,
                          num_partitions=num_partitions)
+
+
+def overlap_join(ds, key_col: str, start_col: str, end_col: str,
+                 side_col: str, id_col: str,
+                 num_partitions: int | None = None):
+    """Cross-side interval OVERLAP join within each key group: pairs
+    ``(id_a, id_b)`` where an A-side and a B-side interval of the same
+    key satisfy ``a.start < b.end AND b.start < a.end`` — the
+    temporal/session-overlap (and genomics) join primitive that range
+    joins (point-in-interval) cannot express.
+
+    ONE hash exchange on the key, then an output-sensitive vectorized
+    sweep per partition: lexsort by (key, start); with starts monotone
+    inside a key run, (i, i+d) overlap iff ``start[i+d] < end[i]``, so
+    pass d compares the whole partition shifted by d (one vector op)
+    and the loop stops at the first empty pass — monotone starts make
+    validity at depth d+1 imply it at depth d, so no pairs are missed
+    and the pass count equals the true maximum overlap depth (the
+    output size per interval), never a silent cap. Sides are filtered
+    after enumeration; ``side_col`` is 0/1 (A/B)."""
+    import numpy as np
+    import pandas as pd
+
+    from pypdfium2_ray.stages.exchange import partition_map
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                              "id_b": pd.Series([], dtype="int64")})
+        if len(df) < 2:
+            return empty
+        key = df[key_col].to_numpy()
+        s = df[start_col].to_numpy()
+        e = df[end_col].to_numpy()
+        side = df[side_col].to_numpy()
+        ids = df[id_col].to_numpy()
+        order = np.lexsort((s, key))
+        key, s, e, side, ids = (key[order], s[order], e[order],
+                                side[order], ids[order])
+        out_a, out_b = [], []
+        d = 1
+        while d < len(s):
+            valid = (key[d:] == key[:-d]) & (s[d:] < e[:-d])
+            if not valid.any():
+                break
+            i = np.flatnonzero(valid)
+            j = i + d
+            cross = side[i] != side[j]
+            i, j = i[cross], j[cross]
+            a_first = side[i] == 0
+            out_a.append(np.where(a_first, ids[i], ids[j]))
+            out_b.append(np.where(a_first, ids[j], ids[i]))
+            d += 1
+        if not out_a:
+            return empty
+        return pd.DataFrame({
+            "id_a": np.concatenate(out_a).astype(np.int64),
+            "id_b": np.concatenate(out_b).astype(np.int64)})
+
+    proj = ds.select_columns([key_col, start_col, end_col, side_col,
+                              id_col])
+    return partition_map(proj, [key_col], kernel, batch_format="pandas",
+                         num_partitions=num_partitions)

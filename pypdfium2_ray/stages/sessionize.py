@@ -158,13 +158,12 @@ def gap_stats(ds, key_col: str = "user_id", ts_col: str = "ts",
 
     def kernel(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
-            return pd.DataFrame({key_col: pd.Series([], df[key_col].dtype
-                                                    if key_col in df
-                                                    else "int64"),
-                                 "n_gaps": pd.Series([], "int64"),
-                                 "min_gap_us": pd.Series([], "int64"),
-                                 "max_gap_us": pd.Series([], "int64"),
-                                 "sum_gap_us": pd.Series([], "int64")})
+            return pd.DataFrame({key_col: pd.Series([], dtype=(df[key_col].dtype
+                                     if key_col in df else "int64")),
+                                 "n_gaps": pd.Series([], dtype="int64"),
+                                 "min_gap_us": pd.Series([], dtype="int64"),
+                                 "max_gap_us": pd.Series([], dtype="int64"),
+                                 "sum_gap_us": pd.Series([], dtype="int64")})
         key = df[key_col].to_numpy()
         us = df[ts_col].to_numpy().astype("datetime64[us]").view("int64")
         order = np.lexsort((us, key))
@@ -207,9 +206,9 @@ def transition_counts(ds, key_col: str = "user_id", ts_col: str = "ts",
 
     def kernel(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
-            return pd.DataFrame({"prev_type": pd.Series([], "object"),
-                                 "next_type": pd.Series([], "object"),
-                                 "__n": pd.Series([], "int64")})
+            return pd.DataFrame({"prev_type": pd.Series([], dtype="object"),
+                                 "next_type": pd.Series([], dtype="object"),
+                                 "__n": pd.Series([], dtype="int64")})
         key = df[key_col].to_numpy()
         ts = df[ts_col].to_numpy().astype("datetime64[us]").view("int64")
         tb = df[tiebreak].to_numpy()

@@ -86,3 +86,41 @@ def test_matches_duckdb_islands(tmp_path):
         GROUP BY key""").fetchall()
     got = _run(rows)
     assert got == {k: (n, c) for k, n, c in orc}
+
+
+def test_overlap_join(ray_session):
+    """Cross-side overlap pairs vs brute force: boundary touch (a.e ==
+    b.s) is NOT an overlap; same-side overlaps excluded; deep stacks
+    (one interval overlapping many) fully enumerated."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pypdfium2_ray.stages.exchange import partition_hint
+    from pypdfium2_ray.stages.intervals import overlap_join
+    rng = np.random.RandomState(7)
+    n = 300
+    df = pd.DataFrame({
+        "key": rng.randint(0, 5, n),
+        "s": rng.randint(0, 1000, n).astype(np.int64),
+        "id": np.arange(n, dtype=np.int64)})
+    df["e"] = df["s"] + rng.randint(1, 200, n)
+    df["side"] = (df["id"] % 2).astype(np.int8)
+    exp = set()
+    for _, a in df[df.side == 0].iterrows():
+        for _, b in df[df.side == 1].iterrows():
+            if a.key == b.key and a.s < b.e and b.s < a.e:
+                exp.add((a.id, b.id))
+    for parts in (1, 4):
+        with partition_hint(3):
+            out = overlap_join(rd.from_pandas(df).repartition(parts),
+                               "key", "s", "e", "side", "id").to_pandas()
+        got = set(zip(out.id_a, out.id_b))
+        assert got == exp and len(out) == len(got)
+    # boundary: touching intervals don't pair
+    t = pd.DataFrame({"key": [1, 1], "s": [0, 10], "e": [10, 20],
+                      "id": [0, 1], "side": np.array([0, 1], np.int8)})
+    with partition_hint(2):
+        out = overlap_join(rd.from_pandas(t), "key", "s", "e",
+                           "side", "id").to_pandas()
+    assert len(out) == 0
