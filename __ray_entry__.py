@@ -4328,6 +4328,34 @@ def _path_census_sql() -> str:
 VOCAB_MIN_COUNT = 2
 
 
+#: oov_rate: vocabulary size for the per-doc OOV accounting
+OOV_K = 20
+
+
+def q_oov_rate(sf_dir: str):
+    """Per-doc out-of-vocabulary counts against the corpus's own top-20
+    token vocabulary (stages/vocab.oov_counts): census exchange +
+    partial-bound top-k + a broadcast k-token set, then a ZERO-exchange
+    per-block doc rollup — how much of each document a k-token
+    vocabulary fails to cover (tokenizer sizing / quality signal)."""
+    from pypdfium2_ray.stages.vocab import oov_counts
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    with _hint(sf_dir):
+        return oov_counts(ds, vocab_k=OOV_K)
+
+
+def _oov_rate_sql() -> str:
+    ws = r"[^ \t\r\n\f\v]+"
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '{ws}'))
+               AS token FROM documents),
+cnt AS (SELECT token, count(*)::BIGINT AS c FROM tok GROUP BY token),
+vocab AS (SELECT token FROM cnt ORDER BY c DESC, token LIMIT {OOV_K})
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       sum((token NOT IN (SELECT token FROM vocab))::INT)::BIGINT AS n_oov
+FROM tok GROUP BY doc_id"""
+
+
 def q_vocab_coverage(sf_dir: str):
     """Tokenizer-prep vocabulary table (stages/vocab.vocab_coverage):
     exact global token census (per-block Counter pre-combine, ONE token
@@ -4890,6 +4918,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quartiles": q_events_quartiles,
         "event_transitions": q_event_transitions,
         "overlap_pairs": q_overlap_pairs,
+        "oov_rate": q_oov_rate,
         "events_rollup": q_events_rollup,
         "events_median": q_events_median,
         "events_median_sketch": q_events_median_sketch,
@@ -5141,6 +5170,7 @@ def oracle_sql() -> dict[str, str]:
         "events_quartiles": _events_quartiles_sql(),
         "event_transitions": _event_transitions_sql(),
         "overlap_pairs": _overlap_pairs_sql(),
+        "oov_rate": _oov_rate_sql(),
         "inverted_index": """
             WITH toks AS (
               SELECT doc_id, unnest(regexp_split_to_array(text,

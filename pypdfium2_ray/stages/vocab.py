@@ -113,3 +113,49 @@ def vocab_coverage(ds, text_col: str = "text", min_count: int = 2,
 
     return kept.repartition(1).map_batches(scan, batch_size=None,
                                            batch_format="pyarrow")
+
+
+def oov_counts(ds, vocab_k: int = 20, text_col: str = "text",
+               id_col: str = "doc_id",
+               num_partitions: int | None = None):
+    """Per-doc out-of-vocabulary accounting ``(doc_id, n_tokens,
+    n_oov)`` against the corpus's own top-``vocab_k`` token vocabulary
+    (count DESC, token ASC ranks) — the tokenizer-sizing signal next to
+    :func:`vocab_coverage`'s global curve: how much of EACH document a
+    k-token vocabulary fails to cover.
+
+    Two phases: the exact census (ONE token exchange, pre-combined),
+    then the top-k selected with the partial-bound selector and
+    broadcast once (``ray.put`` — k tokens, a few KB at any corpus
+    size); the per-doc count is a pure block map (a doc is
+    row-contained): vectorized explode + ``is_in`` + one pyarrow
+    group_by. Zero-token docs emit nothing, matching the twin's
+    tok-join semantics."""
+    import ray
+
+    from pypdfium2_ray.stages.topk import topk
+    census = token_census(ds, text_col=text_col,
+                          num_partitions=num_partitions)
+    top = topk(census, ["cnt", "token"], vocab_k,
+               descending=[True, False])
+    vocab = pa.concat_tables(
+        list(top.iter_batches(batch_format="pyarrow", batch_size=None)))
+    vocab_ref = ray.put(vocab["token"].combine_chunks())
+
+    from pypdfium2_ray.stages.invindex import explode_doc_tokens
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        import ray as _ray
+        vset = _ray.get(vocab_ref)
+        pairs = explode_doc_tokens(t, id_col, text_col)
+        oov = pc.cast(pc.invert(pc.is_in(pairs["term"],
+                                         value_set=vset)), pa.int64())
+        g = pa.table({"doc_id": pairs["doc_id"], "oov": oov}) \
+            .group_by(["doc_id"], use_threads=False) \
+            .aggregate([("oov", "sum"), ("oov", "count")])
+        return pa.table({"doc_id": g["doc_id"],
+                         "n_tokens": pc.cast(g["oov_count"], pa.int64()),
+                         "n_oov": pc.cast(g["oov_sum"], pa.int64())})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        per_doc, batch_size=None, batch_format="pyarrow")

@@ -286,3 +286,29 @@ def test_normalize_text_sql_twin_exact():
     assert got == want
     assert got[0] == '"Hi" - it\'s fine...'
     assert got[1] == "abc" and got[2] == "sp aces"
+
+
+def test_oov_counts(ray_session):
+    """Per-doc OOV vs the corpus top-k vocab, brute-forced; tie-break
+    (cnt DESC, token ASC) decides which equal-count token enters."""
+    import collections
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pypdfium2_ray.stages.exchange import partition_hint
+    from pypdfium2_ray.stages.vocab import oov_counts
+    docs = {1: "a a b c", 2: "b b d", 3: "a c c e", 4: "f f f g"}
+    t = pa.table({"doc_id": pa.array(list(docs), pa.int64()),
+                  "text": pa.array(list(docs.values()))})
+    cnt = collections.Counter(w for s in docs.values() for w in s.split())
+    vocab = {w for w, _ in sorted(cnt.items(),
+                                  key=lambda kv: (-kv[1], kv[0]))[:3]}
+    with partition_hint(2):
+        out = oov_counts(rd.from_arrow(t).repartition(2),
+                         vocab_k=3).to_pandas()
+    got = {r.doc_id: (r.n_tokens, r.n_oov) for r in out.itertuples()}
+    exp = {d: (len(s.split()),
+               sum(w not in vocab for w in s.split()))
+           for d, s in docs.items()}
+    assert got == exp
