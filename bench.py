@@ -193,7 +193,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "user_decay", "lang_mode", "user_gap_stats",
                      "props_stats", "lang_confusion", "merge_snapshot",
                      "incremental_extract", "audio_resample",
-                     "events_quartiles"]
+                     "events_quartiles", "event_transitions",
+                     "overlap_pairs", "oov_rate", "editdist2_dups",
+                     "returned_revenue"]
     E._warc_corpus(sf_dir)   # materialize the WARC shard cache untimed
     qs = E.queries()
     for name in bench_queries:
