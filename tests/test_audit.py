@@ -116,3 +116,16 @@ def test_query_pipeline_budgets(ray_session, tmp_path):
     assert count_exchanges(q["late_orders"](sf)) == 2
     assert count_exchanges(q["returned_revenue"](sf)) == 4
     assert count_exchanges(q["event_transitions"](sf)) == 1
+
+
+def test_flagship_is_shuffle_free(ray_session):
+    """The 100-TB claim of the extraction tier, pinned: the flagship
+    read -> parse -> extract chain moves ZERO bytes through any wide
+    operator — pure streaming maps end to end (dedup, when requested,
+    is the single deliberate exception and lives outside this path)."""
+    import importlib
+    E = importlib.import_module("__ray_entry__")
+    b = exchange_budget(E.queries()["extract_text"](
+        "/root/testdata/sf0.001"))
+    assert b == {"hash_exchanges": 0, "unkeyed_repartitions": 0,
+                 "sorts": 0, "aggregates": 0}
