@@ -3705,6 +3705,105 @@ JOIN nation n ON c.c_nationkey = n.n_nationkey
 ORDER BY r.revenue_e4 DESC, c.c_custkey LIMIT 20"""
 
 
+def q_local_volume(sf_dir: str):
+    """TPC-H Q5-shaped local-supplier volume (pipelines/relational.
+    local_supplier_volume): per-nation revenue where supplier and
+    customer share the nation, one region — three repartition joins
+    (customer and supplier both scale, never broadcast), block-local
+    partials before the orderkey exchange, single-block nation rollup."""
+    from pypdfium2_ray.pipelines.relational import local_supplier_volume
+    with _hint(sf_dir, "lineitem"):
+        return local_supplier_volume(sf_dir)
+
+
+def _local_volume_sql() -> str:
+    return """
+SELECT n_name,
+       sum((round(l_extendedprice*100))::BIGINT
+           * (100 - (round(l_discount*100))::BIGINT))::BIGINT AS revenue_e4
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+GROUP BY n_name"""
+
+
+def q_big_orders(sf_dir: str):
+    """TPC-H Q18-shaped large-volume orders (pipelines/relational.
+    big_orders): per-order quantity sum HAVING > 300, joined back to
+    orders and customer — one pre-combined agg exchange + two
+    repartition joins."""
+    from pypdfium2_ray.pipelines.relational import big_orders
+    with _hint(sf_dir, "lineitem"):
+        return big_orders(sf_dir)
+
+
+def _big_orders_sql() -> str:
+    return """
+WITH q AS (
+  SELECT l_orderkey, sum((round(l_quantity*100))::BIGINT) AS qty_e2
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum((round(l_quantity*100))::BIGINT) > 30000)
+SELECT c_custkey, c_name, o_orderkey,
+       epoch_us(o_orderdate) AS orderdate_us,
+       (round(o_totalprice*100))::BIGINT AS total_cents, qty_e2
+FROM q JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey"""
+
+
+def q_promo_revenue(sf_dir: str):
+    """TPC-H Q14-shaped conditional revenue per brand (pipelines/
+    relational.brand_promo_revenue): promo-type vs total revenue as
+    exact integers — per-partkey pre-combined exchange + one
+    repartition join onto the scaling part dimension, single-block
+    brand rollup."""
+    from pypdfium2_ray.pipelines.relational import brand_promo_revenue
+    with _hint(sf_dir, "lineitem"):
+        return brand_promo_revenue(sf_dir)
+
+
+def _promo_revenue_sql() -> str:
+    return """
+WITH rev AS (
+  SELECT l_partkey,
+         (round(l_extendedprice*100))::BIGINT
+         * (100 - (round(l_discount*100))::BIGINT) AS rev
+  FROM lineitem)
+SELECT p_brand,
+       sum(CASE WHEN p_type = 'ECONOMY' THEN rev ELSE 0 END)::BIGINT
+         AS promo_rev_e4,
+       sum(rev)::BIGINT AS total_rev_e4
+FROM rev JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand"""
+
+
+def q_user_event_pivot(sf_dir: str):
+    """Long->wide pivot (stages/pivot.pivot_counts): one row per user
+    with an int64 count column per event type. Label census is a
+    no-exchange single-block rollup over the fixed type enum; the pivot
+    is per-block (key,label) partials + ONE key exchange + a vectorized
+    per-partition crosstab."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.pivot import label_census, pivot_counts
+    ev = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["user_id", "event_type"])
+    with _hint(sf_dir, "events"):
+        labels = label_census(ev, "event_type")
+        return pivot_counts(ev, "user_id", "event_type", labels)
+
+
+def _user_event_pivot_sql() -> str:
+    # labels fixed by the generator's event-type enum; the census is
+    # oracle-checked implicitly (a missing/extra label changes the schema)
+    cols = ",\n       ".join(
+        f"count(*) FILTER (WHERE event_type = '{lb}')::BIGINT AS n_{lb}"
+        for lb in ("click", "error", "purchase", "signup", "view"))
+    return f"SELECT user_id,\n       {cols}\nFROM events GROUP BY user_id"
+
+
 def q_late_orders(sf_dir: str):
     """TPC-H Q4-shaped EXISTS semi-join (pipelines/relational.
     late_orders): orders per priority with >= 1 lineitem shipped > 60
@@ -4906,6 +5005,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": q_top_orders,
         "late_orders": q_late_orders,
         "returned_revenue": q_returned_revenue,
+        "local_volume": q_local_volume,
+        "big_orders": q_big_orders,
+        "promo_revenue": q_promo_revenue,
+        "user_event_pivot": q_user_event_pivot,
         "crawl_schedule": q_crawl_schedule,
         "user_decay": q_user_decay,
         "lang_mode": q_lang_mode,
@@ -5605,6 +5708,10 @@ def oracle_sql() -> dict[str, str]:
                                                + INTERVAL 60 DAY)
             GROUP BY o_orderpriority""",
         "returned_revenue": _returned_revenue_sql(),
+        "local_volume": _local_volume_sql(),
+        "big_orders": _big_orders_sql(),
+        "promo_revenue": _promo_revenue_sql(),
+        "user_event_pivot": _user_event_pivot_sql(),
         "heavy_bigrams": """
             WITH arrs AS (
               SELECT list_filter(regexp_split_to_array(text,

@@ -233,6 +233,215 @@ def late_orders(sf_dir: str, days: int = 60):
                              combine="single_block")
 
 
+def local_supplier_volume(sf_dir: str, region: str = "ASIA"):
+    """TPC-H Q5-shaped local-supplier volume: revenue per nation from
+    lineitems whose supplier and ordering customer sit in the SAME
+    nation of one region — the colocated-parties constraint
+    (``c_nationkey = s_nationkey``) that distinguishes Q5 from a plain
+    star join: the filter can only be evaluated after BOTH sides'
+    nation keys are attached to the fact row.
+
+    Exchange budget: THREE keyed exchanges, all repartition joins —
+    orders gains ``c_nationkey`` from the region's customers (customer
+    SCALES, never broadcast), lineitem revenue rows gain
+    ``s_nationkey`` from the region's suppliers (supplier scales too),
+    and the fact rows gain the order's ``c_nationkey`` (pre-combined
+    per ``(orderkey, s_nationkey)`` inside each block first, so the
+    exchange moves partials, not raw lineitems). The nation/region
+    dimension chain (25 + 5 rows at ANY scale) is read driver-side;
+    the equality filter is one vectorized compare and the final rollup
+    is a single-block combine over <= 25 nation groups — no exchange.
+    """
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pypdfium2_ray.stages.exchange import lookup_join
+
+    nation = pq.read_table(f"{sf_dir.rstrip('/')}/nation.parquet")
+    region_t = pq.read_table(f"{sf_dir.rstrip('/')}/region.parquet")
+    rk = region_t.filter(pc.equal(region_t["r_name"], region))["r_regionkey"]
+    nat = nation.filter(pc.is_in(nation["n_regionkey"], value_set=rk))
+    nk = pc.cast(nat["n_nationkey"], pa.int64())
+    names = dict(zip(nk.to_pylist(), nat["n_name"].to_pylist()))
+
+    def in_region(col: str):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(pc.cast(t[col], pa.int64()),
+                                     value_set=nk))
+        return f
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .map_batches(in_region("c_nationkey"), batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    region_orders = lookup_join(
+        orders, {"o_orderkey": pa.int64(), "o_custkey": pa.int64()},
+        cust, source_key="c_custkey", key_col="o_custkey",
+        payload_cols={"c_nationkey": pa.int64()})
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]) \
+        .map_batches(in_region("s_nationkey"), batch_format="pyarrow")
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_suppkey", "l_extendedprice",
+                  "l_discount"])
+
+    def rev_rows(t: pa.Table) -> pa.Table:
+        p = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = t["l_discount"].to_numpy(zero_copy_only=False)
+        rev = (np.rint(p * 100.0).astype(np.int64)
+               * (100 - np.rint(d * 100.0).astype(np.int64)))
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_suppkey": t["l_suppkey"],
+                         "rev": pa.array(rev, pa.int64())})
+
+    j_supp = lookup_join(
+        line.map_batches(rev_rows, batch_format="pyarrow"),
+        {"l_orderkey": pa.int64(), "l_suppkey": pa.int64(),
+         "rev": pa.int64()},
+        supp, source_key="s_suppkey", key_col="l_suppkey",
+        payload_cols={"s_nationkey": pa.int64()})
+
+    # block-local pre-combine: the orderkey exchange moves one partial
+    # per (block, orderkey, s_nationkey) instead of raw lineitem rows
+    def precombine(t: pa.Table) -> pa.Table:
+        return t.group_by(["l_orderkey", "s_nationkey"],
+                          use_threads=False).aggregate([("rev", "sum")])
+
+    parts = j_supp.map_batches(precombine, batch_format="pyarrow")
+    j_ord = lookup_join(
+        parts, {"l_orderkey": pa.int64(), "s_nationkey": pa.int64(),
+                "rev_sum": pa.int64()},
+        region_orders, source_key="o_orderkey", key_col="l_orderkey",
+        payload_cols={"c_nationkey": pa.int64()})
+
+    def local_only(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["s_nationkey"], t["c_nationkey"])
+        return t.filter(keep).select(["s_nationkey", "rev_sum"])
+
+    rolled = grouped_aggregate(
+        j_ord.map_batches(local_only, batch_format="pyarrow"),
+        ["s_nationkey"], {"revenue_e4": ("rev_sum", "sum")},
+        combine="single_block")   # <= 25 nations: fixed enum
+
+    def name_map(t: pa.Table) -> pa.Table:
+        n_name = [names[k] for k in t["s_nationkey"].to_pylist()]
+        return pa.table({"n_name": pa.array(n_name, pa.string()),
+                         "revenue_e4": pc.cast(t["revenue_e4"],
+                                               pa.int64())})
+
+    return rolled.map_batches(name_map, batch_format="pyarrow")
+
+
+def big_orders(sf_dir: str, min_qty_e2: int = 30_000):
+    """TPC-H Q18-shaped large-volume-customer report: orders whose total
+    lineitem quantity exceeds a threshold, with the customer name and
+    order payload attached — the GROUP BY ... HAVING -> join-back shape.
+
+    Exchange budget: THREE keyed exchanges — quantity partials
+    pre-combined per block then ONE exchange to finalize the per-order
+    sum (the HAVING filter is then a vectorized block map on the tiny
+    survivor set), one repartition join back to orders for the
+    customer key and payload, one to customer for the name (both sides
+    scale — never broadcast). Quantities are exact in 1e-2 units
+    (source values are integral), prices in cents.
+    """
+    from pypdfium2_ray.stages.exchange import lookup_join
+
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def qty_rows(t: pa.Table) -> pa.Table:
+        q = pc.cast(pc.round(pc.multiply(
+            pc.cast(t["l_quantity"], pa.float64()), 100.0)), pa.int64())
+        return pa.table({"l_orderkey": t["l_orderkey"], "qty_e2": q})
+
+    per_order = grouped_aggregate(
+        line.map_batches(qty_rows, batch_format="pyarrow"),
+        ["l_orderkey"], {"qty_e2": ("qty_e2", "sum")})
+    big = per_order.map_batches(
+        lambda t: t.filter(pc.greater(t["qty_e2"], min_qty_e2)),
+        batch_format="pyarrow")
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice",
+                    "o_orderdate"])
+    j1 = lookup_join(
+        big, {"l_orderkey": pa.int64(), "qty_e2": pa.int64()},
+        orders, source_key="o_orderkey", key_col="l_orderkey",
+        payload_cols={"o_custkey": pa.int64(),
+                      "o_totalprice": pa.float64(),
+                      "o_orderdate": pa.timestamp("us")})
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    j2 = lookup_join(
+        j1, {"l_orderkey": pa.int64(), "qty_e2": pa.int64(),
+             "o_custkey": pa.int64(), "o_totalprice": pa.float64(),
+             "o_orderdate": pa.timestamp("us")},
+        customer, source_key="c_custkey", key_col="o_custkey",
+        payload_cols={"c_name": pa.string()})
+
+    def finalize(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            pc.cast(t["o_totalprice"], pa.float64()), 100.0)), pa.int64())
+        return pa.table({
+            "c_custkey": t["o_custkey"], "c_name": t["c_name"],
+            "o_orderkey": t["l_orderkey"],
+            "orderdate_us": pc.cast(t["o_orderdate"], pa.int64()),
+            "total_cents": cents,
+            "qty_e2": pc.cast(t["qty_e2"], pa.int64())})
+
+    return j2.map_batches(finalize, batch_format="pyarrow")
+
+
+def brand_promo_revenue(sf_dir: str, promo_type: str = "ECONOMY"):
+    """TPC-H Q14-shaped conditional-revenue report per brand: for every
+    ``p_brand``, the revenue from parts of one type next to the total —
+    the CASE-WHEN conditional aggregate over a fact x scaling-dimension
+    join (Q14's promo ratio, with numerator and denominator emitted as
+    exact integers instead of one lossy double ratio).
+
+    Exchange budget: TWO keyed exchanges — revenue pre-combined per
+    partkey (block partials first, so the exchange moves one row per
+    (block, partkey)), then one repartition join onto part (part SCALES
+    with the data — never broadcast). The conditional split is a
+    vectorized ``if_else`` block map and the per-brand rollup is a
+    single-block combine over a fixed brand enum — no exchange.
+    """
+    import numpy as np
+
+    from pypdfium2_ray.stages.exchange import lookup_join
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def rev_rows(t: pa.Table) -> pa.Table:
+        p = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = t["l_discount"].to_numpy(zero_copy_only=False)
+        rev = (np.rint(p * 100.0).astype(np.int64)
+               * (100 - np.rint(d * 100.0).astype(np.int64)))
+        return pa.table({"l_partkey": t["l_partkey"],
+                         "rev": pa.array(rev, pa.int64())})
+
+    per_part = grouped_aggregate(
+        line.map_batches(rev_rows, batch_format="pyarrow"),
+        ["l_partkey"], {"rev": ("rev", "sum")})
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_type"])
+    j = lookup_join(
+        per_part, {"l_partkey": pa.int64(), "rev": pa.int64()},
+        part, source_key="p_partkey", key_col="l_partkey",
+        payload_cols={"p_brand": pa.string(), "p_type": pa.string()})
+
+    def split(t: pa.Table) -> pa.Table:
+        promo = pc.if_else(pc.equal(t["p_type"], promo_type),
+                           t["rev"], pa.scalar(0, pa.int64()))
+        return pa.table({"p_brand": t["p_brand"], "promo": promo,
+                         "total": t["rev"]})
+
+    return grouped_aggregate(
+        j.map_batches(split, batch_format="pyarrow"),
+        ["p_brand"], {"promo_rev_e4": ("promo", "sum"),
+                      "total_rev_e4": ("total", "sum")},
+        combine="single_block")   # fixed brand enum
+
+
 def returned_revenue(sf_dir: str, k: int = 20):
     """TPC-H Q10-shaped returned-item report: top-k customers by
     revenue on returned lineitems, with name / nation / account

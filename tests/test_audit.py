@@ -97,8 +97,21 @@ def test_query_pipeline_budgets(ray_session, tmp_path):
                  ).to_parquet(tmp_path / "orders.parquet", index=False)
     pd.DataFrame({"l_orderkey": [1], "l_extendedprice": [1.0],
                   "l_discount": [0.0], "l_returnflag": ["R"],
-                  "l_shipdate": [d0]}
+                  "l_shipdate": [d0], "l_quantity": [400.0],
+                  "l_suppkey": [1], "l_partkey": [1]}
                  ).to_parquet(tmp_path / "lineitem.parquet", index=False)
+    pd.DataFrame({"s_suppkey": [1], "s_name": ["s"],
+                  "s_nationkey": np.array([0], np.int32),
+                  "s_acctbal": [1.0]}
+                 ).to_parquet(tmp_path / "supplier.parquet", index=False)
+    pd.DataFrame({"p_partkey": [1], "p_name": ["p"], "p_brand": ["B#1"],
+                  "p_type": ["ECONOMY"],
+                  "p_size": np.array([1], np.int32),
+                  "p_retailprice": [1.0]}
+                 ).to_parquet(tmp_path / "part.parquet", index=False)
+    pd.DataFrame({"r_regionkey": np.array([0], np.int32),
+                  "r_name": ["ASIA"]}
+                 ).to_parquet(tmp_path / "region.parquet", index=False)
     pd.DataFrame({"c_custkey": [1], "c_name": ["c"],
                   "c_nationkey": np.array([0], np.int32),
                   "c_acctbal": [1.0], "c_mktsegment": ["B"]}
@@ -116,6 +129,14 @@ def test_query_pipeline_budgets(ray_session, tmp_path):
     assert count_exchanges(q["late_orders"](sf)) == 2
     assert count_exchanges(q["returned_revenue"](sf)) == 4
     assert count_exchanges(q["event_transitions"](sf)) == 1
+    # round-3 additions: Q5 = three repartition joins (nation rollup is
+    # single-block), Q18 = one pre-combined agg + two joins, Q14 = one
+    # pre-combined agg + one join (brand rollup single-block), pivot =
+    # one key exchange (label census is single-block, separate lineage)
+    assert count_exchanges(q["local_volume"](sf)) == 3
+    assert count_exchanges(q["big_orders"](sf)) == 3
+    assert count_exchanges(q["promo_revenue"](sf)) == 2
+    assert count_exchanges(q["user_event_pivot"](sf)) == 1
 
 
 def test_flagship_is_shuffle_free(ray_session):
