@@ -3804,6 +3804,61 @@ def _user_event_pivot_sql() -> str:
     return f"SELECT user_id,\n       {cols}\nFROM events GROUP BY user_id"
 
 
+def q_type_distinct_users(sf_dir: str):
+    """Exact per-type COUNT(DISTINCT user) (stages/agg.
+    grouped_count_distinct): per-block pre-distinct on the (type, user)
+    pair, ONE pair exchange, per-partition distinct+count partials,
+    single-block combine over the fixed type enum. The sketch twin is
+    distinct_users_hll; this is the exact tier."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import grouped_count_distinct
+    ev = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["event_type", "user_id"])
+    with _hint(sf_dir, "events"):
+        return grouped_count_distinct(ev, ["event_type"], "user_id",
+                                      out="n_users",
+                                      combine="single_block")
+
+
+def q_value_moments(sf_dir: str):
+    """Per-type second-order integer moments of (seconds-into-2024,
+    value_e4) (stages/agg.grouped_moments): n / sum_x / sum_y / sum_xx /
+    sum_yy / sum_xy — the associative partials behind variance,
+    covariance, correlation and OLS slope, emitted as exact int64 sums
+    (a float corr would hash-diverge across engines' summation orders).
+    ZERO keyed exchanges: block partials + single-block enum combine."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import grouped_moments
+    ev = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+
+    def prescale(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        x = pc.subtract(pc.divide(us, 1_000_000), 1_704_067_200)
+        y = pc.cast(pc.round(pc.multiply(
+            pc.cast(t["value"], pa.float64()), 10_000.0)), pa.int64())
+        return pa.table({"event_type": t["event_type"], "x": x, "y": y})
+
+    with _hint(sf_dir, "events"):
+        return grouped_moments(
+            ev.map_batches(prescale, batch_format="pyarrow"),
+            ["event_type"], "x", "y", combine="single_block")
+
+
+def _value_moments_sql() -> str:
+    return """
+WITH m AS (
+  SELECT event_type,
+         (epoch_us(ts) // 1000000 - 1704067200) AS x,
+         (round(value * 10000))::BIGINT AS y
+  FROM events)
+SELECT event_type, count(*)::BIGINT AS n,
+       sum(x)::BIGINT AS sum_x, sum(y)::BIGINT AS sum_y,
+       sum(x*x)::BIGINT AS sum_xx, sum(y*y)::BIGINT AS sum_yy,
+       sum(x*y)::BIGINT AS sum_xy
+FROM m GROUP BY event_type"""
+
+
 def q_late_orders(sf_dir: str):
     """TPC-H Q4-shaped EXISTS semi-join (pipelines/relational.
     late_orders): orders per priority with >= 1 lineitem shipped > 60
@@ -5009,6 +5064,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "big_orders": q_big_orders,
         "promo_revenue": q_promo_revenue,
         "user_event_pivot": q_user_event_pivot,
+        "type_distinct_users": q_type_distinct_users,
+        "value_moments": q_value_moments,
         "crawl_schedule": q_crawl_schedule,
         "user_decay": q_user_decay,
         "lang_mode": q_lang_mode,
@@ -5712,6 +5769,10 @@ def oracle_sql() -> dict[str, str]:
         "big_orders": _big_orders_sql(),
         "promo_revenue": _promo_revenue_sql(),
         "user_event_pivot": _user_event_pivot_sql(),
+        "type_distinct_users": """
+            SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+            FROM events GROUP BY event_type""",
+        "value_moments": _value_moments_sql(),
         "heavy_bigrams": """
             WITH arrs AS (
               SELECT list_filter(regexp_split_to_array(text,

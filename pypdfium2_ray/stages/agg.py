@@ -317,3 +317,82 @@ def grouped_order_stats(ds, keys: list[str], col: str, tiebreak: str,
     proj = ds.select_columns(keys + [col, tiebreak])
     return partition_map(proj, keys, kernel, batch_format="pandas",
                          num_partitions=num_partitions)
+
+
+def grouped_count_distinct(ds, keys: list[str], col: str,
+                           out: str = "n_distinct",
+                           combine: str = "exchange",
+                           num_partitions: int | None = None):
+    """Exact per-group COUNT(DISTINCT col) — the two-level aggregate:
+    distinctness is decided on the ``(keys, col)`` PAIR axis, the count
+    on the ``keys`` axis, and the two never share a partitioning.
+
+    Shape: per-block pre-distinct (one pyarrow ``group_by`` — a block
+    contributes each pair once, so the exchange moves at most
+    ``n_blocks x pairs_per_block`` rows, never raw events), ONE hash
+    exchange on ``keys + [col]`` colocating equal pairs, a per-partition
+    distinct + count yielding per-partition partials (globally correct:
+    a pair lives in exactly one partition), then the partial counts
+    combine through :func:`grouped_aggregate` — ``combine="exchange"``
+    (second, tiny exchange) when key cardinality scales with the data,
+    ``combine="single_block"`` (total ONE exchange) for enum-like keys.
+
+    The sketch twin for corpus-scale cardinalities is
+    ``stages/textstats`` HLL (``distinct_users_hll``); this is the exact
+    tier.
+    """
+    pair = keys + [col]
+
+    def pre_distinct(t: pa.Table) -> pa.Table:
+        return t.select(pair).group_by(pair, use_threads=False).aggregate([])
+
+    dedup = ds.map_batches(pre_distinct, batch_format="pyarrow")
+
+    def pair_count(t: pa.Table) -> pa.Table:
+        u = t.group_by(pair, use_threads=False).aggregate([])
+        return u.group_by(keys, use_threads=False).aggregate(
+            [([], "count_all")])
+
+    partials = partition_map(dedup, pair, pair_count,
+                             num_partitions=num_partitions)
+    return grouped_aggregate(partials, keys, {out: ("count_all", "sum")},
+                             combine=combine,
+                             num_partitions=num_partitions)
+
+
+def grouped_moments(ds, keys: list[str], x_col: str, y_col: str,
+                    combine: str = "exchange",
+                    num_partitions: int | None = None):
+    """Per-group second-order INTEGER moments of two pre-scaled int64
+    columns: ``n, sum_x, sum_y, sum_xx, sum_yy, sum_xy`` — the
+    associative partials behind variance, covariance, correlation and
+    OLS slope (all derivable downstream with one scalar formula each;
+    emitting the raw sums keeps the driver gate integer-exact where a
+    float corr would hash-diverge across engines' summation orders).
+
+    The caller pre-scales: inputs must be int64 with units chosen so
+    every per-group sum fits (|sum x^2| < 2^63 — e.g. seconds-since-
+    epoch-start, value in 1e-4 units). Products are one vectorized
+    numpy multiply per block; everything downstream is
+    :func:`grouped_aggregate` (per-block partials + one exchange, or a
+    single-block combine for enum keys).
+    """
+    import numpy as np
+
+    def widen(t: pa.Table) -> pa.Table:
+        x = t[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {k: t[k] for k in keys}
+        cols.update({"x": pa.array(x), "y": pa.array(y),
+                     "xx": pa.array(x * x), "yy": pa.array(y * y),
+                     "xy": pa.array(x * y)})
+        return pa.table(cols)
+
+    return grouped_aggregate(
+        ds.select_columns(keys + [x_col, y_col])
+          .map_batches(widen, batch_format="pyarrow"),
+        keys,
+        {"n": (None, "count"), "sum_x": ("x", "sum"),
+         "sum_y": ("y", "sum"), "sum_xx": ("xx", "sum"),
+         "sum_yy": ("yy", "sum"), "sum_xy": ("xy", "sum")},
+        combine=combine, num_partitions=num_partitions)

@@ -313,3 +313,41 @@ def test_grouped_order_stats(ray_session):
             n = len(vals)
             for q in (1, 2, 3):
                 assert out.loc[g, f"q{q}"] == vals[q * (n - 1) // 4], (g, q)
+
+
+@pytest.mark.parametrize("combine", ["exchange", "single_block"])
+def test_grouped_count_distinct(ray_session, facts, combine):
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import grouped_count_distinct
+    ds = rd.from_arrow(facts).repartition(6)
+    got = grouped_count_distinct(ds, ["k1"], "fk", out="n_fk",
+                                 combine=combine) \
+        .to_pandas().sort_values("k1").reset_index(drop=True)
+    pdf = facts.to_pandas()
+    exp = pdf.groupby("k1", as_index=False).agg(
+        n_fk=("fk", "nunique")).sort_values("k1").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype({"n_fk": "int64"}), exp)
+
+
+@pytest.mark.parametrize("combine", ["exchange", "single_block"])
+def test_grouped_moments(ray_session, combine):
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import grouped_moments
+    rng = np.random.RandomState(3)
+    n = 3000
+    t = pa.table({
+        "g": rng.choice(["a", "b"], n).tolist(),
+        "x": rng.randint(-50, 50, n).astype(np.int64),
+        "y": rng.randint(0, 1000, n).astype(np.int64),
+    })
+    got = grouped_moments(rd.from_arrow(t).repartition(5), ["g"],
+                          "x", "y", combine=combine) \
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    df = t.to_pandas()
+    df["xx"], df["yy"], df["xy"] = df.x * df.x, df.y * df.y, df.x * df.y
+    exp = df.groupby("g", as_index=False).agg(
+        n=("x", "size"), sum_x=("x", "sum"), sum_y=("y", "sum"),
+        sum_xx=("xx", "sum"), sum_yy=("yy", "sum"), sum_xy=("xy", "sum"))
+    cols = ["g", "n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy"]
+    pd.testing.assert_frame_equal(
+        got[cols].astype({c: "int64" for c in cols[1:]}), exp[cols])

@@ -137,6 +137,10 @@ def test_query_pipeline_budgets(ray_session, tmp_path):
     assert count_exchanges(q["big_orders"](sf)) == 3
     assert count_exchanges(q["promo_revenue"](sf)) == 2
     assert count_exchanges(q["user_event_pivot"](sf)) == 1
+    # count-distinct: ONE pair exchange (enum combine is single-block);
+    # integer moments over an enum key: ZERO exchanges end to end
+    assert count_exchanges(q["type_distinct_users"](sf)) == 1
+    assert count_exchanges(q["value_moments"](sf)) == 0
 
 
 def test_flagship_is_shuffle_free(ray_session):
