@@ -3859,6 +3859,45 @@ SELECT event_type, count(*)::BIGINT AS n,
 FROM m GROUP BY event_type"""
 
 
+def q_user_pareto(sf_dir: str):
+    """Pareto-maximal users under (activity, spend) dominance
+    (stages/skyline): per-user (n_events, sum_value_e4) via one
+    pre-combined key exchange, then the skyline filter — a two-level
+    reduction with NO further exchange (any globally maximal point is
+    maximal in its own block, so per-block fronts + one tiny combine)."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import grouped_aggregate
+    from pypdfium2_ray.stages.skyline import skyline
+    ev = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["user_id", "value"])
+
+    def prescale(t: pa.Table) -> pa.Table:
+        y = pc.cast(pc.round(pc.multiply(
+            pc.cast(t["value"], pa.float64()), 10_000.0)), pa.int64())
+        return pa.table({"user_id": t["user_id"], "value_e4": y})
+
+    with _hint(sf_dir, "events"):
+        per_user = grouped_aggregate(
+            ev.map_batches(prescale, batch_format="pyarrow"),
+            ["user_id"],
+            {"n_events": (None, "count"),
+             "sum_value_e4": ("value_e4", "sum")})
+        return skyline(per_user, "n_events", "sum_value_e4")
+
+
+def _user_pareto_sql() -> str:
+    return """
+WITH u AS (
+  SELECT user_id, count(*)::BIGINT AS n_events,
+         sum((round(value*10000))::BIGINT)::BIGINT AS sum_value_e4
+  FROM events GROUP BY user_id)
+SELECT * FROM u p
+WHERE NOT EXISTS (
+  SELECT 1 FROM u q
+  WHERE q.n_events >= p.n_events AND q.sum_value_e4 >= p.sum_value_e4
+    AND (q.n_events > p.n_events OR q.sum_value_e4 > p.sum_value_e4))"""
+
+
 def q_late_orders(sf_dir: str):
     """TPC-H Q4-shaped EXISTS semi-join (pipelines/relational.
     late_orders): orders per priority with >= 1 lineitem shipped > 60
@@ -5066,6 +5105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_pivot": q_user_event_pivot,
         "type_distinct_users": q_type_distinct_users,
         "value_moments": q_value_moments,
+        "user_pareto": q_user_pareto,
         "crawl_schedule": q_crawl_schedule,
         "user_decay": q_user_decay,
         "lang_mode": q_lang_mode,
@@ -5773,6 +5813,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
             FROM events GROUP BY event_type""",
         "value_moments": _value_moments_sql(),
+        "user_pareto": _user_pareto_sql(),
         "heavy_bigrams": """
             WITH arrs AS (
               SELECT list_filter(regexp_split_to_array(text,

@@ -141,6 +141,9 @@ def test_query_pipeline_budgets(ray_session, tmp_path):
     # integer moments over an enum key: ZERO exchanges end to end
     assert count_exchanges(q["type_distinct_users"](sf)) == 1
     assert count_exchanges(q["value_moments"](sf)) == 0
+    # pareto: one pre-combined per-user agg exchange; the skyline itself
+    # is exchange-free (per-block fronts + single-block combine)
+    assert count_exchanges(q["user_pareto"](sf)) == 1
 
 
 def test_flagship_is_shuffle_free(ray_session):
