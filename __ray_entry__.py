@@ -2924,6 +2924,34 @@ def q_rollup_stats(sf_dir: str):
             fill="(all)")
 
 
+def q_cube_stats(sf_dir: str):
+    """GROUP BY CUBE(lang, source) corpus report (stages/rollup.
+    cube_aggregate): every key-subset grouping — including the
+    per-lang-across-sources slice a ROLLUP(source, lang) cannot emit —
+    with the raw table exchanged ONCE; the other 2^n - 2 subsets
+    re-aggregate the finest level's materialized finalized rows.
+    ``grouping_id`` is the SQL GROUPING_ID bitmask (lang = MSB)."""
+    from pypdfium2_ray.stages.rollup import cube_aggregate
+    ds = _docs(sf_dir, ["lang", "source", "n_chars"])
+    with _hint(sf_dir):
+        return cube_aggregate(
+            ds, keys=["lang", "source"],
+            aggs={"n_docs": ("count",), "total_chars": ("sum", "n_chars"),
+                  "max_chars": ("max", "n_chars")},
+            fill="(all)")
+
+
+def _cube_stats_sql() -> str:
+    return """
+SELECT COALESCE(lang, '(all)') AS lang,
+       COALESCE(source, '(all)') AS source,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars,
+       max(n_chars)::BIGINT AS max_chars,
+       (2 * GROUPING(lang) + GROUPING(source))::BIGINT AS grouping_id
+FROM documents GROUP BY CUBE(lang, source)"""
+
+
 def _rollup_stats_sql() -> str:
     return """
         SELECT COALESCE(source, '(all)') AS source,
@@ -5081,6 +5109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": q_weighted_sample,
         "doc_keywords": q_doc_keywords,
         "rollup_stats": q_rollup_stats,
+        "cube_stats": q_cube_stats,
         "strip_repeated": q_strip_repeated,
         "canonical_resolve": q_canonical_resolve,
         "winnow_fingerprint": q_winnow_fingerprint,
@@ -5707,6 +5736,7 @@ def oracle_sql() -> dict[str, str]:
         "collapse_repeats": _collapse_repeats_sql(),
         "curate_corpus": _curate_corpus_sql(),
         "rollup_stats": _rollup_stats_sql(),
+        "cube_stats": _cube_stats_sql(),
         "strip_repeated": _strip_repeated_sql(),
         "canonical_resolve": _canonical_resolve_sql(),
         "ngram_dups": """

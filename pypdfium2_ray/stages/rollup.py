@@ -159,3 +159,95 @@ def rollup_aggregate(ds, keys: list[str], aggs: dict[str, tuple],
     for more in levels[1:]:
         out = out.union(more)
     return out
+
+
+def _merge_subset(keys: list[str], kept: list[str], aggs: dict):
+    """Finest-level rows -> finalized rows grouped on an arbitrary key
+    SUBSET (the CUBE generalization of :func:`_merge_fn`'s prefixes)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({n: pa.array([], pa.int64())
+                             for n in kept + list(aggs)})
+        specs = [(out, "sum" if spec[0] in ("count", "sum") else spec[0])
+                 for out, spec in aggs.items()]
+        g = t.group_by(kept, use_threads=False).aggregate(specs)
+        cols = {k: g[k] for k in kept}
+        for out, op in specs:
+            cols[out] = pc.cast(g[f"{out}_{op}"], pa.int64())
+        return pa.table(cols)
+
+    return fn
+
+
+def _emit_subset(t: pa.Table, keys: list[str], kept: set, aggs: dict,
+                 key_types: dict, fill, gid: int) -> pa.Table:
+    n = t.num_rows
+    cols = {}
+    for k in keys:
+        if k in kept:
+            cols[k] = pc.cast(t[k], key_types[k])
+        elif fill is None:
+            cols[k] = pa.nulls(n, key_types[k])
+        else:
+            cols[k] = pa.array([fill] * n).cast(key_types[k])
+    for out in aggs:
+        cols[out] = pc.cast(t[out], pa.int64())
+    cols["grouping_id"] = pa.array([gid] * n, pa.int64())
+    return pa.table(cols)
+
+
+def cube_aggregate(ds, keys: list[str], aggs: dict[str, tuple],
+                   key_types: dict[str, pa.DataType] | None = None,
+                   fill=None, num_partitions: int | None = None):
+    """GROUP BY CUBE(k1, ..., kn): one row per group for EVERY key
+    subset, rolled-up keys NULL (or *fill*), plus ``grouping_id`` — the
+    SQL GROUPING_ID bitmask (keys[0] is the most significant bit; bit
+    set = key rolled up), which is what keeps a sentinel-filled output
+    unambiguous when a real key value could equal the sentinel.
+
+    Same aggregate-algebra shape as :func:`rollup_aggregate`: the raw
+    table is scanned and exchanged exactly ONCE (the finest grouping,
+    materialized); each of the other ``2^n - 2`` subsets re-aggregates
+    those already-finalized rows (at most |finest groups| input rows per
+    subset — tiny), and the grand total is a single-block fold. The
+    ``2^n`` grouping-set count is inherent to CUBE, not a plan defect;
+    n beyond ~4 keys is a modeling smell either way. Distributive
+    measures only (count/sum/min/max), all integer-exact.
+    """
+    if not keys:
+        raise ValueError("need at least one cube key")
+    for out, spec in aggs.items():
+        if spec[0] not in ("count", "sum", "min", "max"):
+            raise ValueError(f"unsupported agg {spec!r} for {out!r} — "
+                             "distributive count/sum/min/max only")
+    key_types = key_types or {k: pa.string() for k in keys}
+    n_keys = len(keys)
+
+    partials = ds.map_batches(_partial_fn(keys, aggs),
+                              batch_format="pyarrow")
+    finest = partition_map(partials, keys, _merge_fn(keys, aggs, n_keys),
+                           num_partitions=num_partitions).materialize()
+
+    out = finest.map_batches(
+        lambda t: _emit_subset(t, keys, set(keys), aggs, key_types,
+                               fill, 0),
+        batch_format="pyarrow")
+    for mask in range(1, 2 ** n_keys):
+        kept = [k for i, k in enumerate(keys)
+                if not (mask >> (n_keys - 1 - i)) & 1]
+        if kept:
+            lvl = partition_map(finest, kept,
+                                _merge_subset(keys, kept, aggs),
+                                num_partitions=num_partitions)
+        else:
+            lvl = (finest.map_batches(_total_fn(aggs),
+                                      batch_format="pyarrow")
+                   .repartition(1)
+                   .map_batches(_total_fn(aggs), batch_size=None,
+                                batch_format="pyarrow"))
+        out = out.union(lvl.map_batches(
+            lambda t, kp=frozenset(kept), g=mask: _emit_subset(
+                t, keys, kp, aggs, key_types, fill, g),
+            batch_format="pyarrow"))
+    return out

@@ -82,3 +82,38 @@ def test_validation():
     with pytest.raises(ValueError):
         rollup_aggregate(rd.from_arrow(_t()), keys=["source"],
                          aggs={"m": ("avg", "n")})
+
+
+def _run_cube(t, parts=2, **kw):
+    from pypdfium2_ray.stages.rollup import cube_aggregate
+    with partition_hint(parts):
+        out = cube_aggregate(
+            rd.from_arrow(t), keys=["source", "lang"],
+            aggs={"cnt": ("count",), "tot": ("sum", "n"),
+                  "mx": ("max", "n")}, **kw).to_pandas()
+    return sorted(map(tuple, out.fillna("~").to_numpy()))
+
+
+@pytest.mark.parametrize("parts", [1, 3])
+def test_cube_matches_duckdb(tmp_path, parts):
+    import duckdb
+    import pyarrow.parquet as pq
+    p = tmp_path / f"c{parts}.parquet"
+    pq.write_table(_t(), p)
+    orc = duckdb.sql(f"""
+        SELECT COALESCE(source, '~') AS source, COALESCE(lang, '~') AS lang,
+               count(*)::BIGINT AS cnt, sum(n)::BIGINT AS tot,
+               max(n)::BIGINT AS mx,
+               (2 * grouping(source) + grouping(lang))::BIGINT AS gid
+        FROM read_parquet('{p}') GROUP BY CUBE(source, lang)
+        """).fetchall()
+    assert _run_cube(_t(), parts=parts) == sorted(map(tuple, orc))
+
+
+def test_cube_lang_only_slice():
+    """The subset ROLLUP(source, lang) cannot produce: per-lang across
+    all sources (grouping_id = 2: source rolled up, lang kept)."""
+    got = _run_cube(_t())
+    assert ("~", "en", 3, 37, 20, 2) in got
+    assert ("~", "fr", 2, 3, 2, 2) in got
+    assert len(got) == 4 + 2 + 3 + 1   # finest + source + lang + total
