@@ -3926,6 +3926,76 @@ WHERE NOT EXISTS (
     AND (q.n_events > p.n_events OR q.sum_value_e4 > p.sum_value_e4))"""
 
 
+def q_table_digest(sf_dir: str):
+    """Bucketed anti-entropy digest (stages/digest.table_digest): per
+    md5-bucket row count + XOR of row hashes over (doc_id, lang,
+    n_chars) — equality of two sides' 64x3 digests certifies row-
+    multiset equality without moving either table; a mismatch localizes
+    repair to 1/64 of the keyspace. ZERO exchanges: per-block partials,
+    single-block XOR combine, bit-identical at any partitioning."""
+    from pypdfium2_ray.stages.digest import table_digest
+    ds = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+    return table_digest(ds, ["doc_id", "lang", "n_chars"], n_buckets=64)
+
+
+def _table_digest_sql() -> str:
+    h = "md5_number_upper(doc_id::VARCHAR || '|' || lang || '|' || n_chars::VARCHAR)"
+    return f"""
+WITH d AS (
+  SELECT ({h} % 64)::BIGINT AS bucket, (({h} >> 1))::BIGINT AS hv
+  FROM documents)
+SELECT b.range::BIGINT AS bucket, count(d.hv)::BIGINT AS n_rows,
+       COALESCE(bit_xor(d.hv), 0)::BIGINT AS xor_hash
+FROM range(64) b LEFT JOIN d ON d.bucket = b.range
+GROUP BY b.range"""
+
+
+def q_chars_ntile(sf_dir: str):
+    """Global equi-depth decile of every doc under the (n_chars, doc_id)
+    total order (stages/scan.ranged_prefix_sum with val=1: the exact
+    exclusive global rank — two-phase range scan, ONE keyed exchange),
+    then decile = rank*10 // N with N from the parquet footer (no
+    scan). The global-window-function shape (NTILE) that hash groupby
+    cannot express."""
+    import pyarrow.parquet as pq
+    from pypdfium2_ray.stages.scan import ranged_prefix_sum
+    n_total = pq.ParquetFile(
+        f"{sf_dir.rstrip('/')}/documents.parquet").metadata.num_rows
+    ds = _docs(sf_dir, ["doc_id", "n_chars"])
+
+    def composite(t: pa.Table) -> pa.Table:
+        d = pc.cast(t["doc_id"], pa.int64())
+        c = pc.cast(t["n_chars"], pa.int64())
+        if t.num_rows and (pc.max(d).as_py() >= 2 ** 33
+                           or pc.max(c).as_py() >= 2 ** 29):
+            raise ValueError("composite ntile key would overflow — "
+                             "re-derive the shift widths")
+        one = pa.array(np.ones(t.num_rows, np.int64))
+        return pa.table({"doc_id": d, "n_chars": c, "one": one,
+                         "ckey": pc.add(pc.shift_left(c, 33), d)})
+
+    import numpy as np
+    with _hint(sf_dir):
+        ranked = ranged_prefix_sum(
+            ds.map_batches(composite, batch_format="pyarrow"),
+            "ckey", "one", out="rank0")
+
+    def decile(t: pa.Table) -> pa.Table:
+        r = t["rank0"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": t["doc_id"], "n_chars": t["n_chars"],
+                         "decile": pa.array(r * 10 // n_total, pa.int64())})
+
+    return ranked.map_batches(decile, batch_format="pyarrow")
+
+
+def _chars_ntile_sql() -> str:
+    return """
+SELECT doc_id, n_chars,
+       (((row_number() OVER (ORDER BY n_chars, doc_id)) - 1) * 10
+        // (SELECT count(*) FROM documents))::BIGINT AS decile
+FROM documents"""
+
+
 def q_late_orders(sf_dir: str):
     """TPC-H Q4-shaped EXISTS semi-join (pipelines/relational.
     late_orders): orders per priority with >= 1 lineitem shipped > 60
@@ -5135,6 +5205,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_distinct_users": q_type_distinct_users,
         "value_moments": q_value_moments,
         "user_pareto": q_user_pareto,
+        "table_digest": q_table_digest,
+        "chars_ntile": q_chars_ntile,
         "crawl_schedule": q_crawl_schedule,
         "user_decay": q_user_decay,
         "lang_mode": q_lang_mode,
@@ -5844,6 +5916,8 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type""",
         "value_moments": _value_moments_sql(),
         "user_pareto": _user_pareto_sql(),
+        "table_digest": _table_digest_sql(),
+        "chars_ntile": _chars_ntile_sql(),
         "heavy_bigrams": """
             WITH arrs AS (
               SELECT list_filter(regexp_split_to_array(text,

@@ -119,6 +119,10 @@ def test_query_pipeline_budgets(ray_session, tmp_path):
     pd.DataFrame({"n_nationkey": np.array([0], np.int32),
                   "n_name": ["X"], "n_regionkey": np.array([0], np.int32)}
                  ).to_parquet(tmp_path / "nation.parquet", index=False)
+    pd.DataFrame({"doc_id": [1, 2], "text": ["a b", "c d"],
+                  "lang": ["en", "de"], "source": ["s1", "s2"],
+                  "n_chars": [3, 3]}
+                 ).to_parquet(tmp_path / "documents.parquet", index=False)
     pd.DataFrame({"event_id": [1, 2], "user_id": [1, 1],
                   "ts": [d0, d0 + pd.Timedelta(seconds=1)],
                   "event_type": ["a", "b"], "value": [1.0, 2.0],
@@ -144,6 +148,11 @@ def test_query_pipeline_budgets(ray_session, tmp_path):
     # pareto: one pre-combined per-user agg exchange; the skyline itself
     # is exchange-free (per-block fronts + single-block combine)
     assert count_exchanges(q["user_pareto"](sf)) == 1
+    # anti-entropy digest: pure streaming partials + single-block XOR
+    # combine; ntile: the range scan's one bucket exchange (the totals
+    # pass lives before the materialize split)
+    assert count_exchanges(q["table_digest"](sf)) == 0
+    assert count_exchanges(q["chars_ntile"](sf)) == 1
 
 
 def test_flagship_is_shuffle_free(ray_session):
