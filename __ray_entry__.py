@@ -3996,6 +3996,45 @@ SELECT doc_id, n_chars,
 FROM documents"""
 
 
+def q_sorted_layout(sf_dir: str):
+    """TeraSort-style globally-ordered layout: every doc's exact global
+    position under the (n_chars, doc_id) total order, with bucket
+    boundaries from a DETERMINISTIC content-keyed sample
+    (stages/scan.sample_boundaries — a pure function of the key set,
+    identical at any run/partitioning/cluster size) instead of the
+    linear min/max map — the balance fix for skewed keys; assignment
+    monotonicity keeps exactness regardless. ONE keyed exchange plus
+    the bounded sample pass."""
+    import numpy as np
+    from pypdfium2_ray.stages.scan import (ranged_prefix_sum,
+                                           sample_boundaries)
+    ds = _docs(sf_dir, ["doc_id", "n_chars"])
+
+    def composite(t: pa.Table) -> pa.Table:
+        d = pc.cast(t["doc_id"], pa.int64())
+        c = pc.cast(t["n_chars"], pa.int64())
+        one = pa.array(np.ones(t.num_rows, np.int64))
+        return pa.table({"doc_id": d, "n_chars": c, "one": one,
+                         "ckey": pc.add(pc.shift_left(c, 33), d)})
+
+    cds = ds.map_batches(composite, batch_format="pyarrow")
+    with _hint(sf_dir):
+        cuts = sample_boundaries(cds, "ckey", n_buckets=8, modulus=16)
+        ranked = ranged_prefix_sum(cds, "ckey", "one", out="global_pos",
+                                   boundaries=cuts)
+    return ranked.map_batches(
+        lambda t: t.select(["doc_id", "n_chars", "global_pos"]),
+        batch_format="pyarrow")
+
+
+def _sorted_layout_sql() -> str:
+    return """
+SELECT doc_id, n_chars,
+       ((row_number() OVER (ORDER BY n_chars, doc_id)) - 1)::BIGINT
+         AS global_pos
+FROM documents"""
+
+
 def q_late_orders(sf_dir: str):
     """TPC-H Q4-shaped EXISTS semi-join (pipelines/relational.
     late_orders): orders per priority with >= 1 lineitem shipped > 60
@@ -5207,6 +5246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_pareto": q_user_pareto,
         "table_digest": q_table_digest,
         "chars_ntile": q_chars_ntile,
+        "sorted_layout": q_sorted_layout,
         "crawl_schedule": q_crawl_schedule,
         "user_decay": q_user_decay,
         "lang_mode": q_lang_mode,
@@ -5918,6 +5958,7 @@ def oracle_sql() -> dict[str, str]:
         "user_pareto": _user_pareto_sql(),
         "table_digest": _table_digest_sql(),
         "chars_ntile": _chars_ntile_sql(),
+        "sorted_layout": _sorted_layout_sql(),
         "heavy_bigrams": """
             WITH arrs AS (
               SELECT list_filter(regexp_split_to_array(text,

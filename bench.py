@@ -195,7 +195,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "incremental_extract", "audio_resample",
                      "events_quartiles", "event_transitions",
                      "overlap_pairs", "oov_rate", "editdist2_dups",
-                     "returned_revenue"]
+                     "returned_revenue", "local_volume", "big_orders",
+                     "promo_revenue", "user_event_pivot",
+                     "type_distinct_users", "value_moments",
+                     "user_pareto", "cube_stats", "table_digest",
+                     "chars_ntile"]
     E._warc_corpus(sf_dir)   # materialize the WARC shard cache untimed
     qs = E.queries()
     for name in bench_queries:

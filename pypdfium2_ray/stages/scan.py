@@ -49,34 +49,92 @@ def _minmax(ds, key_col: str) -> tuple[int, int] | None:
     return min(los), max(his)
 
 
+def sample_boundaries(ds, key_col: str, n_buckets: int,
+                      modulus: int = 64, max_sample: int = 1_000_000):
+    """Deterministic sampled bucket boundaries — the TeraSort move for
+    SKEWED keys, where :func:`ranged_prefix_sum`'s default linear
+    min/max bucketing collapses (zipf-ish keys put almost every row in
+    bucket 0; balance suffers, correctness never does).
+
+    Sampling is content-keyed (``md5_hash64(key) % modulus == 0``), so
+    the boundaries — hence the whole plan — are a pure function of the
+    key set: identical across runs, partitionings and cluster sizes
+    (the repo's determinism convention; ``ds.random_sample`` would not
+    be). The sample is collected driver-side (bounded: ``max_sample``
+    rows, loudly enforced — size *modulus* so corpus/modulus fits) and
+    reduced to ``n_buckets - 1`` quantile cut points.
+    """
+    from pypdfium2_ray.functions.sketch import md5_hash64
+
+    def keep(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_pylist()
+        mask = pa.array([md5_hash64(str(v).encode()) % modulus == 0
+                         for v in k])
+        return t.select([key_col]).filter(mask)
+
+    parts = [b for b in ds.map_batches(keep, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow", batch_size=None)]
+    n_sampled = sum(b.num_rows for b in parts)
+    if n_sampled > max_sample:
+        raise ValueError(
+            f"boundary sample {n_sampled} exceeded "
+            f"max_sample={max_sample} — raise modulus so corpus/modulus "
+            "fits driver-side")
+    if n_sampled == 0:
+        return np.array([], np.int64)
+    keys = np.sort(pa.concat_tables(parts)[key_col]
+                   .to_numpy(zero_copy_only=False).astype(np.int64))
+    idx = (np.arange(1, n_buckets) * len(keys)) // n_buckets
+    return np.unique(keys[idx])
+
+
 def ranged_prefix_sum(ds, key_col: str, val_col: str,
                       out: str = "cum_prev",
-                      num_partitions: int | None = None):
+                      num_partitions: int | None = None,
+                      boundaries=None):
     """Attach ``out`` = sum of *val_col* over all rows with a strictly
     smaller *key_col* (exclusive running total in key order; int64).
 
     *key_col* must be unique integers (it is the total order — ties
     would make "smaller" ambiguous); *val_col* non-negative integers.
+
+    ``boundaries`` (optional, sorted int64 cut points — e.g. from
+    :func:`sample_boundaries`): overrides the linear min/max bucket map
+    with ``searchsorted`` range assignment. Any monotone bucketing is
+    CORRECT (the kernel re-sorts within buckets and offsets are exact);
+    boundaries only fix BALANCE when keys are skewed.
     """
     import ray
 
     from pypdfium2_ray.stages.exchange import _PARTITION_HINT, \
         default_partitions
 
-    mm = _minmax(ds, key_col)
-    if mm is None:
-        def empty(t: pa.Table) -> pa.Table:
-            return t.append_column(out, pa.array([], pa.int64()))
-        return ds.map_batches(empty, batch_format="pyarrow")
-    lo, hi = int(mm[0]), int(mm[1])
-    n_buckets = num_partitions or _PARTITION_HINT.get() \
-        or default_partitions()
-    span = hi - lo + 1
+    if boundaries is not None:
+        cuts = np.asarray(boundaries, np.int64)
+        n_buckets = len(cuts) + 1
 
-    def add_bucket(t: pa.Table) -> pa.Table:
-        k = pc.cast(t[key_col], pa.int64()).to_numpy(zero_copy_only=False)
-        b = (k - lo) * n_buckets // span
-        return t.append_column("__bucket", pa.array(b, pa.int64()))
+        def add_bucket(t: pa.Table) -> pa.Table:
+            k = pc.cast(t[key_col],
+                        pa.int64()).to_numpy(zero_copy_only=False)
+            b = np.searchsorted(cuts, k, side="right")
+            return t.append_column("__bucket",
+                                   pa.array(b.astype(np.int64)))
+    else:
+        mm = _minmax(ds, key_col)
+        if mm is None:
+            def empty(t: pa.Table) -> pa.Table:
+                return t.append_column(out, pa.array([], pa.int64()))
+            return ds.map_batches(empty, batch_format="pyarrow")
+        lo, hi = int(mm[0]), int(mm[1])
+        n_buckets = num_partitions or _PARTITION_HINT.get() \
+            or default_partitions()
+        span = hi - lo + 1
+
+        def add_bucket(t: pa.Table) -> pa.Table:
+            k = pc.cast(t[key_col],
+                        pa.int64()).to_numpy(zero_copy_only=False)
+            b = (k - lo) * n_buckets // span
+            return t.append_column("__bucket", pa.array(b, pa.int64()))
 
     bucketed = ds.map_batches(add_bucket, batch_format="pyarrow") \
         .materialize()  # consumed twice (totals pass + rank pass); the

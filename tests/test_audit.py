@@ -153,6 +153,7 @@ def test_query_pipeline_budgets(ray_session, tmp_path):
     # pass lives before the materialize split)
     assert count_exchanges(q["table_digest"](sf)) == 0
     assert count_exchanges(q["chars_ntile"](sf)) == 1
+    assert count_exchanges(q["sorted_layout"](sf)) == 1
 
 
 def test_flagship_is_shuffle_free(ray_session):

@@ -56,3 +56,56 @@ def test_prefix_sum_empty(ray_session):
     with partition_hint(2):
         out = ranged_prefix_sum(rd.from_arrow(t), "k", "v").to_pandas()
     assert len(out) == 0
+
+
+def test_sampled_boundaries_exact_and_balanced(ray_session):
+    """Zipf-skewed keys: sampled boundaries keep the prefix sum exact
+    AND spread buckets where the linear min/max map collapses."""
+    import numpy as np
+    import ray.data as rd
+
+    from pypdfium2_ray.stages.scan import (ranged_prefix_sum,
+                                           sample_boundaries)
+    rng = np.random.RandomState(5)
+    # zipf body + one far outlier => linear span is dominated by the tail
+    keys = np.unique(rng.zipf(1.3, 4000).astype(np.int64))
+    keys = np.concatenate([keys, [10_000_000]])
+    t = pa.table({"k": keys,
+                  "v": np.ones(len(keys), np.int64)})
+    ds = rd.from_arrow(t).repartition(4)
+
+    cuts = sample_boundaries(ds, "k", n_buckets=8, modulus=4)
+    got = ranged_prefix_sum(ds, "k", "v", out="r", boundaries=cuts) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    assert (got["r"].to_numpy() == np.arange(len(keys))).all()
+
+    # balance: the linear map sends every non-outlier row to bucket 0
+    lo, hi, n = int(keys.min()), int(keys.max()), 8
+    linear = (keys - lo) * n // (hi - lo + 1)
+    sampled = np.searchsorted(cuts, keys, side="right")
+    assert np.bincount(linear, minlength=n).max() >= len(keys) - 1
+    assert np.bincount(sampled, minlength=n).max() < len(keys) / 2
+
+
+def test_sample_boundaries_deterministic(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from pypdfium2_ray.stages.scan import sample_boundaries
+    t = pa.table({"k": np.arange(2000, dtype=np.int64)})
+    a = sample_boundaries(rd.from_arrow(t), "k", 8, modulus=4)
+    b = sample_boundaries(rd.from_arrow(t).repartition(7), "k", 8,
+                          modulus=4)
+    assert (a == b).all()
+
+
+def test_sample_boundaries_cap(ray_session):
+    import numpy as np
+    import pytest
+    import ray.data as rd
+
+    from pypdfium2_ray.stages.scan import sample_boundaries
+    t = pa.table({"k": np.arange(500, dtype=np.int64)})
+    with pytest.raises(ValueError, match="max_sample"):
+        sample_boundaries(rd.from_arrow(t), "k", 4, modulus=1,
+                          max_sample=100)
