@@ -4035,6 +4035,55 @@ SELECT doc_id, n_chars,
 FROM documents"""
 
 
+def q_basket_pairs(sf_dir: str):
+    """Market-basket pair support, top-20 (stages/basket.pair_support):
+    co-purchased part pairs across orders — per-block pre-distinct, ONE
+    basket exchange, output-sensitive vectorized diagonal pair sweep +
+    per-partition pre-combine, ONE pair exchange, partial-bound top-k.
+    Set semantics (duplicate items per basket count once)."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.basket import pair_support
+    from pypdfium2_ray.stages.topk import topk
+    line = rd.read_parquet(f"{sf_dir.rstrip('/')}/lineitem.parquet",
+                           columns=["l_orderkey", "l_partkey"])
+    with _hint(sf_dir, "lineitem"):
+        sup = pair_support(line, "l_orderkey", "l_partkey")
+        return topk(sup, ["n_baskets", "item_a", "item_b"], 20,
+                    descending=[True, False, False])
+
+
+def _basket_pairs_sql() -> str:
+    return """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+       count(*)::BIGINT AS n_baskets
+FROM d a JOIN d b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY n_baskets DESC, item_a, item_b LIMIT 20"""
+
+
+def q_user_paths(sf_dir: str):
+    """Ordered per-user journey strings (stages/sessionize.event_paths):
+    each user's event types joined in (ts, event_id) order — ONE key
+    exchange, one lexsort + pyarrow list-aggregate (encounter order ==
+    sort order) + ONE binary_join per partition, zero per-key Python."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.sessionize import event_paths
+    ev = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["user_id", "event_id", "ts",
+                                  "event_type"])
+    with _hint(sf_dir, "events"):
+        return event_paths(ev)
+
+
+def _user_paths_sql() -> str:
+    return """
+SELECT user_id, count(*)::BIGINT AS n_events,
+       string_agg(event_type, '->' ORDER BY ts, event_id) AS path
+FROM events GROUP BY user_id"""
+
+
 def q_late_orders(sf_dir: str):
     """TPC-H Q4-shaped EXISTS semi-join (pipelines/relational.
     late_orders): orders per priority with >= 1 lineitem shipped > 60
@@ -5247,6 +5296,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_digest": q_table_digest,
         "chars_ntile": q_chars_ntile,
         "sorted_layout": q_sorted_layout,
+        "basket_pairs": q_basket_pairs,
+        "user_paths": q_user_paths,
         "crawl_schedule": q_crawl_schedule,
         "user_decay": q_user_decay,
         "lang_mode": q_lang_mode,
@@ -5959,6 +6010,8 @@ def oracle_sql() -> dict[str, str]:
         "table_digest": _table_digest_sql(),
         "chars_ntile": _chars_ntile_sql(),
         "sorted_layout": _sorted_layout_sql(),
+        "basket_pairs": _basket_pairs_sql(),
+        "user_paths": _user_paths_sql(),
         "heavy_bigrams": """
             WITH arrs AS (
               SELECT list_filter(regexp_split_to_array(text,

@@ -229,3 +229,44 @@ def transition_counts(ds, key_col: str = "user_id", ts_col: str = "ts",
     return grouped_aggregate(partials, ["prev_type", "next_type"],
                              {"n": ("__n", "sum")},
                              combine="single_block")
+
+
+def event_paths(ds, key: str = "user_id", order_cols=("ts", "event_id"),
+                label_col: str = "event_type", sep: str = "->",
+                out: str = "path"):
+    """Ordered per-key journey strings: every key's labels concatenated
+    in ``order_cols`` order — the user-path / clickstream-trace op
+    (``transition_counts`` aggregates adjacent pairs GLOBALLY; this
+    materializes each key's full sequence, the input to path clustering
+    and funnel discovery).
+
+    ONE hash exchange on the key; the kernel is fully vectorized: one
+    lexsort of the partition (key last => primary), then pyarrow
+    ``group_by(key).aggregate([(label, "list")])`` — whose lists
+    preserve encounter order, i.e. the sort order — joined by ONE
+    ``pc.binary_join`` call. No per-key Python; output size equals the
+    label payload, which rides a single exchange (a key's full journey
+    must colocate — inherent to the op, not a plan defect).
+    """
+    import numpy as np
+
+    from pypdfium2_ray.stages.exchange import partition_map
+    cols = [key, *order_cols, label_col]
+
+    def kernel(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        if t.num_rows == 0:
+            return pa.table({key: pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             out: pa.array([], pa.string())})
+        arrs = [t[c].to_numpy(zero_copy_only=False)
+                for c in (*reversed(order_cols), key)]
+        order = np.lexsort(arrs)
+        s = t.take(pa.array(order))
+        g = s.group_by([key], use_threads=False).aggregate(
+            [(label_col, "list"), ([], "count_all")])
+        return pa.table({key: g[key],
+                         "n_events": pc.cast(g["count_all"], pa.int64()),
+                         out: pc.binary_join(g[f"{label_col}_list"], sep)})
+
+    return partition_map(ds.select_columns(cols), [key], kernel)

@@ -154,6 +154,10 @@ def test_query_pipeline_budgets(ray_session, tmp_path):
     assert count_exchanges(q["table_digest"](sf)) == 0
     assert count_exchanges(q["chars_ntile"](sf)) == 1
     assert count_exchanges(q["sorted_layout"](sf)) == 1
+    # basket: basket exchange + pair-count exchange (top-k partial-bound);
+    # paths: a key's journey must colocate — exactly one exchange
+    assert count_exchanges(q["basket_pairs"](sf)) == 2
+    assert count_exchanges(q["user_paths"](sf)) == 1
 
 
 def test_flagship_is_shuffle_free(ray_session):

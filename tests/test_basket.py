@@ -1,0 +1,76 @@
+"""Market-basket pair support + ordered event paths vs brute force."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _brute_pairs(df):
+    from collections import Counter
+    c = Counter()
+    for _, g in df.drop_duplicates().groupby("b"):
+        items = sorted(set(g["i"]))
+        for x in range(len(items)):
+            for y in range(x + 1, len(items)):
+                c[(items[x], items[y])] += 1
+    return c
+
+
+@pytest.mark.parametrize("nparts", [1, 5])
+def test_pair_support_matches_brute(ray_session, nparts):
+    import ray.data as rd
+    from pypdfium2_ray.stages.basket import pair_support
+    rng = np.random.RandomState(2)
+    n = 3000
+    df = pd.DataFrame({"b": rng.randint(0, 400, n).astype(np.int64),
+                       "i": rng.randint(0, 30, n).astype(np.int64)})
+    got = pair_support(rd.from_pandas(df).repartition(nparts), "b", "i") \
+        .to_pandas().sort_values(["item_a", "item_b"]) \
+        .reset_index(drop=True)
+    exp = _brute_pairs(df)
+    assert len(got) == len(exp)
+    for r in got.itertuples():
+        assert exp[(r.item_a, r.item_b)] == r.n_baskets
+
+
+def test_pair_support_set_semantics(ray_session):
+    """A duplicated item within one basket counts once."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.basket import pair_support
+    df = pd.DataFrame({"b": [1, 1, 1, 2, 2], "i": [7, 7, 9, 7, 9]})
+    got = pair_support(rd.from_pandas(df), "b", "i").to_pandas()
+    assert len(got) == 1
+    assert got.iloc[0].tolist() == [7, 9, 2]
+
+
+def test_singleton_baskets_emit_nothing(ray_session):
+    import ray.data as rd
+    from pypdfium2_ray.stages.basket import pair_support
+    df = pd.DataFrame({"b": [1, 2, 3], "i": [4, 5, 6]})
+    assert pair_support(rd.from_pandas(df), "b", "i").count() == 0
+
+
+@pytest.mark.parametrize("nparts", [1, 4])
+def test_event_paths_ordered(ray_session, nparts):
+    import ray.data as rd
+    from pypdfium2_ray.stages.sessionize import event_paths
+    rng = np.random.RandomState(9)
+    n = 800
+    t0 = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 40, n).astype(np.int64),
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": [t0 + pd.Timedelta(seconds=int(s))
+               for s in rng.randint(0, 500, n)],      # ts ties likely
+        "event_type": rng.choice(["a", "bb", "c"], n).tolist(),
+    }).sample(frac=1.0, random_state=1).reset_index(drop=True)
+    got = event_paths(rd.from_pandas(df).repartition(nparts)) \
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    exp = (df.sort_values(["ts", "event_id"])
+             .groupby("user_id")["event_type"]
+             .agg(lambda s: "->".join(s)).reset_index(name="path"))
+    exp["n_events"] = df.groupby("user_id").size().values
+    exp = exp[["user_id", "n_events", "path"]]
+    pd.testing.assert_frame_equal(
+        got.astype({"n_events": "int64"}), exp.astype({"n_events": "int64"}))
