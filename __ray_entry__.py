@@ -4084,6 +4084,44 @@ SELECT user_id, count(*)::BIGINT AS n_events,
 FROM events GROUP BY user_id"""
 
 
+def q_user_value_integral(sf_dir: str):
+    """Per-user time-weighted value integral (stages/sessionize.
+    time_weighted_sum): sum(dt_seconds x value_e4) over consecutive
+    events, each interval weighted by its LEFT endpoint — the
+    metering/billing aggregate (state held at v until the next change).
+    ONE key exchange, whole-partition vectorized kernel; single-event
+    users integrate to 0 and still emit."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.sessionize import time_weighted_sum
+    ev = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["user_id", "event_id", "ts", "value"])
+
+    def prescale(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(
+            pc.cast(t["value"], pa.float64()), 10_000.0)), pa.int64())
+        return pa.table({"user_id": t["user_id"],
+                         "event_id": t["event_id"], "ts": t["ts"],
+                         "value_e4": v})
+
+    with _hint(sf_dir, "events"):
+        return time_weighted_sum(
+            ev.map_batches(prescale, batch_format="pyarrow"))
+
+
+def _user_value_integral_sql() -> str:
+    return """
+WITH o AS (
+  SELECT user_id, (round(value*10000))::BIGINT AS v,
+         epoch_us(ts) AS t,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS tn
+  FROM events)
+SELECT user_id, count(*)::BIGINT AS n_events,
+       COALESCE(sum(((tn - t) // 1000000) * v), 0)::BIGINT
+         AS integral_e4
+FROM o GROUP BY user_id"""
+
+
 def q_late_orders(sf_dir: str):
     """TPC-H Q4-shaped EXISTS semi-join (pipelines/relational.
     late_orders): orders per priority with >= 1 lineitem shipped > 60
@@ -5298,6 +5336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sorted_layout": q_sorted_layout,
         "basket_pairs": q_basket_pairs,
         "user_paths": q_user_paths,
+        "user_value_integral": q_user_value_integral,
         "crawl_schedule": q_crawl_schedule,
         "user_decay": q_user_decay,
         "lang_mode": q_lang_mode,
@@ -6012,6 +6051,7 @@ def oracle_sql() -> dict[str, str]:
         "sorted_layout": _sorted_layout_sql(),
         "basket_pairs": _basket_pairs_sql(),
         "user_paths": _user_paths_sql(),
+        "user_value_integral": _user_value_integral_sql(),
         "heavy_bigrams": """
             WITH arrs AS (
               SELECT list_filter(regexp_split_to_array(text,

@@ -270,3 +270,54 @@ def event_paths(ds, key: str = "user_id", order_cols=("ts", "event_id"),
                          out: pc.binary_join(g[f"{label_col}_list"], sep)})
 
     return partition_map(ds.select_columns(cols), [key], kernel)
+
+
+def time_weighted_sum(ds, key: str = "user_id", ts_col: str = "ts",
+                      tiebreak: str = "event_id",
+                      value_col: str = "value_e4",
+                      out: str = "integral_e4"):
+    """Per-key time-weighted value integral: ``sum(dt_seconds x value)``
+    over consecutive events in ``(ts, tiebreak)`` order, each interval
+    weighted by its LEFT endpoint's value — the metering/billing
+    aggregate (state held at v until the next change: usage-hours,
+    position exposure, holding value). The last event of a key carries
+    no interval; a single-event key integrates to 0.
+
+    *value_col* is caller-pre-scaled int64 (the moments convention);
+    dt is whole seconds (``us_diff // 1e6`` — nonneg after the sort, so
+    floor == truncate on both engines) to keep ``dt x value`` sums in
+    int64 range. ONE hash exchange; whole-partition vectorized kernel
+    (lexsort, diff, boundary mask, one Cython groupby sum). Keys emit
+    even when the integral is 0 (count rides along as ``n_events``).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pypdfium2_ray.stages.exchange import partition_map
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                key: pd.Series([], dtype="int64"),
+                "n_events": pd.Series([], dtype="int64"),
+                out: pd.Series([], dtype="int64")})
+        k = df[key].to_numpy()
+        us = df[ts_col].to_numpy().astype("datetime64[us]").view("int64")
+        tb = df[tiebreak].to_numpy()
+        v = df[value_col].to_numpy().astype(np.int64)
+        order = np.lexsort((tb, us, k))
+        k, us, v = k[order], us[order], v[order]
+        same = k[1:] == k[:-1]
+        dt_s = (np.diff(us) // 1_000_000)
+        contrib = np.where(same, dt_s * v[:-1], 0)
+        g = pd.DataFrame({key: k,
+                          "c": np.concatenate([contrib, [0]])})
+        agg = g.groupby(key, sort=False, as_index=False)["c"] \
+            .agg(n_events="count", **{out: "sum"})
+        return agg.rename(columns={"c": out})[
+            [key, "n_events", out]].astype(
+            {"n_events": "int64", out: "int64"})
+
+    return partition_map(ds.select_columns([key, ts_col, tiebreak,
+                                            value_col]),
+                         [key], kernel, batch_format="pandas")

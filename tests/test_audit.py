@@ -158,6 +158,7 @@ def test_query_pipeline_budgets(ray_session, tmp_path):
     # paths: a key's journey must colocate — exactly one exchange
     assert count_exchanges(q["basket_pairs"](sf)) == 2
     assert count_exchanges(q["user_paths"](sf)) == 1
+    assert count_exchanges(q["user_value_integral"](sf)) == 1
 
 
 def test_flagship_is_shuffle_free(ray_session):

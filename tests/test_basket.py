@@ -74,3 +74,35 @@ def test_event_paths_ordered(ray_session, nparts):
     exp = exp[["user_id", "n_events", "path"]]
     pd.testing.assert_frame_equal(
         got.astype({"n_events": "int64"}), exp.astype({"n_events": "int64"}))
+
+
+@pytest.mark.parametrize("nparts", [1, 4])
+def test_time_weighted_sum(ray_session, nparts):
+    import ray.data as rd
+    from pypdfium2_ray.stages.sessionize import time_weighted_sum
+    rng = np.random.RandomState(4)
+    n = 600
+    t0 = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 30, n).astype(np.int64),
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": [t0 + pd.Timedelta(seconds=int(s))
+               for s in rng.randint(0, 100, n)],       # many ts ties
+        "value_e4": rng.randint(0, 1000, n).astype(np.int64),
+    })
+    df.loc[len(df)] = [999, n, t0, 7]                   # single-event user
+    got = time_weighted_sum(rd.from_pandas(df).repartition(nparts)) \
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+
+    def brute(g):
+        g = g.sort_values(["ts", "event_id"])
+        t = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        v = g["value_e4"].to_numpy()
+        return int((np.diff(t) // 1_000_000 * v[:-1]).sum())
+
+    exp = df.groupby("user_id").apply(brute, include_groups=False) \
+        .reset_index(name="integral_e4")
+    exp.insert(1, "n_events", df.groupby("user_id").size().values)
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), exp.astype("int64"))
+    assert got.loc[got.user_id == 999, "integral_e4"].item() == 0
