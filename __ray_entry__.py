@@ -5197,6 +5197,106 @@ def q_image_resize(sf_dir: str):
         ["width", "height"])
 
 
+def q_value_outliers(sf_dir: str):
+    """Robust per-type outliers (stages/agg.grouped_mad_outliers): rows
+    with |v - median| > 3 x MAD in 1e-4 units — the skew-proof curation
+    gate (a z-score gate's own threshold is dragged by the outliers it
+    should catch; median/MAD are not). Doubled discrete medians keep the
+    whole test in int64 (2 x dev2 > 3 x mad4 — cross-multiplied, no
+    division), so doubles hash-match the row_number twin bit-for-bit.
+    ONE exchange on event_type, two lexsorts per partition, zero
+    per-group Python."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import grouped_mad_outliers
+    ev = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["event_type", "event_id", "value"])
+
+    def prescale(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(
+            pc.cast(t["value"], pa.float64()), 10_000.0)), pa.int64())
+        return pa.table({"event_type": t["event_type"],
+                         "event_id": t["event_id"], "value_e4": v})
+
+    with _hint(sf_dir, "events"):
+        return grouped_mad_outliers(
+            ev.map_batches(prescale, batch_format="pyarrow"),
+            ["event_type"], "value_e4", tiebreak="event_id")
+
+
+def _value_outliers_sql() -> str:
+    # med2 = v[(n-1)//2] + v[n//2] under (v, event_id): both picks via
+    # row_number CASE sums (odd n -> same index counted twice); dev2 and
+    # mad4 repeat the rule on |2v - med2|. 2*dev2 > 3*mad4 is the
+    # cross-multiplied |v-med| > 3*MAD.
+    return """
+WITH s AS (SELECT event_type, event_id,
+                  (round(value*10000))::BIGINT AS value_e4 FROM events),
+r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY value_e4, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS c FROM s),
+m AS (SELECT event_type,
+             sum(CASE WHEN rn - 1 = (c - 1) // 2 THEN value_e4 ELSE 0 END)
+           + sum(CASE WHEN rn - 1 = c // 2 THEN value_e4 ELSE 0 END) AS med2
+      FROM r GROUP BY event_type),
+d AS (SELECT r.event_type, r.event_id, r.value_e4,
+             abs(2 * r.value_e4 - m.med2)::BIGINT AS dev2
+      FROM r JOIN m USING (event_type)),
+d2 AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                    ORDER BY dev2, event_id) AS rn,
+              count(*) OVER (PARTITION BY event_type) AS c FROM d),
+md AS (SELECT event_type,
+              sum(CASE WHEN rn - 1 = (c - 1) // 2 THEN dev2 ELSE 0 END)
+            + sum(CASE WHEN rn - 1 = c // 2 THEN dev2 ELSE 0 END) AS mad4
+       FROM d2 GROUP BY event_type)
+SELECT d.event_type, d.event_id, d.value_e4, d.dev2, md.mad4
+FROM d JOIN md USING (event_type)
+WHERE 2 * d.dev2 > 3 * md.mad4"""
+
+
+def q_k_anon_events(sf_dir: str):
+    """k-anonymity release gate (stages/privacy.k_anonymize): suppress
+    every row whose quasi-identifier combination (event_type, UTC hour
+    of day, value decade) isolates fewer than k=5 rows corpus-wide —
+    Sweeney's re-identification floor as ONE hash exchange on the quasi
+    keys + a whole-partition count-and-mask kernel (no census + semi-join
+    round trip)."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.privacy import k_anonymize
+    ev = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["event_id", "event_type", "ts", "value"])
+
+    def quasi(t: pa.Table) -> pa.Table:
+        import numpy as np
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = (us // 3_600_000_000) % 24
+        v = pc.cast(pc.round(pc.multiply(
+            pc.cast(t["value"], pa.float64()), 10_000.0)),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        decade = v // 100_000  # 10-unit-wide value buckets in 1e-4 units
+        return pa.table({"event_id": t["event_id"],
+                         "event_type": t["event_type"],
+                         "hour": pa.array(hour.astype(np.int64)),
+                         "value_decade": pa.array(decade)})
+
+    with _hint(sf_dir, "events"):
+        return k_anonymize(ev.map_batches(quasi, batch_format="pyarrow"),
+                           ["event_type", "hour", "value_decade"], k=5)
+
+
+def _k_anon_events_sql() -> str:
+    # epoch microseconds // 3.6e9 % 24 == UTC hour; value decade floors
+    # the 1e-4-scaled value by 1e5. DuckDB // truncates toward zero but
+    # both operands are nonnegative here (ts after 1970, value >= 0 in
+    # the synthetic events table) so floor == truncate.
+    return """
+WITH q AS (SELECT event_id, event_type,
+                  (epoch_us(ts) // 3600000000) % 24 AS hour,
+                  (round(value*10000))::BIGINT // 100000 AS value_decade
+           FROM events)
+SELECT event_id, event_type, hour, value_decade FROM q
+QUALIFY count(*) OVER (PARTITION BY event_type, hour, value_decade) >= 5"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -5337,6 +5437,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "basket_pairs": q_basket_pairs,
         "user_paths": q_user_paths,
         "user_value_integral": q_user_value_integral,
+        "value_outliers": q_value_outliers,
+        "k_anon_events": q_k_anon_events,
         "crawl_schedule": q_crawl_schedule,
         "user_decay": q_user_decay,
         "lang_mode": q_lang_mode,
@@ -6052,6 +6154,8 @@ def oracle_sql() -> dict[str, str]:
         "basket_pairs": _basket_pairs_sql(),
         "user_paths": _user_paths_sql(),
         "user_value_integral": _user_value_integral_sql(),
+        "value_outliers": _value_outliers_sql(),
+        "k_anon_events": _k_anon_events_sql(),
         "heavy_bigrams": """
             WITH arrs AS (
               SELECT list_filter(regexp_split_to_array(text,

@@ -396,3 +396,90 @@ def grouped_moments(ds, keys: list[str], x_col: str, y_col: str,
          "sum_y": ("y", "sum"), "sum_xx": ("xx", "sum"),
          "sum_yy": ("yy", "sum"), "sum_xy": ("xy", "sum")},
         combine=combine, num_partitions=num_partitions)
+
+
+def grouped_mad_outliers(ds, keys: list[str], col: str, tiebreak: str,
+                         thresh_num: int = 3, thresh_den: int = 1,
+                         num_partitions: int | None = None):
+    """Robust per-group outlier detection: emit the rows whose distance
+    from the group median exceeds ``(thresh_num/thresh_den) x MAD``
+    (median absolute deviation) — the curation filter that survives the
+    skew that makes mean/stddev gates useless (a single 1e9 value drags
+    a z-score gate's own threshold past every other outlier; the median
+    and MAD ignore it).
+
+    Exactness discipline: *doubled* discrete medians keep everything in
+    int64 — ``med2 = v[(n-1)//2] + v[n//2]`` over the ``(col, tiebreak)``
+    total order (odd n: twice the middle element; even: the sum of the
+    middle two — exactly 2x the SQL ``median``), per-row deviation
+    ``dev2 = |2v - med2|`` (= 2x the true deviation), and ``mad4`` = the
+    doubled discrete median of ``dev2`` (= 4x the true MAD). The outlier
+    test ``|v - med| > t x MAD`` becomes the integer cross-multiplication
+    ``2 x dev2 x thresh_den > thresh_num x mad4`` — no division, no
+    floats, bit-reproducible against a row_number SQL twin.
+
+    Degenerate MAD: when more than half a group equals its median,
+    ``mad4 = 0`` and EVERY value off the median is flagged — the standard
+    MAD collapse, deterministic and intentional (callers wanting a floor
+    pass ``thresh_den`` scaled against a minimum absolute deviation).
+
+    Scale shape: non-associative twice over (a median of deviations from
+    a median), so the group must colocate — ONE hash exchange on *keys*
+    (:func:`exchange.partition_map`), then a whole-partition vectorized
+    kernel: two lexsorts + run-geometry gathers, zero per-group Python.
+    Only the ``keys + [col, tiebreak]`` projection moves.
+
+    Output: the outlier rows as ``keys + [tiebreak, col, dev2, mad4]``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _doubled_median(sort_cols, gid_sorted, starts, sizes, vals_sorted):
+        lo = vals_sorted[starts + (sizes - 1) // 2]
+        hi = vals_sorted[starts + sizes // 2]
+        return lo + hi
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = keys + [tiebreak, col, "dev2", "mad4"]
+        if not len(df):
+            empty = {k: df[k] for k in keys + [tiebreak, col]}
+            empty["dev2"] = pd.Series([], dtype="int64")
+            empty["mad4"] = pd.Series([], dtype="int64")
+            return pd.DataFrame(empty)[cols]
+        v = df[col].to_numpy()
+        tb = df[tiebreak].to_numpy()
+        karr = [df[k].to_numpy() for k in keys]
+        # pass 1: doubled median of v per group
+        o1 = np.lexsort([tb, v] + list(reversed(karr)))
+        gid = df.groupby(keys, sort=False).ngroup().to_numpy()
+        g1 = gid[o1]
+        starts = np.flatnonzero(np.concatenate(([True], g1[1:] != g1[:-1])))
+        sizes = np.diff(np.append(starts, len(g1)))
+        med2_g = _doubled_median(None, g1, starts, sizes, v[o1])
+        # group-id -> med2 lookup (gids are 0..n_groups-1 but starts order
+        # follows the sort; scatter into a dense array)
+        n_groups = int(gid.max()) + 1
+        med2_by_gid = np.zeros(n_groups, dtype=np.int64)
+        med2_by_gid[g1[starts]] = med2_g
+        dev2 = np.abs(2 * v - med2_by_gid[gid])
+        # pass 2: doubled median of dev2 per group
+        o2 = np.lexsort([tb, dev2] + list(reversed(karr)))
+        g2 = gid[o2]
+        starts2 = np.flatnonzero(np.concatenate(([True],
+                                                 g2[1:] != g2[:-1])))
+        sizes2 = np.diff(np.append(starts2, len(g2)))
+        mad4_g = _doubled_median(None, g2, starts2, sizes2, dev2[o2])
+        mad4_by_gid = np.zeros(n_groups, dtype=np.int64)
+        mad4_by_gid[g2[starts2]] = mad4_g
+        mad4 = mad4_by_gid[gid]
+        mask = 2 * dev2 * thresh_den > thresh_num * mad4
+        out = {k: a[mask] for k, a in zip(keys, karr)}
+        out[tiebreak] = tb[mask]
+        out[col] = v[mask]
+        out["dev2"] = dev2[mask]
+        out["mad4"] = mad4[mask]
+        return pd.DataFrame(out)[cols]
+
+    proj = ds.select_columns(keys + [col, tiebreak])
+    return partition_map(proj, keys, kernel, batch_format="pandas",
+                         num_partitions=num_partitions)

@@ -351,3 +351,74 @@ def test_grouped_moments(ray_session, combine):
     cols = ["g", "n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy"]
     pd.testing.assert_frame_equal(
         got[cols].astype({c: "int64" for c in cols[1:]}), exp[cols])
+
+
+def _mad_brute(df, thresh_num=3, thresh_den=1):
+    """Brute-force doubled-median MAD outliers per group."""
+    out = []
+    for g, sub in df.groupby("g"):
+        v = np.sort(sub["v"].to_numpy())
+        n = len(v)
+        med2 = int(v[(n - 1) // 2]) + int(v[n // 2])
+        dev2 = np.abs(2 * sub["v"].to_numpy() - med2)
+        d = np.sort(dev2)
+        mad4 = int(d[(n - 1) // 2]) + int(d[n // 2])
+        m = 2 * dev2 * thresh_den > thresh_num * mad4
+        for tb, vv, dd in zip(sub["tb"].to_numpy()[m],
+                              sub["v"].to_numpy()[m], dev2[m]):
+            out.append((g, int(tb), int(vv), int(dd), mad4))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("nparts", [1, 7])
+def test_grouped_mad_outliers(ray_session, nparts):
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import grouped_mad_outliers
+    rng = np.random.RandomState(7)
+    n = 4000
+    base = rng.randint(90, 110, n).astype(np.int64)
+    # inject unambiguous outliers
+    base[::97] += 10_000
+    t = pa.table({"g": rng.choice(["a", "b", "c"], n).tolist(),
+                  "tb": np.arange(n, dtype=np.int64),
+                  "v": base})
+    got = grouped_mad_outliers(rd.from_arrow(t).repartition(nparts),
+                               ["g"], "v", tiebreak="tb").to_pandas()
+    got_rows = sorted(zip(got["g"], got["tb"].astype(int),
+                          got["v"].astype(int), got["dev2"].astype(int),
+                          got["mad4"].astype(int)))
+    assert got_rows == _mad_brute(t.to_pandas())
+    assert len(got_rows) >= n // 97  # every injected outlier flagged
+
+
+def test_grouped_mad_degenerate_zero_mad(ray_session):
+    """>half the group at the median -> mad4 = 0 -> every off-median
+    value flags (the documented MAD collapse)."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import grouped_mad_outliers
+    t = pa.table({"g": ["x"] * 6,
+                  "tb": np.arange(6, dtype=np.int64),
+                  "v": np.array([5, 5, 5, 5, 9, 2], dtype=np.int64)})
+    got = grouped_mad_outliers(rd.from_arrow(t), ["g"], "v",
+                               tiebreak="tb").to_pandas()
+    assert sorted(got["v"].astype(int)) == [2, 9]
+
+
+def test_k_anonymize(ray_session):
+    import ray.data as rd
+    from pypdfium2_ray.stages.privacy import k_anonymize
+    rng = np.random.RandomState(11)
+    n = 2000
+    t = pa.table({"qa": rng.choice(["u", "v", "w"], n).tolist(),
+                  "qb": rng.randint(0, 40, n).astype(np.int64),
+                  "payload": np.arange(n, dtype=np.int64)})
+    got = k_anonymize(rd.from_arrow(t).repartition(5), ["qa", "qb"],
+                      k=15).to_pandas()
+    df = t.to_pandas()
+    sizes = df.groupby(["qa", "qb"])["payload"].transform("size")
+    exp = df[sizes >= 15]
+    assert sorted(got["payload"]) == sorted(exp["payload"])
+    assert list(got.columns) == ["qa", "qb", "payload"]  # schema kept
+    # every surviving combo really has >= k rows
+    surv = got.groupby(["qa", "qb"]).size()
+    assert (surv >= 15).all() and len(surv) > 0
