@@ -877,6 +877,70 @@ def _cm_counts_sql() -> str:
         SELECT v AS value, min(sd)::BIGINT AS est FROM cells GROUP BY v"""
 
 
+#: join-size-estimation config — shared with the oracle generator.
+#: width sizes the over-estimate: E[excess] <= N_A*N_B/width, so a planner
+#: wanting ~eps relative error on join size J provisions width ~ N_A*N_B/
+#: (eps*J). 8192 keeps the sf0.01 orders|x|customer estimate within ~20%.
+JS_WIDTH, JS_DEPTH = 8192, 4
+
+
+def q_join_size_est(sf_dir: str):
+    """Count-Min join-cardinality estimate (stages/freq.cm_join_size):
+    |orders JOIN customer ON custkey| WITHOUT running the join — the
+    AGMS/CM inner-product planner statistic for sizing a shuffle before
+    paying for it. Distinct-key pre-combine per block, ONE bounded
+    (d, cell) exchange; nothing input-sized moves. The cell hash is the
+    md5_number_upper twin, so the estimate (collision over-counts
+    included) is SQL-exact."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.freq import cm_join_size
+    orders = rd.read_parquet(f"{sf_dir.rstrip('/')}/orders.parquet",
+                             columns=["o_custkey"])
+    cust = rd.read_parquet(f"{sf_dir.rstrip('/')}/customer.parquet",
+                           columns=["c_custkey"])
+    with _hint(sf_dir, "orders"):
+        return cm_join_size(orders, "o_custkey", cust, "c_custkey",
+                            width=JS_WIDTH, depth=JS_DEPTH)
+
+
+def _join_size_est_sql() -> str:
+    ds = ", ".join(f"({d})" for d in range(JS_DEPTH))
+    return f"""
+        WITH ca AS (SELECT o_custkey AS k, count(*)::BIGINT AS c
+                    FROM orders GROUP BY 1),
+        cb AS (SELECT c_custkey AS k, count(*)::BIGINT AS c
+               FROM customer GROUP BY 1),
+        d(d) AS (VALUES {ds}),
+        ga AS (SELECT d.d,
+                      md5_number_upper(d.d || ':' || ca.k) % {JS_WIDTH}
+                        AS cell, SUM(ca.c) AS c
+               FROM d CROSS JOIN ca GROUP BY 1, 2),
+        gb AS (SELECT d.d,
+                      md5_number_upper(d.d || ':' || cb.k) % {JS_WIDTH}
+                        AS cell, SUM(cb.c) AS c
+               FROM d CROSS JOIN cb GROUP BY 1, 2),
+        ip AS (SELECT ga.d, SUM(ga.c * gb.c) AS ip
+               FROM ga JOIN gb ON ga.d = gb.d AND ga.cell = gb.cell
+               GROUP BY 1)
+        SELECT min(ip)::BIGINT AS est FROM ip"""
+
+
+def q_join_size_exact(sf_dir: str):
+    """Exact join cardinality without materializing the join
+    (stages/freq.exact_join_size): sum_k cntA[k]*cntB[k] — per-key counts
+    pre-combined per block, ONE key-width exchange, per-partition
+    product-sum. Ground truth for q_join_size_est at a fraction of the
+    join's payload exchange."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.freq import exact_join_size
+    li = rd.read_parquet(f"{sf_dir.rstrip('/')}/lineitem.parquet",
+                         columns=["l_orderkey"])
+    orders = rd.read_parquet(f"{sf_dir.rstrip('/')}/orders.parquet",
+                             columns=["o_orderkey"])
+    with _hint(sf_dir, "lineitem"):
+        return exact_join_size(li, "l_orderkey", orders, "o_orderkey")
+
+
 def q_dedup_exact(sf_dir: str):
     from pypdfium2_ray.stages.agg import grouped_aggregate
     from pypdfium2_ray.stages.textstats import add_fingerprint
@@ -5345,6 +5409,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": q_incremental_dedup,
         "normalize_text": q_normalize_text,
         "cm_counts": q_cm_counts,
+        "join_size_est": q_join_size_est,
+        "join_size_exact": q_join_size_exact,
         "zorder_layout": q_zorder_layout,
         "robots_gate": q_robots_gate,
         "minhash_dups": q_minhash_dups,
@@ -5757,6 +5823,10 @@ def oracle_sql() -> dict[str, str]:
             + sql_normalize_text("('“' || text || '”… — ok')")
             + " AS norm_text FROM documents"),
         "cm_counts": _cm_counts_sql(),
+        "join_size_est": _join_size_est_sql(),
+        "join_size_exact": """
+            SELECT count(*)::BIGINT AS exact
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey""",
         "zorder_layout": f"""
             SELECT event_id, {_zorder_sql} AS zkey
             FROM events""",

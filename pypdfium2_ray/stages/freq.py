@@ -526,3 +526,139 @@ def cm_estimate(sketch: pa.Table, values, width: int = 1024,
         out_e.append(int(est))
     return pa.table({"value": pa.array(out_v, pa.string()),
                      "est": pa.array(out_e, pa.int64())})
+
+
+def cm_join_size(ds_a, key_a: str, ds_b, key_b: str, width: int = 2048,
+                 depth: int = 4, num_partitions: int | None = None):
+    """Equi-join cardinality estimation WITHOUT running the join: the
+    Count-Min inner product (AGMS/CM classic) —
+    ``est = min_d sum_cell cntA[d][cell] * cntB[d][cell]`` where each
+    side's keys are counted into the same ``(d, cell)`` grid as
+    :func:`count_min_sketch`. Hash collisions only ever ADD cross terms,
+    so ``est >= |A JOIN B|`` always, and ``E[excess] <= N_A*N_B/width``
+    per row — the planner-statistics primitive for sizing a shuffle
+    before paying for it.
+
+    Scale shape: each block collapses to distinct-key counts first, ships
+    pre-combined ``(d, cell, cnt_a, cnt_b)`` rows (zero on the foreign
+    side), ONE hash exchange on ``(d, cell)`` sums both sides and emits
+    per-partition PARTIAL per-d inner products; the final combine is a
+    single block (``depth x n_partitions`` rows). Nothing the size of
+    either input ever moves — the whole estimate costs two streaming
+    passes plus one bounded exchange.
+
+    The cell hash is the ``md5_number_upper`` twin (``md5_hash64`` of
+    ``f"{d}:{key}"``), so the ESTIMATE itself — including every collision
+    over-count — is SQL-expressible exactly.
+
+    Returns a one-row Dataset ``{est: int64}``.
+    """
+    from pypdfium2_ray.functions.sketch import md5_hash64
+
+    def make_partial(key_col: str, a_side: bool):
+        def partial(t: pa.Table) -> pa.Table:
+            vc = t.select([key_col]).group_by([key_col]) \
+                .aggregate([([], "count_all")])
+            vals = vc[key_col].to_pylist()
+            cnts = vc["count_all"].to_numpy()
+            ds_, cells, counts = [], [], []
+            for d in range(depth):
+                for v, c in zip(vals, cnts):
+                    ds_.append(d)
+                    cells.append(md5_hash64(f"{d}:{v}".encode()) % width)
+                    counts.append(int(c))
+            zero = [0] * len(ds_)
+            t2 = pa.table({"d": pa.array(ds_, pa.int32()),
+                           "cell": pa.array(cells, pa.int64()),
+                           "cnt_a": pa.array(counts if a_side else zero,
+                                             pa.int64()),
+                           "cnt_b": pa.array(zero if a_side else counts,
+                                             pa.int64())})
+            g = t2.group_by(["d", "cell"]).aggregate(
+                [("cnt_a", "sum"), ("cnt_b", "sum")])
+            return g.rename_columns(["d", "cell", "cnt_a", "cnt_b"])
+        return partial
+
+    pa_a = ds_a.map_batches(make_partial(key_a, True),
+                            batch_format="pyarrow")
+    pa_b = ds_b.map_batches(make_partial(key_b, False),
+                            batch_format="pyarrow")
+
+    def ip_partial(t: pa.Table) -> pa.Table:
+        import numpy as np
+        if t.num_rows == 0:
+            return pa.table({"d": pa.array([], pa.int32()),
+                             "ip": pa.array([], pa.int64())})
+        g = t.group_by(["d", "cell"]).aggregate(
+            [("cnt_a", "sum"), ("cnt_b", "sum")])
+        d = g["d"].to_numpy()
+        prod = g["cnt_a_sum"].to_numpy() * g["cnt_b_sum"].to_numpy()
+        # per-d partial sums within this partition, int64-exact
+        # (np.bincount weights would round-trip through float64;
+        # products are bounded by N_A*N_B << 2^63 per the docstring)
+        out_d, inv = np.unique(d, return_inverse=True)
+        acc = np.zeros(len(out_d), dtype=np.int64)
+        np.add.at(acc, inv, prod)
+        return pa.table({"d": pa.array(out_d.astype("int32"), pa.int32()),
+                         "ip": pa.array(acc, pa.int64())})
+
+    partials = partition_map(pa_a.union(pa_b), ["d", "cell"], ip_partial,
+                             num_partitions=num_partitions)
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"est": pa.array([0], pa.int64())})
+        g = t.group_by(["d"]).aggregate([("ip", "sum")])
+        est = min(g["ip_sum"].to_pylist())
+        return pa.table({"est": pa.array([int(est)], pa.int64())})
+
+    return partials.repartition(1).map_batches(
+        final, batch_size=None, batch_format="pyarrow")
+
+
+def exact_join_size(ds_a, key_a: str, ds_b, key_b: str,
+                    num_partitions: int | None = None):
+    """EXACT equi-join cardinality without materializing the join:
+    ``sum_k cntA[k] * cntB[k]``. Per-block pre-combined per-key counts on
+    each side (two streaming passes), ONE hash exchange on the key, a
+    vectorized per-partition sum-then-product, and a single-block total —
+    the ground truth :func:`cm_join_size` is checked against, at one
+    key-width exchange instead of the join's full-payload one.
+
+    Returns a one-row Dataset ``{exact: int64}``.
+    """
+
+    def make_partial(key_col: str, a_side: bool):
+        def partial(t: pa.Table) -> pa.Table:
+            vc = t.select([key_col]).group_by([key_col]) \
+                .aggregate([([], "count_all")])
+            n = vc.num_rows
+            zero = pa.array([0] * n, pa.int64())
+            cnt = vc["count_all"].cast(pa.int64())
+            return pa.table({"k": vc[key_col].cast(pa.int64()),
+                             "cnt_a": cnt if a_side else zero,
+                             "cnt_b": zero if a_side else cnt})
+        return partial
+
+    pa_a = ds_a.map_batches(make_partial(key_a, True),
+                            batch_format="pyarrow")
+    pa_b = ds_b.map_batches(make_partial(key_b, False),
+                            batch_format="pyarrow")
+
+    def prod_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"s": pa.array([0], pa.int64())})
+        g = t.group_by(["k"]).aggregate(
+            [("cnt_a", "sum"), ("cnt_b", "sum")])
+        prod = g["cnt_a_sum"].to_numpy() * g["cnt_b_sum"].to_numpy()
+        return pa.table({"s": pa.array([int(prod.sum())], pa.int64())})
+
+    partials = partition_map(pa_a.union(pa_b), ["k"], prod_partial,
+                             num_partitions=num_partitions)
+
+    def final(t: pa.Table) -> pa.Table:
+        tot = int(pc.sum(t["s"]).as_py() or 0)
+        return pa.table({"exact": pa.array([tot], pa.int64())})
+
+    return partials.repartition(1).map_batches(
+        final, batch_size=None, batch_format="pyarrow")

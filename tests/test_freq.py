@@ -279,3 +279,55 @@ def test_count_min_partition_invariant(ray_session):
     assert a.values.tolist() == b.values.tolist()
     # total mass per depth row == N exactly (sums are exact ints)
     assert (a.groupby("d")["count"].sum() == 125).all()
+
+
+def test_join_size_exact_matches_true_join(ray_session):
+    import ray.data as rd
+    from pypdfium2_ray.stages.freq import exact_join_size
+    a = pa.table({"k": pa.array([1, 1, 2, 3, 3, 3, 9], pa.int64())})
+    b = pa.table({"k": pa.array([1, 2, 2, 3, 7], pa.int64())})
+    # true join size: 2*1 + 1*2 + 3*1 = 7
+    out = exact_join_size(rd.from_arrow(a).repartition(3), "k",
+                          rd.from_arrow(b), "k").take_all()
+    assert out == [{"exact": 7}]
+
+
+def test_join_size_exact_empty_side(ray_session):
+    import ray.data as rd
+    from pypdfium2_ray.stages.freq import exact_join_size
+    a = pa.table({"k": pa.array([1, 2], pa.int64())})
+    b = pa.table({"k": pa.array([], pa.int64())})
+    out = exact_join_size(rd.from_arrow(a), "k",
+                          rd.from_arrow(b), "k").take_all()
+    assert out == [{"exact": 0}]
+
+
+def test_cm_join_size_never_underestimates(ray_session):
+    import ray.data as rd
+    from pypdfium2_ray.stages.freq import cm_join_size, exact_join_size
+    rng = __import__("numpy").random.default_rng(7)
+    a = pa.table({"k": pa.array(rng.integers(0, 40, 500), pa.int64())})
+    b = pa.table({"k": pa.array(rng.integers(0, 60, 300), pa.int64())})
+    exact = exact_join_size(rd.from_arrow(a), "k",
+                            rd.from_arrow(b), "k").take_all()[0]["exact"]
+    est = cm_join_size(rd.from_arrow(a).repartition(4), "k",
+                       rd.from_arrow(b), "k",
+                       width=256, depth=4).take_all()[0]["est"]
+    assert est >= exact
+    # E[excess] <= N_A*N_B/width = 500*300/256 ~ 586 per depth row; min
+    # over 4 rows stays well inside 3x that in practice
+    assert est <= exact + 3 * (500 * 300 // 256)
+
+
+def test_cm_join_size_partition_invariant(ray_session):
+    import ray.data as rd
+    from pypdfium2_ray.stages.freq import cm_join_size
+    a = pa.table({"k": pa.array(list(range(30)) * 3, pa.int64())})
+    b = pa.table({"k": pa.array(list(range(0, 60, 2)), pa.int64())})
+    one = cm_join_size(rd.from_arrow(a), "k", rd.from_arrow(b), "k",
+                       width=128, depth=3).take_all()
+    two = cm_join_size(rd.from_arrow(a).repartition(7), "k",
+                       rd.from_arrow(b).repartition(2), "k",
+                       width=128, depth=3,
+                       num_partitions=5).take_all()
+    assert one == two
