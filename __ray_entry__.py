@@ -941,6 +941,66 @@ def q_join_size_exact(sf_dir: str):
         return exact_join_size(li, "l_orderkey", orders, "o_orderkey")
 
 
+def q_cust_order_dist(sf_dir: str):
+    """TPC-H Q13 LEFT-join order-count distribution without a join:
+    one fact exchange + footer arithmetic for the zero-order row
+    (pipelines/relational.cust_order_dist)."""
+    from pypdfium2_ray.pipelines.relational import cust_order_dist
+    with _hint(sf_dir, "orders"):
+        return cust_order_dist(sf_dir)
+
+
+def q_order_priority_semi(sf_dir: str):
+    """TPC-H Q4-shaped EXISTS semi-join census
+    (pipelines/relational.order_priority_semi): keys-only exchange-tier
+    semi join, enum-small priority rollup."""
+    from pypdfium2_ray.pipelines.relational import order_priority_semi
+    with _hint(sf_dir, "lineitem"):
+        return order_priority_semi(sf_dir)
+
+
+def q_top_supplier(sf_dir: str):
+    """TPC-H Q15 max-revenue supplier over a ship-date quarter
+    (pipelines/relational.top_supplier): one windowed fact exchange,
+    distributed max over the bounded per-supplier aggregate, pushdown
+    name fetch of just the winners."""
+    from pypdfium2_ray.pipelines.relational import top_supplier
+    with _hint(sf_dir, "lineitem"):
+        return top_supplier(sf_dir)
+
+
+def q_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 correlated-aggregate join
+    (pipelines/relational.small_qty_revenue): per-part averages joined
+    back onto the part-keyed fact via lookup_join, integer cross-
+    multiplied 0.2x-average predicate, two-level global sum."""
+    from pypdfium2_ray.pipelines.relational import small_qty_revenue
+    with _hint(sf_dir, "lineitem"):
+        return small_qty_revenue(sf_dir)
+
+
+def q_idle_rich_customers(sf_dir: str):
+    """TPC-H Q22 anti-join report
+    (pipelines/relational.idle_rich_customers): two-scalar positive-
+    balance average, integer cross-multiplied threshold, exchange-tier
+    NOT IN, enum-small nation rollup."""
+    from pypdfium2_ray.pipelines.relational import idle_rich_customers
+    with _hint(sf_dir, "customer"):
+        return idle_rich_customers(sf_dir)
+
+
+def q_key_skew(sf_dir: str):
+    """Shuffle-planner skew histogram over events.user_id
+    (stages/freq.key_skew): per-key counts in one keys-only exchange,
+    log2 buckets, single-block rollup."""
+    from pypdfium2_ray.stages.freq import key_skew
+    import ray.data as rd
+    ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["user_id"])
+    with _hint(sf_dir, "events"):
+        return key_skew(ds, "user_id")
+
+
 def q_dedup_exact(sf_dir: str):
     from pypdfium2_ray.stages.agg import grouped_aggregate
     from pypdfium2_ray.stages.textstats import add_fingerprint
@@ -5411,6 +5471,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cm_counts": q_cm_counts,
         "join_size_est": q_join_size_est,
         "join_size_exact": q_join_size_exact,
+        "cust_order_dist": q_cust_order_dist,
+        "order_priority_semi": q_order_priority_semi,
+        "top_supplier": q_top_supplier,
+        "small_qty_revenue": q_small_qty_revenue,
+        "idle_rich_customers": q_idle_rich_customers,
+        "key_skew": q_key_skew,
         "zorder_layout": q_zorder_layout,
         "robots_gate": q_robots_gate,
         "minhash_dups": q_minhash_dups,
@@ -5542,6 +5608,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from pypdfium2_ray.pipelines.relational import TOP_SUPPLIER_WINDOW
     from pypdfium2_ray.functions.text import (
         LANG_STOPWORDS, sql_bpe_token_count, sql_lang_pred, sql_term_count,
         sql_token_count,
@@ -5827,6 +5894,62 @@ def oracle_sql() -> dict[str, str]:
         "join_size_exact": """
             SELECT count(*)::BIGINT AS exact
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey""",
+        "cust_order_dist": """
+            WITH per_cust AS (
+              SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS c_count
+              FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+              GROUP BY 1)
+            SELECT c_count, count(*)::BIGINT AS custdist
+            FROM per_cust GROUP BY 1""",
+        "order_priority_semi": """
+            SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+            FROM orders
+            WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                                 WHERE l_returnflag = 'R')
+            GROUP BY 1""",
+        "top_supplier": f"""
+            WITH rev AS (
+              SELECT l_suppkey,
+                     SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                         * (100 - CAST(round(l_discount*100) AS BIGINT))
+                         )::BIGINT AS total_rev_e4
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '{TOP_SUPPLIER_WINDOW[0]}'
+                AND l_shipdate < TIMESTAMP '{TOP_SUPPLIER_WINDOW[1]}'
+              GROUP BY 1)
+            SELECT s.s_suppkey, s.s_name, r.total_rev_e4
+            FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+            WHERE r.total_rev_e4 = (SELECT max(total_rev_e4) FROM rev)""",
+        "small_qty_revenue": """
+            WITH per_part AS (
+              SELECT l_partkey, CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+                     count(*)::BIGINT AS n_li
+              FROM lineitem GROUP BY 1)
+            SELECT COALESCE(SUM(CAST(round(l.l_extendedprice*100)
+                                     AS BIGINT)), 0)::BIGINT AS sum_cents,
+                   count(*)::BIGINT AS n_rows
+            FROM lineitem l JOIN per_part p ON l.l_partkey = p.l_partkey
+            WHERE 5 * CAST(l.l_quantity AS BIGINT) * p.n_li < p.sum_qty""",
+        "idle_rich_customers": """
+            WITH pos AS (
+              SELECT SUM(CAST(round(c_acctbal*100) AS BIGINT))::BIGINT AS s,
+                     count(*)::BIGINT AS n
+              FROM customer WHERE CAST(round(c_acctbal*100) AS BIGINT) > 0)
+            SELECT c_nationkey::BIGINT AS c_nationkey,
+                   count(*)::BIGINT AS n_cust,
+                   SUM(CAST(round(c_acctbal*100) AS BIGINT))::BIGINT
+                     AS sum_acctbal_cents
+            FROM customer, pos
+            WHERE CAST(round(c_acctbal*100) AS BIGINT) * pos.n > pos.s
+              AND c_custkey NOT IN (SELECT o_custkey FROM orders)
+            GROUP BY 1""",
+        "key_skew": """
+            WITH per_key AS (SELECT user_id, count(*)::BIGINT AS cnt
+                             FROM events GROUP BY 1)
+            SELECT CAST(floor(log2(cnt)) AS BIGINT) AS bucket,
+                   count(*)::BIGINT AS n_keys, sum(cnt)::BIGINT AS n_rows,
+                   max(cnt)::BIGINT AS max_cnt
+            FROM per_key GROUP BY 1""",
         "zorder_layout": f"""
             SELECT event_id, {_zorder_sql} AS zkey
             FROM events""",

@@ -523,3 +523,220 @@ def returned_revenue(sf_dir: str, k: int = 20):
     out = j3.map_batches(finalize, batch_format="pyarrow")
     return topk(out, ["revenue_e4", "c_custkey"], k,
                 descending=[True, False])
+
+
+def cust_order_dist(sf_dir: str):
+    """TPC-H Q13-shaped customer order-count distribution INCLUDING the
+    zero-order customers of a LEFT join — without ever joining: orders
+    pre-combines to per-customer counts (ONE exchange), the count-of-
+    counts rollup is enum-small (order counts per customer are bounded,
+    ``single_block``), and the LEFT-join zero row is reconstructed from
+    parquet-footer arithmetic (``n_customers - sum(custdist)``) — no
+    customer-table scan at all, so the "join" costs one fact exchange.
+
+    Distribution shape per TPC-H Q13 (reference has no corpus layer;
+    pattern per the public spec)."""
+    import pyarrow.parquet as pq
+
+    per_cust = grouped_aggregate(
+        _read(sf_dir, "orders", ["o_custkey"]),
+        ["o_custkey"], {"c_count": (None, "count")})
+    dist = grouped_aggregate(per_cust, ["c_count"],
+                             {"custdist": (None, "count")},
+                             combine="single_block")
+    n_customers = pq.ParquetFile(
+        f"{sf_dir.rstrip('/')}/customer.parquet").metadata.num_rows
+    # bounded driver collect: one row per DISTINCT per-customer order
+    # count (tens of rows at any scale)
+    t = pa.concat_tables(list(dist.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    n_zero = n_customers - (pc.sum(t["custdist"]).as_py() or 0)
+    if n_zero:
+        t = pa.concat_tables([t, pa.table(
+            {"c_count": pa.array([0], t["c_count"].type),
+             "custdist": pa.array([n_zero], t["custdist"].type)})])
+    return t
+
+
+def order_priority_semi(sf_dir: str):
+    """TPC-H Q4-shaped priority census over orders that HAVE a returned
+    lineitem — the EXISTS/semi-join shape. The lineitem side ships keys
+    ONLY through the exchange tier of stages/join.key_filter_join (the
+    returned-key set scales with the data — never broadcast), then the
+    priority rollup is enum-small."""
+    from pypdfium2_ray.stages.join import key_filter_join
+
+    returned = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"]) \
+        .filter(expr="l_returnflag == 'R'") \
+        .select_columns(["l_orderkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    sel = key_filter_join(orders, returned, "o_orderkey",
+                          right_key="l_orderkey", mode="semi",
+                          tier="exchange")
+    return grouped_aggregate(sel, ["o_orderpriority"],
+                             {"n_orders": (None, "count")},
+                             combine="single_block")
+
+
+#: top_supplier revenue window, shared with the oracle generator
+TOP_SUPPLIER_WINDOW = ("1996-01-01", "1996-04-01")
+
+
+def top_supplier(sf_dir: str):
+    """TPC-H Q15-shaped top supplier: max-revenue supplier(s) over a
+    ship-date quarter. Per-supplier revenue is ONE pre-combined exchange
+    over the windowed fact; the aggregate (bounded by #suppliers, tiny
+    vs the fact) is materialized once, its max taken distributedly, and
+    the equality filter re-reads the SAME materialized aggregate — the
+    fact table is scanned once. Winner names come from a pushdown-
+    filtered supplier read of just the (typically 1) winning keys."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    lo = np.datetime64(TOP_SUPPLIER_WINDOW[0], "us")
+    hi = np.datetime64(TOP_SUPPLIER_WINDOW[1], "us")
+
+    def rev_rows(t: pa.Table) -> pa.Table:
+        ts = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        m = (ts >= lo) & (ts < hi)
+        p = t["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
+        d = t["l_discount"].to_numpy(zero_copy_only=False)[m]
+        rev = (np.rint(p * 100.0).astype(np.int64)
+               * (100 - np.rint(d * 100.0).astype(np.int64)))
+        return pa.table({
+            "l_suppkey": pc.cast(t["l_suppkey"], pa.int64()).filter(
+                pa.array(m)),
+            "rev": pa.array(rev, pa.int64())})
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_suppkey", "l_extendedprice", "l_discount",
+                  "l_shipdate"])
+    per_supp = grouped_aggregate(
+        line.map_batches(rev_rows, batch_format="pyarrow"),
+        ["l_suppkey"], {"total_rev_e4": ("rev", "sum")}).materialize()
+    mx = per_supp.max("total_rev_e4")
+    winners = per_supp.filter(expr=f"total_rev_e4 == {mx}")
+    ids = [r["l_suppkey"] for r in winners.take_all()]  # ~1 row
+    names = pq.read_table(f"{sf_dir.rstrip('/')}/supplier.parquet",
+                          columns=["s_suppkey", "s_name"],
+                          filters=[("s_suppkey", "in", ids)])
+    lut = dict(zip(names["s_suppkey"].to_pylist(),
+                   names["s_name"].to_pylist()))
+
+    def attach(t: pa.Table) -> pa.Table:
+        keys = t["l_suppkey"].to_pylist()
+        return pa.table({
+            "s_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+            "s_name": pa.array([lut[k] for k in keys], pa.string()),
+            "total_rev_e4": pc.cast(t["total_rev_e4"], pa.int64())})
+
+    return winners.map_batches(attach, batch_format="pyarrow")
+
+
+def small_qty_revenue(sf_dir: str):
+    """TPC-H Q17-shaped correlated-aggregate join: revenue of lineitems
+    whose quantity is below 20% of their part's average quantity. The
+    per-part averages are ONE pre-combined exchange; joining them back
+    onto the (part-keyed) fact is the large-x-large repartition join
+    (stages/exchange.lookup_join — per-part aggregates scale with #parts,
+    never broadcast). The 0.2x-average predicate cross-multiplies to
+    integers (``5*qty*n < sum_qty``) so the filter is float-free, and the
+    final global sum is a two-level partial (per-block, then one block).
+    """
+    import numpy as np
+
+    from pypdfium2_ray.stages.exchange import lookup_join
+
+    def prep(t: pa.Table) -> pa.Table:
+        q = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False)
+                    * 100.0).astype(np.int64)
+        return pa.table({"l_partkey": pc.cast(t["l_partkey"], pa.int64()),
+                         "qty": pa.array(q, pa.int64()),
+                         "price_cents": pa.array(p, pa.int64())})
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_partkey", "l_quantity", "l_extendedprice"]) \
+        .map_batches(prep, batch_format="pyarrow")
+    per_part = grouped_aggregate(line, ["l_partkey"],
+                                 {"sum_qty": ("qty", "sum"),
+                                  "n_li": (None, "count")})
+    joined = lookup_join(
+        line, {"l_partkey": pa.int64(), "qty": pa.int64(),
+               "price_cents": pa.int64()},
+        per_part, source_key="l_partkey", key_col="l_partkey",
+        payload_cols={"sum_qty": pa.int64(), "n_li": pa.int64()})
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = t["qty"].to_numpy()
+        keep = 5 * q * t["n_li"].to_numpy() < t["sum_qty"].to_numpy()
+        return pa.table({
+            "s": pa.array([int(t["price_cents"].to_numpy()[keep].sum())],
+                          pa.int64()),
+            "n": pa.array([int(keep.sum())], pa.int64())})
+
+    def final(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "sum_cents": pa.array([pc.sum(t["s"]).as_py() or 0], pa.int64()),
+            "n_rows": pa.array([pc.sum(t["n"]).as_py() or 0], pa.int64())})
+
+    return joined.map_batches(partial, batch_format="pyarrow") \
+        .repartition(1).map_batches(final, batch_size=None,
+                                    batch_format="pyarrow")
+
+
+def idle_rich_customers(sf_dir: str):
+    """TPC-H Q22-shaped anti-join report: customers with above-average
+    (positive) balance and NO orders, rolled up per nation. The global
+    average is a two-scalar partial pass (sum/count of positive cents —
+    bounded collect); the threshold compare cross-multiplies to integers
+    (``cents * n_pos > sum_pos``) so both engines filter identically; the
+    NOT-IN is the exchange-tier anti join (order custkeys ship keys only,
+    never broadcast); the nation rollup is enum-small."""
+    import numpy as np
+
+    from pypdfium2_ray.stages.join import key_filter_join
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = np.rint(t["c_acctbal"].to_numpy(zero_copy_only=False)
+                        * 100.0).astype(np.int64)
+        return pa.table({
+            "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+            "c_nationkey": pc.cast(t["c_nationkey"], pa.int64()),
+            "acctbal_cents": pa.array(cents, pa.int64())})
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"]) \
+        .map_batches(prep, batch_format="pyarrow")
+
+    def pos_partial(t: pa.Table) -> pa.Table:
+        c = t["acctbal_cents"].to_numpy()
+        c = c[c > 0]
+        return pa.table({"s": pa.array([int(c.sum())], pa.int64()),
+                         "n": pa.array([len(c)], pa.int64())})
+
+    parts = pa.concat_tables(list(
+        cust.map_batches(pos_partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    sum_pos = pc.sum(parts["s"]).as_py() or 0
+    n_pos = pc.sum(parts["n"]).as_py() or 0
+
+    if n_pos == 0:
+        # oracle's ``cents * 0 > 0`` is false everywhere — empty report
+        return grouped_aggregate(
+            cust.filter(expr="acctbal_cents > acctbal_cents"),
+            ["c_nationkey"],
+            {"n_cust": (None, "count"),
+             "sum_acctbal_cents": ("acctbal_cents", "sum")},
+            combine="single_block")
+    # integer equivalence: cents * n > s  <=>  cents > s // n (n > 0,
+    # both nonneg) — folds the cross-multiply into a CONSTANT compare
+    # Ray's expr parser accepts and can push down
+    rich = cust.filter(expr=f"acctbal_cents > {sum_pos // n_pos}")
+    idle = key_filter_join(
+        rich, _read(sf_dir, "orders", ["o_custkey"]), "c_custkey",
+        right_key="o_custkey", mode="anti", tier="exchange")
+    return grouped_aggregate(idle, ["c_nationkey"],
+                             {"n_cust": (None, "count"),
+                              "sum_acctbal_cents": ("acctbal_cents", "sum")},
+                             combine="single_block")

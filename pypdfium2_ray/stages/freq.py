@@ -662,3 +662,42 @@ def exact_join_size(ds_a, key_a: str, ds_b, key_b: str,
 
     return partials.repartition(1).map_batches(
         final, batch_size=None, batch_format="pyarrow")
+
+
+def key_skew(ds, key_col: str, num_partitions: int | None = None):
+    """Shuffle-planner skew report: the log2 histogram of per-key row
+    counts — "how hot is the hottest key, how many keys live in each
+    size decade" — the statistic that decides whether a groupby needs
+    salting BEFORE paying for the shuffle (companion to
+    :func:`cm_join_size` in the planner-stats family).
+
+    Per-key counts are ONE pre-combined exchange (the same cost as the
+    groupby being planned MINUS its payload — keys + int64 only);
+    bucketing ``floor(log2(cnt))`` collapses that to <= 64 rows per
+    block, so the final rollup is a no-exchange single-block combine.
+    ``log2`` is exact-safe here: the bucket of an integer count only
+    changes at exact powers of two, where IEEE log2 is exact, and the
+    nearest representable neighbors are >> one ulp away — both engines
+    floor identically.
+
+    Returns ``{bucket, n_keys, n_rows, max_cnt}`` — bucket b covers
+    counts in [2^b, 2^(b+1)).
+    """
+    from pypdfium2_ray.stages.agg import grouped_aggregate
+
+    per_key = grouped_aggregate(ds, [key_col], {"cnt": (None, "count")},
+                                num_partitions=num_partitions)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        cnt = t["cnt"].to_numpy()
+        b = np.floor(np.log2(cnt)).astype(np.int64)
+        return pa.table({"bucket": pa.array(b, pa.int64()),
+                         "n_keys_": pa.array(np.ones(len(b), np.int64)),
+                         "cnt": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    rows = per_key.map_batches(bucketize, batch_format="pyarrow")
+    return grouped_aggregate(rows, ["bucket"],
+                             {"n_keys": ("n_keys_", "sum"),
+                              "n_rows": ("cnt", "sum"),
+                              "max_cnt": ("cnt", "max")},
+                             combine="single_block")
