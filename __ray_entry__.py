@@ -1001,6 +1001,25 @@ def q_key_skew(sf_dir: str):
         return key_skew(ds, "user_id")
 
 
+def q_nation_flow(sf_dir: str):
+    """TPC-H Q7-shaped cross-border trade matrix
+    (pipelines/relational.nation_flow): four keyed exchanges (supplier /
+    orders / customer repartition joins + per-customer pre-combine),
+    single-block final rollup, 25-row name lut applied last."""
+    from pypdfium2_ray.pipelines.relational import nation_flow
+    with _hint(sf_dir, "lineitem"):
+        return nation_flow(sf_dir)
+
+
+def q_mkt_share(sf_dir: str):
+    """TPC-H Q8-shaped market share as integer numerator/denominator
+    (pipelines/relational.mkt_share): exchange-tier part-type semi join,
+    conditional aggregate in one pass, five keyed exchanges."""
+    from pypdfium2_ray.pipelines.relational import mkt_share
+    with _hint(sf_dir, "lineitem"):
+        return mkt_share(sf_dir)
+
+
 def q_dedup_exact(sf_dir: str):
     from pypdfium2_ray.stages.agg import grouped_aggregate
     from pypdfium2_ray.stages.textstats import add_fingerprint
@@ -5477,6 +5496,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_qty_revenue": q_small_qty_revenue,
         "idle_rich_customers": q_idle_rich_customers,
         "key_skew": q_key_skew,
+        "nation_flow": q_nation_flow,
+        "mkt_share": q_mkt_share,
         "zorder_layout": q_zorder_layout,
         "robots_gate": q_robots_gate,
         "minhash_dups": q_minhash_dups,
@@ -5608,7 +5629,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from pypdfium2_ray.pipelines.relational import TOP_SUPPLIER_WINDOW
+    from pypdfium2_ray.pipelines.relational import (
+        MKT_SHARE_NATION, MKT_SHARE_REGION, MKT_SHARE_TYPE,
+        TOP_SUPPLIER_WINDOW,
+    )
     from pypdfium2_ray.functions.text import (
         LANG_STOPWORDS, sql_bpe_token_count, sql_lang_pred, sql_term_count,
         sql_token_count,
@@ -5950,6 +5974,41 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_keys, sum(cnt)::BIGINT AS n_rows,
                    max(cnt)::BIGINT AS max_cnt
             FROM per_key GROUP BY 1""",
+        "nation_flow": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS year,
+                   SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                       * (100 - CAST(round(l_discount*100) AS BIGINT))
+                       )::BIGINT AS rev_e4
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE s_nationkey <> c_nationkey
+            GROUP BY 1, 2, 3""",
+        "mkt_share": f"""
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+                   SUM(CASE WHEN s.s_nationkey = tn.n_nationkey
+                       THEN CAST(round(l_extendedprice*100) AS BIGINT)
+                            * (100 - CAST(round(l_discount*100) AS BIGINT))
+                       ELSE 0 END)::BIGINT AS rev_nation_e4,
+                   SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                       * (100 - CAST(round(l_discount*100) AS BIGINT))
+                       )::BIGINT AS rev_total_e4
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier s ON l_suppkey = s.s_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer c ON o_custkey = c.c_custkey
+            JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+            JOIN region ON cn.n_regionkey = r_regionkey
+            CROSS JOIN (SELECT n_nationkey FROM nation
+                        WHERE n_name = '{MKT_SHARE_NATION}') tn
+            WHERE p_type = '{MKT_SHARE_TYPE}'
+              AND r_name = '{MKT_SHARE_REGION}'
+            GROUP BY 1""",
         "zorder_layout": f"""
             SELECT event_id, {_zorder_sql} AS zkey
             FROM events""",

@@ -740,3 +740,216 @@ def idle_rich_customers(sf_dir: str):
                              {"n_cust": (None, "count"),
                               "sum_acctbal_cents": ("acctbal_cents", "sum")},
                              combine="single_block")
+
+
+def _rev_rows(t, extra: dict[str, "pa.DataType"] | None = None):
+    """lineitem batch -> integer revenue rows: 1e-4-dollar units from
+    2-decimal price x (100 - discount hundredths) — the shared exact-
+    revenue convention of the relational family. *extra* carries through
+    additional lineitem columns (cast to the given types)."""
+    import numpy as np
+    p = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+    d = t["l_discount"].to_numpy(zero_copy_only=False)
+    rev = (np.rint(p * 100.0).astype(np.int64)
+           * (100 - np.rint(d * 100.0).astype(np.int64)))
+    cols = {"l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+            "rev": pa.array(rev, pa.int64())}
+    for c, ty in (extra or {}).items():
+        cols[c] = pc.cast(t[c], ty)
+    return pa.table(cols)
+
+
+def _ship_year(t: pa.Table, col: str = "l_shipdate") -> "np.ndarray":
+    """Calendar year of a timestamp column as int64 — numpy's
+    datetime64[Y] bucketing is exact calendar arithmetic, matching
+    DuckDB's year()."""
+    import numpy as np
+    ts = t[col].to_numpy(zero_copy_only=False)
+    return ts.astype("datetime64[Y]").astype(np.int64) + 1970
+
+
+def nation_flow(sf_dir: str):
+    """TPC-H Q7-shaped cross-border trade matrix: integer-exact revenue
+    per (supplier nation, customer nation, ship year) over flows where
+    the two parties sit in DIFFERENT nations — the generalized Q7 (the
+    spec fixes one nation pair; the full matrix is the same plan with
+    the pair filter widened to an inequality).
+
+    Exchange budget — FOUR keyed exchanges, the same discipline as
+    ``returned_revenue``: supplier and customer SCALE with the data and
+    are never broadcast, so both nation-key attachments are repartition
+    joins (``exchange.lookup_join``); the fact is pre-combined per
+    (custkey, supp-nation, year) BEFORE the customer join so that
+    exchange moves aggregates, not lineitems. The 25-row nation-name
+    mapping is a driver-side lut applied AFTER the final rollup
+    collapses to <= 25 x 24 x |years| rows, and that rollup itself is a
+    single-block combine (bounded group count) — no fifth exchange.
+    """
+    from pypdfium2_ray.stages.exchange import lookup_join
+
+    def prep(t: pa.Table) -> pa.Table:
+        out = _rev_rows(t, {"l_suppkey": pa.int64()})
+        return out.append_column("year", pa.array(_ship_year(t), pa.int64()))
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_suppkey", "l_extendedprice",
+                  "l_discount", "l_shipdate"]) \
+        .map_batches(prep, batch_format="pyarrow")
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    j1 = lookup_join(line,
+                     {"l_orderkey": pa.int64(), "rev": pa.int64(),
+                      "l_suppkey": pa.int64(), "year": pa.int64()},
+                     supp, source_key="s_suppkey", key_col="l_suppkey",
+                     payload_cols={"s_nationkey": pa.int64()})
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    j2 = lookup_join(j1.select_columns(["l_orderkey", "rev",
+                                        "s_nationkey", "year"]),
+                     {"l_orderkey": pa.int64(), "rev": pa.int64(),
+                      "s_nationkey": pa.int64(), "year": pa.int64()},
+                     orders, source_key="o_orderkey", key_col="l_orderkey",
+                     payload_cols={"o_custkey": pa.int64()})
+
+    per_cust = grouped_aggregate(j2, ["o_custkey", "s_nationkey", "year"],
+                                 {"rev_e4": ("rev", "sum")})
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    j3 = lookup_join(per_cust,
+                     {"o_custkey": pa.int64(), "s_nationkey": pa.int64(),
+                      "year": pa.int64(), "rev_e4": pa.int64()},
+                     cust, source_key="c_custkey", key_col="o_custkey",
+                     payload_cols={"c_nationkey": pa.int64()})
+
+    cross = j3.filter(expr="s_nationkey != c_nationkey")
+    out = grouped_aggregate(cross, ["s_nationkey", "c_nationkey", "year"],
+                            {"rev_e4": ("rev_e4", "sum")},
+                            combine="single_block")
+
+    import pyarrow.parquet as pq
+    nation = pq.read_table(f"{sf_dir.rstrip('/')}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    lut = dict(zip(nation["n_nationkey"].to_pylist(),
+                   nation["n_name"].to_pylist()))
+
+    def name_it(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "supp_nation": pa.array(
+                [lut[k] for k in t["s_nationkey"].to_pylist()], pa.string()),
+            "cust_nation": pa.array(
+                [lut[k] for k in t["c_nationkey"].to_pylist()], pa.string()),
+            "year": pc.cast(t["year"], pa.int64()),
+            "rev_e4": pc.cast(t["rev_e4"], pa.int64())})
+
+    return out.map_batches(name_it, batch_format="pyarrow")
+
+
+#: mkt_share parameters, shared with the oracle generator
+MKT_SHARE_REGION = "ASIA"
+MKT_SHARE_NATION = "NATION_7"     # sits in ASIA (regionkey 7 % 5 == 2)
+MKT_SHARE_TYPE = "PROMO"
+
+
+def mkt_share(sf_dir: str):
+    """TPC-H Q8-shaped market share: per ORDER year, the revenue that
+    suppliers of one nation captured among all *TYPE*-part purchases by
+    customers of one region — reported as integer numerator/denominator
+    (``rev_nation_e4`` / ``rev_total_e4``) instead of a float ratio, so
+    the oracle compare is exact and the caller divides.
+
+    Plan shape vs the sibling reports: the part-type restriction is a
+    keys-only EXCHANGE-TIER SEMI JOIN (part scales with the data — its
+    filtered key set is never broadcast), the numerator is a CONDITIONAL
+    aggregate (`rev * (s_nationkey == target)`) computed in the SAME
+    pass as the denominator — one plan, two sums, no second scan. Five
+    keyed exchanges total (semi-join, supplier attach, orders attach,
+    per-customer pre-combine, customer attach); the region gate is a
+    25-entry nationkey lut applied as a vectorized mask, and the final
+    per-year rollup is a single-block combine (|years| groups).
+    """
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pypdfium2_ray.stages.exchange import lookup_join
+    from pypdfium2_ray.stages.join import key_filter_join
+
+    # part-type key set: scales with |part| -> exchange-tier semi join
+    typed_parts = _read(sf_dir, "part", ["p_partkey", "p_type"]) \
+        .filter(expr=f"p_type == '{MKT_SHARE_TYPE}'") \
+        .select_columns(["p_partkey"])
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_partkey", "l_suppkey",
+                  "l_extendedprice", "l_discount"])
+    typed_line = key_filter_join(line, typed_parts, "l_partkey",
+                                 right_key="p_partkey", mode="semi",
+                                 tier="exchange")
+
+    rev = typed_line.map_batches(
+        lambda t: _rev_rows(t, {"l_suppkey": pa.int64()}),
+        batch_format="pyarrow")
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    j1 = lookup_join(rev,
+                     {"l_orderkey": pa.int64(), "rev": pa.int64(),
+                      "l_suppkey": pa.int64()},
+                     supp, source_key="s_suppkey", key_col="l_suppkey",
+                     payload_cols={"s_nationkey": pa.int64()})
+
+    nation = pq.read_table(f"{sf_dir.rstrip('/')}/nation.parquet")
+    region = pq.read_table(f"{sf_dir.rstrip('/')}/region.parquet")
+    rk = region.filter(
+        pc.equal(region["r_name"], MKT_SHARE_REGION))["r_regionkey"][0].as_py()
+    region_nations = set(
+        nation.filter(pc.equal(pc.cast(nation["n_regionkey"], pa.int64()),
+                               rk))["n_nationkey"].to_pylist())
+    target_nat = nation.filter(
+        pc.equal(nation["n_name"], MKT_SHARE_NATION))["n_nationkey"][0].as_py()
+
+    def split_rev(t: pa.Table) -> pa.Table:
+        # numerator and denominator in ONE pass: rev_nat = rev where the
+        # supplier sits in the target nation, else 0
+        r = t["rev"].to_numpy()
+        is_nat = (t["s_nationkey"].to_numpy() == target_nat)
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "rev": t["rev"],
+            "rev_nat": pa.array(np.where(is_nat, r, 0), pa.int64())})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def order_prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+            "year": pa.array(_ship_year(t, "o_orderdate"), pa.int64())})
+
+    j2 = lookup_join(j1.map_batches(split_rev, batch_format="pyarrow"),
+                     {"l_orderkey": pa.int64(), "rev": pa.int64(),
+                      "rev_nat": pa.int64()},
+                     orders.map_batches(order_prep, batch_format="pyarrow"),
+                     source_key="o_orderkey", key_col="l_orderkey",
+                     payload_cols={"o_custkey": pa.int64(),
+                                   "year": pa.int64()})
+
+    per_cust = grouped_aggregate(j2, ["o_custkey", "year"],
+                                 {"rev_e4": ("rev", "sum"),
+                                  "rev_nat_e4": ("rev_nat", "sum")})
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    j3 = lookup_join(per_cust,
+                     {"o_custkey": pa.int64(), "year": pa.int64(),
+                      "rev_e4": pa.int64(), "rev_nat_e4": pa.int64()},
+                     cust, source_key="c_custkey", key_col="o_custkey",
+                     payload_cols={"c_nationkey": pa.int64()})
+
+    nat_arr = sorted(region_nations)
+
+    def region_gate(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["c_nationkey"],
+                        value_set=pa.array(nat_arr, pa.int64()))
+        return t.filter(keep).select(["year", "rev_e4", "rev_nat_e4"])
+
+    gated = j3.map_batches(region_gate, batch_format="pyarrow")
+    return grouped_aggregate(gated, ["year"],
+                             {"rev_nation_e4": ("rev_nat_e4", "sum"),
+                              "rev_total_e4": ("rev_e4", "sum")},
+                             combine="single_block")
