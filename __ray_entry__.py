@@ -1020,6 +1020,48 @@ def q_mkt_share(sf_dir: str):
         return mkt_share(sf_dir)
 
 
+def q_part_supplier_census(sf_dir: str):
+    """TPC-H Q16-shaped exact COUNT(DISTINCT supplier) per part
+    (brand, type, size) (pipelines/relational.part_supplier_census):
+    distinctness resolved by exchanges (pair-dedup, part repartition
+    join, attr+supp dedup), enum-small single-block final."""
+    from pypdfium2_ray.pipelines.relational import part_supplier_census
+    with _hint(sf_dir, "lineitem"):
+        return part_supplier_census(sf_dir)
+
+
+def q_blame_supplier(sf_dir: str):
+    """TPC-H Q21-shaped 'who shipped last' blame report
+    (pipelines/relational.blame_supplier): one orderkey exchange +
+    whole-partition vectorized verdict kernel, pre-combined per-supplier
+    count."""
+    from pypdfium2_ray.pipelines.relational import blame_supplier
+    with _hint(sf_dir, "lineitem"):
+        return blame_supplier(sf_dir)
+
+
+def q_user_running_total(sf_dir: str):
+    """Per-row running total — SUM(value_e4) OVER (PARTITION BY user
+    ORDER BY ts, event_id) emitting EVERY event row
+    (stages/sessionize.running_total): one key exchange, one global
+    cumsum minus run-boundary offsets, no per-group Python."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.sessionize import running_total
+    ev = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["user_id", "event_id", "ts", "value"])
+
+    def prescale(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(
+            pc.cast(t["value"], pa.float64()), 10_000.0)), pa.int64())
+        return pa.table({"user_id": t["user_id"],
+                         "event_id": t["event_id"], "ts": t["ts"],
+                         "value_e4": v})
+
+    with _hint(sf_dir, "events"):
+        return running_total(
+            ev.map_batches(prescale, batch_format="pyarrow"))
+
+
 def q_dedup_exact(sf_dir: str):
     from pypdfium2_ray.stages.agg import grouped_aggregate
     from pypdfium2_ray.stages.textstats import add_fingerprint
@@ -5498,6 +5540,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "key_skew": q_key_skew,
         "nation_flow": q_nation_flow,
         "mkt_share": q_mkt_share,
+        "part_supplier_census": q_part_supplier_census,
+        "blame_supplier": q_blame_supplier,
+        "user_running_total": q_user_running_total,
         "zorder_layout": q_zorder_layout,
         "robots_gate": q_robots_gate,
         "minhash_dups": q_minhash_dups,
@@ -6009,6 +6054,34 @@ def oracle_sql() -> dict[str, str]:
             WHERE p_type = '{MKT_SHARE_TYPE}'
               AND r_name = '{MKT_SHARE_REGION}'
             GROUP BY 1""",
+        "part_supplier_census": """
+            SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+                   count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1, 2, 3""",
+        "blame_supplier": """
+            WITH o AS (
+              SELECT l_orderkey, max(l_shipdate) AS mx,
+                     count(DISTINCT l_suppkey) AS nsupp
+              FROM lineitem GROUP BY 1),
+            w AS (
+              SELECT l.l_orderkey, min(l.l_suppkey) AS supp,
+                     count(DISTINCT l.l_suppkey) AS nmax
+              FROM lineitem l
+              JOIN o ON l.l_orderkey = o.l_orderkey
+                    AND l.l_shipdate = o.mx
+              GROUP BY 1)
+            SELECT w.supp::BIGINT AS s_suppkey,
+                   count(*)::BIGINT AS n_blamed
+            FROM w JOIN o ON w.l_orderkey = o.l_orderkey
+            WHERE o.nsupp >= 2 AND w.nmax = 1
+            GROUP BY 1""",
+        "user_running_total": """
+            SELECT event_id, user_id,
+                   SUM(CAST(round(value*10000) AS BIGINT)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)::BIGINT AS run_total_e4
+            FROM events""",
         "zorder_layout": f"""
             SELECT event_id, {_zorder_sql} AS zkey
             FROM events""",

@@ -953,3 +953,81 @@ def mkt_share(sf_dir: str):
                              {"rev_nation_e4": ("rev_nat_e4", "sum"),
                               "rev_total_e4": ("rev_e4", "sum")},
                              combine="single_block")
+
+
+def part_supplier_census(sf_dir: str):
+    """TPC-H Q16-shaped supplier census: exact COUNT(DISTINCT supplier)
+    per (brand, type, size) — over the suppliers OBSERVED in lineitem
+    (this schema has no partsupp table; lineitem's (partkey, suppkey)
+    pairs are its materialization).
+
+    The post-join count-distinct discipline: distinctness is resolved by
+    EXCHANGES, never by driver-side sets. Three keyed exchanges — (1)
+    (partkey, suppkey) pair-dedup, pre-combined per block so the
+    exchange moves unique pairs; (2) repartition join attaching part
+    attrs (part SCALES — never broadcast); (3) (brand, type, size,
+    suppkey) dedup, which makes the final per-attr count a plain COUNT.
+    The attr domains are fixed enums (25 brands x 6 types x 50 sizes at
+    ANY scale), so the final rollup is a single-block combine."""
+    from pypdfium2_ray.stages.exchange import lookup_join
+
+    pairs = grouped_aggregate(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]),
+        ["l_partkey", "l_suppkey"], {"n_": (None, "count")}) \
+        .select_columns(["l_partkey", "l_suppkey"])
+
+    part = _read(sf_dir, "part",
+                 ["p_partkey", "p_brand", "p_type", "p_size"])
+    j = lookup_join(pairs,
+                    {"l_partkey": pa.int64(), "l_suppkey": pa.int64()},
+                    part, source_key="p_partkey", key_col="l_partkey",
+                    payload_cols={"p_brand": pa.string(),
+                                  "p_type": pa.string(),
+                                  "p_size": pa.int64()})
+
+    dedup = grouped_aggregate(
+        j, ["p_brand", "p_type", "p_size", "l_suppkey"],
+        {"n_": (None, "count")}) \
+        .select_columns(["p_brand", "p_type", "p_size"])
+    return grouped_aggregate(dedup, ["p_brand", "p_type", "p_size"],
+                             {"supplier_cnt": (None, "count")},
+                             combine="single_block")
+
+
+def blame_supplier(sf_dir: str):
+    """TPC-H Q21-shaped blame report: for each supplier, the number of
+    MULTI-supplier orders where that supplier alone shipped last — the
+    'who kept the order waiting' within-group analytic (Q21's
+    EXISTS(other supplier) + NOT EXISTS(other LATE supplier) pair,
+    restated over this schema's shipdate as: the max shipdate is
+    attained by exactly one supplier's lineitems and the order has >= 2
+    distinct suppliers).
+
+    TWO keyed exchanges: the fact exchanges ONCE on orderkey and a
+    whole-partition vectorized kernel (Cython groupby max / nunique —
+    every order's rows arrive complete, no per-group Python) emits at
+    most one (orderkey, supplier) verdict row per order; the per-
+    supplier count is a pre-combined exchange (suppliers SCALE — no
+    single-block shortcut)."""
+    import pandas as pd
+
+    from pypdfium2_ray.stages.exchange import partition_map
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"s_suppkey": pd.Series(dtype="int64")})
+        g = df.groupby("l_orderkey", sort=False)
+        nsupp = g["l_suppkey"].transform("nunique")
+        mx = g["l_shipdate"].transform("max")
+        at_max = df[(df["l_shipdate"] == mx) & (nsupp >= 2)]
+        per = at_max.groupby("l_orderkey", sort=False)["l_suppkey"] \
+            .agg(["nunique", "first"])
+        winners = per.loc[per["nunique"] == 1, "first"]
+        return pd.DataFrame({"s_suppkey": winners.astype("int64").values})
+
+    verdicts = partition_map(
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_suppkey", "l_shipdate"]),
+        ["l_orderkey"], kernel, batch_format="pandas")
+    return grouped_aggregate(verdicts, ["s_suppkey"],
+                             {"n_blamed": (None, "count")})

@@ -321,3 +321,53 @@ def time_weighted_sum(ds, key: str = "user_id", ts_col: str = "ts",
     return partition_map(ds.select_columns([key, ts_col, tiebreak,
                                             value_col]),
                          [key], kernel, batch_format="pandas")
+
+
+def running_total(ds, key: str = "user_id", ts_col: str = "ts",
+                  tiebreak: str = "event_id",
+                  value_col: str = "value_e4",
+                  out: str = "run_total_e4"):
+    """Per-row running total: every input row annotated with the
+    cumulative sum of *value_col* over its key's history in
+    ``(ts, tiebreak)`` order — ``SUM(v) OVER (PARTITION BY key ORDER BY
+    ts, tiebreak ROWS UNBOUNDED PRECEDING)``, the all-rows-out window
+    function the rank/top-k family doesn't cover (balance-after-event,
+    odometer, cumulative spend).
+
+    ONE hash exchange; whole-partition vectorized kernel: lexsort by
+    (key, ts, tiebreak), ONE global cumsum, then subtract each key run's
+    starting offset (``np.repeat`` of the cumsum at run boundaries) —
+    no per-group Python at any group count. *value_col* is caller-pre-
+    scaled int64 (the moments convention), so partial sums are exact
+    and the output hashes identically on any engine. Output is one row
+    per input row: (tiebreak, key, out).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pypdfium2_ray.stages.exchange import partition_map
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                tiebreak: pd.Series(dtype="int64"),
+                key: pd.Series(dtype="int64"),
+                out: pd.Series(dtype="int64")})
+        k = df[key].to_numpy()
+        us = df[ts_col].to_numpy().astype("datetime64[us]").view("int64")
+        tb = df[tiebreak].to_numpy()
+        v = df[value_col].to_numpy().astype(np.int64)
+        order = np.lexsort((tb, us, k))
+        k, tb, v = k[order], tb[order], v[order]
+        cs = np.cumsum(v)
+        starts = np.flatnonzero(
+            np.concatenate([[True], k[1:] != k[:-1]]))
+        counts = np.diff(np.append(starts, len(k)))
+        base = np.repeat(cs[starts] - v[starts], counts)
+        return pd.DataFrame({tiebreak: tb.astype("int64"),
+                             key: k.astype("int64"),
+                             out: (cs - base).astype("int64")})
+
+    return partition_map(ds.select_columns([key, ts_col, tiebreak,
+                                            value_col]),
+                         [key], kernel, batch_format="pandas")

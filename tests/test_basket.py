@@ -106,3 +106,27 @@ def test_time_weighted_sum(ray_session, nparts):
     pd.testing.assert_frame_equal(
         got.astype("int64"), exp.astype("int64"))
     assert got.loc[got.user_id == 999, "integral_e4"].item() == 0
+
+
+@pytest.mark.parametrize("nparts", [1, 4])
+def test_running_total(ray_session, nparts):
+    import ray.data as rd
+    from pypdfium2_ray.stages.sessionize import running_total
+    rng = np.random.RandomState(5)
+    n = 600
+    t0 = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 30, n).astype(np.int64),
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": [t0 + pd.Timedelta(seconds=int(s))
+               for s in rng.randint(0, 100, n)],       # many ts ties
+        "value_e4": rng.randint(-500, 1000, n).astype(np.int64),
+    }).sample(frac=1.0, random_state=2).reset_index(drop=True)
+    got = running_total(rd.from_pandas(df).repartition(nparts)) \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    assert len(got) == n                               # all rows out
+    exp = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    exp["run_total_e4"] = exp.groupby("user_id")["value_e4"].cumsum()
+    exp = exp[["event_id", "user_id", "run_total_e4"]] \
+        .sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
