@@ -116,8 +116,9 @@ def test_query_pipeline_budgets(ray_session, tmp_path):
                   "c_nationkey": np.array([0], np.int32),
                   "c_acctbal": [1.0], "c_mktsegment": ["B"]}
                  ).to_parquet(tmp_path / "customer.parquet", index=False)
-    pd.DataFrame({"n_nationkey": np.array([0], np.int32),
-                  "n_name": ["X"], "n_regionkey": np.array([0], np.int32)}
+    pd.DataFrame({"n_nationkey": np.array([0, 7], np.int32),
+                  "n_name": ["X", "NATION_7"],
+                  "n_regionkey": np.array([0, 0], np.int32)}
                  ).to_parquet(tmp_path / "nation.parquet", index=False)
     pd.DataFrame({"doc_id": [1, 2], "text": ["a b", "c d"],
                   "lang": ["en", "de"], "source": ["s1", "s2"],
@@ -159,6 +160,23 @@ def test_query_pipeline_budgets(ray_session, tmp_path):
     assert count_exchanges(q["basket_pairs"](sf)) == 2
     assert count_exchanges(q["user_paths"](sf)) == 1
     assert count_exchanges(q["user_value_integral"](sf)) == 1
+    # Q4/Q22 shapes: one exchange-tier semi/anti join each (rollups are
+    # enum-small single-block; Q22's average is a driver two-scalar pass)
+    assert count_exchanges(q["order_priority_semi"](sf)) == 1
+    assert count_exchanges(q["idle_rich_customers"](sf)) == 1
+    assert count_exchanges(q["key_skew"](sf)) == 1
+    # Q17: per-part agg + repartition join (the final fold is an unkeyed
+    # coalesce, not a keyed exchange)
+    assert count_exchanges(q["small_qty_revenue"](sf)) == 2
+    # Q7: supplier join + orders join + per-cust pre-combine + customer
+    # join; Q8 adds the part-type semi join in front
+    assert count_exchanges(q["nation_flow"](sf)) == 4
+    assert count_exchanges(q["mkt_share"](sf)) == 5
+    # Q16: pair-dedup + part join + attr dedup (census is single-block);
+    # Q21: orderkey verdict exchange + per-supplier count
+    assert count_exchanges(q["part_supplier_census"](sf)) == 3
+    assert count_exchanges(q["blame_supplier"](sf)) == 2
+    assert count_exchanges(q["user_running_total"](sf)) == 1
 
 
 def test_flagship_is_shuffle_free(ray_session):
