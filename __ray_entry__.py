@@ -1062,6 +1062,66 @@ def q_user_running_total(sf_dir: str):
             ev.map_batches(prescale, batch_format="pyarrow"))
 
 
+def q_event_islands(sf_dir: str):
+    """Gaps-and-islands: each user's stream collapsed into maximal runs
+    of equal event_type (stages/sessionize.event_islands): one key
+    exchange, boundary mask + np reduceat kernel, epoch-us int64
+    interval endpoints. SQL twin is the row_number-difference trick."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.sessionize import event_islands
+    ev = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["user_id", "event_id", "ts",
+                                  "event_type"])
+    with _hint(sf_dir, "events"):
+        return event_islands(ev)
+
+
+def q_monthly_delta(sf_dir: str):
+    """Period-over-period trend table per event_type at DAY grain
+    (stages/agg.periodic_delta — the testdata spans one month, so day
+    grain is what exercises real LAG deltas): ZERO keyed exchanges —
+    (type x period) is time-bounded so the census is single-block, and
+    the LAG runs on that block; first period carries the sentinel
+    (COALESCE twin)."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import periodic_delta
+    ev = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+
+    def prescale(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(
+            pc.cast(t["value"], pa.float64()), 10_000.0)), pa.int64())
+        return pa.table({"event_type": t["event_type"], "ts": t["ts"],
+                         "value_e4": v})
+
+    with _hint(sf_dir, "events"):
+        return periodic_delta(
+            ev.map_batches(prescale, batch_format="pyarrow"),
+            "event_type", "ts", "value_e4", grain="day")
+
+
+def q_value_centered(sf_dir: str):
+    """Group-mean-centered values, all rows out — AVG() OVER
+    (PARTITION BY user) as the integer pair (n_key, dev_n = v*n - sum)
+    so both engines hash identically
+    (stages/sessionize.group_centered): one key exchange, two Cython
+    transforms, no sort."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.sessionize import group_centered
+    ev = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["user_id", "event_id", "value"])
+
+    def prescale(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(
+            pc.cast(t["value"], pa.float64()), 10_000.0)), pa.int64())
+        return pa.table({"user_id": t["user_id"],
+                         "event_id": t["event_id"], "value_e4": v})
+
+    with _hint(sf_dir, "events"):
+        return group_centered(
+            ev.map_batches(prescale, batch_format="pyarrow"))
+
+
 def q_dedup_exact(sf_dir: str):
     from pypdfium2_ray.stages.agg import grouped_aggregate
     from pypdfium2_ray.stages.textstats import add_fingerprint
@@ -5543,6 +5603,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_supplier_census": q_part_supplier_census,
         "blame_supplier": q_blame_supplier,
         "user_running_total": q_user_running_total,
+        "event_islands": q_event_islands,
+        "monthly_delta": q_monthly_delta,
+        "value_centered": q_value_centered,
         "zorder_layout": q_zorder_layout,
         "robots_gate": q_robots_gate,
         "minhash_dups": q_minhash_dups,
@@ -5678,6 +5741,7 @@ def oracle_sql() -> dict[str, str]:
         MKT_SHARE_NATION, MKT_SHARE_REGION, MKT_SHARE_TYPE,
         TOP_SUPPLIER_WINDOW,
     )
+    from pypdfium2_ray.stages.agg import PERIOD_DELTA_SENTINEL
     from pypdfium2_ray.functions.text import (
         LANG_STOPWORDS, sql_bpe_token_count, sql_lang_pred, sql_term_count,
         sql_token_count,
@@ -6082,6 +6146,40 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY user_id ORDER BY ts, event_id
                      ROWS UNBOUNDED PRECEDING)::BIGINT AS run_total_e4
             FROM events""",
+        "event_islands": """
+            WITH x AS (
+              SELECT user_id, event_type, ts, event_id,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)
+                     - row_number() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts, event_id) AS grp
+              FROM events)
+            SELECT user_id, event_type, count(*)::BIGINT AS n_events,
+                   CAST(epoch_us(min(ts)) AS BIGINT) AS start_us,
+                   CAST(epoch_us(max(ts)) AS BIGINT) AS end_us,
+                   min(event_id)::BIGINT AS first_id
+            FROM x GROUP BY user_id, event_type, grp""",
+        "monthly_delta": f"""
+            WITH m AS (
+              SELECT event_type,
+                     CAST(year(ts)*10000 + month(ts)*100 + day(ts)
+                          AS BIGINT) AS ym,
+                     SUM(CAST(round(value*10000) AS BIGINT))::BIGINT
+                       AS sum_e4
+              FROM events GROUP BY 1, 2)
+            SELECT event_type, ym, sum_e4,
+                   COALESCE(sum_e4 - LAG(sum_e4) OVER (
+                              PARTITION BY event_type ORDER BY ym),
+                            {PERIOD_DELTA_SENTINEL})::BIGINT AS delta_e4
+            FROM m""",
+        "value_centered": """
+            WITH v AS (SELECT event_id, user_id,
+                              CAST(round(value*10000) AS BIGINT) AS v
+                       FROM events)
+            SELECT event_id, user_id,
+                   (count(*) OVER w)::BIGINT AS n_key,
+                   (v * count(*) OVER w - sum(v) OVER w)::BIGINT AS dev_n
+            FROM v WINDOW w AS (PARTITION BY user_id)""",
         "zorder_layout": f"""
             SELECT event_id, {_zorder_sql} AS zkey
             FROM events""",

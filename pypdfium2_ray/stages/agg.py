@@ -483,3 +483,73 @@ def grouped_mad_outliers(ds, keys: list[str], col: str, tiebreak: str,
     proj = ds.select_columns(keys + [col, tiebreak])
     return partition_map(proj, keys, kernel, batch_format="pandas",
                          num_partitions=num_partitions)
+
+
+#: periodic_delta's first-period marker: no real NULLs ever cross the
+#: driver hash gate (it cannot sort mixed None/int), so the LAG hole is
+#: a sentinel far outside any reachable sum (|values| are ~1e12 at
+#: 100 TB; int64 holds +-9.2e18)
+PERIOD_DELTA_SENTINEL = -(10 ** 17)
+
+
+def periodic_delta(ds, label_col: str, ts_col: str, value_col: str,
+                   out_sum: str = "sum_e4", out_delta: str = "delta_e4",
+                   grain: str = "month"):
+    """Period-over-period report: per (label, calendar period) sum of
+    the pre-scaled int64 *value_col*, each row annotated with the delta
+    vs the label's PREVIOUS period — ``sum - LAG(sum) OVER (PARTITION
+    BY label ORDER BY period)``, the trend table.
+
+    ZERO keyed exchanges: (label x period) is time-bounded, not
+    data-bounded (|labels| is an enum, periods grow with the calendar),
+    so the census rides the ``single_block`` tier — per-block pyarrow
+    partials, one coalesced combine — and the LAG runs on that same
+    single block (sort + shifted compare, a few thousand rows at any
+    corpus size). First period of a label carries
+    :data:`PERIOD_DELTA_SENTINEL` (COALESCE twin on the oracle side).
+
+    ``grain``: ``"month"`` keys on ``year*100 + month``; ``"day"`` on
+    ``year*10000 + month*100 + day`` — both via numpy datetime64
+    calendar bucketing == DuckDB's year()/month()/day(). The LAG is
+    over ADJACENT PRESENT periods (LAG semantics), not calendar
+    adjacency — an empty period is skipped, not zero-filled, on both
+    engines.
+    """
+    import numpy as np
+
+    if grain not in ("month", "day"):
+        raise ValueError(f"unknown grain {grain!r}")
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = t[ts_col].to_numpy(zero_copy_only=False)
+        m = ts.astype("datetime64[M]").astype(np.int64)   # months since 1970
+        ym = (m // 12 + 1970) * 100 + (m % 12 + 1)
+        if grain == "day":
+            day = (ts.astype("datetime64[D]")
+                   - ts.astype("datetime64[M]")).astype(np.int64) + 1
+            ym = ym * 100 + day
+        return pa.table({label_col: t[label_col],
+                         "ym": pa.array(ym, pa.int64()),
+                         value_col: t[value_col]})
+
+    monthly = grouped_aggregate(ds.map_batches(prep, batch_format="pyarrow"),
+                                [label_col, "ym"],
+                                {out_sum: (value_col, "sum")},
+                                combine="single_block")
+
+    def add_delta(t: pa.Table) -> pa.Table:
+        lab = t[label_col].to_numpy(zero_copy_only=False)
+        ym = t["ym"].to_numpy()
+        s = t[out_sum].to_numpy().astype(np.int64)
+        order = np.lexsort((ym, lab))
+        lab, ym, s = lab[order], ym[order], s[order]
+        same = np.concatenate([[False], lab[1:] == lab[:-1]])
+        delta = np.where(same, s - np.concatenate([[0], s[:-1]]),
+                         PERIOD_DELTA_SENTINEL)
+        return pa.table({label_col: pa.array(lab),
+                         "ym": pa.array(ym, pa.int64()),
+                         out_sum: pa.array(s, pa.int64()),
+                         out_delta: pa.array(delta, pa.int64())})
+
+    return monthly.map_batches(add_delta, batch_size=None,
+                               batch_format="pyarrow")

@@ -371,3 +371,90 @@ def running_total(ds, key: str = "user_id", ts_col: str = "ts",
     return partition_map(ds.select_columns([key, ts_col, tiebreak,
                                             value_col]),
                          [key], kernel, batch_format="pandas")
+
+
+def event_islands(ds, key: str = "user_id", ts_col: str = "ts",
+                  tiebreak: str = "event_id", label: str = "event_type"):
+    """Gaps-and-islands: collapse each key's (ts, tiebreak)-ordered
+    stream into maximal runs of equal *label* — the SCD2/state-interval
+    builder ("user was in state X from t1 to t2"). One island row per
+    run: (key, label, n_events, start_us, end_us, first_id) with
+    timestamps as epoch-microsecond int64 (engine-neutral hashing) and
+    ``first_id`` = MIN tiebreak in the run (matches the SQL
+    row_number-difference twin's min()).
+
+    ONE hash exchange; whole-partition vectorized kernel: lexsort by
+    (key, ts, tiebreak), run boundaries where key OR label changes
+    (two shifted compares), then np.*.reduceat per boundary for
+    count/min/max — no per-group Python at any island count.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pypdfium2_ray.stages.exchange import partition_map
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                key: pd.Series(dtype="int64"),
+                label: pd.Series(dtype="object"),
+                "n_events": pd.Series(dtype="int64"),
+                "start_us": pd.Series(dtype="int64"),
+                "end_us": pd.Series(dtype="int64"),
+                "first_id": pd.Series(dtype="int64")})
+        k = df[key].to_numpy()
+        us = df[ts_col].to_numpy().astype("datetime64[us]").view("int64")
+        tb = df[tiebreak].to_numpy()
+        lab = df[label].to_numpy()
+        order = np.lexsort((tb, us, k))
+        k, us, tb, lab = k[order], us[order], tb[order], lab[order]
+        new = np.concatenate([[True], (k[1:] != k[:-1])
+                              | (lab[1:] != lab[:-1])])
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(k))
+        return pd.DataFrame({
+            key: k[starts].astype("int64"),
+            label: lab[starts],
+            "n_events": (ends - starts).astype("int64"),
+            # runs are ts-sorted: min ts = first, max ts = last
+            "start_us": us[starts].astype("int64"),
+            "end_us": us[ends - 1].astype("int64"),
+            # ties can reorder ids inside one timestamp — true MIN
+            "first_id": np.minimum.reduceat(tb, starts).astype("int64")})
+
+    return partition_map(ds.select_columns([key, ts_col, tiebreak, label]),
+                         [key], kernel, batch_format="pandas")
+
+
+def group_centered(ds, key: str = "user_id", tiebreak: str = "event_id",
+                   value_col: str = "value_e4"):
+    """Group-mean-centered values, all rows out — the
+    ``AVG(v) OVER (PARTITION BY key)`` window shape (aggregate joined
+    back onto every row), kept integer-exact by emitting the SCALED
+    deviation ``dev_n = v * n_key - sum_key`` plus ``n_key`` instead of
+    a float z-score (the caller divides; both engines hash identically).
+
+    ONE hash exchange; whole-partition kernel: two Cython groupby
+    transforms (sum, size) — no sort needed, order within the key is
+    irrelevant to the aggregate."""
+    import pandas as pd
+
+    from pypdfium2_ray.stages.exchange import partition_map
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                tiebreak: pd.Series(dtype="int64"),
+                key: pd.Series(dtype="int64"),
+                "n_key": pd.Series(dtype="int64"),
+                "dev_n": pd.Series(dtype="int64")})
+        g = df.groupby(key, sort=False)[value_col]
+        n = g.transform("size").to_numpy().astype("int64")
+        s = g.transform("sum").to_numpy().astype("int64")
+        v = df[value_col].to_numpy().astype("int64")
+        return pd.DataFrame({tiebreak: df[tiebreak].to_numpy(),
+                             key: df[key].to_numpy(),
+                             "n_key": n, "dev_n": v * n - s})
+
+    return partition_map(ds.select_columns([key, tiebreak, value_col]),
+                         [key], kernel, batch_format="pandas")

@@ -177,6 +177,11 @@ def test_query_pipeline_budgets(ray_session, tmp_path):
     assert count_exchanges(q["part_supplier_census"](sf)) == 3
     assert count_exchanges(q["blame_supplier"](sf)) == 2
     assert count_exchanges(q["user_running_total"](sf)) == 1
+    # windows/islands: one key exchange each; the trend table is a
+    # time-bounded census — zero keyed exchanges end to end
+    assert count_exchanges(q["event_islands"](sf)) == 1
+    assert count_exchanges(q["value_centered"](sf)) == 1
+    assert count_exchanges(q["monthly_delta"](sf)) == 0
 
 
 def test_flagship_is_shuffle_free(ray_session):

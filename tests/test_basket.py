@@ -130,3 +130,107 @@ def test_running_total(ray_session, nparts):
     exp = exp[["event_id", "user_id", "run_total_e4"]] \
         .sort_values("event_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
+
+
+@pytest.mark.parametrize("nparts", [1, 4])
+def test_event_islands(ray_session, nparts):
+    import ray.data as rd
+    from pypdfium2_ray.stages.sessionize import event_islands
+    rng = np.random.RandomState(6)
+    n = 400
+    t0 = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 20, n).astype(np.int64),
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": [t0 + pd.Timedelta(seconds=int(s))
+               for s in rng.randint(0, 80, n)],        # heavy ts ties
+        "event_type": rng.choice(["a", "b"], n).tolist(),
+    }).sample(frac=1.0, random_state=3).reset_index(drop=True)
+    got = event_islands(rd.from_pandas(df).repartition(nparts)) \
+        .to_pandas().sort_values(["user_id", "start_us", "first_id"]) \
+        .reset_index(drop=True)
+
+    # brute: walk each user's (ts, event_id)-ordered stream
+    rows = []
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        ids = g["event_id"].to_numpy()
+        labs = g["event_type"].to_numpy()
+        start = 0
+        for i in range(1, len(g) + 1):
+            if i == len(g) or labs[i] != labs[i - 1]:
+                rows.append((uid, labs[start], i - start, us[start],
+                             us[i - 1], ids[start:i].min()))
+                start = i
+    exp = pd.DataFrame(rows, columns=["user_id", "event_type", "n_events",
+                                      "start_us", "end_us", "first_id"]) \
+        .sort_values(["user_id", "start_us", "first_id"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+    # islands tile the stream exactly
+    assert got["n_events"].sum() == n
+
+
+@pytest.mark.parametrize("nparts", [1, 4])
+def test_group_centered(ray_session, nparts):
+    import ray.data as rd
+    from pypdfium2_ray.stages.sessionize import group_centered
+    rng = np.random.RandomState(7)
+    n = 300
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 25, n).astype(np.int64),
+        "event_id": np.arange(n, dtype=np.int64),
+        "value_e4": rng.randint(-1000, 1000, n).astype(np.int64),
+    })
+    got = group_centered(rd.from_pandas(df).repartition(nparts)) \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    g = df.groupby("user_id")["value_e4"]
+    exp = pd.DataFrame({
+        "event_id": df["event_id"],
+        "user_id": df["user_id"],
+        "n_key": g.transform("size").astype("int64"),
+        "dev_n": (df["value_e4"] * g.transform("size")
+                  - g.transform("sum")).astype("int64")})
+    pd.testing.assert_frame_equal(got.astype("int64"), exp)
+    # deviations sum to zero within every group (exact centering)
+    assert (got.groupby("user_id")["dev_n"].sum() == 0).all()
+
+
+@pytest.mark.parametrize("grain", ["month", "day"])
+def test_periodic_delta(ray_session, grain):
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import (
+        PERIOD_DELTA_SENTINEL, periodic_delta)
+    rng = np.random.RandomState(8)
+    n = 500
+    t0 = pd.Timestamp("2023-11-15")
+    df = pd.DataFrame({
+        "lab": rng.choice(["x", "y"], n).tolist(),
+        "ts": [t0 + pd.Timedelta(days=int(d), hours=int(h))
+               for d, h in zip(rng.randint(0, 120, n),
+                               rng.randint(0, 24, n))],  # crosses years
+        "v": rng.randint(-50, 100, n).astype(np.int64),
+    })
+    got = periodic_delta(rd.from_pandas(df).repartition(3),
+                         "lab", "ts", "v", grain=grain) \
+        .to_pandas().sort_values(["lab", "ym"]).reset_index(drop=True)
+    if grain == "month":
+        ym = df["ts"].dt.year * 100 + df["ts"].dt.month
+    else:
+        ym = (df["ts"].dt.year * 10000 + df["ts"].dt.month * 100
+              + df["ts"].dt.day)
+    exp = df.assign(ym=ym.astype("int64")) \
+        .groupby(["lab", "ym"], as_index=False)["v"].sum() \
+        .rename(columns={"v": "sum_e4"}) \
+        .sort_values(["lab", "ym"]).reset_index(drop=True)
+    lag = exp.groupby("lab")["sum_e4"].shift(1)
+    exp["delta_e4"] = np.where(lag.isna(), PERIOD_DELTA_SENTINEL,
+                               exp["sum_e4"] - lag.fillna(0)).astype("int64")
+    exp = exp.rename(columns={"lab": "lab"})
+    got = got.astype({"sum_e4": "int64", "delta_e4": "int64"})
+    exp = exp.astype({"sum_e4": "int64", "delta_e4": "int64"})
+    pd.testing.assert_frame_equal(got, exp)
+    # every label's first period is the sentinel, exactly once
+    assert (got[got.delta_e4 == PERIOD_DELTA_SENTINEL]
+            .groupby("lab").size() == 1).all()
