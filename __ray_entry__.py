@@ -1122,6 +1122,29 @@ def q_value_centered(sf_dir: str):
             ev.map_batches(prescale, batch_format="pyarrow"))
 
 
+def q_dense_topk(sf_dir: str):
+    """Top-k WITH TIES per event_type — every event whose whole-dollar
+    value is among the type's 3 highest distinct values, with its dense
+    rank (stages/topk.grouped_dense_topk): per-block k-distinct-values
+    partial + ONE exchange of the survivors; co-leaders all survive
+    (leaderboard semantics row_number top-k cannot express)."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.topk import grouped_dense_topk
+    ev = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.cast(t["value"], pa.float64())),
+                    pa.int64())
+        return pa.table({"event_id": t["event_id"],
+                         "event_type": t["event_type"], "value_e0": v})
+
+    with _hint(sf_dir, "events"):
+        return grouped_dense_topk(
+            ev.map_batches(prep, batch_format="pyarrow"),
+            ["event_type"], "value_e0", k=3)
+
+
 def q_dedup_exact(sf_dir: str):
     from pypdfium2_ray.stages.agg import grouped_aggregate
     from pypdfium2_ray.stages.textstats import add_fingerprint
@@ -5606,6 +5629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_islands": q_event_islands,
         "monthly_delta": q_monthly_delta,
         "value_centered": q_value_centered,
+        "dense_topk": q_dense_topk,
         "zorder_layout": q_zorder_layout,
         "robots_gate": q_robots_gate,
         "minhash_dups": q_minhash_dups,
@@ -6172,6 +6196,15 @@ def oracle_sql() -> dict[str, str]:
                               PARTITION BY event_type ORDER BY ym),
                             {PERIOD_DELTA_SENTINEL})::BIGINT AS delta_e4
             FROM m""",
+        "dense_topk": """
+            WITH v AS (SELECT event_id, event_type,
+                              CAST(round(value) AS BIGINT) AS value_e0
+                       FROM events)
+            SELECT event_id, event_type, value_e0,
+                   DENSE_RANK() OVER (PARTITION BY event_type
+                                      ORDER BY value_e0 DESC)::BIGINT
+                     AS rank
+            FROM v QUALIFY rank <= 3""",
         "value_centered": """
             WITH v AS (SELECT event_id, user_id,
                               CAST(round(value*10000) AS BIGINT) AS v

@@ -130,3 +130,37 @@ def grouped_rank(ds, keys: list[str], order_cols: list[str],
 
     return partition_map(ds, keys, kernel, batch_format="pandas",
                          num_partitions=num_partitions)
+
+
+def grouped_dense_topk(ds, keys: list[str], value_col: str, k: int,
+                       out: str = "rank",
+                       num_partitions: int | None = None):
+    """Top-k WITH TIES per group — every row whose value is among the
+    group's k highest DISTINCT values, annotated with that value's
+    dense rank (``QUALIFY DENSE_RANK() OVER (PARTITION BY keys ORDER BY
+    value DESC) <= k``). The leaderboard semantics ``grouped_topk``
+    (row_number) cannot express: co-leaders all survive, and output
+    size is data-dependent.
+
+    Same two-level shape as ``grouped_topk`` and the proof carries
+    over to ranks: within a block, a row's distinct values above it
+    are a SUBSET of the group's global ones, so block dense rank <=
+    global dense rank — any global top-k-distinct row survives its
+    block partial. Partial bound is k DISTINCT VALUES per (group,
+    block), not k rows; adversarial all-ties data degrades the bound
+    (documented, never silently capped — ties are the semantics).
+    Kernel is one Cython ``groupby.rank(method="dense")`` per level;
+    ONE hash exchange of the survivors."""
+    from pypdfium2_ray.stages.exchange import partition_map
+
+    def level(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df.assign(**{out: pd.Series(dtype="int64")})
+        r = df.groupby(keys, sort=False, dropna=False)[value_col] \
+            .rank(method="dense", ascending=False)
+        df = df.assign(**{out: r.astype("int64")})
+        return df[df[out] <= k]
+
+    partials = ds.map_batches(level, batch_format="pandas")
+    return partition_map(partials, keys, level, batch_format="pandas",
+                         num_partitions=num_partitions)

@@ -182,6 +182,8 @@ def test_query_pipeline_budgets(ray_session, tmp_path):
     assert count_exchanges(q["event_islands"](sf)) == 1
     assert count_exchanges(q["value_centered"](sf)) == 1
     assert count_exchanges(q["monthly_delta"](sf)) == 0
+    # dense top-k: partial-bound survivors, one exchange
+    assert count_exchanges(q["dense_topk"](sf)) == 1
 
 
 def test_flagship_is_shuffle_free(ray_session):

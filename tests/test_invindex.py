@@ -95,3 +95,28 @@ def test_boolean_search(ray_session, corpus):
     assert len(want) > 0
     with pytest.raises(ValueError):
         boolean_search(rd.read_parquet(p), [], ["w3"])
+
+
+@pytest.mark.parametrize("nparts", [1, 5])
+def test_grouped_dense_topk(ray_session, nparts):
+    import ray.data as rd
+
+    from pypdfium2_ray.stages.topk import grouped_dense_topk
+    rng = np.random.RandomState(9)
+    n = 500
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], n).tolist(),
+        "rid": np.arange(n, dtype=np.int64),
+        # tiny value domain -> heavy ties, multi-row rank classes
+        "v": rng.randint(0, 12, n).astype(np.int64),
+    })
+    got = grouped_dense_topk(rd.from_pandas(df).repartition(nparts),
+                             ["g"], "v", k=3) \
+        .to_pandas().sort_values("rid").reset_index(drop=True)
+    r = df.groupby("g")["v"].rank(method="dense", ascending=False)
+    exp = df.assign(rank=r.astype("int64"))
+    exp = exp[exp["rank"] <= 3].sort_values("rid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"rank": "int64"}), exp)
+    # ties really exercised: some rank class holds > 1 row
+    assert (exp.groupby(["g", "rank"]).size() > 1).any()
