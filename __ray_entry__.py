@@ -1122,6 +1122,16 @@ def q_value_centered(sf_dir: str):
             ev.map_batches(prescale, batch_format="pyarrow"))
 
 
+def q_important_parts(sf_dir: str):
+    """TPC-H Q11-shaped HAVING-vs-global-share report
+    (pipelines/relational.important_parts): one pre-combined per-part
+    exchange, aggregate materialized once for the global fold + the
+    constant-folded share filter (s*d > t <=> s > t//d)."""
+    from pypdfium2_ray.pipelines.relational import important_parts
+    with _hint(sf_dir, "lineitem"):
+        return important_parts(sf_dir)
+
+
 def q_dense_topk(sf_dir: str):
     """Top-k WITH TIES per event_type — every event whose whole-dollar
     value is among the type's 3 highest distinct values, with its dense
@@ -5630,6 +5640,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "monthly_delta": q_monthly_delta,
         "value_centered": q_value_centered,
         "dense_topk": q_dense_topk,
+        "important_parts": q_important_parts,
         "zorder_layout": q_zorder_layout,
         "robots_gate": q_robots_gate,
         "minhash_dups": q_minhash_dups,
@@ -6196,6 +6207,15 @@ def oracle_sql() -> dict[str, str]:
                               PARTITION BY event_type ORDER BY ym),
                             {PERIOD_DELTA_SENTINEL})::BIGINT AS delta_e4
             FROM m""",
+        "important_parts": """
+            WITH pp AS (
+              SELECT l_partkey,
+                     SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                         )::BIGINT AS sum_cents
+              FROM lineitem GROUP BY 1),
+            tot AS (SELECT SUM(sum_cents) AS t, count(*) AS n FROM pp)
+            SELECT l_partkey, sum_cents
+            FROM pp, tot WHERE sum_cents * 5 * n > 6 * t""",
         "dense_topk": """
             WITH v AS (SELECT event_id, event_type,
                               CAST(round(value) AS BIGINT) AS value_e0

@@ -1031,3 +1031,38 @@ def blame_supplier(sf_dir: str):
         ["l_orderkey"], kernel, batch_format="pandas")
     return grouped_aggregate(verdicts, ["s_suppkey"],
                              {"n_blamed": (None, "count")})
+
+
+def important_parts(sf_dir: str, num: int = 6, den: int = 5):
+    """TPC-H Q11-shaped 'important stock' report: parts whose lineitem
+    revenue exceeds *num/den* x THE MEAN PART REVENUE — the
+    HAVING-against-a-global-scalar shape where the threshold is a
+    second aggregate OF THE AGGREGATE, not of the raw rows (this schema
+    has no partsupp; lineitem revenue is the value analogue; a
+    mean-relative threshold stays selective at every corpus size,
+    unlike Q11's fixed global share, which any sub-1/share part count
+    trivializes).
+
+    ONE keyed exchange: the per-part sums (pre-combined). The aggregate
+    is materialized ONCE and reused for the global folds (native
+    ``.sum()``/``.count()`` over #parts rows — tiny vs the fact) and
+    the filter; the raw table is scanned once. The compare
+    ``s * den * n > num * t`` folds to a CONSTANT integer threshold
+    (``s > (num*t) // (den*n)`` for positive int64 — the
+    ``idle_rich_customers`` equivalence), keeping the filter expr
+    pushdown-friendly and overflow-free at any scale."""
+    import numpy as np
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False)
+                        * 100.0).astype(np.int64)
+        return pa.table({"l_partkey": pc.cast(t["l_partkey"], pa.int64()),
+                         "cents": pa.array(cents, pa.int64())})
+
+    per_part = grouped_aggregate(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
+        .map_batches(prep, batch_format="pyarrow"),
+        ["l_partkey"], {"sum_cents": ("cents", "sum")}).materialize()
+    total = per_part.sum("sum_cents") or 0
+    n = per_part.count() or 1
+    return per_part.filter(expr=f"sum_cents > {(num * total) // (den * n)}")
