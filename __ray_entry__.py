@@ -1132,6 +1132,16 @@ def q_important_parts(sf_dir: str):
         return important_parts(sf_dir)
 
 
+def q_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 predicate-scan aggregate
+    (pipelines/relational.forecast_revenue): per-block integer partials,
+    one coalesce, ZERO keyed exchanges (pinned); 4 of 11 lineitem
+    columns read."""
+    from pypdfium2_ray.pipelines.relational import forecast_revenue
+    with _hint(sf_dir, "lineitem"):
+        return forecast_revenue(sf_dir)
+
+
 def q_dense_topk(sf_dir: str):
     """Top-k WITH TIES per event_type — every event whose whole-dollar
     value is among the type's 3 highest distinct values, with its dense
@@ -5641,6 +5651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_centered": q_value_centered,
         "dense_topk": q_dense_topk,
         "important_parts": q_important_parts,
+        "forecast_revenue": q_forecast_revenue,
         "zorder_layout": q_zorder_layout,
         "robots_gate": q_robots_gate,
         "minhash_dups": q_minhash_dups,
@@ -5773,6 +5784,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from pypdfium2_ray.pipelines.relational import (
+        FORECAST_DISC, FORECAST_MAX_QTY, FORECAST_WINDOW,
         MKT_SHARE_NATION, MKT_SHARE_REGION, MKT_SHARE_TYPE,
         TOP_SUPPLIER_WINDOW,
     )
@@ -6207,6 +6219,17 @@ def oracle_sql() -> dict[str, str]:
                               PARTITION BY event_type ORDER BY ym),
                             {PERIOD_DELTA_SENTINEL})::BIGINT AS delta_e4
             FROM m""",
+        "forecast_revenue": f"""
+            SELECT COALESCE(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                     * CAST(round(l_discount*100) AS BIGINT)), 0)::BIGINT
+                     AS revenue_e4,
+                   count(*)::BIGINT AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '{FORECAST_WINDOW[0]}'
+              AND l_shipdate < TIMESTAMP '{FORECAST_WINDOW[1]}'
+              AND CAST(round(l_discount*100) AS BIGINT)
+                  BETWEEN {FORECAST_DISC[0]} AND {FORECAST_DISC[1]}
+              AND l_quantity < {FORECAST_MAX_QTY}""",
         "important_parts": """
             WITH pp AS (
               SELECT l_partkey,

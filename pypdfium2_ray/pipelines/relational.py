@@ -1066,3 +1066,53 @@ def important_parts(sf_dir: str, num: int = 6, den: int = 5):
     total = per_part.sum("sum_cents") or 0
     n = per_part.count() or 1
     return per_part.filter(expr=f"sum_cents > {(num * total) // (den * n)}")
+
+
+#: forecast_revenue window + predicate bounds, shared with the oracle
+FORECAST_WINDOW = ("1996-01-01", "1997-01-01")
+FORECAST_DISC = (5, 7)       # discount hundredths, inclusive
+FORECAST_MAX_QTY = 24        # quantity strictly below
+
+
+def forecast_revenue(sf_dir: str):
+    """TPC-H Q6-shaped forecast-revenue change: SUM(price x discount)
+    over lineitems in one ship-date year with discount in a band and
+    quantity under a cap — the pure predicate-scan aggregate, the
+    simplest plan in the family and the one that must stay EXCHANGE-FREE:
+    per-block integer partials (price cents x discount hundredths ->
+    1e-4-dollar units), one unkeyed coalesce, one fold. Any keyed
+    exchange here would be a planner bug (pinned in test_audit).
+
+    Column pruning matters more than compute: only 4 of 11 lineitem
+    columns leave storage."""
+    import numpy as np
+
+    lo = np.datetime64(FORECAST_WINDOW[0], "us")
+    hi = np.datetime64(FORECAST_WINDOW[1], "us")
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        d = np.rint(t["l_discount"].to_numpy(zero_copy_only=False)
+                    * 100.0).astype(np.int64)
+        q = t["l_quantity"].to_numpy(zero_copy_only=False)
+        m = ((ts >= lo) & (ts < hi)
+             & (d >= FORECAST_DISC[0]) & (d <= FORECAST_DISC[1])
+             & (q < FORECAST_MAX_QTY))
+        p = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False)
+                    * 100.0).astype(np.int64)[m]
+        return pa.table({
+            "s": pa.array([int((p * d[m]).sum())], pa.int64()),
+            "n": pa.array([int(m.sum())], pa.int64())})
+
+    def final(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "revenue_e4": pa.array([pc.sum(t["s"]).as_py() or 0],
+                                   pa.int64()),
+            "n_rows": pa.array([pc.sum(t["n"]).as_py() or 0], pa.int64())})
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_shipdate", "l_discount", "l_quantity",
+                  "l_extendedprice"])
+    return line.map_batches(partial, batch_format="pyarrow") \
+        .repartition(1).map_batches(final, batch_size=None,
+                                    batch_format="pyarrow")

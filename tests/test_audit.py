@@ -184,6 +184,8 @@ def test_query_pipeline_budgets(ray_session, tmp_path):
     assert count_exchanges(q["monthly_delta"](sf)) == 0
     # dense top-k: partial-bound survivors, one exchange
     assert count_exchanges(q["dense_topk"](sf)) == 1
+    # Q6 predicate scan: any keyed exchange is a planner bug
+    assert count_exchanges(q["forecast_revenue"](sf)) == 0
 
 
 def test_flagship_is_shuffle_free(ray_session):
