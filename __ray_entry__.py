@@ -1132,6 +1132,27 @@ def q_important_parts(sf_dir: str):
         return important_parts(sf_dir)
 
 
+def q_event_lag(sf_dir: str):
+    """All-rows LAG emit (stages/sessionize.event_lag): every event
+    with its user's previous event id, inter-arrival us, and value
+    delta; sentinels for the first event. One key exchange, one shift
+    + boundary mask."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.sessionize import event_lag
+    ev = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["user_id", "event_id", "ts", "value"])
+
+    def prescale(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(
+            pc.cast(t["value"], pa.float64()), 10_000.0)), pa.int64())
+        return pa.table({"user_id": t["user_id"],
+                         "event_id": t["event_id"], "ts": t["ts"],
+                         "value_e4": v})
+
+    with _hint(sf_dir, "events"):
+        return event_lag(ev.map_batches(prescale, batch_format="pyarrow"))
+
+
 def q_forecast_revenue(sf_dir: str):
     """TPC-H Q6 predicate-scan aggregate
     (pipelines/relational.forecast_revenue): per-block integer partials,
@@ -5652,6 +5673,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dense_topk": q_dense_topk,
         "important_parts": q_important_parts,
         "forecast_revenue": q_forecast_revenue,
+        "event_lag": q_event_lag,
         "zorder_layout": q_zorder_layout,
         "robots_gate": q_robots_gate,
         "minhash_dups": q_minhash_dups,
@@ -6230,6 +6252,18 @@ def oracle_sql() -> dict[str, str]:
               AND CAST(round(l_discount*100) AS BIGINT)
                   BETWEEN {FORECAST_DISC[0]} AND {FORECAST_DISC[1]}
               AND l_quantity < {FORECAST_MAX_QTY}""",
+        "event_lag": """
+            WITH v AS (SELECT event_id, user_id, ts,
+                              CAST(round(value*10000) AS BIGINT) AS v
+                       FROM events)
+            SELECT event_id, user_id,
+                   COALESCE(LAG(event_id) OVER w, -1)::BIGINT AS prev_id,
+                   COALESCE(CAST(epoch_us(ts) AS BIGINT)
+                            - CAST(epoch_us(LAG(ts) OVER w) AS BIGINT),
+                            -1)::BIGINT AS dt_us,
+                   COALESCE(v - LAG(v) OVER w, 0)::BIGINT AS dv
+            FROM v WINDOW w AS (PARTITION BY user_id
+                                ORDER BY ts, event_id)""",
         "important_parts": """
             WITH pp AS (
               SELECT l_partkey,

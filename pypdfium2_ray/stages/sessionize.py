@@ -458,3 +458,60 @@ def group_centered(ds, key: str = "user_id", tiebreak: str = "event_id",
 
     return partition_map(ds.select_columns([key, tiebreak, value_col]),
                          [key], kernel, batch_format="pandas")
+
+
+#: event_lag's no-previous-event markers (first row of a key): real
+#: NULLs never cross the driver hash gate, and -1 is unreachable for
+#: both a nonnegative id and a nonnegative sorted time delta
+LAG_NONE_ID = -1
+LAG_NONE_DT = -1
+
+
+def event_lag(ds, key: str = "user_id", ts_col: str = "ts",
+              tiebreak: str = "event_id", value_col: str = "value_e4"):
+    """All-rows LAG emit: every event annotated with its key's PREVIOUS
+    event — (prev_id, dt_us since it, value delta vs it) — the
+    row-level inter-arrival/delta stream that ``gap_stats`` aggregates
+    away and ``event_transitions`` collapses to pair counts. First
+    event of a key carries ``prev_id = dt_us = -1`` and ``dv = 0``
+    (sentinels; COALESCE twin).
+
+    ONE hash exchange; whole-partition vectorized kernel: lexsort by
+    (key, ts, tiebreak), one shift, boundary mask — no per-group Python.
+    dt is epoch-us difference (nonneg after the sort); *value_col* is
+    caller-pre-scaled int64 so the delta hashes identically on any
+    engine."""
+    import numpy as np
+    import pandas as pd
+
+    from pypdfium2_ray.stages.exchange import partition_map
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                tiebreak: pd.Series(dtype="int64"),
+                key: pd.Series(dtype="int64"),
+                "prev_id": pd.Series(dtype="int64"),
+                "dt_us": pd.Series(dtype="int64"),
+                "dv": pd.Series(dtype="int64")})
+        k = df[key].to_numpy()
+        us = df[ts_col].to_numpy().astype("datetime64[us]").view("int64")
+        tb = df[tiebreak].to_numpy()
+        v = df[value_col].to_numpy().astype(np.int64)
+        order = np.lexsort((tb, us, k))
+        k, us, tb, v = k[order], us[order], tb[order], v[order]
+        same = np.concatenate([[False], k[1:] == k[:-1]])
+        prev_id = np.where(same, np.concatenate([[0], tb[:-1]]),
+                           LAG_NONE_ID)
+        dt = np.where(same, us - np.concatenate([[0], us[:-1]]),
+                      LAG_NONE_DT)
+        dv = np.where(same, v - np.concatenate([[0], v[:-1]]), 0)
+        return pd.DataFrame({tiebreak: tb.astype("int64"),
+                             key: k.astype("int64"),
+                             "prev_id": prev_id.astype("int64"),
+                             "dt_us": dt.astype("int64"),
+                             "dv": dv.astype("int64")})
+
+    return partition_map(ds.select_columns([key, ts_col, tiebreak,
+                                            value_col]),
+                         [key], kernel, batch_format="pandas")

@@ -234,3 +234,37 @@ def test_periodic_delta(ray_session, grain):
     # every label's first period is the sentinel, exactly once
     assert (got[got.delta_e4 == PERIOD_DELTA_SENTINEL]
             .groupby("lab").size() == 1).all()
+
+
+@pytest.mark.parametrize("nparts", [1, 4])
+def test_event_lag(ray_session, nparts):
+    import ray.data as rd
+    from pypdfium2_ray.stages.sessionize import event_lag
+    rng = np.random.RandomState(10)
+    n = 400
+    t0 = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 25, n).astype(np.int64),
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": [t0 + pd.Timedelta(seconds=int(s))
+               for s in rng.randint(0, 90, n)],        # ts ties
+        "value_e4": rng.randint(-500, 500, n).astype(np.int64),
+    }).sample(frac=1.0, random_state=4).reset_index(drop=True)
+    got = event_lag(rd.from_pandas(df).repartition(nparts)) \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    assert len(got) == n
+    s = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    us = s["ts"].astype("datetime64[us]").astype("int64")
+    g = s.groupby("user_id")
+    exp = pd.DataFrame({
+        "event_id": s["event_id"],
+        "user_id": s["user_id"],
+        "prev_id": g["event_id"].shift(1).fillna(-1).astype("int64"),
+        "dt_us": (us - us.groupby(s["user_id"]).shift(1)).fillna(-1)
+                 .astype("int64"),
+        "dv": (s["value_e4"] - g["value_e4"].shift(1)).fillna(0)
+              .astype("int64"),
+    }).sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype("int64"), exp)
+    # exactly one sentinel row per key
+    assert (got[got.prev_id == -1].groupby("user_id").size() == 1).all()
