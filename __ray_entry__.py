@@ -1153,6 +1153,20 @@ def q_event_lag(sf_dir: str):
         return event_lag(ev.map_batches(prescale, batch_format="pyarrow"))
 
 
+def q_running_distinct(sf_dir: str):
+    """Running COUNT(DISTINCT event_type) per user, all rows out
+    (stages/sessionize.running_distinct): window count-distinct —
+    unsupported as a native SQL window — via first-occurrence flags +
+    per-key cumsum; twin is SUM(is_first) OVER. One key exchange."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.sessionize import running_distinct
+    ev = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["user_id", "event_id", "ts",
+                                  "event_type"])
+    with _hint(sf_dir, "events"):
+        return running_distinct(ev)
+
+
 def q_forecast_revenue(sf_dir: str):
     """TPC-H Q6 predicate-scan aggregate
     (pipelines/relational.forecast_revenue): per-block integer partials,
@@ -5674,6 +5688,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "important_parts": q_important_parts,
         "forecast_revenue": q_forecast_revenue,
         "event_lag": q_event_lag,
+        "running_distinct": q_running_distinct,
         "zorder_layout": q_zorder_layout,
         "robots_gate": q_robots_gate,
         "minhash_dups": q_minhash_dups,
@@ -6252,6 +6267,20 @@ def oracle_sql() -> dict[str, str]:
               AND CAST(round(l_discount*100) AS BIGINT)
                   BETWEEN {FORECAST_DISC[0]} AND {FORECAST_DISC[1]}
               AND l_quantity < {FORECAST_MAX_QTY}""",
+        "running_distinct": """
+            WITH f AS (
+              SELECT event_id, user_id, ts,
+                     CASE WHEN row_number() OVER (
+                            PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) = 1
+                          THEN 1 ELSE 0 END AS is_first
+              FROM events)
+            SELECT event_id, user_id,
+                   SUM(is_first) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING)::BIGINT
+                     AS n_distinct
+            FROM f""",
         "event_lag": """
             WITH v AS (SELECT event_id, user_id, ts,
                               CAST(round(value*10000) AS BIGINT) AS v

@@ -515,3 +515,62 @@ def event_lag(ds, key: str = "user_id", ts_col: str = "ts",
     return partition_map(ds.select_columns([key, ts_col, tiebreak,
                                             value_col]),
                          [key], kernel, batch_format="pandas")
+
+
+def running_distinct(ds, key: str = "user_id", ts_col: str = "ts",
+                     tiebreak: str = "event_id", label: str = "event_type",
+                     out: str = "n_distinct"):
+    """Running COUNT(DISTINCT label) per key, all rows out: each event
+    annotated with how many distinct labels its key has seen UP TO AND
+    INCLUDING it in ``(ts, tiebreak)`` order — the
+    exploration/coverage curve ("how many product areas has this user
+    touched by event t"). SQL's window COUNT(DISTINCT ... ) OVER is
+    unsupported on most engines; the exact twin is
+    ``SUM(is_first) OVER (ROWS UNBOUNDED PRECEDING)`` where is_first
+    marks the label's first occurrence within the key (row_number = 1
+    over (key, label)).
+
+    ONE hash exchange; whole-partition vectorized kernel: lexsort by
+    (key, label, ts, tiebreak) finds first occurrences (boundary mask —
+    no hashing, no sets), then a second lexsort into time order and one
+    per-key cumsum of the first-occurrence flags (run-boundary offset
+    subtraction, the ``running_total`` kernel over a derived 0/1
+    column). No per-group Python at any cardinality.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pypdfium2_ray.stages.exchange import partition_map
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                tiebreak: pd.Series(dtype="int64"),
+                key: pd.Series(dtype="int64"),
+                out: pd.Series(dtype="int64")})
+        k = df[key].to_numpy()
+        us = df[ts_col].to_numpy().astype("datetime64[us]").view("int64")
+        tb = df[tiebreak].to_numpy()
+        lab = df[label].to_numpy()
+        # pass 1: first occurrence of (key, label) under time order —
+        # lexsort with (key, label) major and time minor, boundary mask
+        o1 = np.lexsort((tb, us, lab, k))
+        k1, lab1 = k[o1], lab[o1]
+        first = np.concatenate([[True], (k1[1:] != k1[:-1])
+                                | (lab1[1:] != lab1[:-1])])
+        flag = np.empty(len(k), np.int64)
+        flag[o1] = first
+        # pass 2: per-key cumsum of flags in time order
+        o2 = np.lexsort((tb, us, k))
+        k2, tb2, f2 = k[o2], tb[o2], flag[o2]
+        cs = np.cumsum(f2)
+        starts = np.flatnonzero(
+            np.concatenate([[True], k2[1:] != k2[:-1]]))
+        counts = np.diff(np.append(starts, len(k2)))
+        base = np.repeat(cs[starts] - f2[starts], counts)
+        return pd.DataFrame({tiebreak: tb2.astype("int64"),
+                             key: k2.astype("int64"),
+                             out: (cs - base).astype("int64")})
+
+    return partition_map(ds.select_columns([key, ts_col, tiebreak, label]),
+                         [key], kernel, batch_format="pandas")

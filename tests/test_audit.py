@@ -187,6 +187,7 @@ def test_query_pipeline_budgets(ray_session, tmp_path):
     # Q6 predicate scan: any keyed exchange is a planner bug
     assert count_exchanges(q["forecast_revenue"](sf)) == 0
     assert count_exchanges(q["event_lag"](sf)) == 1
+    assert count_exchanges(q["running_distinct"](sf)) == 1
 
 
 def test_flagship_is_shuffle_free(ray_session):

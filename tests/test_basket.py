@@ -268,3 +268,37 @@ def test_event_lag(ray_session, nparts):
     pd.testing.assert_frame_equal(got.astype("int64"), exp)
     # exactly one sentinel row per key
     assert (got[got.prev_id == -1].groupby("user_id").size() == 1).all()
+
+
+@pytest.mark.parametrize("nparts", [1, 4])
+def test_running_distinct(ray_session, nparts):
+    import ray.data as rd
+    from pypdfium2_ray.stages.sessionize import running_distinct
+    rng = np.random.RandomState(11)
+    n = 400
+    t0 = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 20, n).astype(np.int64),
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": [t0 + pd.Timedelta(seconds=int(s))
+               for s in rng.randint(0, 70, n)],        # heavy ts ties
+        "event_type": rng.choice(list("abcde"), n).tolist(),
+    }).sample(frac=1.0, random_state=5).reset_index(drop=True)
+    got = running_distinct(rd.from_pandas(df).repartition(nparts)) \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    assert len(got) == n
+    s = df.sort_values(["user_id", "ts", "event_id"])
+    seen, out = {}, {}
+    for uid, lab, eid in zip(s["user_id"], s["event_type"], s["event_id"]):
+        seen.setdefault(uid, set()).add(lab)
+        out[eid] = len(seen[uid])
+    exp = pd.DataFrame({"event_id": df["event_id"],
+                        "user_id": df["user_id"],
+                        "n_distinct": df["event_id"].map(out)}) \
+        .sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
+    # last value per user equals the user's total distinct count
+    tail = got.sort_values("event_id").groupby("user_id")["n_distinct"] \
+        .max()
+    tot = df.groupby("user_id")["event_type"].nunique()
+    assert (tail == tot).all()
