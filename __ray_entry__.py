@@ -1167,6 +1167,20 @@ def q_running_distinct(sf_dir: str):
         return running_distinct(ev)
 
 
+def q_first_touch(sf_dir: str):
+    """First-touch attribution for purchases
+    (stages/sessionize.first_touch_attribution): sessionize (30-min
+    gap) + FIRST_VALUE-of-session + conversion filter FUSED into one
+    exchange + one kernel — three SQL window layers on the twin."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.sessionize import first_touch_attribution
+    ev = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["user_id", "event_id", "ts",
+                                  "event_type"])
+    with _hint(sf_dir, "events"):
+        return first_touch_attribution(ev, target="purchase")
+
+
 def q_forecast_revenue(sf_dir: str):
     """TPC-H Q6 predicate-scan aggregate
     (pipelines/relational.forecast_revenue): per-block integer partials,
@@ -5689,6 +5703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "forecast_revenue": q_forecast_revenue,
         "event_lag": q_event_lag,
         "running_distinct": q_running_distinct,
+        "first_touch": q_first_touch,
         "zorder_layout": q_zorder_layout,
         "robots_gate": q_robots_gate,
         "minhash_dups": q_minhash_dups,
@@ -6267,6 +6282,31 @@ def oracle_sql() -> dict[str, str]:
               AND CAST(round(l_discount*100) AS BIGINT)
                   BETWEEN {FORECAST_DISC[0]} AND {FORECAST_DISC[1]}
               AND l_quantity < {FORECAST_MAX_QTY}""",
+        "first_touch": """
+            WITH s AS (
+              SELECT event_id, user_id, ts, event_type,
+                     CASE WHEN CAST(epoch_us(ts) AS BIGINT)
+                               - CAST(epoch_us(LAG(ts) OVER (
+                                   PARTITION BY user_id
+                                   ORDER BY ts, event_id)) AS BIGINT)
+                               > 1800000000
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events),
+            s2 AS (
+              SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM s),
+            s3 AS (
+              SELECT event_id, user_id, session_id, event_type,
+                     FIRST_VALUE(event_type) OVER (
+                       PARTITION BY user_id, session_id
+                       ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS first_touch
+              FROM s2)
+            SELECT event_id, user_id, session_id::BIGINT AS session_id,
+                   first_touch
+            FROM s3 WHERE event_type = 'purchase'""",
         "running_distinct": """
             WITH f AS (
               SELECT event_id, user_id, ts,

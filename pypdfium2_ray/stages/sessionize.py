@@ -574,3 +574,62 @@ def running_distinct(ds, key: str = "user_id", ts_col: str = "ts",
 
     return partition_map(ds.select_columns([key, ts_col, tiebreak, label]),
                          [key], kernel, batch_format="pandas")
+
+
+def first_touch_attribution(ds, target: str, key: str = "user_id",
+                            ts_col: str = "ts", tiebreak: str = "event_id",
+                            label: str = "event_type",
+                            gap_s: float = 1800.0):
+    """Composed-window attribution in ONE exchange: every *target* event
+    (the conversion) annotated with the FIRST label of ITS SESSION —
+    first-touch marketing attribution, fusing sessionize (gap cut) +
+    FIRST_VALUE OVER (session) + the conversion filter into a single
+    per-partition kernel instead of three windowed passes.
+
+    Kernel: lexsort by (key, ts, tiebreak); a session starts at a key
+    boundary or a gap > *gap_s* (ties have dt 0 and can never split a
+    session, so the cut is total-order-stable); the session-start row's
+    label propagates by ``np.repeat`` over session run lengths; the
+    filter keeps target rows. Output: (tiebreak, key, session_id,
+    first_touch) — session_id is the key's 0-based session index,
+    matching :func:`sessionize`."""
+    import numpy as np
+    import pandas as pd
+
+    from pypdfium2_ray.stages.exchange import partition_map
+
+    gap_us = int(gap_s * 1_000_000)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                tiebreak: pd.Series(dtype="int64"),
+                key: pd.Series(dtype="int64"),
+                "session_id": pd.Series(dtype="int64"),
+                "first_touch": pd.Series(dtype="object")})
+        k = df[key].to_numpy()
+        us = df[ts_col].to_numpy().astype("datetime64[us]").view("int64")
+        tb = df[tiebreak].to_numpy()
+        lab = df[label].to_numpy()
+        order = np.lexsort((tb, us, k))
+        k, us, tb, lab = k[order], us[order], tb[order], lab[order]
+        new_key = np.concatenate([[True], k[1:] != k[:-1]])
+        new_sess = new_key | np.concatenate(
+            [[True], (us[1:] - us[:-1]) > gap_us])
+        starts = np.flatnonzero(new_sess)
+        runs = np.diff(np.append(starts, len(k)))
+        first_touch = np.repeat(lab[starts], runs)
+        # 0-based session index per key: cumulative new-session count
+        # minus the count at the key's start
+        sess_cum = np.cumsum(new_sess) - 1
+        key_starts = np.flatnonzero(new_key)
+        key_runs = np.diff(np.append(key_starts, len(k)))
+        sess_id = sess_cum - np.repeat(sess_cum[key_starts], key_runs)
+        keep = lab == target
+        return pd.DataFrame({tiebreak: tb[keep].astype("int64"),
+                             key: k[keep].astype("int64"),
+                             "session_id": sess_id[keep].astype("int64"),
+                             "first_touch": first_touch[keep]})
+
+    return partition_map(ds.select_columns([key, ts_col, tiebreak, label]),
+                         [key], kernel, batch_format="pandas")

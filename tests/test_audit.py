@@ -188,6 +188,7 @@ def test_query_pipeline_budgets(ray_session, tmp_path):
     assert count_exchanges(q["forecast_revenue"](sf)) == 0
     assert count_exchanges(q["event_lag"](sf)) == 1
     assert count_exchanges(q["running_distinct"](sf)) == 1
+    assert count_exchanges(q["first_touch"](sf)) == 1
 
 
 def test_flagship_is_shuffle_free(ray_session):

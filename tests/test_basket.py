@@ -302,3 +302,46 @@ def test_running_distinct(ray_session, nparts):
         .max()
     tot = df.groupby("user_id")["event_type"].nunique()
     assert (tail == tot).all()
+
+
+@pytest.mark.parametrize("nparts", [1, 4])
+def test_first_touch_attribution(ray_session, nparts):
+    import ray.data as rd
+    from pypdfium2_ray.stages.sessionize import first_touch_attribution
+    rng = np.random.RandomState(12)
+    n = 400
+    t0 = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 15, n).astype(np.int64),
+        "event_id": np.arange(n, dtype=np.int64),
+        # minute-scale jumps so 30s gap splits sessions frequently
+        "ts": [t0 + pd.Timedelta(seconds=int(s))
+               for s in np.sort(rng.randint(0, 3000, n))],
+        "event_type": rng.choice(["view", "click", "buy"], n).tolist(),
+    }).sample(frac=1.0, random_state=6).reset_index(drop=True)
+    got = first_touch_attribution(
+        rd.from_pandas(df).repartition(nparts), target="buy",
+        gap_s=30.0).to_pandas().sort_values("event_id") \
+        .reset_index(drop=True)
+
+    # brute walk
+    rows = []
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        last_us, sid, first = None, -1, None
+        for _, r in g.iterrows():
+            us = r["ts"].value // 1000  # ns -> us
+            if last_us is None or us - last_us > 30_000_000:
+                sid += 1
+                first = r["event_type"]
+            last_us = us
+            if r["event_type"] == "buy":
+                rows.append((r["event_id"], uid, sid, first))
+    exp = pd.DataFrame(rows, columns=["event_id", "user_id",
+                                      "session_id", "first_touch"]) \
+        .sort_values("event_id").reset_index(drop=True)
+    exp = exp.astype({"event_id": "int64", "user_id": "int64",
+                      "session_id": "int64"})
+    pd.testing.assert_frame_equal(got, exp)
+    # the gap cut really fires: multiple sessions exist for some user
+    assert (exp.groupby("user_id")["session_id"].max() > 0).any()
