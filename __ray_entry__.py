@@ -1181,6 +1181,67 @@ def q_first_touch(sf_dir: str):
         return first_touch_attribution(ev, target="purchase")
 
 
+def q_time_to_convert(sf_dir: str):
+    """Forward-looking LEAD-to-event window
+    (stages/sessionize.time_to_convert): every event annotated with us
+    until its user's NEXT purchase strictly after it (-1 sentinel) —
+    one exchange, one searchsorted against target-row positions; the
+    twin is MIN(CASE..) OVER a 1-FOLLOWING..UNBOUNDED future frame."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.sessionize import time_to_convert
+    ev = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["user_id", "event_id", "ts",
+                                  "event_type"])
+    with _hint(sf_dir, "events"):
+        return time_to_convert(ev, target="purchase")
+
+
+def q_user_trend(sf_dir: str):
+    """Exact per-user OLS spend trend (stages/agg.grouped_ols_trend):
+    slope of value_e4 vs 1-based event sequence index as the EXACT
+    integer rational (slope_num, slope_den) — bit-exact vs the
+    ROW_NUMBER + integer-sum SQL twin where a float slope would
+    hash-diverge on summation order. One exchange, lexsort + reduceat."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import grouped_ols_trend
+    ev = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["user_id", "event_id", "ts", "value"])
+
+    def prescale(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(
+            pc.cast(t["value"], pa.float64()), 10_000.0)), pa.int64())
+        return pa.table({"user_id": t["user_id"],
+                         "event_id": t["event_id"], "ts": t["ts"],
+                         "value_e4": v})
+
+    with _hint(sf_dir, "events"):
+        return grouped_ols_trend(
+            ev.map_batches(prescale, batch_format="pyarrow"),
+            ["user_id"], "ts", "event_id", "value_e4")
+
+
+def q_user_gini(sf_dir: str):
+    """Exact per-user Gini spend concentration (stages/agg.grouped_gini):
+    the sorted-rank Gini formula as the EXACT integer rational
+    (gini_num, gini_den) over value_e4 — tie-order-invariant, so
+    bit-exact vs the ROW_NUMBER SQL twin. One exchange, lexsort +
+    reduceat, zero per-group Python."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import grouped_gini
+    ev = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["user_id", "value"])
+
+    def prescale(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(
+            pc.cast(t["value"], pa.float64()), 10_000.0)), pa.int64())
+        return pa.table({"user_id": t["user_id"], "value_e4": v})
+
+    with _hint(sf_dir, "events"):
+        return grouped_gini(
+            ev.map_batches(prescale, batch_format="pyarrow"),
+            ["user_id"], "value_e4")
+
+
 def q_forecast_revenue(sf_dir: str):
     """TPC-H Q6 predicate-scan aggregate
     (pipelines/relational.forecast_revenue): per-block integer partials,
@@ -5704,6 +5765,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_lag": q_event_lag,
         "running_distinct": q_running_distinct,
         "first_touch": q_first_touch,
+        "time_to_convert": q_time_to_convert,
+        "user_trend": q_user_trend,
+        "user_gini": q_user_gini,
         "zorder_layout": q_zorder_layout,
         "robots_gate": q_robots_gate,
         "minhash_dups": q_minhash_dups,
@@ -6307,6 +6371,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, session_id::BIGINT AS session_id,
                    first_touch
             FROM s3 WHERE event_type = 'purchase'""",
+        "time_to_convert": """
+            SELECT event_id, user_id,
+                   COALESCE(CAST(epoch_us(
+                       MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 1 FOLLOWING
+                                  AND UNBOUNDED FOLLOWING)) AS BIGINT)
+                     - CAST(epoch_us(ts) AS BIGINT), -1) AS us_to_convert
+            FROM events""",
+        "user_trend": """
+            WITH r AS (
+              SELECT user_id,
+                     CAST(round(value*10000) AS BIGINT) AS y,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS x
+              FROM events)
+            SELECT user_id, COUNT(*)::BIGINT AS n,
+                   CAST(COUNT(*)*SUM(x*y) - SUM(x)*SUM(y) AS BIGINT)
+                       AS slope_num,
+                   CAST(COUNT(*)*SUM(x*x) - SUM(x)*SUM(x) AS BIGINT)
+                       AS slope_den
+            FROM r GROUP BY user_id HAVING COUNT(*) >= 2""",
+        "user_gini": """
+            WITH r AS (
+              SELECT user_id,
+                     CAST(round(value*10000) AS BIGINT) AS x,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                         ORDER BY CAST(round(value*10000) AS BIGINT)) AS i
+              FROM events)
+            SELECT user_id, COUNT(*)::BIGINT AS n,
+                   CAST(2*SUM(i*x) - (COUNT(*)+1)*SUM(x) AS BIGINT)
+                       AS gini_num,
+                   CAST(COUNT(*)*SUM(x) AS BIGINT) AS gini_den
+            FROM r GROUP BY user_id""",
         "running_distinct": """
             WITH f AS (
               SELECT event_id, user_id, ts,

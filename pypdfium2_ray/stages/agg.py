@@ -553,3 +553,137 @@ def periodic_delta(ds, label_col: str, ts_col: str, value_col: str,
 
     return monthly.map_batches(add_delta, batch_size=None,
                                batch_format="pyarrow")
+
+
+def grouped_ols_trend(ds, keys: list[str], ts_col: str, tiebreak: str,
+                      value_col: str,
+                      num_partitions: int | None = None):
+    """Exact per-group OLS trend of *value_col* against the event's
+    1-based SEQUENCE INDEX in ``(ts, tiebreak)`` order — "is this user's
+    spend drifting up or down per event" — emitted as the EXACT integer
+    rational ``slope = slope_num / slope_den`` with
+
+        slope_num = n*Σxy − Σx·Σy,   slope_den = n*Σxx − (Σx)²
+
+    (x = row_number, y = caller-pre-scaled int64). A float slope would
+    hash-diverge across engines' summation orders; the rational is
+    bit-exact (the SQL twin is the same integer formula over
+    ``ROW_NUMBER() OVER``). ``slope_den = n²(n²−1)/12`` exactly — it is
+    emitted anyway so the consumer never re-derives the formula. Groups
+    with n == 1 are dropped (den 0, slope undefined).
+
+    ONE hash exchange; the kernel is one lexsort + segment geometry +
+    two ``np.add.reduceat`` passes — zero per-group Python. Overflow is
+    guarded loudly: requires n³·max|y| < 2⁶³ per group (at web scale
+    pre-aggregate to a coarser grain first — e.g. daily sums — before
+    fitting)."""
+    import numpy as np
+    import pandas as pd
+
+    key = keys[0] if len(keys) == 1 else None
+    if key is None:
+        raise ValueError("grouped_ols_trend supports a single key column")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                key: pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+                "slope_num": pd.Series(dtype="int64"),
+                "slope_den": pd.Series(dtype="int64")})
+        k = df[key].to_numpy()
+        us = df[ts_col].to_numpy().astype("datetime64[us]").view("int64")
+        tb = df[tiebreak].to_numpy()
+        y = df[value_col].to_numpy().astype(np.int64)
+        order = np.lexsort((tb, us, k))
+        k, y = k[order], y[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], k[1:] != k[:-1]]))
+        n = np.diff(np.append(starts, len(k))).astype(np.int64)
+        nmax = int(n.max())
+        ymax = int(np.abs(y).max()) if len(y) else 0
+        if nmax ** 3 * max(ymax, 1) >= 2 ** 63:
+            raise ValueError(
+                f"grouped_ols_trend int64 overflow risk: n={nmax}, "
+                f"max|y|={ymax} — pre-aggregate to a coarser grain")
+        x = np.arange(len(k), dtype=np.int64) \
+            - np.repeat(starts, n).astype(np.int64) + 1
+        sum_y = np.add.reduceat(y, starts)
+        sum_xy = np.add.reduceat(x * y, starts)
+        sum_x = n * (n + 1) // 2
+        sum_xx = n * (n + 1) * (2 * n + 1) // 6
+        num = n * sum_xy - sum_x * sum_y
+        den = n * sum_xx - sum_x * sum_x
+        keep = n >= 2
+        return pd.DataFrame({key: k[starts][keep].astype("int64"),
+                             "n": n[keep],
+                             "slope_num": num[keep],
+                             "slope_den": den[keep]})
+
+    proj = ds.select_columns([key, ts_col, tiebreak, value_col])
+    return partition_map(proj, [key], kernel, batch_format="pandas",
+                         num_partitions=num_partitions)
+
+
+def grouped_gini(ds, keys: list[str], value_col: str,
+                 num_partitions: int | None = None):
+    """Exact per-group Gini concentration of a nonnegative pre-scaled
+    int64 *value_col* — "how unequal is this user's spend across their
+    events" (0 = perfectly even, →1 = one event dominates) — emitted as
+    the EXACT integer rational ``gini = gini_num / gini_den`` with
+
+        gini_num = 2·Σ(i·x₍ᵢ₎) − (n+1)·Σx,   gini_den = n·Σx
+
+    over x ascending, i = 1..n. Tie order cannot matter (equal x swap
+    rank but Σ i·x over a tied block is order-invariant), so the
+    rational is bit-exact and the SQL twin is the same formula over
+    ``ROW_NUMBER() OVER (ORDER BY x)``. Zero-sum groups emit den 0
+    rather than erroring (no division happens here). Negative values
+    are rejected loudly (Gini is undefined below zero).
+
+    ONE hash exchange; lexsort + segment geometry + two
+    ``np.add.reduceat`` — zero per-group Python. Overflow guard:
+    n²·max(x) < 2⁶³ per group."""
+    import numpy as np
+    import pandas as pd
+
+    key = keys[0] if len(keys) == 1 else None
+    if key is None:
+        raise ValueError("grouped_gini supports a single key column")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                key: pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+                "gini_num": pd.Series(dtype="int64"),
+                "gini_den": pd.Series(dtype="int64")})
+        k = df[key].to_numpy()
+        x = df[value_col].to_numpy().astype(np.int64)
+        if (x < 0).any():
+            raise ValueError("grouped_gini requires nonnegative values")
+        order = np.lexsort((x, k))
+        k, x = k[order], x[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], k[1:] != k[:-1]]))
+        n = np.diff(np.append(starts, len(k))).astype(np.int64)
+        nmax = int(n.max())
+        xmax = int(x.max()) if len(x) else 0
+        if nmax * nmax * max(xmax, 1) >= 2 ** 62:
+            raise ValueError(
+                f"grouped_gini int64 overflow risk: n={nmax}, "
+                f"max(x)={xmax} — pre-scale down or pre-aggregate")
+        i = np.arange(len(k), dtype=np.int64) \
+            - np.repeat(starts, n).astype(np.int64) + 1
+        sum_x = np.add.reduceat(x, starts)
+        sum_ix = np.add.reduceat(i * x, starts)
+        num = 2 * sum_ix - (n + 1) * sum_x
+        den = n * sum_x
+        return pd.DataFrame({key: k[starts].astype("int64"),
+                             "n": n,
+                             "gini_num": num,
+                             "gini_den": den})
+
+    proj = ds.select_columns([key, value_col])
+    return partition_map(proj, [key], kernel, batch_format="pandas",
+                         num_partitions=num_partitions)

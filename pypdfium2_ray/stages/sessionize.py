@@ -633,3 +633,61 @@ def first_touch_attribution(ds, target: str, key: str = "user_id",
 
     return partition_map(ds.select_columns([key, ts_col, tiebreak, label]),
                          [key], kernel, batch_format="pandas")
+
+
+def time_to_convert(ds, target: str = "purchase", key: str = "user_id",
+                    ts_col: str = "ts", tiebreak: str = "event_id",
+                    label: str = "event_type", out: str = "us_to_convert"):
+    """Forward-looking LEAD-to-event window: every event annotated with
+    the microseconds until its key's NEXT *target* event STRICTLY AFTER
+    it in ``(ts, tiebreak)`` order — time-to-conversion for every
+    touchpoint, the mirror image of :func:`event_lag` (all prior windows
+    in this module look backward; this is the suffix direction). Rows
+    with no later target in their key carry ``-1`` (real values are
+    always >= 0 after the sort, so the sentinel is unambiguous; the
+    twin is ``COALESCE(.., -1)`` over ``MIN(CASE ..) OVER (ROWS BETWEEN
+    1 FOLLOWING AND UNBOUNDED FOLLOWING)`` — the future-frame min of a
+    nondecreasing column IS the next occurrence).
+
+    ONE hash exchange; whole-partition vectorized kernel: lexsort by
+    (key, ts, tiebreak), then ONE ``searchsorted`` of every row index
+    into the sorted target-row positions (side='right' gives the first
+    target strictly after), validity-gated by the row's key-segment end
+    — no per-group Python, no reversed segmented scan."""
+    import numpy as np
+    import pandas as pd
+
+    from pypdfium2_ray.stages.exchange import partition_map
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                tiebreak: pd.Series(dtype="int64"),
+                key: pd.Series(dtype="int64"),
+                out: pd.Series(dtype="int64")})
+        k = df[key].to_numpy()
+        us = df[ts_col].to_numpy().astype("datetime64[us]").view("int64")
+        tb = df[tiebreak].to_numpy()
+        lab = df[label].to_numpy()
+        order = np.lexsort((tb, us, k))
+        k, us, tb, lab = k[order], us[order], tb[order], lab[order]
+        n = len(k)
+        new_key = np.concatenate([[True], k[1:] != k[:-1]])
+        starts = np.flatnonzero(new_key)
+        runs = np.diff(np.append(starts, n))
+        seg_end = np.repeat(starts + runs, runs)  # exclusive, per row
+        pidx = np.flatnonzero(lab == target)
+        if len(pidx):
+            j = np.searchsorted(pidx, np.arange(n), side="right")
+            has = j < len(pidx)
+            cand = pidx[np.minimum(j, len(pidx) - 1)]
+            valid = has & (cand < seg_end)
+            dt = np.where(valid, us[cand] - us, -1)
+        else:
+            dt = np.full(n, -1, dtype=np.int64)
+        return pd.DataFrame({tiebreak: tb.astype("int64"),
+                             key: k.astype("int64"),
+                             out: dt.astype("int64")})
+
+    return partition_map(ds.select_columns([key, ts_col, tiebreak, label]),
+                         [key], kernel, batch_format="pandas")

@@ -189,6 +189,9 @@ def test_query_pipeline_budgets(ray_session, tmp_path):
     assert count_exchanges(q["event_lag"](sf)) == 1
     assert count_exchanges(q["running_distinct"](sf)) == 1
     assert count_exchanges(q["first_touch"](sf)) == 1
+    assert count_exchanges(q["time_to_convert"](sf)) == 1
+    assert count_exchanges(q["user_trend"](sf)) == 1
+    assert count_exchanges(q["user_gini"](sf)) == 1
 
 
 def test_flagship_is_shuffle_free(ray_session):

@@ -345,3 +345,114 @@ def test_first_touch_attribution(ray_session, nparts):
     pd.testing.assert_frame_equal(got, exp)
     # the gap cut really fires: multiple sessions exist for some user
     assert (exp.groupby("user_id")["session_id"].max() > 0).any()
+
+
+@pytest.mark.parametrize("nparts", [1, 4])
+def test_time_to_convert(ray_session, nparts):
+    import ray.data as rd
+    from pypdfium2_ray.stages.sessionize import time_to_convert
+    rng = np.random.RandomState(21)
+    n = 400
+    t0 = pd.Timestamp("2024-01-01")
+    secs = np.sort(rng.randint(0, 3000, n))
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 12, n).astype(np.int64),
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": [t0 + pd.Timedelta(seconds=int(s)) for s in secs],
+        "event_type": rng.choice(["view", "click", "buy"], n).tolist(),
+    }).sample(frac=1.0, random_state=7).reset_index(drop=True)
+    got = time_to_convert(
+        rd.from_pandas(df).repartition(nparts), target="buy") \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+
+    # brute walk: for each row, scan forward in (ts, event_id) order
+    rows = []
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        for i in range(len(g)):
+            dt = -1
+            for j in range(i + 1, len(g)):
+                if g["event_type"][j] == "buy":
+                    dt = int(us[j] - us[i])
+                    break
+            rows.append((int(g["event_id"][i]), uid, dt))
+    exp = pd.DataFrame(rows, columns=["event_id", "user_id",
+                                      "us_to_convert"]) \
+        .sort_values("event_id").reset_index(drop=True) \
+        .astype({"event_id": "int64", "user_id": "int64",
+                 "us_to_convert": "int64"})
+    pd.testing.assert_frame_equal(got, exp)
+    assert (exp["us_to_convert"] == -1).any()          # tail sentinel fires
+    assert (exp["us_to_convert"] >= 0).any()           # real conversions too
+
+
+@pytest.mark.parametrize("nparts", [1, 4])
+def test_grouped_ols_trend(ray_session, nparts):
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import grouped_ols_trend
+    rng = np.random.RandomState(33)
+    n = 300
+    t0 = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 10, n).astype(np.int64),
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": [t0 + pd.Timedelta(seconds=int(s))
+               for s in rng.randint(0, 5000, n)],
+        "value_e4": rng.randint(-500, 5000, n).astype(np.int64),
+    })
+    got = grouped_ols_trend(
+        rd.from_pandas(df).repartition(nparts),
+        ["user_id"], "ts", "event_id", "value_e4") \
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    for _, r in got.iterrows():
+        g = df[df.user_id == r.user_id].sort_values(["ts", "event_id"])
+        y = g["value_e4"].to_numpy().astype(float)
+        x = np.arange(1, len(y) + 1, dtype=float)
+        slope = np.polyfit(x, y, 1)[0]
+        assert r.n == len(y)
+        assert abs(r.slope_num / r.slope_den - slope) < 1e-9
+    # exact perfectly-linear group: slope must be the exact rational
+    lin = pd.DataFrame({
+        "user_id": np.full(7, 99, dtype=np.int64),
+        "event_id": np.arange(7, dtype=np.int64),
+        "ts": [t0 + pd.Timedelta(seconds=i) for i in range(7)],
+        "value_e4": (3 * np.arange(7) + 11).astype(np.int64)})
+    one = grouped_ols_trend(rd.from_pandas(lin), ["user_id"], "ts",
+                            "event_id", "value_e4").to_pandas()
+    assert one.slope_num[0] * 1 == 3 * one.slope_den[0]
+
+
+@pytest.mark.parametrize("nparts", [1, 4])
+def test_grouped_gini(ray_session, nparts):
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import grouped_gini
+    rng = np.random.RandomState(44)
+    n = 300
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 10, n).astype(np.int64),
+        "value_e4": rng.randint(0, 5000, n).astype(np.int64),
+    })
+    got = grouped_gini(rd.from_pandas(df).repartition(nparts),
+                       ["user_id"], "value_e4") \
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    for _, r in got.iterrows():
+        x = np.sort(df[df.user_id == r.user_id]["value_e4"].to_numpy())
+        i = np.arange(1, len(x) + 1)
+        num = 2 * int((i * x).sum()) - (len(x) + 1) * int(x.sum())
+        assert (r.gini_num, r.gini_den) == (num, len(x) * int(x.sum()))
+    # degenerate shapes: all-equal -> gini 0; one-hot -> (n-1)/n
+    deg = pd.DataFrame({
+        "user_id": np.repeat([1, 2], 5).astype(np.int64),
+        "value_e4": np.array([7, 7, 7, 7, 7, 0, 0, 0, 0, 100],
+                             dtype=np.int64)})
+    g2 = grouped_gini(rd.from_pandas(deg), ["user_id"], "value_e4") \
+        .to_pandas().set_index("user_id")
+    assert g2.loc[1, "gini_num"] == 0
+    assert g2.loc[2, "gini_num"] * 5 == 4 * g2.loc[2, "gini_den"]
+    # negative values rejected loudly
+    bad = pd.DataFrame({"user_id": np.zeros(2, np.int64),
+                        "value_e4": np.array([-1, 5], np.int64)})
+    with pytest.raises(Exception, match="nonnegative"):
+        grouped_gini(rd.from_pandas(bad), ["user_id"],
+                     "value_e4").materialize()
