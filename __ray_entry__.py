@@ -1242,6 +1242,80 @@ def q_user_gini(sf_dir: str):
             ["user_id"], "value_e4")
 
 
+def q_densify_days(sf_dir: str):
+    """Calendar densification (stages/sessionize.densify_days): one row
+    per user per day between first and last activity, zero-filled —
+    the only row-EXPANDING window op (generate_series + LEFT JOIN twin).
+    Per-block (user, day) partials, one exchange, arange+scatter kernel."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.sessionize import densify_days
+    ev = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["user_id", "ts"])
+    with _hint(sf_dir, "events"):
+        return densify_days(ev)
+
+
+def q_bounce_rate(sf_dir: str):
+    """Per-entry-label bounce report (stages/sessionize.bounce_rate):
+    sessionize + FIRST-of-session + two aggregation levels fused into
+    ONE keyed exchange with per-partition label partials and a
+    single-block enum fold. Exact integer counts (rate left to the
+    consumer)."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.sessionize import bounce_rate
+    ev = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["user_id", "event_id", "ts",
+                                  "event_type"])
+    with _hint(sf_dir, "events"):
+        return bounce_rate(ev)
+
+
+def q_benford_digits(sf_dir: str):
+    """Benford leading-digit profile per event type
+    (stages/agg.leading_digit_counts): vectorized log-bounded //10
+    digit reduction (no strings, no libm log), block partials +
+    single-block enum combine — ZERO keyed exchanges. Non-positive
+    values are dropped on BOTH sides (Benford convention: zero has no
+    leading significant digit)."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import leading_digit_counts
+    ev = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def prescale(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(
+            pc.cast(t["value"], pa.float64()), 10_000.0)), pa.int64())
+        keep = pc.greater(v, 0)
+        return pa.table({"event_type": pc.filter(t["event_type"], keep),
+                         "value_e4": pc.filter(v, keep)})
+
+    return leading_digit_counts(
+        ev.map_batches(prescale, batch_format="pyarrow"),
+        ["event_type"], "value_e4")
+
+
+def q_ks_distance(sf_dir: str):
+    """Exact two-sample KS distance, view vs purchase values
+    (stages/agg.ks_two_sample): distinct-value ECDF support via one
+    hash combine, global cumulative counts via two range prefix scans
+    (no global sort), per-block pre-max + tiny fold — ONE row, the
+    exact integer rational (d_num, d_den) plus both sample sizes."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import ks_two_sample
+    ev = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def prescale(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(
+            pc.cast(t["value"], pa.float64()), 10_000.0)), pa.int64())
+        return pa.table({"event_type": t["event_type"], "value_e4": v})
+
+    with _hint(sf_dir, "events"):
+        return ks_two_sample(
+            ev.map_batches(prescale, batch_format="pyarrow"),
+            "value_e4", "event_type", "view", "purchase")
+
+
 def q_forecast_revenue(sf_dir: str):
     """TPC-H Q6 predicate-scan aggregate
     (pipelines/relational.forecast_revenue): per-block integer partials,
@@ -5768,6 +5842,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_to_convert": q_time_to_convert,
         "user_trend": q_user_trend,
         "user_gini": q_user_gini,
+        "densify_days": q_densify_days,
+        "bounce_rate": q_bounce_rate,
+        "benford_digits": q_benford_digits,
+        "ks_distance": q_ks_distance,
         "zorder_layout": q_zorder_layout,
         "robots_gate": q_robots_gate,
         "minhash_dups": q_minhash_dups,
@@ -6405,6 +6483,75 @@ def oracle_sql() -> dict[str, str]:
                        AS gini_num,
                    CAST(COUNT(*)*SUM(x) AS BIGINT) AS gini_den
             FROM r GROUP BY user_id""",
+        "densify_days": """
+            WITH d AS (SELECT user_id,
+                         CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                             AS day
+                       FROM events),
+            b AS (SELECT user_id, min(day) AS mn, max(day) AS mx
+                  FROM d GROUP BY user_id),
+            spine AS (SELECT user_id,
+                             unnest(generate_series(mn, mx)) AS day
+                      FROM b),
+            c AS (SELECT user_id, day, COUNT(*)::BIGINT AS cnt
+                  FROM d GROUP BY 1, 2)
+            SELECT s.user_id, s.day,
+                   COALESCE(c.cnt, 0)::BIGINT AS n_events
+            FROM spine s LEFT JOIN c USING (user_id, day)""",
+        "bounce_rate": """
+            WITH s AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN CAST(epoch_us(ts) AS BIGINT)
+                               - CAST(epoch_us(LAG(ts) OVER (
+                                   PARTITION BY user_id
+                                   ORDER BY ts, event_id)) AS BIGINT)
+                               > 1800000000
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events),
+            s2 AS (
+              SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+              FROM s),
+            g AS (
+              SELECT user_id, sid,
+                     first(event_type ORDER BY ts, event_id)
+                         AS first_touch,
+                     COUNT(*) AS sz
+              FROM s2 GROUP BY user_id, sid)
+            SELECT first_touch, COUNT(*)::BIGINT AS n_sessions,
+                   SUM(CASE WHEN sz = 1 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_bounces
+            FROM g GROUP BY first_touch""",
+        "benford_digits": """
+            WITH x AS (SELECT event_type,
+                              CAST(round(value*10000) AS BIGINT) AS v
+                       FROM events
+                       WHERE CAST(round(value*10000) AS BIGINT) > 0)
+            SELECT event_type,
+                   CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT)
+                       AS digit,
+                   COUNT(*)::BIGINT AS n
+            FROM x GROUP BY 1, 2""",
+        "ks_distance": """
+            WITH x AS (SELECT CAST(round(value*10000) AS BIGINT) AS v,
+                         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END
+                             AS a,
+                         CASE WHEN event_type = 'purchase' THEN 1
+                              ELSE 0 END AS b
+                       FROM events
+                       WHERE event_type IN ('view', 'purchase')),
+            g AS (SELECT v, SUM(a) AS ca, SUM(b) AS cb FROM x
+                  GROUP BY v),
+            c AS (SELECT SUM(ca) OVER (ORDER BY v) AS cum_a,
+                         SUM(cb) OVER (ORDER BY v) AS cum_b FROM g),
+            t AS (SELECT SUM(a) AS na, SUM(b) AS nb FROM x)
+            SELECT CAST(MAX(ABS(cum_a*nb - cum_b*na)) AS BIGINT)
+                       AS d_num,
+                   CAST(MAX(na*nb) AS BIGINT) AS d_den,
+                   CAST(MAX(na) AS BIGINT) AS n_a,
+                   CAST(MAX(nb) AS BIGINT) AS n_b
+            FROM c, t""",
         "running_distinct": """
             WITH f AS (
               SELECT event_id, user_id, ts,

@@ -687,3 +687,107 @@ def grouped_gini(ds, keys: list[str], value_col: str,
     proj = ds.select_columns([key, value_col])
     return partition_map(proj, [key], kernel, batch_format="pandas",
                          num_partitions=num_partitions)
+
+
+def leading_digit_counts(ds, keys: list[str], value_col: str,
+                         out: str = "n"):
+    """Benford / leading-significant-digit profile: counts per
+    ``keys + (digit,)`` of the first decimal digit of a POSITIVE
+    pre-scaled int64 *value_col* — the classic fraud / synthetic-data
+    smell test (organic magnitudes follow Benford's log law; generated
+    or capped ones don't). Zero/negative values are rejected loudly
+    (they have no leading significant digit).
+
+    ZERO keyed exchanges: the digit is a vectorized log-bounded
+    ``//10`` reduction per block (<= 19 passes for int64, no string
+    round-trip, no libm log whose edge rounding the SQL twin could
+    miss), then block partials + single-block enum combine — digit x
+    enum-keys cardinality is fixed at any corpus size."""
+    import numpy as np
+
+    def widen(t: pa.Table) -> pa.Table:
+        d = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(d) and int(d.min()) <= 0:
+            raise ValueError("leading_digit_counts requires positive "
+                             "values (no leading digit below 1)")
+        d = d.copy()
+        while len(d) and int(d.max()) >= 10:
+            big = d >= 10
+            d[big] //= 10
+        cols = {k: t[k] for k in keys}
+        cols["digit"] = pa.array(d)
+        return pa.table(cols)
+
+    return grouped_aggregate(
+        ds.select_columns(keys + [value_col])
+          .map_batches(widen, batch_format="pyarrow"),
+        keys + ["digit"], {out: (None, "count")}, combine="single_block")
+
+
+def ks_two_sample(ds, value_col: str, side_col: str, side_a, side_b):
+    """Exact two-sample Kolmogorov–Smirnov distance between the
+    *value_col* distributions of two populations (``side_col`` ==
+    *side_a* vs *side_b*) — the distribution-drift gate every corpus
+    refresh wants ("did purchase values shift vs views"). Emitted as
+    ONE row, the EXACT integer rational ``D = d_num / d_den`` with
+
+        d_num = max over distinct v of |cum_a(v)*n_b − cum_b(v)*n_a|
+        d_den = n_a * n_b
+
+    (cum = inclusive counts in value order), bit-exact vs the
+    window-cumsum SQL twin; a float ECDF would hash-diverge. Requires
+    ``n_a * n_b < 2⁶³`` — KS is scale-free, sample first at web scale.
+
+    Shape: per-block (value, side) partials → ONE hash-exchange combine
+    to distinct values (materialized: it is the shrunken ECDF support,
+    reused three times — totals + two prefix scans — without
+    recompute) → :func:`~pypdfium2_ray.stages.scan.ranged_prefix_sum`
+    per side (range exchanges: global cumulative counts WITHOUT a
+    global sort) → per-block pre-max → single tiny fold. The driver
+    touches only the two scalar totals and the final row."""
+    import numpy as np
+
+    from pypdfium2_ray.stages.scan import ranged_prefix_sum
+
+    def widen(t: pa.Table) -> pa.Table:
+        s = t[side_col].to_numpy(zero_copy_only=False)
+        a = (s == side_a).astype(np.int64)
+        b = (s == side_b).astype(np.int64)
+        keep = (a + b) > 0
+        return pa.table({value_col: pc.filter(t[value_col],
+                                              pa.array(keep)),
+                         "ca": pa.array(a[keep]), "cb": pa.array(b[keep])})
+
+    per_value = grouped_aggregate(
+        ds.select_columns([value_col, side_col])
+          .map_batches(widen, batch_format="pyarrow"),
+        [value_col], {"ca": ("ca", "sum"), "cb": ("cb", "sum")}) \
+        .materialize()
+    tot = per_value.sum(["ca", "cb"]) or {}
+    n_a = int(tot.get("sum(ca)") or 0)
+    n_b = int(tot.get("sum(cb)") or 0)
+    if n_a * n_b >= 2 ** 63:
+        raise ValueError("ks_two_sample int64 overflow: sample first")
+
+    cum = ranged_prefix_sum(per_value, value_col, "ca", out="cum_a_prev")
+    cum = ranged_prefix_sum(cum, value_col, "cb", out="cum_b_prev")
+
+    def block_max(t: pa.Table) -> pa.Table:
+        ca = t["ca"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cb = t["cb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cum_a = t["cum_a_prev"].to_numpy(zero_copy_only=False) + ca
+        cum_b = t["cum_b_prev"].to_numpy(zero_copy_only=False) + cb
+        d = np.abs(cum_a * n_b - cum_b * n_a)
+        return pa.table({"d_part": pa.array(
+            [int(d.max())] if len(d) else [], pa.int64())})
+
+    def fold(t: pa.Table) -> pa.Table:
+        mx = pc.max(t["d_part"]).as_py() if t.num_rows else None
+        return pa.table({"d_num": pa.array([int(mx or 0)], pa.int64()),
+                         "d_den": pa.array([n_a * n_b], pa.int64()),
+                         "n_a": pa.array([n_a], pa.int64()),
+                         "n_b": pa.array([n_b], pa.int64())})
+
+    return cum.map_batches(block_max, batch_format="pyarrow") \
+        .repartition(1).map_batches(fold, batch_size=None,
+                                    batch_format="pyarrow")

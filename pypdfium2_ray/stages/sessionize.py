@@ -691,3 +691,135 @@ def time_to_convert(ds, target: str = "purchase", key: str = "user_id",
 
     return partition_map(ds.select_columns([key, ts_col, tiebreak, label]),
                          [key], kernel, batch_format="pandas")
+
+
+def densify_days(ds, key: str = "user_id", ts_col: str = "ts",
+                 out: str = "n_events", day_us: int = 86_400_000_000,
+                 max_span: int = 10_000,
+                 num_partitions: int | None = None):
+    """Calendar densification ("fill the gaps"): one row per key per
+    DAY between the key's first and last activity, with that day's
+    event count — zero-filled for silent days. The generate_series +
+    LEFT JOIN of SQL as a single per-key kernel; the only ROW-EXPANDING
+    window op in the family (everything else annotates or contracts),
+    which is what daily-active curves, churn features and forecasting
+    spines need. Day is emitted as INTEGER epoch-days (a date column
+    would hash-diverge on engine string forms).
+
+    Shape: per-block (key, day) count partials (one pyarrow group_by —
+    the shuffle then moves day-counts, not events), ONE hash exchange,
+    then a vectorized densify kernel: lexsort, segment geometry, one
+    ``arange`` re-based per key via run offsets, one scatter of the
+    observed counts — no per-key Python, no join. Spans over
+    *max_span* days are rejected loudly (a 1970-epoch outlier would
+    expand one key into millions of rows silently otherwise)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from pypdfium2_ray.stages.exchange import partition_map
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
+        day = pc.divide(us, day_us)  # integer floor-div: us >= 0 epochs
+        base = pa.table({key: t[key], "day": day})
+        return base.group_by([key, "day"], use_threads=False) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns([key, "day", "cnt"])
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                key: pd.Series(dtype="int64"),
+                "day": pd.Series(dtype="int64"),
+                out: pd.Series(dtype="int64")})
+        g = df.groupby([key, "day"], sort=False, as_index=False)["cnt"] \
+            .sum()
+        k = g[key].to_numpy()
+        d = g["day"].to_numpy().astype(np.int64)
+        c = g["cnt"].to_numpy().astype(np.int64)
+        order = np.lexsort((d, k))
+        k, d, c = k[order], d[order], c[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], k[1:] != k[:-1]]))
+        runs = np.diff(np.append(starts, len(k)))
+        mn = d[starts]
+        span = d[starts + runs - 1] - mn + 1
+        if int(span.max()) > max_span:
+            raise ValueError(
+                f"densify_days span {int(span.max())} days exceeds "
+                f"max_span={max_span} — outlier timestamps would "
+                f"silently explode the output")
+        off = np.concatenate([[0], np.cumsum(span)])
+        total = int(off[-1])
+        out_key = np.repeat(k[starts], span)
+        out_day = np.arange(total, dtype=np.int64) \
+            - np.repeat(off[:-1], span) + np.repeat(mn, span)
+        n = np.zeros(total, dtype=np.int64)
+        keyidx = np.repeat(np.arange(len(starts)), runs)
+        n[off[keyidx] + (d - mn[keyidx])] = c
+        return pd.DataFrame({key: out_key.astype("int64"),
+                             "day": out_day, out: n})
+
+    partials = ds.select_columns([key, ts_col]) \
+        .map_batches(partial, batch_format="pyarrow")
+    return partition_map(partials, [key], kernel, batch_format="pandas",
+                         num_partitions=num_partitions)
+
+
+def bounce_rate(ds, key: str = "user_id", ts_col: str = "ts",
+                tiebreak: str = "event_id", label: str = "event_type",
+                gap_s: float = 1800.0):
+    """Per-entry-label bounce report: sessionize (gap cut), take each
+    session's FIRST label (the entry touchpoint) and size, then count
+    sessions and single-event sessions ("bounces") per entry label —
+    the landing-page bounce-rate table, fusing sessionize +
+    FIRST-of-session + two aggregation levels into ONE keyed exchange.
+
+    The per-partition kernel emits PARTIAL per-label counts (sessions
+    are whole within a partition — the key exchange guarantees it), so
+    the final combine is a single-block enum fold (label cardinality is
+    fixed at any corpus size), not a second exchange. Counts are exact
+    ints; rate = n_bounces / n_sessions is left to the consumer (a
+    float rate would hash-diverge)."""
+    import numpy as np
+    import pandas as pd
+
+    from pypdfium2_ray.stages.exchange import partition_map
+
+    gap_us = int(gap_s * 1_000_000)
+    empty = {"first_touch": pd.Series(dtype="object"),
+             "n_sessions": pd.Series(dtype="int64"),
+             "n_bounces": pd.Series(dtype="int64")}
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(empty)
+        k = df[key].to_numpy()
+        us = df[ts_col].to_numpy().astype("datetime64[us]").view("int64")
+        tb = df[tiebreak].to_numpy()
+        lab = df[label].to_numpy()
+        order = np.lexsort((tb, us, k))
+        k, us, lab = k[order], us[order], lab[order]
+        new_sess = np.concatenate([[True], k[1:] != k[:-1]]) \
+            | np.concatenate([[True], (us[1:] - us[:-1]) > gap_us])
+        starts = np.flatnonzero(new_sess)
+        runs = np.diff(np.append(starts, len(k)))
+        part = pd.DataFrame({
+            "first_touch": lab[starts],
+            "n_sessions": np.ones(len(starts), np.int64),
+            "n_bounces": (runs == 1).astype(np.int64)})
+        return part.groupby("first_touch", sort=False,
+                            as_index=False).sum()
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(empty)
+        return df.groupby("first_touch", sort=False, as_index=False).sum()
+
+    inner = partition_map(ds.select_columns([key, ts_col, tiebreak,
+                                             label]),
+                          [key], kernel, batch_format="pandas")
+    return inner.repartition(1).map_batches(combine,
+                                            batch_format="pandas",
+                                            batch_size=None)

@@ -192,6 +192,13 @@ def test_query_pipeline_budgets(ray_session, tmp_path):
     assert count_exchanges(q["time_to_convert"](sf)) == 1
     assert count_exchanges(q["user_trend"](sf)) == 1
     assert count_exchanges(q["user_gini"](sf)) == 1
+    assert count_exchanges(q["densify_days"](sf)) == 1
+    assert count_exchanges(q["bounce_rate"](sf)) == 1
+    assert count_exchanges(q["benford_digits"](sf)) == 0
+    # ks_distance's prefix scans materialize their bucketed inputs, so
+    # the final lineage segment holds at most ONE keyed exchange (zero
+    # when this fixture's empty ECDF support short-circuits the scans)
+    assert count_exchanges(q["ks_distance"](sf)) <= 1
 
 
 def test_flagship_is_shuffle_free(ray_session):

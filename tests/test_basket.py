@@ -456,3 +456,147 @@ def test_grouped_gini(ray_session, nparts):
     with pytest.raises(Exception, match="nonnegative"):
         grouped_gini(rd.from_pandas(bad), ["user_id"],
                      "value_e4").materialize()
+
+
+@pytest.mark.parametrize("nparts", [1, 4])
+def test_densify_days(ray_session, nparts):
+    import ray.data as rd
+    from pypdfium2_ray.stages.sessionize import densify_days
+    rng = np.random.RandomState(55)
+    n = 200
+    t0 = pd.Timestamp("2024-03-01")
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 8, n).astype(np.int64),
+        # sparse: 40-day window, many users skip days
+        "ts": [t0 + pd.Timedelta(days=int(d), seconds=int(s))
+               for d, s in zip(rng.randint(0, 40, n),
+                               rng.randint(0, 86400, n))],
+    })
+    got = densify_days(rd.from_pandas(df).repartition(nparts)) \
+        .to_pandas().sort_values(["user_id", "day"]) \
+        .reset_index(drop=True)
+    rows = []
+    day = df["ts"].astype("datetime64[us]").astype("int64") \
+        // 86_400_000_000
+    bf = pd.DataFrame({"user_id": df.user_id, "day": day})
+    for uid, g in bf.groupby("user_id"):
+        cnt = g.groupby("day").size()
+        for d in range(int(g.day.min()), int(g.day.max()) + 1):
+            rows.append((uid, d, int(cnt.get(d, 0))))
+    exp = pd.DataFrame(rows, columns=["user_id", "day", "n_events"]) \
+        .astype("int64").sort_values(["user_id", "day"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+    assert (exp.n_events == 0).any()        # gaps really get zero-filled
+    # outlier span guard fires loudly
+    bad = pd.DataFrame({"user_id": np.zeros(2, np.int64),
+                        "ts": [pd.Timestamp("1970-01-02"),
+                               pd.Timestamp("2024-01-01")]})
+    with pytest.raises(Exception, match="max_span"):
+        densify_days(rd.from_pandas(bad)).materialize()
+
+
+@pytest.mark.parametrize("nparts", [1, 4])
+def test_bounce_rate(ray_session, nparts):
+    import ray.data as rd
+    from pypdfium2_ray.stages.sessionize import bounce_rate
+    rng = np.random.RandomState(66)
+    n = 400
+    t0 = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 15, n).astype(np.int64),
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": [t0 + pd.Timedelta(seconds=int(s))
+               for s in np.sort(rng.randint(0, 3000, n))],
+        "event_type": rng.choice(["view", "click", "buy"], n).tolist(),
+    }).sample(frac=1.0, random_state=9).reset_index(drop=True)
+    got = bounce_rate(rd.from_pandas(df).repartition(nparts),
+                      gap_s=30.0).to_pandas() \
+        .sort_values("first_touch").reset_index(drop=True)
+    sess = {}
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        last, cur = None, None
+        for _, r in g.iterrows():
+            us = r["ts"].value // 1000
+            if last is None or us - last > 30_000_000:
+                cur = (uid, len(sess))
+                sess[cur] = [r["event_type"], 0]
+            sess[cur][1] += 1
+            last = us
+    agg = {}
+    for first, sz in sess.values():
+        a = agg.setdefault(first, [0, 0])
+        a[0] += 1
+        a[1] += int(sz == 1)
+    exp = pd.DataFrame(
+        [(k, v[0], v[1]) for k, v in agg.items()],
+        columns=["first_touch", "n_sessions", "n_bounces"]) \
+        .astype({"n_sessions": "int64", "n_bounces": "int64"}) \
+        .sort_values("first_touch").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+    assert got.n_bounces.sum() > 0
+
+
+@pytest.mark.parametrize("nparts", [1, 4])
+def test_leading_digit_counts(ray_session, nparts):
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import leading_digit_counts
+    rng = np.random.RandomState(77)
+    v = rng.randint(1, 10**6, 500).astype(np.int64)
+    df = pd.DataFrame({
+        "grp": rng.randint(0, 3, 500).astype(np.int64), "x": v})
+    got = leading_digit_counts(
+        rd.from_pandas(df).repartition(nparts), ["grp"], "x") \
+        .to_pandas().sort_values(["grp", "digit"]).reset_index(drop=True)
+    lead = np.array([int(str(x)[0]) for x in v], dtype=np.int64)
+    exp = pd.DataFrame({"grp": df.grp, "digit": lead}) \
+        .groupby(["grp", "digit"], as_index=False).size() \
+        .rename(columns={"size": "n"}).astype("int64") \
+        .sort_values(["grp", "digit"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+    bad = pd.DataFrame({"grp": np.zeros(2, np.int64),
+                        "x": np.array([0, 5], np.int64)})
+    with pytest.raises(Exception, match="positive"):
+        leading_digit_counts(rd.from_pandas(bad), ["grp"],
+                             "x").materialize()
+
+
+@pytest.mark.parametrize("nparts", [1, 4])
+def test_ks_two_sample(ray_session, nparts):
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import ks_two_sample
+    rng = np.random.RandomState(88)
+    a = rng.randint(0, 200, 300).astype(np.int64)          # uniform-ish
+    b = (rng.randint(0, 200, 200) // 2 + 100).astype(np.int64)  # shifted
+    df = pd.DataFrame({
+        "v": np.concatenate([a, b]),
+        "side": ["a"] * len(a) + ["b"] * len(b)})
+    got = ks_two_sample(rd.from_pandas(df).repartition(nparts),
+                        "v", "side", "a", "b").to_pandas()
+    # brute ECDF max-gap on the union support
+    sup = np.unique(df.v)
+    ca = np.searchsorted(np.sort(a), sup, side="right")
+    cb = np.searchsorted(np.sort(b), sup, side="right")
+    d_num = int(np.abs(ca * len(b) - cb * len(a)).max())
+    assert got.d_num[0] == d_num
+    assert got.d_den[0] == len(a) * len(b)
+    assert (got.n_a[0], got.n_b[0]) == (len(a), len(b))
+    assert 0 < d_num < len(a) * len(b)
+    # identical samples -> D = 0; disjoint supports -> D = 1
+    same = pd.DataFrame({"v": np.tile(a, 2),
+                         "side": ["a"] * len(a) + ["b"] * len(a)})
+    g0 = ks_two_sample(rd.from_pandas(same), "v", "side", "a", "b") \
+        .to_pandas()
+    assert g0.d_num[0] == 0
+    disj = pd.DataFrame({"v": np.concatenate([a, a + 10_000]),
+                         "side": ["a"] * len(a) + ["b"] * len(a)})
+    g1 = ks_two_sample(rd.from_pandas(disj), "v", "side", "a", "b") \
+        .to_pandas()
+    assert g1.d_num[0] == g1.d_den[0]
+    # exchange budget on REAL data: each ranged_prefix_sum materializes
+    # its bucketed input (lineage truncation), so the FINAL segment holds
+    # exactly one keyed exchange (the second scan's bucket shuffle)
+    from pypdfium2_ray.stages.audit import count_exchanges
+    assert count_exchanges(
+        ks_two_sample(rd.from_pandas(df), "v", "side", "a", "b")) == 1
