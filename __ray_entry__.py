@@ -1316,6 +1316,68 @@ def q_ks_distance(sf_dir: str):
             "value_e4", "event_type", "view", "purchase")
 
 
+def q_mutual_links(sf_dir: str):
+    """Reciprocal link pairs (stages/triangles.mutual_pairs): unordered
+    node pairs linked in BOTH directions over the distinct synthetic
+    edge set — one packed-key exchange, per-partition min/max flag
+    group_by, no joins."""
+    from pypdfium2_ray.stages.triangles import mutual_pairs
+    docs = _docs(sf_dir, ["doc_id"])
+    n = docs.count()
+    edges = docs.map_batches(_synth_link_edges(n), batch_format="pyarrow")
+    with _hint(sf_dir):
+        return mutual_pairs(edges)
+
+
+def _mutual_links_sql() -> str:
+    return f"""
+        WITH nodes AS (SELECT CAST(doc_id AS BIGINT) AS node
+                       FROM documents),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        edges AS (
+          SELECT node AS src, (node * {PR_MULT} + 1) % (SELECT n FROM nn)
+                 AS dst FROM nodes
+          UNION ALL SELECT node, node % {PR_HUBS} FROM nodes
+          UNION ALL SELECT node, (node // 3) % (SELECT n FROM nn)
+          FROM nodes),
+        de AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges
+                            WHERE src <> dst)
+        SELECT a.src AS id_a, a.dst AS id_b
+        FROM de a JOIN de b ON a.src = b.dst AND a.dst = b.src
+        WHERE a.src < a.dst"""
+
+
+def q_kwic_first(sf_dir: str):
+    """Keyword-in-context concordance for 'merge'
+    (stages/textstats.kwic_first): first occurrence per doc, 1-based
+    position + 24 chars of context each side — ZERO exchanges, one
+    vectorized find_substring + two byte-buffer slice gathers."""
+    from pypdfium2_ray.stages.textstats import kwic_first
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return kwic_first(ds, "merge", ctx=24)
+
+
+def q_value_cume(sf_dir: str):
+    """Exact CUME_DIST rational per event (stages/topk.grouped_cume):
+    peer-inclusive RANGE-frame count over value_e4 within the user,
+    all rows out — one exchange, lexsort + run-end boundary masks."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.topk import grouped_cume
+    ev = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["user_id", "event_id", "value"])
+
+    def prescale(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(
+            pc.cast(t["value"], pa.float64()), 10_000.0)), pa.int64())
+        return pa.table({"user_id": t["user_id"],
+                         "event_id": t["event_id"], "value_e4": v})
+
+    with _hint(sf_dir, "events"):
+        return grouped_cume(
+            ev.map_batches(prescale, batch_format="pyarrow"),
+            ["user_id"], "value_e4", "event_id")
+
+
 def q_forecast_revenue(sf_dir: str):
     """TPC-H Q6 predicate-scan aggregate
     (pipelines/relational.forecast_revenue): per-block integer partials,
@@ -5846,6 +5908,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bounce_rate": q_bounce_rate,
         "benford_digits": q_benford_digits,
         "ks_distance": q_ks_distance,
+        "mutual_links": q_mutual_links,
+        "kwic_first": q_kwic_first,
+        "value_cume": q_value_cume,
         "zorder_layout": q_zorder_layout,
         "robots_gate": q_robots_gate,
         "minhash_dups": q_minhash_dups,
@@ -6552,6 +6617,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(na) AS BIGINT) AS n_a,
                    CAST(MAX(nb) AS BIGINT) AS n_b
             FROM c, t""",
+        "mutual_links": _mutual_links_sql(),
+        "kwic_first": """
+            WITH p AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+                         CAST(position('merge' IN text) AS BIGINT) AS pos
+                       FROM documents)
+            SELECT doc_id, pos,
+                   substr(text,
+                          CAST(greatest(1, pos - 24) AS BIGINT),
+                          CAST(pos - greatest(1, pos - 24) AS BIGINT))
+                       AS left_ctx,
+                   substr(text, pos + 5, 24) AS right_ctx
+            FROM p WHERE pos > 0""",
+        "value_cume": """
+            WITH r AS (SELECT event_id, user_id,
+                         CAST(round(value*10000) AS BIGINT) AS v
+                       FROM events)
+            SELECT event_id, user_id,
+                   COUNT(*) OVER (PARTITION BY user_id ORDER BY v
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cd_num,
+                   COUNT(*) OVER (PARTITION BY user_id) AS cd_den
+            FROM r""",
         "running_distinct": """
             WITH f AS (
               SELECT event_id, user_id, ts,

@@ -362,3 +362,69 @@ def token_entropy(ds, id_col: str = "doc_id", col: str = "text"):
 
     return ds.select_columns([id_col, col]) \
              .map_batches(f, batch_format="pyarrow")
+
+
+def _gather_slices(data, starts, stops):
+    """Build a large_string array whose i-th value is
+    ``data[starts[i]:stops[i]]`` — one fancy-index gather over the
+    shared byte buffer, no per-row Python."""
+    import numpy as np
+
+    lens = (stops - starts).astype(np.int64)
+    offs = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
+    total = int(offs[-1])
+    idx = np.arange(total, dtype=np.int64) \
+        - np.repeat(offs[:-1], lens) + np.repeat(starts, lens)
+    payload = data[idx] if total else np.array([], np.uint8)
+    return pa.Array.from_buffers(
+        pa.large_utf8(), len(starts),
+        [None, pa.py_buffer(offs.tobytes()),
+         pa.py_buffer(payload.tobytes())])
+
+
+def kwic_first(ds, term: str, doc_col: str = "doc_id",
+               text_col: str = "text", ctx: int = 24):
+    """Keyword-in-context concordance, first occurrence per document:
+    for every doc containing *term*, emit its 1-based position plus
+    ``ctx`` characters of left and right context — the corpus-inspection
+    primitive behind every "show me how this token is used" audit.
+    Docs without the term emit nothing (the twin's ``WHERE pos > 0``).
+
+    ZERO exchanges — a pure streaming map. The kernel is
+    ``pc.find_substring`` (one vectorized pass) plus two fancy-index
+    gathers over the Arrow byte buffer (:func:`_gather_slices`) — no
+    per-row Python. Positions and context windows are BYTE offsets,
+    identical to the SQL twin's character semantics on ASCII corpora
+    (this repo's synthetic corpus is ASCII; for full UTF-8 parity swap
+    in a codepoint index at ~3x the cost)."""
+    import numpy as np
+
+    import pyarrow.compute as pc
+
+    tl = len(term.encode())
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t[text_col].combine_chunks()
+        pos = pc.find_substring(texts, term) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = pos >= 0
+        mask = pa.array(keep)
+        arr = texts.filter(mask).cast(pa.large_utf8())
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        p = pos[keep]
+        voff = np.frombuffer(arr.buffers()[1], np.int64)[
+            arr.offset: arr.offset + len(arr) + 1]
+        data = np.frombuffer(arr.buffers()[2], np.uint8)
+        starts = voff[:-1]
+        left = _gather_slices(data, starts + np.maximum(p - ctx, 0),
+                              starts + p)
+        right = _gather_slices(data, starts + p + tl,
+                               np.minimum(starts + p + tl + ctx,
+                                          voff[1:]))
+        return pa.table({doc_col: pc.filter(t[doc_col], mask),
+                         "pos": pa.array(p + 1, pa.int64()),
+                         "left_ctx": left, "right_ctx": right})
+
+    return ds.select_columns([doc_col, text_col]) \
+        .map_batches(fn, batch_format="pyarrow")

@@ -164,3 +164,60 @@ def grouped_dense_topk(ds, keys: list[str], value_col: str, k: int,
     partials = ds.map_batches(level, batch_format="pandas")
     return partition_map(partials, keys, level, batch_format="pandas",
                          num_partitions=num_partitions)
+
+
+def grouped_cume(ds, keys: list[str], value_col: str, tiebreak: str,
+                 num_partitions: int | None = None):
+    """Exact CUME_DIST as an integer rational, all rows out: per row,
+    ``cd_num`` = number of rows in its group with value <= its value
+    (peers INCLUDED — the RANGE-frame semantics that row_number and
+    dense_rank cannot express) and ``cd_den`` = group size;
+    ``CUME_DIST() = cd_num / cd_den`` exactly, with no float division
+    to hash-diverge. The twin is ``COUNT(*) OVER (... ORDER BY value
+    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)``.
+
+    ONE hash exchange; vectorized kernel: lexsort by (keys, value),
+    boundary masks find value-run ENDS within each group (every peer
+    reports the run's last index — that is the peer-inclusive count),
+    per-group rebase via run offsets. No per-group Python."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pypdfium2_ray.stages.exchange import partition_map
+
+    key = keys[0] if len(keys) == 1 else None
+    if key is None:
+        raise ValueError("grouped_cume supports a single key column")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                tiebreak: pd.Series(dtype="int64"),
+                key: pd.Series(dtype="int64"),
+                "cd_num": pd.Series(dtype="int64"),
+                "cd_den": pd.Series(dtype="int64")})
+        k = df[key].to_numpy()
+        v = df[value_col].to_numpy()
+        tb = df[tiebreak].to_numpy()
+        order = np.lexsort((tb, v, k))
+        k, v, tb = k[order], v[order], tb[order]
+        n = len(k)
+        new_key = np.concatenate([[True], k[1:] != k[:-1]])
+        kstarts = np.flatnonzero(new_key)
+        kruns = np.diff(np.append(kstarts, n))
+        # value-run geometry within keys: a run breaks on key OR value
+        new_run = new_key | np.concatenate([[True], v[1:] != v[:-1]])
+        rstarts = np.flatnonzero(new_run)
+        rruns = np.diff(np.append(rstarts, n))
+        run_end = np.repeat(rstarts + rruns, rruns)   # 1-past-peers, global
+        seg_start = np.repeat(kstarts, kruns)
+        return pd.DataFrame({tiebreak: tb.astype("int64"),
+                             key: k.astype("int64"),
+                             "cd_num": (run_end - seg_start)
+                             .astype("int64"),
+                             "cd_den": np.repeat(kruns, kruns)
+                             .astype("int64")})
+
+    return partition_map(ds.select_columns([key, value_col, tiebreak]),
+                         [key], kernel, batch_format="pandas",
+                         num_partitions=num_partitions)

@@ -293,3 +293,54 @@ def triangle_counts(edges, src_col: str = "src", dst_col: str = "dst",
         tris.map_batches(tri_nodes, batch_format="pyarrow"),
         ["node"], {"n_triangles": (None, "count")},
         num_partitions=num_partitions)
+
+
+def mutual_pairs(edges, src_col: str = "src", dst_col: str = "dst",
+                 num_partitions: int | None = None):
+    """Dataset[(id_a, id_b)] — unordered node pairs linked in BOTH
+    directions (a→b and b→a) over the distinct self-loop-free edge set:
+    reciprocal links, the strongest relatedness signal a raw link graph
+    gives (nav bars, cross-references, mutual follows) and the classic
+    reciprocity numerator. ``id_a < id_b``.
+
+    ONE packed-key exchange: each directed edge becomes its unordered
+    ``(lo << 32) | hi`` key plus a direction flag (block-local distinct
+    pre-combine first), the per-partition kernel keeps keys where BOTH
+    flag values appear (one pyarrow min/max group_by — no joins, no
+    per-pair Python). Node ids must fit 31 bits (checked loudly by the
+    shared pack guard)."""
+
+    def pack(t: pa.Table) -> pa.Table:
+        empty = pa.table({"pkey": pa.array([], pa.int64()),
+                          "fwd": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        _check_ids(s)
+        _check_ids(d)
+        lo = np.minimum(s, d)
+        hi = np.maximum(s, d)
+        base = pa.table({"pkey": pa.array((lo << 32) | hi),
+                         "fwd": pa.array((s < d).astype(np.int64))})
+        return base.group_by(["pkey", "fwd"], use_threads=False) \
+            .aggregate([])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "pkey" not in t.column_names:
+            return empty
+        g = t.group_by("pkey", use_threads=False) \
+            .aggregate([("fwd", "min"), ("fwd", "max")])
+        g = g.filter(pc.and_(pc.equal(g["fwd_min"], 0),
+                             pc.equal(g["fwd_max"], 1)))
+        k = g["pkey"].to_numpy(zero_copy_only=False)
+        return pa.table({"id_a": k >> 32,
+                         "id_b": k & np.int64(0xFFFFFFFF)})
+
+    canon = edges.map_batches(_canon_directed(src_col, dst_col),
+                              batch_format="pyarrow")
+    packed = canon.map_batches(pack, batch_format="pyarrow")
+    return partition_map(packed, ["pkey"], kernel,
+                         num_partitions=num_partitions)

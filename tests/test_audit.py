@@ -199,6 +199,9 @@ def test_query_pipeline_budgets(ray_session, tmp_path):
     # the final lineage segment holds at most ONE keyed exchange (zero
     # when this fixture's empty ECDF support short-circuits the scans)
     assert count_exchanges(q["ks_distance"](sf)) <= 1
+    assert count_exchanges(q["mutual_links"](sf)) == 1
+    assert count_exchanges(q["kwic_first"](sf)) == 0
+    assert count_exchanges(q["value_cume"](sf)) == 1
 
 
 def test_flagship_is_shuffle_free(ray_session):

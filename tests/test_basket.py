@@ -600,3 +600,34 @@ def test_ks_two_sample(ray_session, nparts):
     from pypdfium2_ray.stages.audit import count_exchanges
     assert count_exchanges(
         ks_two_sample(rd.from_pandas(df), "v", "side", "a", "b")) == 1
+
+
+@pytest.mark.parametrize("nparts", [1, 4])
+def test_grouped_cume(ray_session, nparts):
+    import ray.data as rd
+    from pypdfium2_ray.stages.topk import grouped_cume
+    rng = np.random.RandomState(99)
+    n = 400
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 12, n).astype(np.int64),
+        "event_id": np.arange(n, dtype=np.int64),
+        "v": rng.randint(0, 15, n).astype(np.int64),   # heavy ties
+    })
+    got = grouped_cume(rd.from_pandas(df).repartition(nparts),
+                       ["user_id"], "v", "event_id") \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    cd_num = []
+    for _, r in df.iterrows():
+        g = df[df.user_id == r.user_id]
+        cd_num.append(int((g.v <= r.v).sum()))
+    exp = pd.DataFrame({
+        "event_id": df.event_id, "user_id": df.user_id,
+        "cd_num": np.array(cd_num, np.int64),
+        "cd_den": df.groupby("user_id")["v"].transform("size")
+        .astype("int64")})
+    pd.testing.assert_frame_equal(got, exp)
+    # peers share cd_num; the group's max value has cd_num == cd_den
+    m = got.groupby("user_id").apply(
+        lambda g: g.loc[g.cd_num.idxmax(), "cd_num"]
+        == g.cd_den.iloc[0], include_groups=False)
+    assert m.all()

@@ -3,6 +3,7 @@
 import itertools
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 import ray.data as rd
@@ -70,3 +71,26 @@ def test_truncation_is_loud(caplog):
         out = _cocite_pairs_kernel(4)(t)
     assert any("co-citation truncation" in r.message for r in caplog.records)
     assert out.num_rows == 4 * 3 // 2
+
+
+@pytest.mark.parametrize("nparts", [1, 4])
+def test_mutual_pairs(ray_session, nparts):
+    import ray.data as rd
+    from pypdfium2_ray.stages.triangles import mutual_pairs
+    rng = np.random.RandomState(13)
+    n_nodes, n_edges = 30, 500
+    src = rng.randint(0, n_nodes, n_edges).astype(np.int64)
+    dst = rng.randint(0, n_nodes, n_edges).astype(np.int64)
+    # duplicates + self-loops on purpose: canon must drop/unify them
+    df = pd.DataFrame({"src": np.concatenate([src, src[:50]]),
+                       "dst": np.concatenate([dst, dst[:50]])})
+    got = mutual_pairs(rd.from_pandas(df).repartition(nparts)) \
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    es = set((int(a), int(b)) for a, b in zip(df.src, df.dst) if a != b)
+    exp = sorted((a, b) for (a, b) in es if a < b and (b, a) in es)
+    assert list(map(tuple, got.to_numpy())) == exp
+    assert len(exp) > 0
+    # wide ids rejected loudly (packing is 31-bit)
+    bad = pd.DataFrame({"src": [2**40], "dst": [1]})
+    with pytest.raises(Exception, match="2\\^31"):
+        mutual_pairs(rd.from_pandas(bad)).materialize()

@@ -312,3 +312,35 @@ def test_oov_counts(ray_session):
                sum(w not in vocab for w in s.split()))
            for d, s in docs.items()}
     assert got == exp
+
+
+@pytest.mark.parametrize("nparts", [1, 3])
+def test_kwic_first(ray_session, nparts):
+    import ray.data as rd
+    from pypdfium2_ray.stages.textstats import kwic_first
+    texts = [
+        "merge at the very start of this document body",   # pos 1
+        "no occurrence here at all",                        # dropped
+        "tail ends exactly with the term merge",            # right clipped
+        "x" * 30 + " merge " + "y" * 30,                    # full windows
+        "ab merge",                                         # left clipped
+        "",                                                 # dropped
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts)})).repartition(nparts)
+    got = kwic_first(ds, "merge", ctx=24).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    rows = []
+    for i, t in enumerate(texts):
+        p = t.find("merge")
+        if p < 0:
+            continue
+        rows.append((i, p + 1, t[max(0, p - 24):p],
+                     t[p + 5:p + 5 + 24]))
+    import pandas as pd
+    exp = pd.DataFrame(rows, columns=["doc_id", "pos", "left_ctx",
+                                      "right_ctx"]) \
+        .astype({"doc_id": "int64", "pos": "int64"})
+    pd.testing.assert_frame_equal(got, exp)
+    assert got.pos.iloc[0] == 1 and got.left_ctx.iloc[0] == ""
