@@ -1378,6 +1378,64 @@ def q_value_cume(sf_dir: str):
             ["user_id"], "value_e4", "event_id")
 
 
+def q_weighted_median(sf_dir: str):
+    """Exact quantity-weighted lower median price per return flag
+    (stages/agg.weighted_median): per-block (flag, price-cents) weight
+    partials + ONE single-block combine (enum keys x bounded price
+    domain) running the cumsum first-crossing rule — ZERO keyed
+    exchanges, bit-exact vs the window-cumsum twin."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import weighted_median
+    li = rd.read_parquet(f"{sf_dir.rstrip('/')}/lineitem.parquet",
+                         columns=["l_returnflag", "l_extendedprice",
+                                  "l_quantity"])
+
+    def prescale(t: pa.Table) -> pa.Table:
+        p = pc.cast(pc.round(pc.multiply(
+            pc.cast(t["l_extendedprice"], pa.float64()), 100.0)),
+            pa.int64())
+        w = pc.cast(pc.round(pc.cast(t["l_quantity"], pa.float64())),
+                    pa.int64())
+        return pa.table({"l_returnflag": t["l_returnflag"],
+                         "price_c": p, "qty": w})
+
+    return weighted_median(
+        li.map_batches(prescale, batch_format="pyarrow"),
+        ["l_returnflag"], "price_c", "qty")
+
+
+#: event_type -> bit index, alphabetical (the twin's CASE mirrors it)
+TYPE_BITS = {"click": 0, "error": 1, "purchase": 2, "signup": 3,
+             "view": 4}
+
+
+def q_user_type_bitmask(sf_dir: str):
+    """Per-user event-type bitmask + popcount
+    (stages/agg.grouped_type_bitmask): OR of distinct powers of two ==
+    SUM(DISTINCT bit), so the twin needs no BIT_OR; block pre-distinct
+    (user, bit) pairs, ONE exchange, unknown labels rejected loudly."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import grouped_type_bitmask
+    ev = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["user_id", "event_type"])
+    with _hint(sf_dir, "events"):
+        return grouped_type_bitmask(ev, ["user_id"], "event_type",
+                                    TYPE_BITS)
+
+
+def q_burst_count(sf_dir: str):
+    """Temporal self-join count (stages/sessionize.burst_count): every
+    event annotated with how many of its user's later events fall
+    within 1 hour — the banded self-join collapsed to a count. One
+    exchange, composite-axis searchsorted kernel, no per-key loop."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.sessionize import burst_count
+    ev = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["user_id", "event_id", "ts"])
+    with _hint(sf_dir, "events"):
+        return burst_count(ev, window_s=3600.0)
+
+
 def q_forecast_revenue(sf_dir: str):
     """TPC-H Q6 predicate-scan aggregate
     (pipelines/relational.forecast_revenue): per-block integer partials,
@@ -5911,6 +5969,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mutual_links": q_mutual_links,
         "kwic_first": q_kwic_first,
         "value_cume": q_value_cume,
+        "weighted_median": q_weighted_median,
+        "user_type_bitmask": q_user_type_bitmask,
+        "burst_count": q_burst_count,
         "zorder_layout": q_zorder_layout,
         "robots_gate": q_robots_gate,
         "minhash_dups": q_minhash_dups,
@@ -6618,6 +6679,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(nb) AS BIGINT) AS n_b
             FROM c, t""",
         "mutual_links": _mutual_links_sql(),
+        "weighted_median": """
+            WITH x AS (SELECT l_returnflag,
+                         CAST(round(l_extendedprice*100) AS BIGINT) AS p,
+                         CAST(round(l_quantity) AS BIGINT) AS w
+                       FROM lineitem),
+            g AS (SELECT l_returnflag, p, SUM(w) AS w FROM x
+                  GROUP BY l_returnflag, p),
+            c AS (SELECT l_returnflag, p,
+                         SUM(w) OVER (PARTITION BY l_returnflag
+                                      ORDER BY p) AS cw,
+                         SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+                  FROM g)
+            SELECT l_returnflag, CAST(MIN(p) AS BIGINT) AS wmedian
+            FROM c WHERE 2*cw >= tw GROUP BY l_returnflag""",
+        "user_type_bitmask": """
+            WITH b AS (SELECT user_id, CASE event_type
+                         WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                         WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+                         WHEN 'view' THEN 16 END AS bit
+                       FROM events)
+            SELECT user_id, CAST(SUM(DISTINCT bit) AS BIGINT)
+                       AS type_mask,
+                   COUNT(DISTINCT bit)::BIGINT AS n_types
+            FROM b GROUP BY user_id""",
+        "burst_count": """
+            WITH e AS (SELECT event_id, user_id,
+                         CAST(epoch_us(ts) AS BIGINT) AS us FROM events),
+            p AS (SELECT a.event_id, a.user_id, count(*) AS n
+                  FROM e a JOIN e b
+                    ON a.user_id = b.user_id
+                   AND (b.us > a.us
+                        OR (b.us = a.us AND b.event_id > a.event_id))
+                   AND b.us - a.us <= 3600000000
+                  GROUP BY a.event_id, a.user_id)
+            SELECT e.event_id, e.user_id,
+                   COALESCE(p.n, 0)::BIGINT AS n_burst
+            FROM e LEFT JOIN p USING (event_id, user_id)""",
         "kwic_first": """
             WITH p AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
                          CAST(position('merge' IN text) AS BIGINT) AS pos

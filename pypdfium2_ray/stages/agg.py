@@ -791,3 +791,125 @@ def ks_two_sample(ds, value_col: str, side_col: str, side_a, side_b):
     return cum.map_batches(block_max, batch_format="pyarrow") \
         .repartition(1).map_batches(fold, batch_size=None,
                                     batch_format="pyarrow")
+
+
+def weighted_median(ds, keys: list[str], value_col: str, weight_col: str,
+                    out: str = "wmedian"):
+    """Exact per-group LOWER WEIGHTED MEDIAN of an int64 *value_col*
+    under nonnegative int64 *weight_col*: the smallest value v with
+    ``2 * cumweight(<= v) >= total_weight`` — the quantity-weighted
+    "typical price" (an unweighted median over repeated rows, computed
+    without materializing the repeats). Integer comparisons end to end;
+    the SQL twin is the same window-cumsum crossing rule, so the
+    result is bit-exact.
+
+    ZERO keyed exchanges — for ENUM-cardinality keys only: per-block
+    ``(keys, value)`` weight partials (one pyarrow group_by per block)
+    shrink each block to its distinct values, then ONE single-block
+    combine runs the lexsort + segment cumsum + first-crossing kernel.
+    The coalesced input is bounded by n_groups x distinct-value
+    cardinality (document the bound for your domain — prices in cents
+    are ~1e6 rows per group even at 100 TB); for keys that grow with
+    the data use a hash exchange on *keys* instead."""
+    import numpy as np
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({**{k: t[k] for k in keys},
+                         "v": pc.cast(t[value_col], pa.int64()),
+                         "w": pc.cast(t[weight_col], pa.int64())}) \
+            .group_by(keys + ["v"], use_threads=False) \
+            .aggregate([("w", "sum")])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({**{k: t[k] if k in t.column_names
+                                else pa.array([], pa.string())
+                                for k in keys},
+                             out: pa.array([], pa.int64())})
+        g = t.group_by(keys + ["v"], use_threads=False) \
+            .aggregate([("w_sum", "sum")])
+        df = g.to_pandas()
+        order = np.lexsort([df["v"].to_numpy()]
+                           + [df[k].to_numpy() for k in reversed(keys)])
+        df = df.iloc[order]
+        w = df["w_sum_sum"].to_numpy().astype(np.int64)
+        if len(w) and int(w.min()) < 0:
+            raise ValueError("weighted_median requires nonnegative "
+                             "weights")
+        gid = df.groupby(keys, sort=False).ngroup().to_numpy()
+        starts = np.flatnonzero(np.concatenate(
+            ([True], gid[1:] != gid[:-1])))
+        runs = np.diff(np.append(starts, len(gid)))
+        cw = np.cumsum(w)
+        base = np.repeat(cw[starts] - w[starts], runs)
+        cw = cw - base
+        tw = np.repeat(np.add.reduceat(w, starts), runs)
+        crossing = 2 * cw >= tw
+        # first crossing per group: a crossing row whose predecessor
+        # within the group is not crossing (cw nondecreasing => the
+        # crossing set is a suffix of each group)
+        first = crossing & ~np.concatenate([[False], crossing[:-1]])
+        first[starts] = crossing[starts]
+        sel = df.iloc[np.flatnonzero(first)]
+        cols = {k: sel[k].to_numpy() for k in keys}
+        cols[out] = sel["v"].to_numpy().astype(np.int64)
+        return pa.table(cols)
+
+    partials = ds.select_columns(keys + [value_col, weight_col]) \
+        .map_batches(partial, batch_format="pyarrow")
+    return partials.repartition(1).map_batches(kernel, batch_size=None,
+                                               batch_format="pyarrow")
+
+
+def grouped_type_bitmask(ds, keys: list[str], label_col: str,
+                         bit_map: dict[str, int],
+                         out: str = "type_mask",
+                         num_partitions: int | None = None):
+    """Per-group BIT_OR over an enum label column: each group's set of
+    seen labels packed into one int64 mask (bit *bit_map[label]*), plus
+    the popcount — the feature-hashing "which event families has this
+    user touched" encoding. Because the bits are distinct powers of
+    two, ``OR == SUM(DISTINCT bit)``, which is exactly the SQL twin —
+    no engine-specific BIT_OR needed. Unknown labels are rejected
+    loudly (a silent 0 bit would alias 'absent').
+
+    ONE hash exchange: blocks pre-distinct ``(keys, bit)`` pairs (one
+    pyarrow group_by), the per-partition kernel re-distincts and sums —
+    bits per group are globally distinct after the key exchange."""
+    import numpy as np
+
+    items = sorted(bit_map.items())
+    names = np.array([k for k, _ in items])
+    bits = np.array([1 << b for _, b in items], np.int64)
+
+    def widen(t: pa.Table) -> pa.Table:
+        lab = t[label_col].to_numpy(zero_copy_only=False).astype(str)
+        idx = np.searchsorted(names, lab)
+        bad = (idx >= len(names)) | (names[np.minimum(
+            idx, len(names) - 1)] != lab)
+        if bad.any():
+            raise ValueError(
+                f"grouped_type_bitmask: unmapped labels "
+                f"{sorted(set(lab[bad]))[:5]} — extend bit_map")
+        return pa.table({**{k: t[k] for k in keys},
+                         "bit": pa.array(bits[idx])}) \
+            .group_by(keys + ["bit"], use_threads=False).aggregate([])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        empty = pa.table({**{k: pa.array([], pa.int64()) for k in keys},
+                          out: pa.array([], pa.int64()),
+                          "n_types": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "bit" not in t.column_names:
+            return empty
+        d = t.group_by(keys + ["bit"], use_threads=False).aggregate([]) \
+            .group_by(keys, use_threads=False) \
+            .aggregate([("bit", "sum"), ([], "count_all")])
+        cols = {k: d[k] for k in keys}
+        cols[out] = pc.cast(d["bit_sum"], pa.int64())
+        cols["n_types"] = pc.cast(d["count_all"], pa.int64())
+        return pa.table(cols)
+
+    widened = ds.select_columns(keys + [label_col]) \
+        .map_batches(widen, batch_format="pyarrow")
+    return partition_map(widened, keys, kernel,
+                         num_partitions=num_partitions)

@@ -823,3 +823,63 @@ def bounce_rate(ds, key: str = "user_id", ts_col: str = "ts",
     return inner.repartition(1).map_batches(combine,
                                             batch_format="pandas",
                                             batch_size=None)
+
+
+def burst_count(ds, window_s: float = 3600.0, key: str = "user_id",
+                ts_col: str = "ts", tiebreak: str = "event_id",
+                out: str = "n_burst"):
+    """Temporal self-join count, all rows out: every event annotated
+    with how many of its key's LATER events (strictly after in
+    ``(ts, tiebreak)`` order) fall within *window_s* seconds — burst /
+    flood detection, the banded self-join ``a JOIN b ON same key AND
+    b after a AND b.ts - a.ts <= W`` collapsed to a count without ever
+    materializing the pairs.
+
+    ONE hash exchange; fully vectorized kernel with NO per-key loop:
+    after the (key, ts, tiebreak) lexsort, each key segment's
+    timestamps are rebased to its own start and lifted onto a
+    per-segment composite axis ``segidx * B + us_rel`` (B > max span +
+    window), so a single global ``searchsorted`` of ``composite + W``
+    yields every row's in-window upper bound; the count is ``upper −
+    position − 1``. Segments whose span would overflow the composite
+    axis are rejected loudly (pre-split such keys by time first)."""
+    import numpy as np
+    import pandas as pd
+
+    from pypdfium2_ray.stages.exchange import partition_map
+
+    win_us = int(window_s * 1_000_000)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                tiebreak: pd.Series(dtype="int64"),
+                key: pd.Series(dtype="int64"),
+                out: pd.Series(dtype="int64")})
+        k = df[key].to_numpy()
+        us = df[ts_col].to_numpy().astype("datetime64[us]").view("int64")
+        tb = df[tiebreak].to_numpy()
+        order = np.lexsort((tb, us, k))
+        k, us, tb = k[order], us[order], tb[order]
+        n = len(k)
+        new_key = np.concatenate([[True], k[1:] != k[:-1]])
+        starts = np.flatnonzero(new_key)
+        runs = np.diff(np.append(starts, n))
+        seg = np.repeat(np.arange(len(starts), dtype=np.int64), runs)
+        rel = us - np.repeat(us[starts], runs)
+        span = int(rel.max()) if n else 0
+        b = span + win_us + 2
+        if len(starts) * b >= 2 ** 62:
+            raise ValueError(
+                f"burst_count composite axis overflow: {len(starts)} "
+                f"keys x span {b} us — pre-split long-lived keys by "
+                "time before counting bursts")
+        comp = seg * b + rel
+        upper = np.searchsorted(comp, comp + win_us, side="right")
+        cnt = upper - np.arange(n, dtype=np.int64) - 1
+        return pd.DataFrame({tiebreak: tb.astype("int64"),
+                             key: k.astype("int64"),
+                             out: cnt.astype("int64")})
+
+    return partition_map(ds.select_columns([key, ts_col, tiebreak]),
+                         [key], kernel, batch_format="pandas")

@@ -202,6 +202,9 @@ def test_query_pipeline_budgets(ray_session, tmp_path):
     assert count_exchanges(q["mutual_links"](sf)) == 1
     assert count_exchanges(q["kwic_first"](sf)) == 0
     assert count_exchanges(q["value_cume"](sf)) == 1
+    assert count_exchanges(q["weighted_median"](sf)) == 0
+    assert count_exchanges(q["user_type_bitmask"](sf)) == 1
+    assert count_exchanges(q["burst_count"](sf)) == 1
 
 
 def test_flagship_is_shuffle_free(ray_session):

@@ -631,3 +631,96 @@ def test_grouped_cume(ray_session, nparts):
         lambda g: g.loc[g.cd_num.idxmax(), "cd_num"]
         == g.cd_den.iloc[0], include_groups=False)
     assert m.all()
+
+
+@pytest.mark.parametrize("nparts", [1, 4])
+def test_weighted_median(ray_session, nparts):
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import weighted_median
+    rng = np.random.RandomState(101)
+    n = 500
+    df = pd.DataFrame({
+        "grp": rng.choice(["a", "b", "c"], n).tolist(),
+        "v": rng.randint(0, 50, n).astype(np.int64),
+        "w": rng.randint(0, 5, n).astype(np.int64),   # zero weights too
+    })
+    got = weighted_median(rd.from_pandas(df).repartition(nparts),
+                          ["grp"], "v", "w") \
+        .to_pandas().sort_values("grp").reset_index(drop=True)
+    for _, r in got.iterrows():
+        g = df[df.grp == r.grp]
+        expanded = np.sort(np.repeat(g.v.to_numpy(), g.w.to_numpy()))
+        # lower weighted median == element at ceil(W/2)-1 of the expanded
+        # multiset (2*cum >= W first crossing)
+        exp = int(expanded[(len(expanded) + 1) // 2 - 1])
+        assert int(r.wmedian) == exp, r.grp
+    assert set(got.grp) == {"a", "b", "c"}
+    # negative weights rejected loudly
+    bad = pd.DataFrame({"grp": ["a"], "v": [1], "w": [-2]})
+    with pytest.raises(Exception, match="nonnegative"):
+        weighted_median(rd.from_pandas(bad), ["grp"], "v",
+                        "w").materialize()
+
+
+@pytest.mark.parametrize("nparts", [1, 4])
+def test_grouped_type_bitmask(ray_session, nparts):
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import grouped_type_bitmask
+    rng = np.random.RandomState(111)
+    n = 300
+    bm = {"x": 0, "y": 1, "z": 2}
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 20, n).astype(np.int64),
+        "lab": rng.choice(["x", "y", "z"], n).tolist()})
+    got = grouped_type_bitmask(
+        rd.from_pandas(df).repartition(nparts), ["user_id"], "lab", bm) \
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    for _, r in got.iterrows():
+        seen = set(df[df.user_id == r.user_id]["lab"])
+        mask = sum(1 << bm[s] for s in seen)
+        assert (int(r.type_mask), int(r.n_types)) == (mask, len(seen))
+    bad = pd.DataFrame({"user_id": [1], "lab": ["q"]})
+    with pytest.raises(Exception, match="unmapped"):
+        grouped_type_bitmask(rd.from_pandas(bad), ["user_id"], "lab",
+                             bm).materialize()
+
+
+@pytest.mark.parametrize("nparts", [1, 4])
+def test_burst_count(ray_session, nparts):
+    import ray.data as rd
+    from pypdfium2_ray.stages.sessionize import burst_count
+    rng = np.random.RandomState(121)
+    n = 400
+    t0 = pd.Timestamp("2024-01-01")
+    secs = rng.randint(0, 600, n)
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 10, n).astype(np.int64),
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": [t0 + pd.Timedelta(seconds=int(s)) for s in secs],
+    }).sample(frac=1.0, random_state=11).reset_index(drop=True)
+    got = burst_count(rd.from_pandas(df).repartition(nparts),
+                      window_s=60.0) \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    exp = []
+    for i in range(n):
+        c = 0
+        for j in range(n):
+            if df.user_id[j] != df.user_id[i] or j == i:
+                continue
+            after = (us[j] > us[i]) or (us[j] == us[i]
+                                        and df.event_id[j]
+                                        > df.event_id[i])
+            if after and us[j] - us[i] <= 60_000_000:
+                c += 1
+        exp.append(c)
+    exp_df = pd.DataFrame({
+        "event_id": df.event_id, "user_id": df.user_id,
+        "n_burst": np.array(exp, np.int64)}) \
+        .sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp_df)
+    assert got.n_burst.max() > 0
+    # the stream's last event per user has zero following bursts
+    last = df.sort_values(["ts", "event_id"]).groupby("user_id").tail(1)
+    assert (got.set_index("event_id").loc[last.event_id, "n_burst"]
+            == 0).all()
