@@ -1436,6 +1436,56 @@ def q_burst_count(sf_dir: str):
         return burst_count(ev, window_s=3600.0)
 
 
+def q_trailing_sum(sf_dir: str):
+    """Event-granularity trailing 1h value sum
+    (stages/sessionize.trailing_sum): peer-inclusive RANGE-frame sum
+    per event — composite-axis searchsorted lower bound + run-end
+    cumsum difference, one exchange, no per-key loop."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.sessionize import trailing_sum
+    ev = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["user_id", "event_id", "ts", "value"])
+
+    def prescale(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(
+            pc.cast(t["value"], pa.float64()), 10_000.0)), pa.int64())
+        return pa.table({"user_id": t["user_id"],
+                         "event_id": t["event_id"], "ts": t["ts"],
+                         "value_e4": v})
+
+    with _hint(sf_dir, "events"):
+        return trailing_sum(
+            ev.map_batches(prescale, batch_format="pyarrow"),
+            window_s=3600.0)
+
+
+def q_active_streak(sf_dir: str):
+    """Longest consecutive-active-day streak per user
+    (stages/sessionize.active_streak): distinct (user, day) block
+    partials, one exchange, integer gaps-and-islands kernel; the twin
+    is the day - ROW_NUMBER() grouping trick."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.sessionize import active_streak
+    ev = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["user_id", "ts"])
+    with _hint(sf_dir, "events"):
+        return active_streak(ev)
+
+
+def q_state_duration(sf_dir: str):
+    """Time-in-state per (user, event_type)
+    (stages/sessionize.state_duration): each event's state holds until
+    the user's next event (LEAD twin); last events hold nothing. One
+    exchange, shift + boundary mask + Cython groupby-sum."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.sessionize import state_duration
+    ev = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["user_id", "event_id", "ts",
+                                  "event_type"])
+    with _hint(sf_dir, "events"):
+        return state_duration(ev)
+
+
 def q_forecast_revenue(sf_dir: str):
     """TPC-H Q6 predicate-scan aggregate
     (pipelines/relational.forecast_revenue): per-block integer partials,
@@ -5972,6 +6022,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_median": q_weighted_median,
         "user_type_bitmask": q_user_type_bitmask,
         "burst_count": q_burst_count,
+        "trailing_sum": q_trailing_sum,
+        "active_streak": q_active_streak,
+        "state_duration": q_state_duration,
         "zorder_layout": q_zorder_layout,
         "robots_gate": q_robots_gate,
         "minhash_dups": q_minhash_dups,
@@ -6716,6 +6769,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, e.user_id,
                    COALESCE(p.n, 0)::BIGINT AS n_burst
             FROM e LEFT JOIN p USING (event_id, user_id)""",
+        "trailing_sum": """
+            WITH r AS (SELECT event_id, user_id,
+                         CAST(epoch_us(ts) AS BIGINT) AS us,
+                         CAST(round(value*10000) AS BIGINT) AS v
+                       FROM events)
+            SELECT event_id, user_id,
+                   CAST(SUM(v) OVER (PARTITION BY user_id ORDER BY us
+                       RANGE BETWEEN 3600000000 PRECEDING
+                             AND CURRENT ROW) AS BIGINT)
+                       AS trail_sum_e4
+            FROM r""",
+        "active_streak": """
+            WITH d AS (SELECT DISTINCT user_id,
+                         CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                             AS day
+                       FROM events),
+            r AS (SELECT user_id, day,
+                         day - ROW_NUMBER() OVER (PARTITION BY user_id
+                                                  ORDER BY day) AS grp
+                  FROM d),
+            g AS (SELECT user_id, grp, COUNT(*) AS len FROM r
+                  GROUP BY 1, 2)
+            SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak,
+                   CAST(SUM(len) AS BIGINT) AS n_active_days
+            FROM g GROUP BY user_id""",
+        "state_duration": """
+            WITH s AS (SELECT user_id, event_type,
+                         CAST(epoch_us(ts) AS BIGINT) AS us,
+                         LEAD(CAST(epoch_us(ts) AS BIGINT)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS nxt
+                       FROM events)
+            SELECT user_id, event_type,
+                   CAST(SUM(nxt - us) AS BIGINT) AS dur_us,
+                   COUNT(*)::BIGINT AS n_holds
+            FROM s WHERE nxt IS NOT NULL
+            GROUP BY user_id, event_type""",
         "kwic_first": """
             WITH p AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
                          CAST(position('merge' IN text) AS BIGINT) AS pos

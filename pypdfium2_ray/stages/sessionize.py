@@ -883,3 +883,173 @@ def burst_count(ds, window_s: float = 3600.0, key: str = "user_id",
 
     return partition_map(ds.select_columns([key, ts_col, tiebreak]),
                          [key], kernel, batch_format="pandas")
+
+
+def trailing_sum(ds, window_s: float = 3600.0, key: str = "user_id",
+                 ts_col: str = "ts", tiebreak: str = "event_id",
+                 value_col: str = "value_e4", out: str = "trail_sum_e4"):
+    """Event-granularity trailing RANGE-frame sum, all rows out: every
+    event annotated with the sum of its key's values over the last
+    *window_s* seconds INCLUDING every equal-timestamp peer — SQL's
+    ``SUM(v) OVER (ORDER BY us RANGE BETWEEN W PRECEDING AND CURRENT
+    ROW)``, the velocity / spend-rate feature at full event resolution
+    (``rolling_window_sum`` is its day-grain cousin). *value_col* is
+    caller-pre-scaled int64.
+
+    ONE hash exchange; no per-key loop: the :func:`burst_count`
+    composite axis (``segidx * B + rel``, B > span + window) turns the
+    per-key lower-bound search into ONE global ``searchsorted``; the
+    peer-inclusive upper bound is each timestamp run's end; the sum is
+    a prefix-cumsum difference."""
+    import numpy as np
+    import pandas as pd
+
+    from pypdfium2_ray.stages.exchange import partition_map
+
+    win_us = int(window_s * 1_000_000)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                tiebreak: pd.Series(dtype="int64"),
+                key: pd.Series(dtype="int64"),
+                out: pd.Series(dtype="int64")})
+        k = df[key].to_numpy()
+        us = df[ts_col].to_numpy().astype("datetime64[us]").view("int64")
+        tb = df[tiebreak].to_numpy()
+        v = df[value_col].to_numpy().astype(np.int64)
+        order = np.lexsort((tb, us, k))
+        k, us, tb, v = k[order], us[order], tb[order], v[order]
+        n = len(k)
+        new_key = np.concatenate([[True], k[1:] != k[:-1]])
+        starts = np.flatnonzero(new_key)
+        runs = np.diff(np.append(starts, n))
+        seg = np.repeat(np.arange(len(starts), dtype=np.int64), runs)
+        rel = us - np.repeat(us[starts], runs)
+        b = (int(rel.max()) if n else 0) + win_us + 2
+        if len(starts) * b >= 2 ** 62:
+            raise ValueError(
+                "trailing_sum composite axis overflow — pre-split "
+                "long-lived keys by time first")
+        comp = seg * b + rel
+        lower = np.searchsorted(comp, comp - win_us, side="left")
+        # peer-inclusive upper bound: end of each (key, us) run
+        new_run = new_key | np.concatenate([[True], us[1:] != us[:-1]])
+        rstarts = np.flatnonzero(new_run)
+        rruns = np.diff(np.append(rstarts, n))
+        run_end = np.repeat(rstarts + rruns, rruns)
+        cs = np.concatenate(([0], np.cumsum(v)))
+        return pd.DataFrame({tiebreak: tb.astype("int64"),
+                             key: k.astype("int64"),
+                             out: (cs[run_end] - cs[lower])
+                             .astype("int64")})
+
+    return partition_map(ds.select_columns([key, ts_col, tiebreak,
+                                            value_col]),
+                         [key], kernel, batch_format="pandas")
+
+
+def active_streak(ds, key: str = "user_id", ts_col: str = "ts",
+                  day_us: int = 86_400_000_000,
+                  num_partitions: int | None = None):
+    """Longest run of CONSECUTIVE active days per key plus the total
+    active-day count — the retention/habit streak metric (the
+    "gaps-and-islands on integers" classic; :func:`event_islands` is
+    its label-run sibling, this is the day-grid one; the SQL twin is
+    the ``day - ROW_NUMBER()`` grouping trick).
+
+    Shape: per-block distinct ``(key, day)`` pre-combine (the shuffle
+    moves day flags, not events), ONE hash exchange, then a vectorized
+    kernel — global re-distinct, lexsort, island boundaries where the
+    day step != 1, per-key max run via one reduceat over island
+    lengths grouped by key."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from pypdfium2_ray.stages.exchange import partition_map
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
+        day = pc.divide(us, day_us)
+        return pa.table({key: t[key], "day": day}) \
+            .group_by([key, "day"], use_threads=False).aggregate([])
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                key: pd.Series(dtype="int64"),
+                "max_streak": pd.Series(dtype="int64"),
+                "n_active_days": pd.Series(dtype="int64")})
+        g = df.drop_duplicates([key, "day"])
+        k = g[key].to_numpy()
+        d = g["day"].to_numpy().astype(np.int64)
+        order = np.lexsort((d, k))
+        k, d = k[order], d[order]
+        n = len(k)
+        new_key = np.concatenate([[True], k[1:] != k[:-1]])
+        new_isl = new_key | np.concatenate([[True], (d[1:] - d[:-1]) != 1])
+        istarts = np.flatnonzero(new_isl)
+        ilens = np.diff(np.append(istarts, n))
+        ikey = k[istarts]
+        # per-key max island length + total days: islands are already
+        # key-contiguous after the lexsort
+        kstarts = np.flatnonzero(np.concatenate(
+            [[True], ikey[1:] != ikey[:-1]]))
+        return pd.DataFrame({
+            key: ikey[kstarts].astype("int64"),
+            "max_streak": np.maximum.reduceat(ilens, kstarts)
+            .astype("int64"),
+            "n_active_days": np.add.reduceat(ilens, kstarts)
+            .astype("int64")})
+
+    partials = ds.select_columns([key, ts_col]) \
+        .map_batches(partial, batch_format="pyarrow")
+    return partition_map(partials, [key], kernel, batch_format="pandas",
+                         num_partitions=num_partitions)
+
+
+def state_duration(ds, key: str = "user_id", ts_col: str = "ts",
+                   tiebreak: str = "event_id", label: str = "event_type",
+                   num_partitions: int | None = None):
+    """Time-in-state accounting: per ``(key, label)``, the total
+    microseconds the key SPENT in that state — each event's state holds
+    until the key's next event (LEAD semantics); the key's last event
+    holds nothing and contributes no time. Output also counts the
+    holding events (``n_holds``). The categorical sibling of
+    :func:`time_weighted_sum` (which integrates a numeric level).
+
+    ONE hash exchange; lexsort + one shift + boundary mask, then a
+    single Cython groupby-sum over ``(key, label)`` within the
+    partition — no per-group Python."""
+    import numpy as np
+    import pandas as pd
+
+    from pypdfium2_ray.stages.exchange import partition_map
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                key: pd.Series(dtype="int64"),
+                label: pd.Series(dtype="object"),
+                "dur_us": pd.Series(dtype="int64"),
+                "n_holds": pd.Series(dtype="int64")})
+        k = df[key].to_numpy()
+        us = df[ts_col].to_numpy().astype("datetime64[us]").view("int64")
+        tb = df[tiebreak].to_numpy()
+        lab = df[label].to_numpy()
+        order = np.lexsort((tb, us, k))
+        k, us, lab = k[order], us[order], lab[order]
+        same_next = np.concatenate([k[1:] == k[:-1], [False]])
+        dur = np.where(same_next,
+                       np.concatenate([us[1:], [0]]) - us, 0)
+        g = pd.DataFrame({key: k[same_next], label: lab[same_next],
+                          "dur_us": dur[same_next]})
+        out = g.groupby([key, label], sort=False, as_index=False) \
+            .agg(dur_us=("dur_us", "sum"), n_holds=("dur_us", "size"))
+        return out.astype({"dur_us": "int64", "n_holds": "int64"})
+
+    return partition_map(ds.select_columns([key, ts_col, tiebreak,
+                                            label]),
+                         [key], kernel, batch_format="pandas",
+                         num_partitions=num_partitions)

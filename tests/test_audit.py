@@ -205,6 +205,9 @@ def test_query_pipeline_budgets(ray_session, tmp_path):
     assert count_exchanges(q["weighted_median"](sf)) == 0
     assert count_exchanges(q["user_type_bitmask"](sf)) == 1
     assert count_exchanges(q["burst_count"](sf)) == 1
+    assert count_exchanges(q["trailing_sum"](sf)) == 1
+    assert count_exchanges(q["active_streak"](sf)) == 1
+    assert count_exchanges(q["state_duration"](sf)) == 1
 
 
 def test_flagship_is_shuffle_free(ray_session):

@@ -724,3 +724,104 @@ def test_burst_count(ray_session, nparts):
     last = df.sort_values(["ts", "event_id"]).groupby("user_id").tail(1)
     assert (got.set_index("event_id").loc[last.event_id, "n_burst"]
             == 0).all()
+
+
+@pytest.mark.parametrize("nparts", [1, 4])
+def test_trailing_sum(ray_session, nparts):
+    import ray.data as rd
+    from pypdfium2_ray.stages.sessionize import trailing_sum
+    rng = np.random.RandomState(131)
+    n = 400
+    t0 = pd.Timestamp("2024-01-01")
+    secs = rng.randint(0, 600, n)
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 10, n).astype(np.int64),
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": [t0 + pd.Timedelta(seconds=int(s)) for s in secs],
+        "value_e4": rng.randint(-100, 500, n).astype(np.int64),
+    }).sample(frac=1.0, random_state=13).reset_index(drop=True)
+    got = trailing_sum(rd.from_pandas(df).repartition(nparts),
+                       window_s=60.0) \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    exp = []
+    for i in range(n):
+        tot = 0
+        for j in range(n):
+            if df.user_id[j] == df.user_id[i] \
+                    and us[i] - 60_000_000 <= us[j] <= us[i]:
+                tot += int(df.value_e4[j])   # peers included, RANGE frame
+        exp.append(tot)
+    exp_df = pd.DataFrame({
+        "event_id": df.event_id, "user_id": df.user_id,
+        "trail_sum_e4": np.array(exp, np.int64)}) \
+        .sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp_df)
+
+
+@pytest.mark.parametrize("nparts", [1, 4])
+def test_active_streak(ray_session, nparts):
+    import ray.data as rd
+    from pypdfium2_ray.stages.sessionize import active_streak
+    rng = np.random.RandomState(141)
+    n = 300
+    t0 = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 10, n).astype(np.int64),
+        "ts": [t0 + pd.Timedelta(days=int(d), seconds=int(s))
+               for d, s in zip(rng.randint(0, 25, n),
+                               rng.randint(0, 86400, n))],
+    })
+    got = active_streak(rd.from_pandas(df).repartition(nparts)) \
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    days = df["ts"].astype("datetime64[us]").astype("int64") \
+        // 86_400_000_000
+    for _, r in got.iterrows():
+        d = np.sort(np.unique(days[df.user_id == r.user_id]))
+        best = cur = 1
+        for i in range(1, len(d)):
+            cur = cur + 1 if d[i] - d[i - 1] == 1 else 1
+            best = max(best, cur)
+        assert (int(r.max_streak), int(r.n_active_days)) \
+            == (best, len(d))
+    assert got.max_streak.max() > 1        # real streaks exist
+    assert (got.max_streak <= got.n_active_days).all()
+
+
+@pytest.mark.parametrize("nparts", [1, 4])
+def test_state_duration(ray_session, nparts):
+    import ray.data as rd
+    from pypdfium2_ray.stages.sessionize import state_duration
+    rng = np.random.RandomState(151)
+    n = 400
+    t0 = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 12, n).astype(np.int64),
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": [t0 + pd.Timedelta(seconds=int(s))
+               for s in np.sort(rng.randint(0, 5000, n))],
+        "event_type": rng.choice(["a", "b", "c"], n).tolist(),
+    }).sample(frac=1.0, random_state=15).reset_index(drop=True)
+    got = state_duration(rd.from_pandas(df).repartition(nparts)) \
+        .to_pandas().sort_values(["user_id", "event_type"]) \
+        .reset_index(drop=True)
+    agg = {}
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        labs = g["event_type"].to_numpy()
+        for i in range(len(g) - 1):
+            a = agg.setdefault((uid, labs[i]), [0, 0])
+            a[0] += int(us[i + 1] - us[i])
+            a[1] += 1
+    exp = pd.DataFrame(
+        [(u, l, v[0], v[1]) for (u, l), v in sorted(agg.items())],
+        columns=["user_id", "event_type", "dur_us", "n_holds"]) \
+        .astype({"user_id": "int64", "dur_us": "int64",
+                 "n_holds": "int64"}).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+    # per user, total time in states == last ts - first ts
+    tot = got.groupby("user_id")["dur_us"].sum()
+    span = df.groupby("user_id")["ts"].agg(
+        lambda s: (s.max() - s.min()).value // 1000)
+    assert (tot == span.loc[tot.index]).all()
