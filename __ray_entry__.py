@@ -1486,6 +1486,108 @@ def q_state_duration(sf_dir: str):
         return state_duration(ev)
 
 
+def q_time_profile(sf_dir: str):
+    """Weekly seasonality profile: event count + value sum per
+    (day-of-week, hour-of-day) cell (stages/agg.grouped_aggregate,
+    single-block combine over the fixed 168-cell grid — ZERO keyed
+    exchanges). dow/hod come from integer epoch arithmetic on BOTH
+    sides (no engine EXTRACT conventions): dow 0 = Monday."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import grouped_aggregate
+    ev = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["ts", "value"])
+
+    def _mod(x, m):  # pc.mod is absent in this pyarrow; x >= 0 here
+        return pc.subtract(x, pc.multiply(pc.divide(x, m), m))
+
+    def widen(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        dow = _mod(pc.add(pc.divide(us, 86_400_000_000), 3), 7)
+        hod = _mod(pc.divide(us, 3_600_000_000), 24)
+        v = pc.cast(pc.round(pc.multiply(
+            pc.cast(t["value"], pa.float64()), 10_000.0)), pa.int64())
+        return pa.table({"dow": dow, "hod": hod, "v": v})
+
+    out = grouped_aggregate(
+        ev.map_batches(widen, batch_format="pyarrow"),
+        ["dow", "hod"],
+        {"n_events": (None, "count"), "sum_value_e4": ("v", "sum")},
+        combine="single_block")
+    return _cast_i64(out, ["dow", "hod"])
+
+
+def q_rfm_scores(sf_dir: str):
+    """RFM segmentation — the classic marketing recency / frequency /
+    monetary quintiles per user, EXACT: per-user aggregates (one
+    pre-combined exchange), then THREE global range-prefix scans
+    (stages/scan.ranged_prefix_sum — exclusive rank under the
+    (metric, user_id) total order, no global sort), quintile =
+    rank0 * 5 // n_users on both engines (the explicit NTILE formula —
+    engine NTILE fill conventions never enter). Metrics are packed
+    (metric << 31) | user_id composite keys, overflow-guarded."""
+    import numpy as np
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import grouped_aggregate
+    from pypdfium2_ray.stages.scan import ranged_prefix_sum
+    ev = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+
+    def widen(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        v = pc.cast(pc.round(pc.multiply(
+            pc.cast(t["value"], pa.float64()), 10_000.0)), pa.int64())
+        return pa.table({"user_id": t["user_id"], "us": us, "v": v})
+
+    with _hint(sf_dir, "events"):
+        agg = grouped_aggregate(
+            ev.map_batches(widen, batch_format="pyarrow"),
+            ["user_id"],
+            {"freq": (None, "count"), "mon_e4": ("v", "sum"),
+             "max_us": ("us", "max")}).materialize()
+    anchor_day = agg.max("max_us") // 86_400_000_000
+    nu = agg.count()
+
+    def metrics(t: pa.Table) -> pa.Table:
+        rec = pc.subtract(anchor_day,
+                          pc.divide(t["max_us"], 86_400_000_000))
+        return pa.table({"user_id": pc.cast(t["user_id"], pa.int64()),
+                         "rec_days": rec, "freq": t["freq"],
+                         "mon_e4": t["mon_e4"]})
+
+    ds = agg.map_batches(metrics, batch_format="pyarrow")
+    for metric in ("rec_days", "freq", "mon_e4"):
+        def pack(t: pa.Table, _m=metric) -> pa.Table:
+            m = pc.cast(t[_m], pa.int64())
+            u = pc.cast(t["user_id"], pa.int64())
+            if t.num_rows and (pc.max(m).as_py() >= 2 ** 32
+                               or pc.min(m).as_py() < 0
+                               or pc.max(u).as_py() >= 2 ** 31):
+                raise ValueError(
+                    f"rfm composite key would overflow on {_m} — "
+                    "bucket the metric (e.g. coarser units) first")
+            cols = {n: t[n] for n in t.column_names
+                    if n not in ("ckey", "one")}
+            cols["ckey"] = pc.add(pc.shift_left(m, 31), u)
+            cols["one"] = pa.array(np.ones(t.num_rows, np.int64))
+            return pa.table(cols)
+
+        with _hint(sf_dir, "events"):
+            ds = ranged_prefix_sum(
+                ds.map_batches(pack, batch_format="pyarrow"),
+                "ckey", "one", out=f"rank0_{metric}")
+
+    def quintiles(t: pa.Table) -> pa.Table:
+        cols = {n: t[n] for n in ("user_id", "rec_days", "freq",
+                                  "mon_e4")}
+        for metric, q in (("rec_days", "r_q"), ("freq", "f_q"),
+                          ("mon_e4", "m_q")):
+            cols[q] = pc.divide(
+                pc.multiply(t[f"rank0_{metric}"], 5), nu)
+        return pa.table(cols)
+
+    return ds.map_batches(quintiles, batch_format="pyarrow")
+
+
 def q_forecast_revenue(sf_dir: str):
     """TPC-H Q6 predicate-scan aggregate
     (pipelines/relational.forecast_revenue): per-block integer partials,
@@ -6025,6 +6127,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trailing_sum": q_trailing_sum,
         "active_streak": q_active_streak,
         "state_duration": q_state_duration,
+        "time_profile": q_time_profile,
+        "rfm_scores": q_rfm_scores,
         "zorder_layout": q_zorder_layout,
         "robots_gate": q_robots_gate,
         "minhash_dups": q_minhash_dups,
@@ -6806,6 +6910,38 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*)::BIGINT AS n_holds
             FROM s WHERE nxt IS NOT NULL
             GROUP BY user_id, event_type""",
+        "time_profile": """
+            WITH x AS (SELECT
+                 (CAST(epoch_us(ts) AS BIGINT) // 86400000000 + 3) % 7
+                     AS dow,
+                 (CAST(epoch_us(ts) AS BIGINT) // 3600000000) % 24
+                     AS hod,
+                 CAST(round(value*10000) AS BIGINT) AS v
+               FROM events)
+            SELECT CAST(dow AS BIGINT) AS dow, CAST(hod AS BIGINT)
+                       AS hod,
+                   COUNT(*)::BIGINT AS n_events,
+                   CAST(SUM(v) AS BIGINT) AS sum_value_e4
+            FROM x GROUP BY dow, hod""",
+        "rfm_scores": """
+            WITH a AS (SELECT user_id,
+                 CAST((SELECT max(CAST(epoch_us(ts) AS BIGINT))
+                           // 86400000000 FROM events)
+                      - max(CAST(epoch_us(ts) AS BIGINT))
+                           // 86400000000 AS BIGINT) AS rec_days,
+                 COUNT(*)::BIGINT AS freq,
+                 CAST(SUM(CAST(round(value*10000) AS BIGINT)) AS BIGINT)
+                     AS mon_e4
+               FROM events GROUP BY user_id),
+            n AS (SELECT COUNT(*)::BIGINT AS nu FROM a)
+            SELECT user_id, rec_days, freq, mon_e4,
+                   CAST((ROW_NUMBER() OVER (ORDER BY rec_days, user_id)
+                         - 1) * 5 // nu AS BIGINT) AS r_q,
+                   CAST((ROW_NUMBER() OVER (ORDER BY freq, user_id)
+                         - 1) * 5 // nu AS BIGINT) AS f_q,
+                   CAST((ROW_NUMBER() OVER (ORDER BY mon_e4, user_id)
+                         - 1) * 5 // nu AS BIGINT) AS m_q
+            FROM a, n""",
         "kwic_first": """
             WITH p AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
                          CAST(position('merge' IN text) AS BIGINT) AS pos

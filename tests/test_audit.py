@@ -208,6 +208,11 @@ def test_query_pipeline_budgets(ray_session, tmp_path):
     assert count_exchanges(q["trailing_sum"](sf)) == 1
     assert count_exchanges(q["active_streak"](sf)) == 1
     assert count_exchanges(q["state_duration"](sf)) == 1
+    # time_profile: fixed 168-cell grid -> single-block combine, zero
+    # keyed exchanges; rfm: the two earlier range scans + the user agg
+    # materialize away, the final lineage holds the last bucket shuffle
+    assert count_exchanges(q["time_profile"](sf)) == 0
+    assert count_exchanges(q["rfm_scores"](sf)) == 1
 
 
 def test_flagship_is_shuffle_free(ray_session):
