@@ -1588,6 +1588,123 @@ def q_rfm_scores(sf_dir: str):
     return ds.map_batches(quintiles, batch_format="pyarrow")
 
 
+def q_spike_days(sf_dir: str):
+    """Traffic-spike detector: per day, event count, the CALENDAR
+    7-day-trailing baseline (RANGE frame — gap days shrink it, unlike a
+    ROWS frame that would silently span gaps), and an exact integer
+    spike flag (n*7 > 2*baseline). Day cardinality is bounded by the
+    corpus time span, so: block partials + single-block combine + one
+    searchsorted window pass — ZERO keyed exchanges."""
+    import numpy as np
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import grouped_aggregate
+    ev = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["ts"])
+
+    def widen(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table({"day": pc.divide(us, 86_400_000_000)})
+
+    daily = grouped_aggregate(
+        ev.map_batches(widen, batch_format="pyarrow"),
+        ["day"], {"n_events": (None, "count")}, combine="single_block")
+
+    def window(t: pa.Table) -> pa.Table:
+        d = t["day"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n_events"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(d, kind="stable")
+        d, n = d[order], n[order]
+        cs = np.concatenate(([0], np.cumsum(n)))
+        lo = np.searchsorted(d, d - 7, side="left")
+        hi = np.searchsorted(d, d, side="left")   # strictly-before rows
+        trail7 = cs[hi] - cs[lo]
+        spike = ((trail7 > 0) & (n * 7 > 2 * trail7)).astype(np.int64)
+        return pa.table({"day": d, "n_events": n, "trail7": trail7,
+                         "is_spike": spike})
+
+    return daily.map_batches(window, batch_size=None,
+                             batch_format="pyarrow")
+
+
+def q_source_share(sf_dir: str):
+    """Ratio-to-report per source: doc count + char volume per source
+    alongside the corpus totals on every row (the SUM() OVER () shape)
+    — share = n/tot stays an exact rational. Enum source cardinality ->
+    block partials + single-block combine + one totals pass, ZERO
+    keyed exchanges."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import grouped_aggregate
+    ds = _docs(sf_dir, ["source", "n_chars"])
+    per = grouped_aggregate(
+        ds, ["source"],
+        {"n_docs": (None, "count"), "sum_chars": ("n_chars", "sum")},
+        combine="single_block")
+
+    def totals(t: pa.Table) -> pa.Table:
+        td = pc.sum(t["n_docs"]).as_py() or 0
+        tc = pc.sum(t["sum_chars"]).as_py() or 0
+        n = t.num_rows
+        return pa.table({"source": t["source"],
+                         "n_docs": pc.cast(t["n_docs"], pa.int64()),
+                         "sum_chars": pc.cast(t["sum_chars"],
+                                              pa.int64()),
+                         "tot_docs": pa.array([td] * n, pa.int64()),
+                         "tot_chars": pa.array([tc] * n, pa.int64())})
+
+    return per.map_batches(totals, batch_size=None,
+                           batch_format="pyarrow")
+
+
+def q_peak_day(sf_dir: str):
+    """Per-user busiest day (two-level aggregate + argmax): each
+    user's top activity day with its count and the user's total —
+    ties break to the EARLIEST day on both engines. Per-block
+    (user, day) count partials, ONE user exchange, lexsort with
+    negated counts + segment-first gather — no per-user Python."""
+    import numpy as np
+    import ray.data as rd
+    from pypdfium2_ray.stages.exchange import partition_map
+    ev = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table({"user_id": t["user_id"],
+                         "day": pc.divide(us, 86_400_000_000)}) \
+            .group_by(["user_id", "day"], use_threads=False) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["user_id", "day", "n"])
+
+    def kernel(df):
+        import pandas as pd
+        if not len(df):
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype="int64"),
+                "top_day": pd.Series(dtype="int64"),
+                "n_top": pd.Series(dtype="int64"),
+                "n_total": pd.Series(dtype="int64")})
+        g = df.groupby(["user_id", "day"], sort=False,
+                       as_index=False)["n"].sum()
+        k = g["user_id"].to_numpy()
+        d = g["day"].to_numpy().astype(np.int64)
+        n = g["n"].to_numpy().astype(np.int64)
+        order = np.lexsort((d, -n, k))
+        k, d, n = k[order], d[order], n[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], k[1:] != k[:-1]]))
+        runs = np.diff(np.append(starts, len(k)))
+        return pd.DataFrame({
+            "user_id": k[starts].astype("int64"),
+            "top_day": d[starts],
+            "n_top": n[starts],
+            "n_total": np.add.reduceat(n, starts).astype("int64")})
+
+    partials = ev.map_batches(partial, batch_format="pyarrow")
+    with _hint(sf_dir, "events"):
+        return partition_map(partials, ["user_id"], kernel,
+                             batch_format="pandas")
+
+
 def q_forecast_revenue(sf_dir: str):
     """TPC-H Q6 predicate-scan aggregate
     (pipelines/relational.forecast_revenue): per-block integer partials,
@@ -6129,6 +6246,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "state_duration": q_state_duration,
         "time_profile": q_time_profile,
         "rfm_scores": q_rfm_scores,
+        "spike_days": q_spike_days,
+        "source_share": q_source_share,
+        "peak_day": q_peak_day,
         "zorder_layout": q_zorder_layout,
         "robots_gate": q_robots_gate,
         "minhash_dups": q_minhash_dups,
@@ -6942,6 +7062,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST((ROW_NUMBER() OVER (ORDER BY mon_e4, user_id)
                          - 1) * 5 // nu AS BIGINT) AS m_q
             FROM a, n""",
+        "spike_days": """
+            WITH d AS (SELECT CAST(epoch_us(ts) AS BIGINT)
+                           // 86400000000 AS day,
+                         COUNT(*)::BIGINT AS n
+                       FROM events GROUP BY day),
+            w AS (SELECT day, n,
+                    COALESCE(SUM(n) OVER (ORDER BY day
+                      RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING), 0)
+                        AS trail7
+                  FROM d)
+            SELECT CAST(day AS BIGINT) AS day, n AS n_events,
+                   CAST(trail7 AS BIGINT) AS trail7,
+                   (CASE WHEN trail7 > 0 AND n*7 > 2*trail7
+                         THEN 1 ELSE 0 END)::BIGINT AS is_spike
+            FROM w""",
+        "source_share": """
+            SELECT source, COUNT(*)::BIGINT AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS tot_docs,
+                   CAST(SUM(SUM(n_chars)) OVER () AS BIGINT)
+                       AS tot_chars
+            FROM documents GROUP BY source""",
+        "peak_day": """
+            WITH d AS (SELECT user_id,
+                         CAST(epoch_us(ts) AS BIGINT) // 86400000000
+                             AS day,
+                         COUNT(*)::BIGINT AS n
+                       FROM events GROUP BY 1, 2),
+            r AS (SELECT user_id, day, n,
+                    ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY n DESC, day) AS rn,
+                    SUM(n) OVER (PARTITION BY user_id) AS tot
+                  FROM d)
+            SELECT user_id, CAST(day AS BIGINT) AS top_day,
+                   n AS n_top, CAST(tot AS BIGINT) AS n_total
+            FROM r WHERE rn = 1""",
         "kwic_first": """
             WITH p AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
                          CAST(position('merge' IN text) AS BIGINT) AS pos

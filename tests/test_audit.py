@@ -213,6 +213,9 @@ def test_query_pipeline_budgets(ray_session, tmp_path):
     # materialize away, the final lineage holds the last bucket shuffle
     assert count_exchanges(q["time_profile"](sf)) == 0
     assert count_exchanges(q["rfm_scores"](sf)) == 1
+    assert count_exchanges(q["spike_days"](sf)) == 0
+    assert count_exchanges(q["source_share"](sf)) == 0
+    assert count_exchanges(q["peak_day"](sf)) == 1
 
 
 def test_flagship_is_shuffle_free(ray_session):
