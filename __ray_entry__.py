@@ -1705,6 +1705,131 @@ def q_peak_day(sf_dir: str):
                              batch_format="pandas")
 
 
+def q_systematic_sample(sf_dir: str):
+    """Deterministic systematic sample: every 100th event under the
+    GLOBAL (ts, event_id) total order — the stratified-in-time audit
+    draw (hash_sample is its content-keyed cousin). Exact global rank
+    via stages/scan.ranged_prefix_sum over a packed
+    (rebased-us << 21 | event_id) key (min-ts rebase from the parquet
+    footer, no scan; loud width guards), then a modulo filter — no
+    global sort."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from pypdfium2_ray.stages.scan import ranged_prefix_sum
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    meta = pq.ParquetFile(path)
+    ts_idx = meta.schema_arrow.get_field_index("ts")
+    min_us = min(
+        meta.metadata.row_group(i).column(ts_idx).statistics.min
+        for i in range(meta.metadata.num_row_groups)).timestamp() \
+        * 1_000_000
+    min_us = int(min_us)
+    ev = rd.read_parquet(path, columns=["event_id", "ts"])
+
+    def composite(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        rel = pc.subtract(us, min_us)
+        e = pc.cast(t["event_id"], pa.int64())
+        if t.num_rows and (pc.max(rel).as_py() >= 2 ** 42
+                           or pc.min(rel).as_py() < 0
+                           or pc.max(e).as_py() >= 2 ** 21):
+            raise ValueError("systematic-sample composite key would "
+                             "overflow — re-derive the shift widths")
+        one = pa.array(np.ones(t.num_rows, np.int64))
+        return pa.table({"event_id": e, "one": one,
+                         "ckey": pc.add(pc.shift_left(rel, 21), e)})
+
+    with _hint(sf_dir, "events"):
+        ranked = ranged_prefix_sum(
+            ev.map_batches(composite, batch_format="pyarrow"),
+            "ckey", "one", out="rank0")
+
+    def pick(t: pa.Table) -> pa.Table:
+        r = t["rank0"].to_numpy(zero_copy_only=False)
+        keep = pa.array(r % 100 == 0)
+        return pa.table({"event_id": pc.filter(t["event_id"], keep),
+                         "rank0": pc.filter(t["rank0"], keep)})
+
+    return ranked.map_batches(pick, batch_format="pyarrow")
+
+
+def q_adoption_lag(sf_dir: str):
+    """Onboarding latency: per (user, event_type), microseconds from
+    the user's FIRST event to their first event of that type — the
+    two-level min (feature-adoption funnel; the first-touch row is lag
+    0). Per-block (user, type) min partials, ONE user exchange, kernel
+    re-min + per-user transform-min subtract."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.exchange import partition_map
+    ev = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table({"user_id": t["user_id"],
+                         "event_type": t["event_type"], "us": us}) \
+            .group_by(["user_id", "event_type"], use_threads=False) \
+            .aggregate([("us", "min")]) \
+            .rename_columns(["user_id", "event_type", "mt"])
+
+    def kernel(df):
+        import pandas as pd
+        if not len(df):
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype="int64"),
+                "event_type": pd.Series(dtype="object"),
+                "lag_us": pd.Series(dtype="int64")})
+        g = df.groupby(["user_id", "event_type"], sort=False,
+                       as_index=False)["mt"].min()
+        m0 = g.groupby("user_id", sort=False)["mt"].transform("min")
+        return pd.DataFrame({
+            "user_id": g["user_id"].astype("int64"),
+            "event_type": g["event_type"],
+            "lag_us": (g["mt"] - m0).astype("int64")})
+
+    partials = ev.map_batches(partial, batch_format="pyarrow")
+    with _hint(sf_dir, "events"):
+        return partition_map(partials, ["user_id"], kernel,
+                             batch_format="pandas")
+
+
+def q_session_pairs(sf_dir: str):
+    """Within-session event-type co-occurrence (market-basket over
+    sessions): sessionize (30-min gap) makes the baskets, then
+    stages/basket.pair_support counts distinct unordered type pairs
+    per session — composition of two one-exchange stages plus the
+    pair-count exchange. Types map to TYPE_BITS indices on both
+    engines; baskets pack (user << 16 | session), guarded."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.basket import pair_support
+    from pypdfium2_ray.stages.sessionize import sessionize
+    ev = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    with _hint(sf_dir, "events"):
+        sess = sessionize(ev, gap_s=1800.0)
+
+    names = pa.array(sorted(TYPE_BITS, key=TYPE_BITS.get))
+
+    def widen(t: pa.Table) -> pa.Table:
+        u = pc.cast(t["user_id"], pa.int64())
+        s = pc.cast(t["session_id"], pa.int64())
+        if t.num_rows and (pc.max(s).as_py() >= 2 ** 16
+                           or pc.max(u).as_py() >= 2 ** 46):
+            raise ValueError("session basket key would overflow — "
+                             "re-derive the shift widths")
+        item = pc.index_in(t["event_type"], value_set=names)
+        if t.num_rows and item.null_count:
+            raise ValueError("unmapped event_type — extend TYPE_BITS")
+        return pa.table({"basket": pc.add(pc.shift_left(u, 16), s),
+                         "item": pc.cast(item, pa.int64())})
+
+    with _hint(sf_dir, "events"):
+        return pair_support(sess.map_batches(widen,
+                                             batch_format="pyarrow"),
+                            "basket", "item")
+
+
 def q_forecast_revenue(sf_dir: str):
     """TPC-H Q6 predicate-scan aggregate
     (pipelines/relational.forecast_revenue): per-block integer partials,
@@ -6249,6 +6374,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spike_days": q_spike_days,
         "source_share": q_source_share,
         "peak_day": q_peak_day,
+        "systematic_sample": q_systematic_sample,
+        "adoption_lag": q_adoption_lag,
+        "session_pairs": q_session_pairs,
         "zorder_layout": q_zorder_layout,
         "robots_gate": q_robots_gate,
         "minhash_dups": q_minhash_dups,
@@ -7098,6 +7226,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(day AS BIGINT) AS top_day,
                    n AS n_top, CAST(tot AS BIGINT) AS n_total
             FROM r WHERE rn = 1""",
+        "systematic_sample": """
+            WITH r AS (SELECT event_id,
+                         ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1
+                             AS rank0
+                       FROM events)
+            SELECT event_id, CAST(rank0 AS BIGINT) AS rank0
+            FROM r WHERE rank0 % 100 = 0""",
+        "adoption_lag": """
+            WITH m AS (SELECT user_id, event_type,
+                         min(CAST(epoch_us(ts) AS BIGINT)) AS mt
+                       FROM events GROUP BY 1, 2),
+            u AS (SELECT user_id, min(mt) AS m0 FROM m
+                  GROUP BY user_id)
+            SELECT m.user_id, m.event_type,
+                   CAST(mt - m0 AS BIGINT) AS lag_us
+            FROM m JOIN u USING (user_id)""",
+        "session_pairs": """
+            WITH s AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN CAST(epoch_us(ts) AS BIGINT)
+                               - CAST(epoch_us(LAG(ts) OVER (
+                                   PARTITION BY user_id
+                                   ORDER BY ts, event_id)) AS BIGINT)
+                               > 1800000000
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events),
+            s2 AS (
+              SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+              FROM s),
+            it AS (SELECT user_id, sid, CASE event_type
+                     WHEN 'click' THEN 0 WHEN 'error' THEN 1
+                     WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3
+                     WHEN 'view' THEN 4 END AS item
+                   FROM s2),
+            d AS (SELECT DISTINCT user_id, sid, item FROM it)
+            SELECT a.item AS item_a, b.item AS item_b,
+                   COUNT(*)::BIGINT AS n_baskets
+            FROM d a JOIN d b ON a.user_id = b.user_id
+                             AND a.sid = b.sid AND a.item < b.item
+            GROUP BY 1, 2""",
         "kwic_first": """
             WITH p AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
                          CAST(position('merge' IN text) AS BIGINT) AS pos

@@ -129,11 +129,16 @@ def ranged_prefix_sum(ds, key_col: str, val_col: str,
         n_buckets = num_partitions or _PARTITION_HINT.get() \
             or default_partitions()
         span = hi - lo + 1
+        # division form, NOT (k - lo) * n_buckets // span: the multiply
+        # overflows int64 for wide composite keys (e.g. us << 21) and a
+        # wrapped bucket id silently breaks the monotone-bucketing
+        # contract the offsets rely on
+        step = (span + n_buckets - 1) // n_buckets
 
         def add_bucket(t: pa.Table) -> pa.Table:
             k = pc.cast(t[key_col],
                         pa.int64()).to_numpy(zero_copy_only=False)
-            b = (k - lo) * n_buckets // span
+            b = (k - lo) // step
             return t.append_column("__bucket", pa.array(b, pa.int64()))
 
     bucketed = ds.map_batches(add_bucket, batch_format="pyarrow") \

@@ -216,6 +216,10 @@ def test_query_pipeline_budgets(ray_session, tmp_path):
     assert count_exchanges(q["spike_days"](sf)) == 0
     assert count_exchanges(q["source_share"](sf)) == 0
     assert count_exchanges(q["peak_day"](sf)) == 1
+    assert count_exchanges(q["systematic_sample"](sf)) == 1
+    assert count_exchanges(q["adoption_lag"](sf)) == 1
+    # sessionize + basket pair-gen + pair-count
+    assert count_exchanges(q["session_pairs"](sf)) == 3
 
 
 def test_flagship_is_shuffle_free(ray_session):
