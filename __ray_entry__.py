@@ -1830,6 +1830,161 @@ def q_session_pairs(sf_dir: str):
                             "basket", "item")
 
 
+def q_type_jaccard(sf_dir: str):
+    """Audience overlap between event types: for every type pair, the
+    EXACT Jaccard numerator/denominator over user sets (n_inter,
+    n_union) — computed from the per-user type BITMASK (one exchange,
+    stages/agg.grouped_type_bitmask), then a single-block census of the
+    32 possible masks and a driver-free pair fold: intersection(a,b) =
+    sum of mask counts with both bits set. No pair self-join ever
+    materializes user pairs."""
+    import numpy as np
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import grouped_type_bitmask
+    ev = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["user_id", "event_type"])
+    with _hint(sf_dir, "events"):
+        masks = grouped_type_bitmask(ev, ["user_id"], "event_type",
+                                     TYPE_BITS)
+
+    def census(t: pa.Table) -> pa.Table:
+        return pa.table({"type_mask": t["type_mask"]}) \
+            .group_by(["type_mask"], use_threads=False) \
+            .aggregate([([], "count_all")])
+
+    names = sorted(TYPE_BITS, key=TYPE_BITS.get)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        m = t["type_mask"].to_numpy(zero_copy_only=False)
+        c = t["count_all"].to_numpy(zero_copy_only=False)
+        ta, tb, ni, nu = [], [], [], []
+        for a in range(len(names)):
+            for b_ in range(a + 1, len(names)):
+                both = int(c[(m >> a & 1).astype(bool)
+                             & (m >> b_ & 1).astype(bool)].sum())
+                either = int(c[((m >> a & 1) | (m >> b_ & 1))
+                               .astype(bool)].sum())
+                na, nb = names[a], names[b_]
+                lo, hi = min(na, nb), max(na, nb)
+                ta.append(lo)
+                tb.append(hi)
+                ni.append(both)
+                nu.append(either)
+        return pa.table({"type_a": pa.array(ta), "type_b": pa.array(tb),
+                         "n_inter": pa.array(ni, pa.int64()),
+                         "n_union": pa.array(nu, pa.int64())})
+
+    return masks.map_batches(census, batch_format="pyarrow") \
+        .repartition(1) \
+        .map_batches(lambda t: t.group_by(["type_mask"],
+                                          use_threads=False)
+                     .aggregate([("count_all", "sum")])
+                     .rename_columns(["type_mask", "count_all"]),
+                     batch_size=None, batch_format="pyarrow") \
+        .map_batches(pairs, batch_size=None, batch_format="pyarrow")
+
+
+def q_early_ltv(sf_dir: str):
+    """First-week LTV per user: value accumulated within 7 days of the
+    user's FIRST event, the event count in that window, and the
+    lifetime total — the cohort-quality signal every acquisition
+    report wants. ONE exchange; kernel is a per-user transform-min +
+    one masked Cython groupby-sum (no sort needed — min and sums are
+    order-free)."""
+    import numpy as np
+    import ray.data as rd
+    from pypdfium2_ray.stages.exchange import partition_map
+    ev = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+
+    def widen(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        v = pc.cast(pc.round(pc.multiply(
+            pc.cast(t["value"], pa.float64()), 10_000.0)), pa.int64())
+        return pa.table({"user_id": t["user_id"], "us": us, "v": v})
+
+    week_us = 7 * 86_400_000_000
+
+    def kernel(df):
+        import pandas as pd
+        if not len(df):
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype="int64"),
+                "week1_value_e4": pd.Series(dtype="int64"),
+                "week1_events": pd.Series(dtype="int64"),
+                "total_value_e4": pd.Series(dtype="int64")})
+        m0 = df.groupby("user_id", sort=False)["us"].transform("min")
+        early = (df["us"].to_numpy() - m0.to_numpy()) < week_us
+        g = pd.DataFrame({
+            "user_id": df["user_id"],
+            "w1v": np.where(early, df["v"].to_numpy(), 0),
+            "w1n": early.astype(np.int64),
+            "tv": df["v"].to_numpy()})
+        out = g.groupby("user_id", sort=False, as_index=False).sum()
+        out.columns = ["user_id", "week1_value_e4", "week1_events",
+                       "total_value_e4"]
+        return out.astype("int64")
+
+    partials = ev.map_batches(widen, batch_format="pyarrow")
+    with _hint(sf_dir, "events"):
+        return partition_map(partials, ["user_id"], kernel,
+                             batch_format="pandas")
+
+
+def q_max_gap_at(sf_dir: str):
+    """Largest silence per user WITH provenance: the maximum
+    inter-event gap, plus the event ids bounding it (earliest such gap
+    on ties) — gap_stats tells you HOW quiet, this tells you WHEN, the
+    data-hole debugging view. ONE exchange; lexsort + diff + a
+    segment-argmax with first-occurrence tie-break (cummax boundary
+    trick), no per-user Python. Single-event users emit nothing."""
+    import numpy as np
+    import ray.data as rd
+    from pypdfium2_ray.stages.exchange import partition_map
+    ev = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["user_id", "event_id", "ts"])
+
+    def kernel(df):
+        import pandas as pd
+        empty = pd.DataFrame({
+            "user_id": pd.Series(dtype="int64"),
+            "max_gap_us": pd.Series(dtype="int64"),
+            "gap_start_id": pd.Series(dtype="int64"),
+            "gap_end_id": pd.Series(dtype="int64")})
+        if not len(df):
+            return empty
+        k = df["user_id"].to_numpy()
+        us = df["ts"].to_numpy().astype("datetime64[us]").view("int64")
+        tb = df["event_id"].to_numpy()
+        order = np.lexsort((tb, us, k))
+        k, us, tb = k[order], us[order], tb[order]
+        gap_ok = np.concatenate([[False], k[1:] == k[:-1]])
+        gaps = np.where(gap_ok,
+                        us - np.concatenate([[0], us[:-1]]), -1)
+        if not gap_ok.any():
+            return empty
+        # segment argmax with earliest-gap tie-break: sort rows by
+        # (key, -gap, tb) and take each key's first gap row
+        gi = np.flatnonzero(gap_ok)
+        gk, gg = k[gi], gaps[gi]
+        # tie-break on gi (= (ts, event_id) position), matching the
+        # twin's ORDER BY gap DESC, ts, event_id
+        o2 = np.lexsort((gi, -gg, gk))
+        gk, gg, gi2 = gk[o2], gg[o2], gi[o2]
+        firsts = np.flatnonzero(
+            np.concatenate([[True], gk[1:] != gk[:-1]]))
+        sel = gi2[firsts]
+        return pd.DataFrame({
+            "user_id": gk[firsts].astype("int64"),
+            "max_gap_us": gg[firsts].astype("int64"),
+            "gap_start_id": tb[sel - 1].astype("int64"),
+            "gap_end_id": tb[sel].astype("int64")})
+
+    with _hint(sf_dir, "events"):
+        return partition_map(ev, ["user_id"], kernel,
+                             batch_format="pandas")
+
+
 def q_forecast_revenue(sf_dir: str):
     """TPC-H Q6 predicate-scan aggregate
     (pipelines/relational.forecast_revenue): per-block integer partials,
@@ -6377,6 +6532,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "systematic_sample": q_systematic_sample,
         "adoption_lag": q_adoption_lag,
         "session_pairs": q_session_pairs,
+        "type_jaccard": q_type_jaccard,
+        "early_ltv": q_early_ltv,
+        "max_gap_at": q_max_gap_at,
         "zorder_layout": q_zorder_layout,
         "robots_gate": q_robots_gate,
         "minhash_dups": q_minhash_dups,
@@ -7268,6 +7426,52 @@ def oracle_sql() -> dict[str, str]:
             FROM d a JOIN d b ON a.user_id = b.user_id
                              AND a.sid = b.sid AND a.item < b.item
             GROUP BY 1, 2""",
+        "type_jaccard": """
+            WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+            p AS (SELECT a.event_type AS ta, b.event_type AS tb
+                  FROM d a JOIN d b USING (user_id)
+                  WHERE a.event_type < b.event_type),
+            i AS (SELECT ta, tb, COUNT(*)::BIGINT AS n_inter
+                  FROM p GROUP BY 1, 2),
+            c AS (SELECT event_type, COUNT(DISTINCT user_id) AS nu
+                  FROM events GROUP BY 1)
+            SELECT i.ta AS type_a, i.tb AS type_b, n_inter,
+                   CAST(ca.nu + cb.nu - n_inter AS BIGINT) AS n_union
+            FROM i JOIN c ca ON ca.event_type = i.ta
+                   JOIN c cb ON cb.event_type = i.tb""",
+        "early_ltv": """
+            WITH w AS (SELECT user_id,
+                         CAST(epoch_us(ts) AS BIGINT) AS us,
+                         CAST(round(value*10000) AS BIGINT) AS v,
+                         min(CAST(epoch_us(ts) AS BIGINT))
+                             OVER (PARTITION BY user_id) AS m0
+                       FROM events)
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN us - m0 < 604800000000
+                                 THEN v ELSE 0 END) AS BIGINT)
+                       AS week1_value_e4,
+                   CAST(SUM(CASE WHEN us - m0 < 604800000000
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS week1_events,
+                   CAST(SUM(v) AS BIGINT) AS total_value_e4
+            FROM w GROUP BY user_id""",
+        "max_gap_at": """
+            WITH s AS (SELECT user_id, event_id, ts,
+                         LAG(event_id) OVER w AS prev_id,
+                         CAST(epoch_us(ts) AS BIGINT)
+                           - CAST(epoch_us(LAG(ts) OVER w) AS BIGINT)
+                             AS gap
+                       FROM events
+                       WINDOW w AS (PARTITION BY user_id
+                                    ORDER BY ts, event_id)),
+            r AS (SELECT user_id, gap, prev_id, event_id,
+                    ROW_NUMBER() OVER (PARTITION BY user_id
+                        ORDER BY gap DESC, ts, event_id) AS rn
+                  FROM s WHERE gap IS NOT NULL)
+            SELECT user_id, CAST(gap AS BIGINT) AS max_gap_us,
+                   CAST(prev_id AS BIGINT) AS gap_start_id,
+                   event_id AS gap_end_id
+            FROM r WHERE rn = 1""",
         "kwic_first": """
             WITH p AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
                          CAST(position('merge' IN text) AS BIGINT) AS pos

@@ -220,6 +220,9 @@ def test_query_pipeline_budgets(ray_session, tmp_path):
     assert count_exchanges(q["adoption_lag"](sf)) == 1
     # sessionize + basket pair-gen + pair-count
     assert count_exchanges(q["session_pairs"](sf)) == 3
+    assert count_exchanges(q["type_jaccard"](sf)) == 1
+    assert count_exchanges(q["early_ltv"](sf)) == 1
+    assert count_exchanges(q["max_gap_at"](sf)) == 1
 
 
 def test_flagship_is_shuffle_free(ray_session):
