@@ -1985,6 +1985,28 @@ def q_max_gap_at(sf_dir: str):
                              batch_format="pandas")
 
 
+def q_ship_delay(sf_dir: str):
+    """Fulfilment-latency report (pipelines/relational.ship_delay):
+    per priority count/sum/min/max of ship-day minus order-day across
+    lineitems — one repartition join + vectorized day diff +
+    single-block enum combine."""
+    from pypdfium2_ray.pipelines.relational import ship_delay
+    with _hint(sf_dir, "lineitem"):
+        return _cast_i64(ship_delay(sf_dir), ["n_items"])
+
+
+def q_first_session_size(sf_dir: str):
+    """Novelty-effect report (stages/sessionize.first_session_size):
+    per user, first-session size + session count + lifetime events —
+    one exchange, run-length reads off the session geometry."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.sessionize import first_session_size
+    ev = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["user_id", "event_id", "ts"])
+    with _hint(sf_dir, "events"):
+        return first_session_size(ev)
+
+
 def q_forecast_revenue(sf_dir: str):
     """TPC-H Q6 predicate-scan aggregate
     (pipelines/relational.forecast_revenue): per-block integer partials,
@@ -6535,6 +6557,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_jaccard": q_type_jaccard,
         "early_ltv": q_early_ltv,
         "max_gap_at": q_max_gap_at,
+        "ship_delay": q_ship_delay,
+        "first_session_size": q_first_session_size,
         "zorder_layout": q_zorder_layout,
         "robots_gate": q_robots_gate,
         "minhash_dups": q_minhash_dups,
@@ -7472,6 +7496,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(prev_id AS BIGINT) AS gap_start_id,
                    event_id AS gap_end_id
             FROM r WHERE rn = 1""",
+        "ship_delay": """
+            WITH d AS (SELECT o_orderpriority,
+                         CAST(epoch_us(l_shipdate) AS BIGINT)
+                             // 86400000000
+                         - CAST(epoch_us(o_orderdate) AS BIGINT)
+                             // 86400000000 AS d
+                       FROM lineitem JOIN orders
+                         ON l_orderkey = o_orderkey)
+            SELECT o_orderpriority, COUNT(*)::BIGINT AS n_items,
+                   CAST(SUM(d) AS BIGINT) AS sum_delay_days,
+                   CAST(MIN(d) AS BIGINT) AS min_delay_days,
+                   CAST(MAX(d) AS BIGINT) AS max_delay_days
+            FROM d GROUP BY o_orderpriority""",
+        "first_session_size": """
+            WITH s AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN CAST(epoch_us(ts) AS BIGINT)
+                               - CAST(epoch_us(LAG(ts) OVER (
+                                   PARTITION BY user_id
+                                   ORDER BY ts, event_id)) AS BIGINT)
+                               > 1800000000
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events),
+            s2 AS (
+              SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+              FROM s)
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN sid = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS s0_events,
+                   CAST(MAX(sid) + 1 AS BIGINT) AS n_sessions,
+                   COUNT(*)::BIGINT AS n_events
+            FROM s2 GROUP BY user_id""",
         "kwic_first": """
             WITH p AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
                          CAST(position('merge' IN text) AS BIGINT) AS pos

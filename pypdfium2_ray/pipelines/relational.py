@@ -1116,3 +1116,43 @@ def forecast_revenue(sf_dir: str):
     return line.map_batches(partial, batch_format="pyarrow") \
         .repartition(1).map_batches(final, batch_size=None,
                                     batch_format="pyarrow")
+
+
+def ship_delay(sf_dir: str):
+    """Fulfilment-latency report: per order priority, the count / sum /
+    min / max of (ship day − order day) across all lineitems — the
+    order-to-ship SLA view. ONE repartition join (lineitem rows pick up
+    their order's date + priority; orders is the smaller side but both
+    grow with the data, so this is a hash join, not a broadcast), a
+    vectorized day-diff, and a single-block enum combine (fixed 5-value
+    priority set). Day diffs are exact int64 on both engines."""
+    import pyarrow.compute as pc
+
+    from pypdfium2_ray.stages.agg import grouped_aggregate
+    from pypdfium2_ray.stages.exchange import lookup_join
+
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate",
+                                      "o_orderpriority"])
+    j = lookup_join(line,
+                    {"l_orderkey": pa.int64(),
+                     "l_shipdate": pa.timestamp("us")},
+                    orders, source_key="o_orderkey",
+                    key_col="l_orderkey",
+                    payload_cols={"o_orderdate": pa.timestamp("us"),
+                                  "o_orderpriority": pa.string()})
+
+    day_us = 86_400_000_000
+
+    def diff(t: pa.Table) -> pa.Table:
+        ship = pc.divide(pc.cast(t["l_shipdate"], pa.int64()), day_us)
+        odate = pc.divide(pc.cast(t["o_orderdate"], pa.int64()), day_us)
+        return pa.table({"o_orderpriority": t["o_orderpriority"],
+                         "d": pc.subtract(ship, odate)})
+
+    days = j.map_batches(diff, batch_format="pyarrow")
+    return grouped_aggregate(
+        days, ["o_orderpriority"],
+        {"n_items": (None, "count"), "sum_delay_days": ("d", "sum"),
+         "min_delay_days": ("d", "min"), "max_delay_days": ("d", "max")},
+        combine="single_block")

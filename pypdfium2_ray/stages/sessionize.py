@@ -1053,3 +1053,53 @@ def state_duration(ds, key: str = "user_id", ts_col: str = "ts",
                                             label]),
                          [key], kernel, batch_format="pandas",
                          num_partitions=num_partitions)
+
+
+def first_session_size(ds, key: str = "user_id", ts_col: str = "ts",
+                       tiebreak: str = "event_id", gap_s: float = 1800.0):
+    """Novelty-effect report: per key, the size of its FIRST session
+    (session 0 under the gap cut), the session count, and the lifetime
+    event count — "how hard do users hit the product on day one vs
+    ever after". ONE hash exchange; the kernel reuses the
+    :func:`first_touch_attribution` session geometry (lexsort + gap
+    boundary masks) and reads all three numbers off the run-length
+    arrays — no per-key Python."""
+    import numpy as np
+    import pandas as pd
+
+    from pypdfium2_ray.stages.exchange import partition_map
+
+    gap_us = int(gap_s * 1_000_000)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                key: pd.Series(dtype="int64"),
+                "s0_events": pd.Series(dtype="int64"),
+                "n_sessions": pd.Series(dtype="int64"),
+                "n_events": pd.Series(dtype="int64")})
+        k = df[key].to_numpy()
+        us = df[ts_col].to_numpy().astype("datetime64[us]").view("int64")
+        tb = df[tiebreak].to_numpy()
+        order = np.lexsort((tb, us, k))
+        k, us = k[order], us[order]
+        n = len(k)
+        new_key = np.concatenate([[True], k[1:] != k[:-1]])
+        new_sess = new_key | np.concatenate(
+            [[True], (us[1:] - us[:-1]) > gap_us])
+        sstarts = np.flatnonzero(new_sess)
+        sruns = np.diff(np.append(sstarts, n))
+        kstarts = np.flatnonzero(new_key)
+        kruns = np.diff(np.append(kstarts, n))
+        # session-start rows grouped by key: key starts are a subset of
+        # session starts, so count sessions per key via searchsorted
+        sess_per_key = np.diff(np.searchsorted(
+            sstarts, np.append(kstarts, n)))
+        s0 = sruns[np.searchsorted(sstarts, kstarts)]
+        return pd.DataFrame({key: k[kstarts].astype("int64"),
+                             "s0_events": s0.astype("int64"),
+                             "n_sessions": sess_per_key.astype("int64"),
+                             "n_events": kruns.astype("int64")})
+
+    return partition_map(ds.select_columns([key, ts_col, tiebreak]),
+                         [key], kernel, batch_format="pandas")

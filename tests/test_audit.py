@@ -223,6 +223,8 @@ def test_query_pipeline_budgets(ray_session, tmp_path):
     assert count_exchanges(q["type_jaccard"](sf)) == 1
     assert count_exchanges(q["early_ltv"](sf)) == 1
     assert count_exchanges(q["max_gap_at"](sf)) == 1
+    assert count_exchanges(q["ship_delay"](sf)) == 1
+    assert count_exchanges(q["first_session_size"](sf)) == 1
 
 
 def test_flagship_is_shuffle_free(ray_session):
