@@ -2007,6 +2007,102 @@ def q_first_session_size(sf_dir: str):
         return first_session_size(ev)
 
 
+def q_concurrency_curve(sf_dir: str):
+    """Global session-concurrency sweep line: at every distinct session
+    boundary timestamp, how many sessions opened, closed, and remain
+    open — the capacity-planning curve, computed WITHOUT a global sort:
+    sessionize kernel emits per-partition boundary partials, one
+    t-keyed combine to distinct timestamps, then two range prefix
+    scans (starts<=t, ends<=t) and n_open = their difference. The
+    interval sibling of ks_distance's two-ECDF machinery."""
+    import numpy as np
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import grouped_aggregate
+    from pypdfium2_ray.stages.exchange import partition_map
+    from pypdfium2_ray.stages.scan import ranged_prefix_sum
+    ev = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["user_id", "event_id", "ts"])
+    gap_us = 1800 * 1_000_000
+
+    def kernel(df):
+        import pandas as pd
+        if not len(df):
+            return pd.DataFrame({"t_us": pd.Series(dtype="int64"),
+                                 "s": pd.Series(dtype="int64"),
+                                 "e": pd.Series(dtype="int64")})
+        k = df["user_id"].to_numpy()
+        us = df["ts"].to_numpy().astype("datetime64[us]").view("int64")
+        tb = df["event_id"].to_numpy()
+        order = np.lexsort((tb, us, k))
+        k, us = k[order], us[order]
+        new_sess = np.concatenate([[True], k[1:] != k[:-1]]) \
+            | np.concatenate([[True], (us[1:] - us[:-1]) > gap_us])
+        starts = np.flatnonzero(new_sess)
+        ends = np.append(starts[1:], len(k)) - 1
+        b = pd.DataFrame({
+            "t_us": np.concatenate([us[starts], us[ends]]),
+            "s": np.concatenate([np.ones(len(starts), np.int64),
+                                 np.zeros(len(ends), np.int64)]),
+            "e": np.concatenate([np.zeros(len(starts), np.int64),
+                                 np.ones(len(ends), np.int64)])})
+        return b.groupby("t_us", sort=False, as_index=False).sum()
+
+    with _hint(sf_dir, "events"):
+        bounds = partition_map(ev, ["user_id"], kernel,
+                               batch_format="pandas")
+        per_t = grouped_aggregate(bounds, ["t_us"],
+                                  {"n_start": ("s", "sum"),
+                                   "n_end": ("e", "sum")})
+        cum = ranged_prefix_sum(per_t, "t_us", "n_start",
+                                out="cs_prev")
+        cum = ranged_prefix_sum(cum, "t_us", "n_end", out="ce_prev")
+
+    def finish(t: pa.Table) -> pa.Table:
+        cs = pc.add(t["cs_prev"], pc.cast(t["n_start"], pa.int64()))
+        ce = pc.add(t["ce_prev"], pc.cast(t["n_end"], pa.int64()))
+        return pa.table({"t_us": pc.cast(t["t_us"], pa.int64()),
+                         "n_start": pc.cast(t["n_start"], pa.int64()),
+                         "n_end": pc.cast(t["n_end"], pa.int64()),
+                         "n_open": pc.subtract(cs, ce)})
+
+    return cum.map_batches(finish, batch_format="pyarrow")
+
+
+def q_embedding_norms(sf_dir: str):
+    """Exact per-label embedding energy: vector count + the int64 sum
+    of squared fixed-point components (round(x*1000)²) per label — the
+    norm-distribution health check for an embedding corpus, exact on
+    both engines (a float norm would hash-diverge; DuckDB twins it
+    with list_transform/list_sum lambdas). Per-block numpy
+    offsets+reduceat over the Arrow list buffer, single-block enum
+    combine — ZERO keyed exchanges."""
+    import numpy as np
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import grouped_aggregate
+    ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/embeddings.parquet",
+                         columns=["label", "embedding"])
+
+    def widen(t: pa.Table) -> pa.Table:
+        arr = t["embedding"].combine_chunks()
+        offs = arr.offsets.to_numpy(zero_copy_only=False)
+        vals = arr.values.to_numpy(zero_copy_only=False)
+        # HALF-AWAY-FROM-ZERO, matching SQL round(): np.rint rounds
+        # half-to-even and arbitrary float32 components DO land on
+        # exact halves (unlike the 2-decimal money columns elsewhere)
+        x = vals.astype(np.float64) * 1000.0
+        q = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+        sq = q * q
+        cs = np.concatenate(([0], np.cumsum(sq)))
+        per_row = cs[offs[1:]] - cs[offs[:-1]]
+        return pa.table({"label": pc.cast(t["label"], pa.int64()),
+                         "ss": pa.array(per_row)})
+
+    return grouped_aggregate(
+        ds.map_batches(widen, batch_format="pyarrow"),
+        ["label"], {"n_vecs": (None, "count"), "sum_sq_e6": ("ss", "sum")},
+        combine="single_block")
+
+
 def q_forecast_revenue(sf_dir: str):
     """TPC-H Q6 predicate-scan aggregate
     (pipelines/relational.forecast_revenue): per-block integer partials,
@@ -6559,6 +6655,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "max_gap_at": q_max_gap_at,
         "ship_delay": q_ship_delay,
         "first_session_size": q_first_session_size,
+        "concurrency_curve": q_concurrency_curve,
+        "embedding_norms": q_embedding_norms,
         "zorder_layout": q_zorder_layout,
         "robots_gate": q_robots_gate,
         "minhash_dups": q_minhash_dups,
@@ -7530,6 +7628,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(sid) + 1 AS BIGINT) AS n_sessions,
                    COUNT(*)::BIGINT AS n_events
             FROM s2 GROUP BY user_id""",
+        "concurrency_curve": """
+            WITH s AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN CAST(epoch_us(ts) AS BIGINT)
+                               - CAST(epoch_us(LAG(ts) OVER (
+                                   PARTITION BY user_id
+                                   ORDER BY ts, event_id)) AS BIGINT)
+                               > 1800000000
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events),
+            s2 AS (
+              SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+              FROM s),
+            b AS (SELECT user_id, sid,
+                    min(CAST(epoch_us(ts) AS BIGINT)) AS st,
+                    max(CAST(epoch_us(ts) AS BIGINT)) AS en
+                  FROM s2 GROUP BY 1, 2),
+            t AS (SELECT st AS t_us, 1 AS s, 0 AS e FROM b
+                  UNION ALL SELECT en, 0, 1 FROM b),
+            g AS (SELECT t_us, SUM(s) AS n_start, SUM(e) AS n_end
+                  FROM t GROUP BY t_us),
+            c AS (SELECT t_us, n_start, n_end,
+                    SUM(n_start) OVER (ORDER BY t_us) AS cs,
+                    SUM(n_end) OVER (ORDER BY t_us) AS ce FROM g)
+            SELECT CAST(t_us AS BIGINT) AS t_us,
+                   CAST(n_start AS BIGINT) AS n_start,
+                   CAST(n_end AS BIGINT) AS n_end,
+                   CAST(cs - ce AS BIGINT) AS n_open
+            FROM c""",
+        "embedding_norms": """
+            SELECT CAST(label AS BIGINT) AS label,
+                   COUNT(*)::BIGINT AS n_vecs,
+                   CAST(SUM(list_sum(list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE)*1000)
+                                 AS BIGINT)
+                            * CAST(round(CAST(x AS DOUBLE)*1000)
+                                   AS BIGINT))))
+                       AS BIGINT) AS sum_sq_e6
+            FROM embeddings GROUP BY label""",
         "kwic_first": """
             WITH p AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
                          CAST(position('merge' IN text) AS BIGINT) AS pos

@@ -129,6 +129,13 @@ def test_query_pipeline_budgets(ray_session, tmp_path):
                   "event_type": ["a", "b"], "value": [1.0, 2.0],
                   "props": ['{"k": 1}'] * 2}
                  ).to_parquet(tmp_path / "events.parquet", index=False)
+    pa_tbl = pa.table({
+        "vec_id": pa.array([0, 1], pa.int64()),
+        "embedding": pa.array([[0.1, 0.2], [0.3, 0.4]],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0, 1], pa.int32())})
+    import pyarrow.parquet as pq
+    pq.write_table(pa_tbl, tmp_path / "embeddings.parquet")
     q = E.queries()
     sf = str(tmp_path)
     assert count_exchanges(q["late_orders"](sf)) == 2
@@ -225,6 +232,10 @@ def test_query_pipeline_budgets(ray_session, tmp_path):
     assert count_exchanges(q["max_gap_at"](sf)) == 1
     assert count_exchanges(q["ship_delay"](sf)) == 1
     assert count_exchanges(q["first_session_size"](sf)) == 1
+    # concurrency curve: the prefix scans materialize; final segment
+    # holds the last bucket shuffle (zero on an empty boundary set)
+    assert count_exchanges(q["concurrency_curve"](sf)) <= 1
+    assert count_exchanges(q["embedding_norms"](sf)) == 0
 
 
 def test_flagship_is_shuffle_free(ray_session):
