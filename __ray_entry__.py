@@ -2103,6 +2103,115 @@ def q_embedding_norms(sf_dir: str):
         combine="single_block")
 
 
+def q_transition_probs(sf_dir: str):
+    """Markov transition table WITH denominators: every adjacent
+    (prev, next) pair count plus the prev-state row total, so
+    P(next|prev) = n / n_prev stays an exact rational —
+    transition_counts' one exchange + a row-total pass inside the same
+    single final block (the pair space is enum-sized)."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.sessionize import transition_counts
+    ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["user_id", "ts", "event_type",
+                                  "event_id"])
+    with _hint(sf_dir, "events"):
+        counts = transition_counts(ds)
+
+    def add_totals(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = t.to_pandas()
+        df["n_prev"] = df.groupby("prev_type")["n"].transform("sum")
+        return pa.Table.from_pandas(
+            df.astype({"n": "int64", "n_prev": "int64"}),
+            preserve_index=False)
+
+    return counts.map_batches(add_totals, batch_size=None,
+                              batch_format="pyarrow")
+
+
+def q_island_lengths(sf_dir: str):
+    """Run-length spectrum of the event streams: how many runs of each
+    length exist per event type (retry-storm / spam signature view) —
+    stages/sessionize.event_islands' runs rolled up to a
+    (type, run_len) histogram; one islands exchange + a single-block
+    combine (the spectrum is small: lengths are bounded by the longest
+    per-user run)."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import grouped_aggregate
+    from pypdfium2_ray.stages.sessionize import event_islands
+    ev = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["user_id", "event_id", "ts",
+                                  "event_type"])
+    with _hint(sf_dir, "events"):
+        isl = event_islands(ev)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t["event_type"],
+                         "run_len": pc.cast(t["n_events"], pa.int64())})
+
+    return grouped_aggregate(
+        isl.map_batches(project, batch_format="pyarrow"),
+        ["event_type", "run_len"], {"n_runs": (None, "count")},
+        combine="single_block")
+
+
+def q_taste_shift(sf_dir: str):
+    """Preference drift: each user's modal event type in the corpus'
+    first half vs second half (split at the global midpoint day from
+    the parquet footer — no scan), ties to the alphabetically first
+    type; users active in only one half emit nothing. ONE exchange;
+    kernel is two Cython groupbys + a negated-count lexsort argmax per
+    (user, half) + an index-aligned merge."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from pypdfium2_ray.stages.exchange import partition_map
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    meta = pq.ParquetFile(path)
+    ts_idx = meta.schema_arrow.get_field_index("ts")
+    stats = [meta.metadata.row_group(i).column(ts_idx).statistics
+             for i in range(meta.metadata.num_row_groups)]
+    day = 86_400_000_000
+    lo = min(int(s.min.timestamp() * 1_000_000) for s in stats) // day
+    hi = max(int(s.max.timestamp() * 1_000_000) for s in stats) // day
+    mid = (lo + hi + 1) // 2
+    ev = rd.read_parquet(path, columns=["user_id", "ts", "event_type"])
+
+    def kernel(df):
+        import pandas as pd
+        if not len(df):
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype="int64"),
+                "top_first": pd.Series(dtype="object"),
+                "top_second": pd.Series(dtype="object")})
+        d = df["ts"].to_numpy().astype("datetime64[us]") \
+            .view("int64") // day
+        g = pd.DataFrame({"user_id": df["user_id"],
+                          "half": (d >= mid).astype(np.int64),
+                          "event_type": df["event_type"]}) \
+            .groupby(["user_id", "half", "event_type"], sort=False,
+                     as_index=False).size()
+        k = g["user_id"].to_numpy()
+        h = g["half"].to_numpy()
+        lab = g["event_type"].to_numpy()
+        n = g["size"].to_numpy().astype(np.int64)
+        order = np.lexsort((lab, -n, h, k))
+        k, h, lab = k[order], h[order], lab[order]
+        firsts = np.flatnonzero(np.concatenate(
+            [[True], (k[1:] != k[:-1]) | (h[1:] != h[:-1])]))
+        tk, th, tl = k[firsts], h[firsts], lab[firsts]
+        a = pd.DataFrame({"user_id": tk[th == 0],
+                          "top_first": tl[th == 0]})
+        b = pd.DataFrame({"user_id": tk[th == 1],
+                          "top_second": tl[th == 1]})
+        out = a.merge(b, on="user_id", how="inner")
+        return out.astype({"user_id": "int64"})
+
+    with _hint(sf_dir, "events"):
+        return partition_map(ev, ["user_id"], kernel,
+                             batch_format="pandas")
+
+
 def q_forecast_revenue(sf_dir: str):
     """TPC-H Q6 predicate-scan aggregate
     (pipelines/relational.forecast_revenue): per-block integer partials,
@@ -6657,6 +6766,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "first_session_size": q_first_session_size,
         "concurrency_curve": q_concurrency_curve,
         "embedding_norms": q_embedding_norms,
+        "transition_probs": q_transition_probs,
+        "island_lengths": q_island_lengths,
+        "taste_shift": q_taste_shift,
         "zorder_layout": q_zorder_layout,
         "robots_gate": q_robots_gate,
         "minhash_dups": q_minhash_dups,
@@ -7669,6 +7781,58 @@ def oracle_sql() -> dict[str, str]:
                                    AS BIGINT))))
                        AS BIGINT) AS sum_sq_e6
             FROM embeddings GROUP BY label""",
+        "transition_probs": """
+            WITH e AS (SELECT user_id, event_type, ts, event_id
+                       FROM events),
+            p AS (SELECT event_type AS prev_type,
+                    LEAD(event_type) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS next_type
+                  FROM e),
+            c AS (SELECT prev_type, next_type, COUNT(*)::BIGINT AS n
+                  FROM p WHERE next_type IS NOT NULL GROUP BY 1, 2)
+            SELECT prev_type, next_type, n,
+                   CAST(SUM(n) OVER (PARTITION BY prev_type) AS BIGINT)
+                       AS n_prev
+            FROM c""",
+        "island_lengths": """
+            WITH s AS (SELECT user_id, event_type, ts, event_id,
+                         CASE WHEN event_type = LAG(event_type) OVER w
+                              THEN 0 ELSE 1 END AS brk
+                       FROM events
+                       WINDOW w AS (PARTITION BY user_id
+                                    ORDER BY ts, event_id)),
+            r AS (SELECT user_id, event_type,
+                    SUM(brk) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS rid
+                  FROM s),
+            g AS (SELECT user_id, event_type, rid, COUNT(*) AS len
+                  FROM r GROUP BY 1, 2, 3)
+            SELECT event_type, CAST(len AS BIGINT) AS run_len,
+                   COUNT(*)::BIGINT AS n_runs
+            FROM g GROUP BY 1, 2""",
+        "taste_shift": """
+            WITH m AS (SELECT (min(CAST(epoch_us(ts) AS BIGINT)
+                                   // 86400000000)
+                               + max(CAST(epoch_us(ts) AS BIGINT)
+                                     // 86400000000) + 1) // 2 AS mid
+                       FROM events),
+            b AS (SELECT user_id, event_type,
+                    CASE WHEN CAST(epoch_us(ts) AS BIGINT)
+                              // 86400000000 < (SELECT mid FROM m)
+                         THEN 0 ELSE 1 END AS half
+                  FROM events),
+            c AS (SELECT user_id, half, event_type, COUNT(*) AS n
+                  FROM b GROUP BY 1, 2, 3),
+            r AS (SELECT user_id, half, event_type,
+                    ROW_NUMBER() OVER (PARTITION BY user_id, half
+                        ORDER BY n DESC, event_type) AS rn
+                  FROM c)
+            SELECT a.user_id, a.event_type AS top_first,
+                   z.event_type AS top_second
+            FROM r a JOIN r z ON a.user_id = z.user_id
+            WHERE a.rn = 1 AND z.rn = 1 AND a.half = 0
+              AND z.half = 1""",
         "kwic_first": """
             WITH p AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
                          CAST(position('merge' IN text) AS BIGINT) AS pos

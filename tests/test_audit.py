@@ -236,6 +236,9 @@ def test_query_pipeline_budgets(ray_session, tmp_path):
     # holds the last bucket shuffle (zero on an empty boundary set)
     assert count_exchanges(q["concurrency_curve"](sf)) <= 1
     assert count_exchanges(q["embedding_norms"](sf)) == 0
+    assert count_exchanges(q["transition_probs"](sf)) == 1
+    assert count_exchanges(q["island_lengths"](sf)) == 1
+    assert count_exchanges(q["taste_shift"](sf)) == 1
 
 
 def test_flagship_is_shuffle_free(ray_session):
