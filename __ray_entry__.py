@@ -2212,6 +2212,63 @@ def q_taste_shift(sf_dir: str):
                              batch_format="pandas")
 
 
+def q_momentum_score(sf_dir: str):
+    """Runs-test flavor per user: among consecutive pairs of value
+    DELTAS in (ts, event_id) order, how many agree in sign (momentum)
+    vs flip (mean-reversion); zero deltas void the pair (sign product
+    0). Exact integer counts — the sequential-dependence smell test a
+    float autocorrelation could not hash-gate. ONE exchange; kernel is
+    one lexsort + two shifts + sign-product masks + a Cython
+    groupby-sum."""
+    import numpy as np
+    import ray.data as rd
+    from pypdfium2_ray.stages.exchange import partition_map
+    ev = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["user_id", "event_id", "ts", "value"])
+
+    def prescale(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(
+            pc.cast(t["value"], pa.float64()), 10_000.0)), pa.int64())
+        return pa.table({"user_id": t["user_id"],
+                         "event_id": t["event_id"], "ts": t["ts"],
+                         "v": v})
+
+    def kernel(df):
+        import pandas as pd
+        if not len(df):
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype="int64"),
+                "n_agree": pd.Series(dtype="int64"),
+                "n_flip": pd.Series(dtype="int64")})
+        k = df["user_id"].to_numpy()
+        us = df["ts"].to_numpy().astype("datetime64[us]").view("int64")
+        tb = df["event_id"].to_numpy()
+        v = df["v"].to_numpy().astype(np.int64)
+        order = np.lexsort((tb, us, k))
+        k, v = k[order], v[order]
+        same = k[1:] == k[:-1]
+        ds_ = np.sign(v[1:] - v[:-1])
+        # consecutive delta pairs within a key: both diffs intra-key
+        pair_ok = same[1:] & same[:-1]
+        prod = ds_[1:] * ds_[:-1]
+        g = pd.DataFrame({
+            "user_id": k[2:][pair_ok],
+            "n_agree": (prod[pair_ok] > 0).astype(np.int64),
+            "n_flip": (prod[pair_ok] < 0).astype(np.int64)})
+        if not len(g):
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype="int64"),
+                "n_agree": pd.Series(dtype="int64"),
+                "n_flip": pd.Series(dtype="int64")})
+        out = g.groupby("user_id", sort=False, as_index=False).sum()
+        return out.astype("int64")
+
+    partials = ev.map_batches(prescale, batch_format="pyarrow")
+    with _hint(sf_dir, "events"):
+        return partition_map(partials, ["user_id"], kernel,
+                             batch_format="pandas")
+
+
 def q_forecast_revenue(sf_dir: str):
     """TPC-H Q6 predicate-scan aggregate
     (pipelines/relational.forecast_revenue): per-block integer partials,
@@ -6769,6 +6826,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transition_probs": q_transition_probs,
         "island_lengths": q_island_lengths,
         "taste_shift": q_taste_shift,
+        "momentum_score": q_momentum_score,
         "zorder_layout": q_zorder_layout,
         "robots_gate": q_robots_gate,
         "minhash_dups": q_minhash_dups,
@@ -7833,6 +7891,25 @@ def oracle_sql() -> dict[str, str]:
             FROM r a JOIN r z ON a.user_id = z.user_id
             WHERE a.rn = 1 AND z.rn = 1 AND a.half = 0
               AND z.half = 1""",
+        "momentum_score": """
+            WITH v AS (SELECT user_id, ts, event_id,
+                         CAST(round(value*10000) AS BIGINT) AS v
+                       FROM events),
+            d AS (SELECT user_id, ts, event_id,
+                    v - LAG(v) OVER w AS dv
+                  FROM v WINDOW w AS (PARTITION BY user_id
+                                      ORDER BY ts, event_id)),
+            p AS (SELECT user_id,
+                    sign(dv) * sign(LAG(dv) OVER (
+                        PARTITION BY user_id
+                        ORDER BY ts, event_id)) AS prod
+                  FROM d)
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN prod > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_agree,
+                   CAST(SUM(CASE WHEN prod < 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_flip
+            FROM p WHERE prod IS NOT NULL GROUP BY user_id""",
         "kwic_first": """
             WITH p AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
                          CAST(position('merge' IN text) AS BIGINT) AS pos

@@ -204,7 +204,20 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "key_skew", "nation_flow", "mkt_share",
                      "part_supplier_census", "blame_supplier",
                      "user_running_total", "event_islands",
-                     "monthly_delta", "value_centered", "dense_topk"]
+                     "monthly_delta", "value_centered", "dense_topk",
+                     "first_touch", "time_to_convert", "user_trend",
+                     "user_gini", "densify_days", "bounce_rate",
+                     "benford_digits", "ks_distance", "mutual_links",
+                     "kwic_first", "value_cume", "weighted_median",
+                     "user_type_bitmask", "burst_count", "trailing_sum",
+                     "active_streak", "state_duration", "time_profile",
+                     "rfm_scores", "spike_days", "source_share",
+                     "peak_day", "systematic_sample", "adoption_lag",
+                     "session_pairs", "type_jaccard", "early_ltv",
+                     "max_gap_at", "ship_delay", "first_session_size",
+                     "concurrency_curve", "embedding_norms",
+                     "transition_probs", "island_lengths",
+                     "taste_shift", "momentum_score"]
     E._warc_corpus(sf_dir)   # materialize the WARC shard cache untimed
     qs = E.queries()
     for name in bench_queries:

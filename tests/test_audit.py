@@ -239,6 +239,7 @@ def test_query_pipeline_budgets(ray_session, tmp_path):
     assert count_exchanges(q["transition_probs"](sf)) == 1
     assert count_exchanges(q["island_lengths"](sf)) == 1
     assert count_exchanges(q["taste_shift"](sf)) == 1
+    assert count_exchanges(q["momentum_score"](sf)) == 1
 
 
 def test_flagship_is_shuffle_free(ray_session):
