@@ -2269,6 +2269,88 @@ def q_momentum_score(sf_dir: str):
                              batch_format="pandas")
 
 
+def q_session_handoff(sf_dir: str):
+    """Cross-session transition matrix
+    (stages/sessionize.session_handoff): for consecutive sessions of
+    one user, count (last type of session i, first type of session
+    i+1) — the re-engagement flow table. ONE exchange; session
+    geometry read off run-length arrays, single-block enum-sized
+    combine."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.sessionize import session_handoff
+    ev = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type"])
+    with _hint(sf_dir, "events"):
+        return session_handoff(ev)
+
+
+def q_new_vs_returning(sf_dir: str):
+    """Daily new-vs-returning actives
+    (stages/sessionize.new_vs_returning): per day, distinct active
+    users split into first-ever-day vs seen-before — the DAU growth
+    strip. Per-block distinct (user, day) pre-combine, ONE exchange,
+    single-block day combine (day cardinality grows with time range,
+    not corpus)."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.sessionize import new_vs_returning
+    ev = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["user_id", "ts"])
+    with _hint(sf_dir, "events"):
+        return new_vs_returning(ev)
+
+
+def q_dim_stats(sf_dir: str):
+    """Per-dimension embedding profile: for each of the 64 vector
+    dimensions, count / min / max / sum of the fixed-point
+    (round(x*1000), half-away-from-zero) components across the corpus —
+    the per-axis health check that catches dead dims, clipped dims and
+    scale drift before training. Per-block kernel reshapes the Arrow
+    list buffer to (n, dim) when offsets are uniform (pure column-wise
+    numpy reductions) and falls back to a dim-indexed Cython groupby
+    otherwise; ZERO keyed exchanges — the partial is 64 rows/block,
+    combined in one enum-sized block."""
+    import numpy as np
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import grouped_aggregate
+    ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/embeddings.parquet",
+                         columns=["embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        arr = t["embedding"].combine_chunks()
+        offs = arr.offsets.to_numpy(zero_copy_only=False)
+        vals = arr.values.to_numpy(zero_copy_only=False)
+        # HALF-AWAY-FROM-ZERO to match SQL round() (np.rint is
+        # half-to-even; see q_embedding_norms)
+        x = vals.astype(np.float64) * 1000.0
+        q = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+        lens = np.diff(offs)
+        if len(lens) and (lens == lens[0]).all():
+            m = q.reshape(len(lens), int(lens[0]))
+            dim = np.arange(int(lens[0]), dtype=np.int64)
+            out = pd.DataFrame({"dim": dim,
+                                "__n": np.full(len(dim), len(lens),
+                                               dtype=np.int64),
+                                "__min": m.min(axis=0),
+                                "__max": m.max(axis=0),
+                                "__sum": m.sum(axis=0)})
+        else:  # ragged lists: per-element dim index + Cython groupby
+            dimidx = np.arange(len(q), dtype=np.int64) \
+                - np.repeat(offs[:-1], lens)
+            g = pd.DataFrame({"dim": dimidx, "q": q}) \
+                .groupby("dim", as_index=False)["q"] \
+                .agg(__n="count", __min="min", __max="max", __sum="sum")
+            out = g.astype({"__n": "int64"})
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["dim"], {"n": ("__n", "sum"), "min_e3": ("__min", "min"),
+                  "max_e3": ("__max", "max"), "sum_e3": ("__sum", "sum")},
+        combine="single_block")
+
+
 def q_forecast_revenue(sf_dir: str):
     """TPC-H Q6 predicate-scan aggregate
     (pipelines/relational.forecast_revenue): per-block integer partials,
@@ -6827,6 +6909,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "island_lengths": q_island_lengths,
         "taste_shift": q_taste_shift,
         "momentum_score": q_momentum_score,
+        "session_handoff": q_session_handoff,
+        "new_vs_returning": q_new_vs_returning,
+        "dim_stats": q_dim_stats,
         "zorder_layout": q_zorder_layout,
         "robots_gate": q_robots_gate,
         "minhash_dups": q_minhash_dups,
@@ -7910,6 +7995,56 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN prod < 0 THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_flip
             FROM p WHERE prod IS NOT NULL GROUP BY user_id""",
+        "session_handoff": """
+            WITH d AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN ts - lag(ts) OVER w > INTERVAL 1800 SECONDS
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (SELECT *, SUM(new_s) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM d),
+            fl AS (SELECT DISTINCT user_id, sid,
+                     FIRST_VALUE(event_type) OVER w2 AS f,
+                     LAST_VALUE(event_type) OVER (
+                         PARTITION BY user_id, sid ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND UNBOUNDED FOLLOWING) AS l
+                   FROM s
+                   WINDOW w2 AS (PARTITION BY user_id, sid
+                                 ORDER BY ts, event_id)),
+            p AS (SELECT f AS next_first,
+                    LAG(l) OVER (PARTITION BY user_id ORDER BY sid)
+                        AS prev_last
+                  FROM fl)
+            SELECT prev_last, next_first, COUNT(*)::BIGINT AS n
+            FROM p WHERE prev_last IS NOT NULL
+            GROUP BY prev_last, next_first""",
+        "new_vs_returning": """
+            WITH ud AS (SELECT DISTINCT user_id,
+                          CAST(epoch_us(ts) AS BIGINT) // 86400000000
+                              AS day
+                        FROM events),
+            f AS (SELECT user_id, min(day) AS fd FROM ud
+                  GROUP BY user_id)
+            SELECT day, COUNT(*)::BIGINT AS n_active,
+                   CAST(SUM(CASE WHEN day = fd THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_new,
+                   CAST(SUM(CASE WHEN day > fd THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_returning
+            FROM ud JOIN f USING (user_id) GROUP BY day""",
+        "dim_stats": """
+            WITH u AS (
+              SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+                     CAST(round(CAST(unnest(embedding) AS DOUBLE)
+                                * 1000) AS BIGINT) AS q
+              FROM embeddings)
+            SELECT CAST(dim AS BIGINT) AS dim, COUNT(*)::BIGINT AS n,
+                   MIN(q) AS min_e3, MAX(q) AS max_e3,
+                   CAST(SUM(q) AS BIGINT) AS sum_e3
+            FROM u GROUP BY dim""",
         "kwic_first": """
             WITH p AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
                          CAST(position('merge' IN text) AS BIGINT) AS pos

@@ -217,7 +217,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "max_gap_at", "ship_delay", "first_session_size",
                      "concurrency_curve", "embedding_norms",
                      "transition_probs", "island_lengths",
-                     "taste_shift", "momentum_score"]
+                     "taste_shift", "momentum_score",
+                     "session_handoff", "new_vs_returning", "dim_stats"]
     E._warc_corpus(sf_dir)   # materialize the WARC shard cache untimed
     qs = E.queries()
     for name in bench_queries:

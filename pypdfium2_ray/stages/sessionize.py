@@ -1055,6 +1055,131 @@ def state_duration(ds, key: str = "user_id", ts_col: str = "ts",
                          num_partitions=num_partitions)
 
 
+def session_handoff(ds, key: str = "user_id", ts_col: str = "ts",
+                    tiebreak: str = "event_id", label: str = "event_type",
+                    gap_s: float = 1800.0):
+    """Cross-session transition matrix: for every pair of CONSECUTIVE
+    sessions of one key, count (last label of session i, first label of
+    session i+1) — "what did they leave on, what did they come back
+    to", the re-engagement flow table. :func:`transition_counts` counts
+    adjacent events WITHIN the stream; this counts the handoff ACROSS
+    the session boundary only.
+
+    ONE hash exchange; the kernel reuses the
+    :func:`first_touch_attribution` session geometry (lexsort by
+    ``(key, ts, tiebreak)``, gap-or-key boundary mask). Session-level
+    arrays are read straight off the run-length geometry: first label =
+    label at each session start, last label = label just before the
+    next session start; adjacent same-key session pairs are one shifted
+    compare over the session-start keys. Per-partition PARTIAL pair
+    counts (sessions are whole within a partition), then a single-block
+    enum-sized combine — label alphabets are fixed at any corpus size,
+    so no second exchange."""
+    import numpy as np
+    import pandas as pd
+
+    from pypdfium2_ray.stages.agg import grouped_aggregate
+    from pypdfium2_ray.stages.exchange import partition_map
+
+    gap_us = int(gap_s * 1_000_000)
+    empty = {"prev_last": pd.Series(dtype="object"),
+             "next_first": pd.Series(dtype="object"),
+             "__n": pd.Series(dtype="int64")}
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(empty)
+        k = df[key].to_numpy()
+        us = df[ts_col].to_numpy().astype("datetime64[us]").view("int64")
+        tb = df[tiebreak].to_numpy()
+        lab = df[label].to_numpy()
+        order = np.lexsort((tb, us, k))
+        k, us, lab = k[order], us[order], lab[order]
+        new_sess = np.concatenate([[True], k[1:] != k[:-1]]) \
+            | np.concatenate([[True], (us[1:] - us[:-1]) > gap_us])
+        sstarts = np.flatnonzero(new_sess)
+        ksess = k[sstarts]
+        # adjacent sessions of the SAME key: boundary rows sstarts[i]
+        # with ksess[i] == ksess[i-1]; the previous session's last row
+        # is the row just before the boundary
+        same = ksess[1:] == ksess[:-1]
+        b = sstarts[1:][same]
+        pairs = pd.DataFrame({"prev_last": lab[b - 1],
+                              "next_first": lab[b]})
+        g = pairs.groupby(["prev_last", "next_first"], sort=False,
+                          as_index=False).size()
+        return g.rename(columns={"size": "__n"}).astype({"__n": "int64"})
+
+    partials = partition_map(
+        ds.select_columns([key, ts_col, tiebreak, label]),
+        [key], kernel, batch_format="pandas")
+    return grouped_aggregate(partials, ["prev_last", "next_first"],
+                             {"n": ("__n", "sum")},
+                             combine="single_block")
+
+
+def new_vs_returning(ds, key: str = "user_id", ts_col: str = "ts",
+                     day_us: int = 86_400_000_000,
+                     num_partitions: int | None = None):
+    """Daily new-vs-returning actives: per day, how many distinct keys
+    were active, how many were active for the FIRST time ever, and how
+    many had been seen before — the growth-accounting top strip of
+    every analytics dashboard (DAU split by novelty).
+
+    Shape: per-block distinct ``(key, day)`` pre-combine (the shuffle
+    moves day flags, not events — same as :func:`active_streak`), ONE
+    hash exchange on the key, then a vectorized kernel: global
+    re-distinct, lexsort, each key's first day read off the run
+    boundary, one Cython groupby emitting per-day PARTIAL (n_active,
+    n_new) counts. The final combine is single-block keyed on day —
+    day cardinality grows with the TIME RANGE, not the corpus, so the
+    fold block stays small for any bounded retention window."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from pypdfium2_ray.stages.agg import grouped_aggregate
+    from pypdfium2_ray.stages.exchange import partition_map
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
+        day = pc.divide(us, day_us)  # ts >= epoch: trunc == floor
+        return pa.table({key: t[key], "day": day}) \
+            .group_by([key, "day"], use_threads=False).aggregate([])
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"day": pd.Series(dtype="int64"),
+                                 "__act": pd.Series(dtype="int64"),
+                                 "__new": pd.Series(dtype="int64")})
+        g = df.drop_duplicates([key, "day"])
+        k = g[key].to_numpy()
+        d = g["day"].to_numpy().astype(np.int64)
+        order = np.lexsort((d, k))
+        k, d = k[order], d[order]
+        is_first = np.concatenate([[True], k[1:] != k[:-1]])
+        out = pd.DataFrame({"day": d,
+                            "__act": np.ones(len(d), np.int64),
+                            "__new": is_first.astype(np.int64)})
+        return out.groupby("day", sort=False, as_index=False).sum()
+
+    partials = ds.select_columns([key, ts_col]) \
+        .map_batches(partial, batch_format="pyarrow")
+    per_part = partition_map(partials, [key], kernel,
+                             batch_format="pandas",
+                             num_partitions=num_partitions)
+    days = grouped_aggregate(per_part, ["day"],
+                             {"n_active": ("__act", "sum"),
+                              "n_new": ("__new", "sum")},
+                             combine="single_block")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "n_returning", pc.subtract(t["n_active"], t["n_new"]))
+
+    return days.map_batches(finish, batch_format="pyarrow")
+
+
 def first_session_size(ds, key: str = "user_id", ts_col: str = "ts",
                        tiebreak: str = "event_id", gap_s: float = 1800.0):
     """Novelty-effect report: per key, the size of its FIRST session

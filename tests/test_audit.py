@@ -240,6 +240,9 @@ def test_query_pipeline_budgets(ray_session, tmp_path):
     assert count_exchanges(q["island_lengths"](sf)) == 1
     assert count_exchanges(q["taste_shift"](sf)) == 1
     assert count_exchanges(q["momentum_score"](sf)) == 1
+    assert count_exchanges(q["session_handoff"](sf)) == 1
+    assert count_exchanges(q["new_vs_returning"](sf)) == 1
+    assert count_exchanges(q["dim_stats"](sf)) == 0
 
 
 def test_flagship_is_shuffle_free(ray_session):
