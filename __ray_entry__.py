@@ -2300,6 +2300,90 @@ def q_new_vs_returning(sf_dir: str):
         return new_vs_returning(ev)
 
 
+def q_last_touch(sf_dir: str):
+    """Last-touch attribution for purchases
+    (stages/sessionize.last_touch_attribution): each conversion
+    annotated with the label of the event immediately before it in the
+    SAME session ('(direct)' when the conversion opens the session) —
+    the final-nudge mirror of first_touch. ONE exchange; shared session
+    geometry + one gated label shift."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.sessionize import last_touch_attribution
+    ev = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["user_id", "event_id", "ts",
+                                  "event_type"])
+    with _hint(sf_dir, "events"):
+        return last_touch_attribution(ev, target="purchase")
+
+
+def q_purchase_gaps(sf_dir: str):
+    """Repeat-purchase cadence (stages/sessionize.gap_stats over the
+    purchase-filtered stream): per user, count/min/max/sum of the
+    microsecond gaps between CONSECUTIVE PURCHASES — the
+    reorder-interval feature behind replenishment and churn models
+    (user_gap_stats measures all-event cadence; this measures the
+    wallet). Vectorized pre-exchange filter, then ONE user exchange;
+    single-purchase users emit nothing on both engines."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.sessionize import gap_stats
+    ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["event_type"], "purchase")
+        return t.filter(m).select(["user_id", "ts"])
+
+    with _hint(sf_dir, "events"):
+        return gap_stats(ds.map_batches(keep, batch_format="pyarrow"))
+
+
+def q_customer_order_gaps(sf_dir: str):
+    """Order-cadence stats per customer
+    (stages/sessionize.gap_stats reused on the ORDERS table): gaps
+    between consecutive order dates in integer microseconds — the
+    relational sibling of the event-stream cadence ops, showing the
+    window kernels are table-agnostic. ONE exchange."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.sessionize import gap_stats
+    ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/orders.parquet",
+                         columns=["o_custkey", "o_orderdate"])
+    with _hint(sf_dir, "orders"):
+        return gap_stats(ds, key_col="o_custkey", ts_col="o_orderdate")
+
+
+def q_length_histogram(sf_dir: str):
+    """Power-of-two document-length spectrum: per bit-length bucket
+    (floor(log2 n_chars)), document count and min/max length — the
+    corpus-shape fingerprint that catches truncation spikes and
+    boilerplate walls before training. ZERO keyed exchanges: per-block
+    Cython groupby partial over an exact integer bucket (np.frexp
+    exponent — exact for int64 < 2^53, no float log), single-block
+    enum-sized combine; the twin is length(bin(n))-1."""
+    import numpy as np
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import grouped_aggregate
+    ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/documents.parquet",
+                         columns=["n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        n = t["n_chars"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = n[n >= 1]
+        bucket = (np.frexp(n.astype(np.float64))[1] - 1).astype(np.int64)
+        g = pd.DataFrame({"bucket": bucket, "n": n.astype(np.int64)}) \
+            .groupby("bucket", as_index=False)["n"] \
+            .agg(__n="count", __min="min", __max="max")
+        return pa.Table.from_pandas(g.astype({"__n": "int64"}),
+                                    preserve_index=False)
+
+    return grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["bucket"], {"n_docs": ("__n", "sum"),
+                     "min_chars": ("__min", "min"),
+                     "max_chars": ("__max", "max")},
+        combine="single_block")
+
+
 def q_dim_stats(sf_dir: str):
     """Per-dimension embedding profile: for each of the 64 vector
     dimensions, count / min / max / sum of the fixed-point
@@ -6912,6 +6996,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_handoff": q_session_handoff,
         "new_vs_returning": q_new_vs_returning,
         "dim_stats": q_dim_stats,
+        "last_touch": q_last_touch,
+        "purchase_gaps": q_purchase_gaps,
+        "customer_order_gaps": q_customer_order_gaps,
+        "length_histogram": q_length_histogram,
         "zorder_layout": q_zorder_layout,
         "robots_gate": q_robots_gate,
         "minhash_dups": q_minhash_dups,
@@ -8035,6 +8123,60 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN day > fd THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_returning
             FROM ud JOIN f USING (user_id) GROUP BY day""",
+        "last_touch": """
+            WITH s AS (
+              SELECT event_id, user_id, ts, event_type,
+                     CASE WHEN CAST(epoch_us(ts) AS BIGINT)
+                               - CAST(epoch_us(LAG(ts) OVER (
+                                   PARTITION BY user_id
+                                   ORDER BY ts, event_id)) AS BIGINT)
+                               > 1800000000
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events),
+            s2 AS (
+              SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM s),
+            s3 AS (
+              SELECT event_id, user_id, session_id, event_type,
+                     COALESCE(LAG(event_type) OVER (
+                       PARTITION BY user_id, session_id
+                       ORDER BY ts, event_id), '(direct)') AS last_touch
+              FROM s2)
+            SELECT event_id, user_id, session_id::BIGINT AS session_id,
+                   last_touch
+            FROM s3 WHERE event_type = 'purchase'""",
+        "purchase_gaps": """
+            WITH g AS (SELECT user_id,
+                         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                             PARTITION BY user_id ORDER BY ts) AS gap
+                       FROM events WHERE event_type = 'purchase')
+            SELECT user_id, count(*)::BIGINT AS n_gaps,
+                   min(gap)::BIGINT AS min_gap_us,
+                   max(gap)::BIGINT AS max_gap_us,
+                   sum(gap)::BIGINT AS sum_gap_us
+            FROM g WHERE gap IS NOT NULL GROUP BY user_id""",
+        "customer_order_gaps": """
+            WITH g AS (SELECT o_custkey,
+                         epoch_us(o_orderdate)
+                         - lag(epoch_us(o_orderdate)) OVER (
+                             PARTITION BY o_custkey
+                             ORDER BY o_orderdate) AS gap
+                       FROM orders)
+            SELECT o_custkey, count(*)::BIGINT AS n_gaps,
+                   min(gap)::BIGINT AS min_gap_us,
+                   max(gap)::BIGINT AS max_gap_us,
+                   sum(gap)::BIGINT AS sum_gap_us
+            FROM g WHERE gap IS NOT NULL GROUP BY o_custkey""",
+        "length_histogram": """
+            WITH b AS (SELECT n_chars,
+                         CAST(length(bin(n_chars)) - 1 AS BIGINT)
+                             AS bucket
+                       FROM documents WHERE n_chars >= 1)
+            SELECT bucket, COUNT(*)::BIGINT AS n_docs,
+                   MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+            FROM b GROUP BY bucket""",
         "dim_stats": """
             WITH u AS (
               SELECT generate_subscripts(embedding, 1) - 1 AS dim,

@@ -635,6 +635,62 @@ def first_touch_attribution(ds, target: str, key: str = "user_id",
                          [key], kernel, batch_format="pandas")
 
 
+def last_touch_attribution(ds, target: str, key: str = "user_id",
+                           ts_col: str = "ts", tiebreak: str = "event_id",
+                           label: str = "event_type",
+                           gap_s: float = 1800.0,
+                           direct: str = "(direct)"):
+    """Last-touch attribution in ONE exchange: every *target* event
+    (the conversion) annotated with the label of the event IMMEDIATELY
+    BEFORE it in the SAME session — "what was the final nudge". A
+    conversion that OPENS its session has no in-session predecessor and
+    carries the *direct* sentinel (the marketing "direct traffic"
+    bucket; real NULLs never cross the driver hash gate). The mirror of
+    :func:`first_touch_attribution` (entry touchpoint vs final one).
+
+    Kernel: the shared session geometry (lexsort by ``(key, ts,
+    tiebreak)``, gap-or-key boundary mask), one label shift gated by
+    the session-start mask, then the conversion filter. Output:
+    (tiebreak, key, session_id, last_touch)."""
+    import numpy as np
+    import pandas as pd
+
+    from pypdfium2_ray.stages.exchange import partition_map
+
+    gap_us = int(gap_s * 1_000_000)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                tiebreak: pd.Series(dtype="int64"),
+                key: pd.Series(dtype="int64"),
+                "session_id": pd.Series(dtype="int64"),
+                "last_touch": pd.Series(dtype="object")})
+        k = df[key].to_numpy()
+        us = df[ts_col].to_numpy().astype("datetime64[us]").view("int64")
+        tb = df[tiebreak].to_numpy()
+        lab = df[label].to_numpy()
+        order = np.lexsort((tb, us, k))
+        k, us, tb, lab = k[order], us[order], tb[order], lab[order]
+        new_key = np.concatenate([[True], k[1:] != k[:-1]])
+        new_sess = new_key | np.concatenate(
+            [[True], (us[1:] - us[:-1]) > gap_us])
+        prev_lab = np.concatenate([[direct], lab[:-1]])
+        touch = np.where(new_sess, direct, prev_lab)
+        sess_cum = np.cumsum(new_sess) - 1
+        key_starts = np.flatnonzero(new_key)
+        key_runs = np.diff(np.append(key_starts, len(k)))
+        sess_id = sess_cum - np.repeat(sess_cum[key_starts], key_runs)
+        keep = lab == target
+        return pd.DataFrame({tiebreak: tb[keep].astype("int64"),
+                             key: k[keep].astype("int64"),
+                             "session_id": sess_id[keep].astype("int64"),
+                             "last_touch": touch[keep]})
+
+    return partition_map(ds.select_columns([key, ts_col, tiebreak, label]),
+                         [key], kernel, batch_format="pandas")
+
+
 def time_to_convert(ds, target: str = "purchase", key: str = "user_id",
                     ts_col: str = "ts", tiebreak: str = "event_id",
                     label: str = "event_type", out: str = "us_to_convert"):

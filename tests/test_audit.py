@@ -243,6 +243,10 @@ def test_query_pipeline_budgets(ray_session, tmp_path):
     assert count_exchanges(q["session_handoff"](sf)) == 1
     assert count_exchanges(q["new_vs_returning"](sf)) == 1
     assert count_exchanges(q["dim_stats"](sf)) == 0
+    assert count_exchanges(q["last_touch"](sf)) == 1
+    assert count_exchanges(q["purchase_gaps"](sf)) == 1
+    assert count_exchanges(q["customer_order_gaps"](sf)) == 1
+    assert count_exchanges(q["length_histogram"](sf)) == 0
 
 
 def test_flagship_is_shuffle_free(ray_session):
