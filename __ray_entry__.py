@@ -2435,6 +2435,136 @@ def q_dim_stats(sf_dir: str):
         combine="single_block")
 
 
+def q_dim_gram(sf_dir: str):
+    """Exact embedding Gram matrix (upper triangle): for every
+    dimension pair i <= j, the int64 sum of fixed-point component
+    products over the corpus — the covariance/PCA-prep statistic
+    (whitening, dead-direction detection) computed without ever
+    moving a vector. Per-block kernel is ONE integer matmul
+    (Q^T @ Q over the reshaped Arrow list buffer); the partial is a
+    fixed d*(d+1)/2 = 2080-row table per block, combined in one
+    enum-sized single block — ZERO keyed exchanges. int64 holds
+    |q|<=5000 corpora to ~3e11 rows; shard + widen beyond (documented,
+    not silent). The SQL twin is the generate_subscripts self-join."""
+    import numpy as np
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import grouped_aggregate
+    ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/embeddings.parquet",
+                         columns=["embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        arr = t["embedding"].combine_chunks()
+        offs = arr.offsets.to_numpy(zero_copy_only=False)
+        vals = arr.values.to_numpy(zero_copy_only=False)
+        lens = np.diff(offs)
+        if not len(lens):
+            return pa.table({"i": pa.array([], pa.int64()),
+                             "j": pa.array([], pa.int64()),
+                             "__s": pa.array([], pa.int64())})
+        d = int(lens[0])
+        if not (lens == d).all():
+            raise ValueError("dim_gram requires fixed-dim vectors")
+        x = vals.astype(np.float64) * 1000.0
+        q = (np.sign(x) * np.floor(np.abs(x) + 0.5)) \
+            .astype(np.int64).reshape(len(lens), d)
+        g = q.T @ q                       # exact int64 matmul
+        iu, ju = np.triu_indices(d)
+        return pa.table({"i": pa.array(iu.astype(np.int64)),
+                         "j": pa.array(ju.astype(np.int64)),
+                         "__s": pa.array(g[iu, ju])})
+
+    return grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["i", "j"], {"sum_prod_e6": ("__s", "sum")},
+        combine="single_block")
+
+
+def q_brand_price_quartiles(sf_dir: str):
+    """Exact per-brand DISCRETE retail-price quartiles
+    (agg.grouped_order_stats reused verbatim on the PART table): the
+    actual element at index q*(n-1)//4 under the (price, partkey)
+    total order — pricing-ladder shape per brand, zero new kernel
+    code (the order-stats kernel is table-agnostic). ONE exchange."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import grouped_order_stats
+    ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/part.parquet",
+                         columns=["p_brand", "p_retailprice",
+                                  "p_partkey"])
+    with _hint(sf_dir, "part"):
+        return grouped_order_stats(ds, ["p_brand"], "p_retailprice",
+                                   tiebreak="p_partkey")
+
+
+#: bracket_revenue's (brand, size range, quantity range) disjunction —
+#: brand-disjoint, so a line matches at most one bracket
+BRACKETS = (("Brand#1", 1, 15, 1, 15),
+            ("Brand#2", 10, 30, 10, 25),
+            ("Brand#3", 25, 50, 20, 35))
+
+
+def q_bracket_revenue(sf_dir: str):
+    """TPC-H Q19-shaped disjunctive bracket revenue: per (brand, size
+    range, quantity range) bracket, item count and exact revenue
+    sum(price_e2 * (100 - disc_e2)) over the lineitem x part join —
+    the multi-predicate OR filter that defeats naive pushdown. ONE
+    keyed exchange: quantity pre-filter (qty <= the max bracket bound)
+    prunes the fact side BEFORE the repartition join onto part (part
+    scales with data — never broadcast); the bracket test is one
+    vectorized mask per bracket and the rollup is a single-block
+    3-row combine."""
+    import numpy as np
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import grouped_aggregate
+    from pypdfium2_ray.stages.exchange import lookup_join
+
+    qmax = max(b[4] for b in BRACKETS)
+    line = rd.read_parquet(f"{sf_dir.rstrip('/')}/lineitem.parquet",
+                           columns=["l_partkey", "l_quantity",
+                                    "l_extendedprice", "l_discount"])
+
+    def rev_rows(t: pa.Table) -> pa.Table:
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        keep = qty <= qmax
+        p = t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        d = t["l_discount"].to_numpy(zero_copy_only=False)[keep]
+        rev = (np.rint(p * 100.0).astype(np.int64)
+               * (100 - np.rint(d * 100.0).astype(np.int64)))
+        return pa.table({
+            "l_partkey": t["l_partkey"].combine_chunks()
+            .filter(pa.array(keep)),
+            "qty": pa.array(np.rint(qty[keep]).astype(np.int64)),
+            "rev": pa.array(rev, pa.int64())})
+
+    part = rd.read_parquet(f"{sf_dir.rstrip('/')}/part.parquet",
+                           columns=["p_partkey", "p_brand", "p_size"])
+    j = lookup_join(
+        line.map_batches(rev_rows, batch_format="pyarrow"),
+        {"l_partkey": pa.int64(), "qty": pa.int64(), "rev": pa.int64()},
+        part, source_key="p_partkey", key_col="l_partkey",
+        payload_cols={"p_brand": pa.string(), "p_size": pa.int32()})
+
+    def brackets(t: pa.Table) -> pa.Table:
+        import numpy as np
+        brand = t["p_brand"].to_numpy(zero_copy_only=False)
+        size = t["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qty = t["qty"].to_numpy(zero_copy_only=False)
+        rev = t["rev"].to_numpy(zero_copy_only=False)
+        bid = np.zeros(len(brand), np.int64)
+        for n, (b, s0, s1, q0, q1) in enumerate(BRACKETS, start=1):
+            m = (brand == b) & (size >= s0) & (size <= s1) \
+                & (qty >= q0) & (qty <= q1)
+            bid[m] = n           # brand-disjoint: at most one match
+        keep = bid > 0
+        return pa.table({"bracket": pa.array(bid[keep]),
+                         "rev": pa.array(rev[keep])})
+
+    return grouped_aggregate(
+        j.map_batches(brackets, batch_format="pyarrow"),
+        ["bracket"], {"n_items": (None, "count"),
+                      "revenue_e4": ("rev", "sum")},
+        combine="single_block")
+
+
 def q_forecast_revenue(sf_dir: str):
     """TPC-H Q6 predicate-scan aggregate
     (pipelines/relational.forecast_revenue): per-block integer partials,
@@ -7000,6 +7130,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_gaps": q_purchase_gaps,
         "customer_order_gaps": q_customer_order_gaps,
         "length_histogram": q_length_histogram,
+        "dim_gram": q_dim_gram,
+        "brand_price_quartiles": q_brand_price_quartiles,
+        "bracket_revenue": q_bracket_revenue,
         "zorder_layout": q_zorder_layout,
         "robots_gate": q_robots_gate,
         "minhash_dups": q_minhash_dups,
@@ -8123,6 +8256,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN day > fd THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_returning
             FROM ud JOIN f USING (user_id) GROUP BY day""",
+        "dim_gram": """
+            WITH u AS (
+              SELECT vec_id,
+                     generate_subscripts(embedding, 1) - 1 AS i,
+                     CAST(round(CAST(unnest(embedding) AS DOUBLE)
+                                * 1000) AS BIGINT) AS q
+              FROM embeddings)
+            SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
+                   CAST(SUM(a.q * b.q) AS BIGINT) AS sum_prod_e6
+            FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
+            GROUP BY a.i, b.i""",
+        "brand_price_quartiles": """
+            WITH r AS (SELECT p_brand, p_retailprice,
+                         row_number() OVER (
+                             PARTITION BY p_brand
+                             ORDER BY p_retailprice, p_partkey) AS rn,
+                         count(*) OVER (PARTITION BY p_brand) AS c
+                       FROM part)
+            SELECT p_brand,
+                   max(CASE WHEN rn - 1 = 1 * (c - 1) // 4
+                            THEN p_retailprice END) AS q1,
+                   max(CASE WHEN rn - 1 = 2 * (c - 1) // 4
+                            THEN p_retailprice END) AS q2,
+                   max(CASE WHEN rn - 1 = 3 * (c - 1) // 4
+                            THEN p_retailprice END) AS q3
+            FROM r GROUP BY p_brand""",
+        "bracket_revenue": """
+            WITH j AS (SELECT CASE
+                WHEN p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                     AND l_quantity BETWEEN 1 AND 15 THEN 1
+                WHEN p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+                     AND l_quantity BETWEEN 10 AND 25 THEN 2
+                WHEN p_brand = 'Brand#3' AND p_size BETWEEN 25 AND 50
+                     AND l_quantity BETWEEN 20 AND 35 THEN 3
+                ELSE 0 END AS bracket,
+                CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev
+              FROM lineitem JOIN part ON l_partkey = p_partkey)
+            SELECT bracket, COUNT(*)::BIGINT AS n_items,
+                   CAST(SUM(rev) AS BIGINT) AS revenue_e4
+            FROM j WHERE bracket > 0 GROUP BY bracket""",
         "last_touch": """
             WITH s AS (
               SELECT event_id, user_id, ts, event_type,

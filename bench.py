@@ -220,7 +220,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "taste_shift", "momentum_score",
                      "session_handoff", "new_vs_returning", "dim_stats",
                      "last_touch", "purchase_gaps",
-                     "customer_order_gaps", "length_histogram"]
+                     "customer_order_gaps", "length_histogram",
+                     "dim_gram", "brand_price_quartiles",
+                     "bracket_revenue"]
     E._warc_corpus(sf_dir)   # materialize the WARC shard cache untimed
     qs = E.queries()
     for name in bench_queries:
