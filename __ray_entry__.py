@@ -2565,6 +2565,61 @@ def q_bracket_revenue(sf_dir: str):
         combine="single_block")
 
 
+def q_type_corr_parts(sf_dir: str):
+    """Exact Pearson-correlation NUMERATORS between event types: for
+    every type pair i <= j, the int64 sum over users of (user's total
+    i-value_e4) x (user's total j-value_e4) — "do users who spend on i
+    also spend on j", the feature-correlation matrix of the per-user
+    type-spend vectors (the tabular sibling of dim_gram; consumers
+    divide by the per-type moments for the full r). Absent types
+    contribute zero products, so partitions only emit pairs of
+    locally-present types and the combine stays exact.
+
+    ONE user exchange; the kernel is one Cython (user, type) groupby
+    then ONE integer matmul (M^T @ M over the pivoted partition
+    matrix), emitting enum-sized pair partials folded in a single
+    block. The twin is the dense user x type pivot self-join."""
+    import numpy as np
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import grouped_aggregate
+    from pypdfium2_ray.stages.exchange import partition_map
+    ev = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["user_id", "event_type", "value"])
+
+    def prescale(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(
+            pc.cast(t["value"], pa.float64()), 10_000.0)), pa.int64())
+        return pa.table({"user_id": t["user_id"],
+                         "event_type": t["event_type"], "v": v})
+
+    def kernel(df):
+        import pandas as pd
+        if not len(df):
+            return pd.DataFrame({"type_i": pd.Series(dtype="object"),
+                                 "type_j": pd.Series(dtype="object"),
+                                 "__s": pd.Series(dtype="int64")})
+        g = df.groupby(["user_id", "event_type"], sort=False,
+                       as_index=False)["v"].sum()
+        types = np.sort(g["event_type"].unique())
+        tidx = pd.Index(types)
+        m = np.zeros((g["user_id"].nunique(), len(types)), np.int64)
+        uid = pd.factorize(g["user_id"].to_numpy())[0]
+        m[uid, tidx.get_indexer(g["event_type"].to_numpy())] = \
+            g["v"].to_numpy()
+        gram = m.T @ m                   # exact int64 matmul
+        iu, ju = np.triu_indices(len(types))
+        return pd.DataFrame({"type_i": types[iu], "type_j": types[ju],
+                             "__s": gram[iu, ju]})
+
+    partials = ev.map_batches(prescale, batch_format="pyarrow")
+    with _hint(sf_dir, "events"):
+        per_part = partition_map(partials, ["user_id"], kernel,
+                                 batch_format="pandas")
+    return grouped_aggregate(per_part, ["type_i", "type_j"],
+                             {"sum_xy_e8": ("__s", "sum")},
+                             combine="single_block")
+
+
 def q_forecast_revenue(sf_dir: str):
     """TPC-H Q6 predicate-scan aggregate
     (pipelines/relational.forecast_revenue): per-block integer partials,
@@ -7133,6 +7188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dim_gram": q_dim_gram,
         "brand_price_quartiles": q_brand_price_quartiles,
         "bracket_revenue": q_bracket_revenue,
+        "type_corr_parts": q_type_corr_parts,
         "zorder_layout": q_zorder_layout,
         "robots_gate": q_robots_gate,
         "minhash_dups": q_minhash_dups,
@@ -8256,6 +8312,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN day > fd THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_returning
             FROM ud JOIN f USING (user_id) GROUP BY day""",
+        "type_corr_parts": """
+            WITH p AS (SELECT user_id, event_type,
+                         CAST(SUM(CAST(round(value * 10000) AS BIGINT))
+                              AS BIGINT) AS s
+                       FROM events GROUP BY user_id, event_type)
+            SELECT a.event_type AS type_i, b.event_type AS type_j,
+                   CAST(SUM(a.s * b.s) AS BIGINT) AS sum_xy_e8
+            FROM p a JOIN p b
+              ON a.user_id = b.user_id
+             AND a.event_type <= b.event_type
+            GROUP BY a.event_type, b.event_type""",
         "dim_gram": """
             WITH u AS (
               SELECT vec_id,

@@ -251,6 +251,7 @@ def test_query_pipeline_budgets(ray_session, tmp_path):
     assert count_exchanges(q["brand_price_quartiles"](sf)) == 1
     # bracket revenue: the one repartition join (rollup is single-block)
     assert count_exchanges(q["bracket_revenue"](sf)) == 1
+    assert count_exchanges(q["type_corr_parts"](sf)) == 1
 
 
 def test_flagship_is_shuffle_free(ray_session):
