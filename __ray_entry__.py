@@ -2620,6 +2620,49 @@ def q_type_corr_parts(sf_dir: str):
                              combine="single_block")
 
 
+def q_running_peak(sf_dir: str):
+    """Per-row high-watermark with record flags
+    (stages/sessionize.running_peak): every event annotated with its
+    user's running MAX value_e4 and whether it set a STRICT new peak —
+    record-breaking detection, MAX OVER (ROWS UNBOUNDED PRECEDING)
+    all-rows-out. ONE exchange; Cython groupby cummax (max has no
+    run-offset decomposition like cumsum, but the transform is still
+    per-partition vectorized)."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.sessionize import running_peak
+    ev = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["user_id", "event_id", "ts", "value"])
+
+    def prescale(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(
+            pc.cast(t["value"], pa.float64()), 10_000.0)), pa.int64())
+        return pa.table({"user_id": t["user_id"],
+                         "event_id": t["event_id"], "ts": t["ts"],
+                         "value_e4": v})
+
+    with _hint(sf_dir, "events"):
+        return running_peak(ev.map_batches(prescale,
+                                           batch_format="pyarrow"))
+
+
+def q_priority_median(sf_dir: str):
+    """Exact median order value per priority
+    (agg.grouped_median reused verbatim on the ORDERS table — the
+    non-associative aggregate is table-agnostic too). Scale e3 so the
+    even-group middle-two average (a half-cent, 3 decimals on 2-decimal
+    money) lands on an exact integer and no rounding mode enters the
+    hash gate. ONE exchange."""
+    import ray.data as rd
+    from pypdfium2_ray.pipelines.relational import _scale_cols
+    from pypdfium2_ray.stages.agg import grouped_median
+    ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/orders.parquet",
+                         columns=["o_orderpriority", "o_totalprice"])
+    with _hint(sf_dir, "orders"):
+        out = grouped_median(ds, ["o_orderpriority"], "o_totalprice",
+                             out="median_price_e3")
+    return _cast_i64(_scale_cols(out, {"median_price_e3": 1_000}), [])
+
+
 def q_forecast_revenue(sf_dir: str):
     """TPC-H Q6 predicate-scan aggregate
     (pipelines/relational.forecast_revenue): per-block integer partials,
@@ -7189,6 +7232,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_price_quartiles": q_brand_price_quartiles,
         "bracket_revenue": q_bracket_revenue,
         "type_corr_parts": q_type_corr_parts,
+        "running_peak": q_running_peak,
+        "priority_median": q_priority_median,
         "zorder_layout": q_zorder_layout,
         "robots_gate": q_robots_gate,
         "minhash_dups": q_minhash_dups,
@@ -8312,6 +8357,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN day > fd THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_returning
             FROM ud JOIN f USING (user_id) GROUP BY day""",
+        "running_peak": """
+            WITH v AS (SELECT event_id, user_id, ts,
+                         CAST(round(value * 10000) AS BIGINT) AS v
+                       FROM events)
+            SELECT event_id, user_id,
+                   CAST(MAX(v) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS peak_e4,
+                   (CASE WHEN v > COALESCE(MAX(v) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), -1)
+                         THEN 1 ELSE 0 END)::BIGINT AS is_record
+            FROM v""",
+        "priority_median": """
+            SELECT o_orderpriority,
+                   CAST(round(median(o_totalprice) * 1000) AS BIGINT)
+                     AS median_price_e3
+            FROM orders GROUP BY o_orderpriority""",
         "type_corr_parts": """
             WITH p AS (SELECT user_id, event_type,
                          CAST(SUM(CAST(round(value * 10000) AS BIGINT))

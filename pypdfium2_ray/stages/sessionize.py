@@ -373,6 +373,53 @@ def running_total(ds, key: str = "user_id", ts_col: str = "ts",
                          [key], kernel, batch_format="pandas")
 
 
+def running_peak(ds, key: str = "user_id", ts_col: str = "ts",
+                 tiebreak: str = "event_id", value_col: str = "value_e4",
+                 out: str = "peak_e4"):
+    """Per-row high-watermark, all rows out: every event annotated with
+    the MAX of its key's values up to and including it in ``(ts,
+    tiebreak)`` order, plus an ``is_record`` flag marking STRICT new
+    peaks (ties with the standing peak are not records; the first event
+    of a key always is) — record-breaking detection, the
+    ``MAX(v) OVER (ROWS UNBOUNDED PRECEDING)`` window shape
+    (:func:`running_total`'s cumsum has a run-offset decomposition; max
+    does not, so the kernel is one Cython ``groupby().cummax()`` — no
+    per-group Python at any key count). *value_col* is caller-pre-
+    scaled NONNEGATIVE int64 (the moments convention; -1 is the
+    unreachable no-previous-peak sentinel the twin COALESCEs)."""
+    import numpy as np
+    import pandas as pd
+
+    from pypdfium2_ray.stages.exchange import partition_map
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                tiebreak: pd.Series(dtype="int64"),
+                key: pd.Series(dtype="int64"),
+                out: pd.Series(dtype="int64"),
+                "is_record": pd.Series(dtype="int64")})
+        k = df[key].to_numpy()
+        us = df[ts_col].to_numpy().astype("datetime64[us]").view("int64")
+        tb = df[tiebreak].to_numpy()
+        v = df[value_col].to_numpy().astype(np.int64)
+        order = np.lexsort((tb, us, k))
+        k, tb, v = k[order], tb[order], v[order]
+        peak = pd.Series(v).groupby(k).cummax().to_numpy()
+        new_key = np.concatenate([[True], k[1:] != k[:-1]])
+        prev_peak = np.where(new_key, -1,
+                             np.concatenate([[0], peak[:-1]]))
+        return pd.DataFrame({tiebreak: tb.astype("int64"),
+                             key: k.astype("int64"),
+                             out: peak.astype("int64"),
+                             "is_record": (v > prev_peak)
+                             .astype("int64")})
+
+    return partition_map(ds.select_columns([key, ts_col, tiebreak,
+                                            value_col]),
+                         [key], kernel, batch_format="pandas")
+
+
 def event_islands(ds, key: str = "user_id", ts_col: str = "ts",
                   tiebreak: str = "event_id", label: str = "event_type"):
     """Gaps-and-islands: collapse each key's (ts, tiebreak)-ordered

@@ -252,6 +252,8 @@ def test_query_pipeline_budgets(ray_session, tmp_path):
     # bracket revenue: the one repartition join (rollup is single-block)
     assert count_exchanges(q["bracket_revenue"](sf)) == 1
     assert count_exchanges(q["type_corr_parts"](sf)) == 1
+    assert count_exchanges(q["running_peak"](sf)) == 1
+    assert count_exchanges(q["priority_median"](sf)) == 1
 
 
 def test_flagship_is_shuffle_free(ray_session):
