@@ -4551,6 +4551,65 @@ def _triangles_sql() -> str:
         FROM tn GROUP BY node"""
 
 
+def q_local_clustering(sf_dir: str):
+    """Exact local-clustering-coefficient parts per node
+    (stages/triangles.clustering_parts): n_triangles and
+    n_wedges = d*(d-1)/2 for every node of degree >= 2, so
+    T/wedges stays an exact rational — the per-node community-density
+    signal on the shared synthetic link graph. The triangle machinery
+    plus ONE left repartition join (triangle-free nodes fill 0;
+    degree-1 nodes emit nothing on both engines)."""
+    from pypdfium2_ray.stages.triangles import clustering_parts
+    docs = _docs(sf_dir, ["doc_id"])
+    n = docs.count()
+    edges = docs.map_batches(_synth_tri_edges(n), batch_format="pyarrow")
+    with _hint(sf_dir):
+        out = clustering_parts(edges)
+    return out.map_batches(
+        lambda t: pa.table({"doc_id": t["node"],
+                            "n_triangles": t["n_triangles"],
+                            "n_wedges": t["n_wedges"]}),
+        batch_format="pyarrow")
+
+
+def _local_clustering_sql() -> str:
+    """The :func:`_triangles_sql` construction plus degrees and the
+    left join: wedge counts from the distinct undirected degree,
+    triangle counts COALESCEd to 0, degree-1 nodes excluded."""
+    return f"""
+        WITH nodes AS (SELECT CAST(doc_id AS BIGINT) AS node FROM documents),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        edges AS (
+          SELECT node AS src, (node * {PR_MULT} + 1) % (SELECT n FROM nn)
+                 AS dst FROM nodes
+          UNION ALL SELECT node, node % {PR_HUBS} FROM nodes
+          UNION ALL SELECT node, (node // 3) % (SELECT n FROM nn) FROM nodes
+          UNION ALL SELECT node, node + 1 FROM nodes
+            WHERE node % 3 <> 2 AND node + 1 < (SELECT n FROM nn)),
+        und AS MATERIALIZED (
+          SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+          FROM edges WHERE src <> dst),
+        deg AS (SELECT node, count(*)::BIGINT AS d
+                FROM (SELECT u AS node FROM und
+                      UNION ALL SELECT v FROM und)
+                GROUP BY node),
+        tri AS (
+          SELECT e1.u AS a, e1.v AS b, e2.v AS c
+          FROM und e1
+          JOIN und e2 ON e2.u = e1.v
+          JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+        tn AS (SELECT a AS node FROM tri
+               UNION ALL SELECT b FROM tri
+               UNION ALL SELECT c FROM tri),
+        tc AS (SELECT node, count(*)::BIGINT AS n_triangles
+               FROM tn GROUP BY node)
+        SELECT deg.node AS doc_id,
+               COALESCE(tc.n_triangles, 0)::BIGINT AS n_triangles,
+               (d * (d - 1) // 2)::BIGINT AS n_wedges
+        FROM deg LEFT JOIN tc USING (node)
+        WHERE d >= 2"""
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 
@@ -7250,6 +7309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trustrank": q_trustrank,
         "hits": q_hits,
         "triangles": q_triangles,
+        "local_clustering": q_local_clustering,
         "kcore": q_kcore,
         "communities": q_communities,
         "crawl_depth": q_crawl_depth,
@@ -8812,6 +8872,7 @@ def oracle_sql() -> dict[str, str]:
         "trustrank": _trustrank_sql(),
         "hits": _hits_sql(),
         "triangles": _triangles_sql(),
+        "local_clustering": _local_clustering_sql(),
         "kcore": _kcore_sql(),
         "communities": _communities_sql(),
         "crawl_depth": _crawl_depth_sql(),

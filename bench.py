@@ -223,7 +223,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "customer_order_gaps", "length_histogram",
                      "dim_gram", "brand_price_quartiles",
                      "bracket_revenue", "type_corr_parts",
-                     "running_peak", "priority_median"]
+                     "running_peak", "priority_median",
+                     "local_clustering"]
     E._warc_corpus(sf_dir)   # materialize the WARC shard cache untimed
     qs = E.queries()
     for name in bench_queries:

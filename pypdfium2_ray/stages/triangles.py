@@ -236,12 +236,10 @@ def _canon_directed(src_col: str, dst_col: str):
     return fn
 
 
-def triangle_counts(edges, src_col: str = "src", dst_col: str = "dst",
-                    num_partitions: int | None = None):
-    """Dataset[(node:int64, n_triangles:int64)] — per-node triangle
-    participation counts over the undirected simple graph induced by the
-    (directed, possibly duplicated, possibly self-looping) edge rows.
-    Nodes in no triangle emit no row."""
+def _und_deg(edges, src_col: str, dst_col: str,
+             num_partitions: int | None):
+    """Shared front half of the triangle family: canonical distinct
+    undirected edges + per-node degrees (one exchange each)."""
     canon = edges.map_batches(_canon_block(src_col, dst_col),
                               batch_format="pyarrow")
     und = partition_map(canon, ["u"], _distinct_uv,
@@ -254,7 +252,20 @@ def triangle_counts(edges, src_col: str = "src", dst_col: str = "dst",
     deg = grouped_aggregate(und.map_batches(explode, batch_format="pyarrow"),
                             ["node"], {"deg": (None, "count")},
                             num_partitions=num_partitions)
+    return und, deg
 
+
+def triangle_counts(edges, src_col: str = "src", dst_col: str = "dst",
+                    num_partitions: int | None = None):
+    """Dataset[(node:int64, n_triangles:int64)] — per-node triangle
+    participation counts over the undirected simple graph induced by the
+    (directed, possibly duplicated, possibly self-looping) edge rows.
+    Nodes in no triangle emit no row."""
+    und, deg = _und_deg(edges, src_col, dst_col, num_partitions)
+    return _tri_counts(und, deg, num_partitions)
+
+
+def _tri_counts(und, deg, num_partitions: int | None):
     j = lookup_join(und, {"u": pa.int64(), "v": pa.int64()},
                     deg, source_key="node", key_col="u",
                     payload_cols={"deg_u": pa.int64()},
@@ -293,6 +304,50 @@ def triangle_counts(edges, src_col: str = "src", dst_col: str = "dst",
         tris.map_batches(tri_nodes, batch_format="pyarrow"),
         ["node"], {"n_triangles": (None, "count")},
         num_partitions=num_partitions)
+
+
+def clustering_parts(edges, src_col: str = "src", dst_col: str = "dst",
+                     num_partitions: int | None = None):
+    """Exact local-clustering-coefficient PARTS per node:
+    ``(node, n_triangles, n_wedges)`` for every node of undirected
+    degree >= 2, where ``n_wedges = d*(d-1)/2`` — the coefficient
+    ``n_triangles / n_wedges`` stays an exact rational for the consumer
+    (a float division would hash-diverge), the web-graph spam /
+    community-density signal the module docstring promises
+    (clustering = 2T / d(d-1)).
+
+    Shape: the shared :func:`_und_deg` front half, the
+    :func:`_tri_counts` oriented-wedge machinery, then ONE left
+    repartition join attaching triangle counts onto the wedge-bearing
+    nodes (triangle-free nodes null-fill -> 0; degree-1 nodes have no
+    wedges and emit nothing on both engines)."""
+    import numpy as np
+
+    und, deg = _und_deg(edges, src_col, dst_col, num_partitions)
+    tris = _tri_counts(und, deg, num_partitions)
+
+    def wedge_rows(t: pa.Table) -> pa.Table:
+        d = t["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = d >= 2
+        d = d[keep]
+        return pa.table({
+            "node": t["node"].combine_chunks().filter(pa.array(keep)),
+            "n_wedges": pa.array(d * (d - 1) // 2, pa.int64())})
+
+    tgt = deg.map_batches(wedge_rows, batch_format="pyarrow")
+    j = lookup_join(tgt, {"node": pa.int64(), "n_wedges": pa.int64()},
+                    tris, source_key="node", key_col="node",
+                    payload_cols={"n_triangles": pa.int64()},
+                    how="left", num_partitions=num_partitions)
+
+    def fill0(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t["node"],
+            "n_triangles": t["n_triangles"].combine_chunks()
+            .fill_null(0),
+            "n_wedges": t["n_wedges"]})
+
+    return j.map_batches(fill0, batch_format="pyarrow")
 
 
 def mutual_pairs(edges, src_col: str = "src", dst_col: str = "dst",
