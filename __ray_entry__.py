@@ -2663,6 +2663,75 @@ def q_priority_median(sf_dir: str):
     return _cast_i64(_scale_cols(out, {"median_price_e3": 1_000}), [])
 
 
+def q_touches_to_convert(sf_dir: str):
+    """Acquisition path length (stages/sessionize.touches_before_first):
+    per converting user, events strictly before the FIRST purchase in
+    (ts, event_id) order — funnel depth (time_to_convert measures the
+    clock, this the effort). ONE exchange; lexsort + minimum.reduceat
+    over target positions."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.sessionize import touches_before_first
+    ev = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type"])
+    with _hint(sf_dir, "events"):
+        return touches_before_first(ev, target="purchase")
+
+
+def q_order_size_hist(sf_dir: str):
+    """Order-size spectrum (the Q13 construction on the FACT side):
+    how many orders have exactly k lineitems — the two-level aggregate
+    whose first level is keyed on orderkey (per-block partial counts
+    pre-combine, ONE exchange) and whose census level is single-block
+    (k is bounded by order width, not corpus size)."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import grouped_aggregate
+    line = rd.read_parquet(f"{sf_dir.rstrip('/')}/lineitem.parquet",
+                           columns=["l_orderkey"])
+    per_order = grouped_aggregate(line, ["l_orderkey"],
+                                  {"n_lines": (None, "count")})
+
+    def census_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"n_lines": t["n_lines"]})
+
+    return grouped_aggregate(
+        per_order.map_batches(census_rows, batch_format="pyarrow"),
+        ["n_lines"], {"n_orders": (None, "count")},
+        combine="single_block")
+
+
+def q_discount_profile(sf_dir: str):
+    """Discount-band revenue profile: per discount percent (0-10),
+    item count, exact quantity sum and exact e4 revenue — the Q6
+    what-if grid (which band carries the margin). ZERO keyed
+    exchanges: integer bucket + Cython per-block partials over an
+    11-row enum, single-block combine."""
+    import numpy as np
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import grouped_aggregate
+    line = rd.read_parquet(f"{sf_dir.rstrip('/')}/lineitem.parquet",
+                           columns=["l_quantity", "l_extendedprice",
+                                    "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        d = np.rint(t["l_discount"].to_numpy(zero_copy_only=False)
+                    * 100.0).astype(np.int64)
+        p = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False)
+                    * 100.0).astype(np.int64)
+        q = np.rint(t["l_quantity"].to_numpy(zero_copy_only=False)) \
+            .astype(np.int64)
+        return pa.table({"disc_pct": pa.array(d),
+                         "qty": pa.array(q),
+                         "rev": pa.array(p * (100 - d))})
+
+    return grouped_aggregate(
+        line.map_batches(prep, batch_format="pyarrow"),
+        ["disc_pct"], {"n_items": (None, "count"),
+                       "sum_qty": ("qty", "sum"),
+                       "revenue_e4": ("rev", "sum")},
+        combine="single_block")
+
+
 def q_forecast_revenue(sf_dir: str):
     """TPC-H Q6 predicate-scan aggregate
     (pipelines/relational.forecast_revenue): per-block integer partials,
@@ -7293,6 +7362,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_corr_parts": q_type_corr_parts,
         "running_peak": q_running_peak,
         "priority_median": q_priority_median,
+        "touches_to_convert": q_touches_to_convert,
+        "order_size_hist": q_order_size_hist,
+        "discount_profile": q_discount_profile,
         "zorder_layout": q_zorder_layout,
         "robots_gate": q_robots_gate,
         "minhash_dups": q_minhash_dups,
@@ -8417,6 +8489,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN day > fd THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_returning
             FROM ud JOIN f USING (user_id) GROUP BY day""",
+        "touches_to_convert": """
+            WITH s AS (SELECT user_id, event_type,
+                         row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS rn
+                       FROM events)
+            SELECT user_id, CAST(min(rn) - 1 AS BIGINT) AS n_touches
+            FROM s WHERE event_type = 'purchase' GROUP BY user_id""",
+        "order_size_hist": """
+            WITH o AS (SELECT l_orderkey, count(*)::BIGINT AS n_lines
+                       FROM lineitem GROUP BY l_orderkey)
+            SELECT n_lines, COUNT(*)::BIGINT AS n_orders
+            FROM o GROUP BY n_lines""",
+        "discount_profile": """
+            WITH b AS (SELECT
+                CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+                CAST(round(l_quantity) AS BIGINT) AS qty,
+                CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev
+              FROM lineitem)
+            SELECT disc_pct, COUNT(*)::BIGINT AS n_items,
+                   CAST(SUM(qty) AS BIGINT) AS sum_qty,
+                   CAST(SUM(rev) AS BIGINT) AS revenue_e4
+            FROM b GROUP BY disc_pct""",
         "running_peak": """
             WITH v AS (SELECT event_id, user_id, ts,
                          CAST(round(value * 10000) AS BIGINT) AS v

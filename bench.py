@@ -224,7 +224,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "dim_gram", "brand_price_quartiles",
                      "bracket_revenue", "type_corr_parts",
                      "running_peak", "priority_median",
-                     "local_clustering"]
+                     "local_clustering", "touches_to_convert",
+                     "order_size_hist", "discount_profile"]
     E._warc_corpus(sf_dir)   # materialize the WARC shard cache untimed
     qs = E.queries()
     for name in bench_queries:

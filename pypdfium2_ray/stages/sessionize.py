@@ -796,6 +796,50 @@ def time_to_convert(ds, target: str = "purchase", key: str = "user_id",
                          [key], kernel, batch_format="pandas")
 
 
+def touches_before_first(ds, target: str = "purchase",
+                         key: str = "user_id", ts_col: str = "ts",
+                         tiebreak: str = "event_id",
+                         label: str = "event_type",
+                         out: str = "n_touches"):
+    """Acquisition path length: per key WITH at least one *target*
+    event, how many events came STRICTLY BEFORE the first target in
+    ``(ts, tiebreak)`` order — the touches-to-conversion funnel depth
+    (:func:`time_to_convert` measures the clock; this measures the
+    effort). Keys that never convert emit nothing on both engines.
+
+    ONE hash exchange; vectorized kernel: lexsort, per-key segment
+    geometry, one ``minimum.reduceat`` over target positions, count =
+    first-target position minus the key's segment start."""
+    import numpy as np
+    import pandas as pd
+
+    from pypdfium2_ray.stages.exchange import partition_map
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({key: pd.Series(dtype="int64"),
+                                 out: pd.Series(dtype="int64")})
+        k = df[key].to_numpy()
+        us = df[ts_col].to_numpy().astype("datetime64[us]").view("int64")
+        tb = df[tiebreak].to_numpy()
+        lab = df[label].to_numpy()
+        order = np.lexsort((tb, us, k))
+        k, lab = k[order], lab[order]
+        n = len(k)
+        starts = np.flatnonzero(
+            np.concatenate([[True], k[1:] != k[:-1]]))
+        pos = np.where(lab == target, np.arange(n, dtype=np.int64), n)
+        first_p = np.minimum.reduceat(pos, starts)
+        has = first_p < n
+        return pd.DataFrame({
+            key: k[starts][has].astype("int64"),
+            out: (first_p[has] - starts[has]).astype("int64")})
+
+    return partition_map(ds.select_columns([key, ts_col, tiebreak,
+                                            label]),
+                         [key], kernel, batch_format="pandas")
+
+
 def densify_days(ds, key: str = "user_id", ts_col: str = "ts",
                  out: str = "n_events", day_us: int = 86_400_000_000,
                  max_span: int = 10_000,

@@ -254,6 +254,9 @@ def test_query_pipeline_budgets(ray_session, tmp_path):
     assert count_exchanges(q["type_corr_parts"](sf)) == 1
     assert count_exchanges(q["running_peak"](sf)) == 1
     assert count_exchanges(q["priority_median"](sf)) == 1
+    assert count_exchanges(q["touches_to_convert"](sf)) == 1
+    assert count_exchanges(q["order_size_hist"](sf)) == 1
+    assert count_exchanges(q["discount_profile"](sf)) == 0
 
 
 def test_flagship_is_shuffle_free(ray_session):
