@@ -2777,6 +2777,70 @@ def q_dedup_exact(sf_dir: str):
             "n_dups": (None, "count")})
 
 
+def q_dup_size_hist(sf_dir: str):
+    """Dedup-cluster-size spectrum: how many exact-duplicate clusters
+    have exactly k members — the dedup IMPACT report (k=1 mass is the
+    unique tail; the k>=2 masses say how much a dedup pass will delete)
+    read off the same md5-fingerprint groups as dedup_exact. ONE
+    fingerprint exchange (per-block pre-combined), then the k census is
+    single-block (k is bounded by duplication depth, not corpus
+    size)."""
+    from pypdfium2_ray.stages.agg import grouped_aggregate
+    from pypdfium2_ray.stages.textstats import add_fingerprint
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    ds = ds.map_batches(add_fingerprint, batch_format="pyarrow") \
+           .select_columns(["fingerprint"])
+    with _hint(sf_dir):
+        clusters = grouped_aggregate(ds, ["fingerprint"],
+                                     {"cluster_size": (None, "count")})
+
+    def census_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"cluster_size": t["cluster_size"]})
+
+    return grouped_aggregate(
+        clusters.map_batches(census_rows, batch_format="pyarrow"),
+        ["cluster_size"], {"n_clusters": (None, "count")},
+        combine="single_block")
+
+
+def q_char_census(sf_dir: str):
+    """Corpus byte-frequency fingerprint: count per byte value over
+    every document's UTF-8 text — the encoding-drift / charset-anomaly
+    detector (a new crawl slice with mojibake or binary spill shifts
+    this distribution before any parser notices). ZERO keyed
+    exchanges: the per-block kernel is ONE np.bincount over the Arrow
+    string data buffer (np.frombuffer — the text bytes are never
+    copied or iterated), partials are <=256-row enums folded in a
+    single block. Byte == codepoint on this ASCII corpus (the twin's
+    ord(); for non-ASCII corpora the engine stays byte-grain — the
+    right grain for drift detection — while ord() is codepoint-grain;
+    documented divergence)."""
+    import numpy as np
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import grouped_aggregate
+    ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/documents.parquet",
+                         columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        arr = t["text"].combine_chunks()
+        odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+        offs = np.frombuffer(arr.buffers()[1], odt)[
+            arr.offset:arr.offset + len(arr) + 1]
+        if not len(offs) or offs[-1] == offs[0]:
+            return pa.table({"byte": pa.array([], pa.int64()),
+                             "__n": pa.array([], pa.int64())})
+        data = np.frombuffer(arr.buffers()[2], np.uint8)
+        counts = np.bincount(data[offs[0]:offs[-1]], minlength=256)
+        nz = np.flatnonzero(counts)
+        return pa.table({"byte": pa.array(nz.astype(np.int64)),
+                         "__n": pa.array(counts[nz].astype(np.int64))})
+
+    return grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["byte"], {"n_chars": ("__n", "sum")},
+        combine="single_block")
+
+
 def q_dedup_latest_event(sf_dir: str):
     from pypdfium2_ray.pipelines.relational import latest_event_per_user
     with _hint(sf_dir, "events"):
@@ -7363,6 +7427,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_peak": q_running_peak,
         "priority_median": q_priority_median,
         "touches_to_convert": q_touches_to_convert,
+        "dup_size_hist": q_dup_size_hist,
+        "char_census": q_char_census,
         "order_size_hist": q_order_size_hist,
         "discount_profile": q_discount_profile,
         "zorder_layout": q_zorder_layout,
@@ -8489,6 +8555,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN day > fd THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_returning
             FROM ud JOIN f USING (user_id) GROUP BY day""",
+        "dup_size_hist": """
+            WITH c AS (SELECT md5(text) AS fp, count(*)::BIGINT
+                           AS cluster_size
+                       FROM documents GROUP BY md5(text))
+            SELECT cluster_size, COUNT(*)::BIGINT AS n_clusters
+            FROM c GROUP BY cluster_size""",
+        "char_census": """
+            SELECT CAST(ord(ch) AS BIGINT) AS byte,
+                   COUNT(*)::BIGINT AS n_chars
+            FROM (SELECT unnest(string_split(text, '')) AS ch
+                  FROM documents)
+            GROUP BY ord(ch)""",
         "touches_to_convert": """
             WITH s AS (SELECT user_id, event_type,
                          row_number() OVER (PARTITION BY user_id

@@ -225,7 +225,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "bracket_revenue", "type_corr_parts",
                      "running_peak", "priority_median",
                      "local_clustering", "touches_to_convert",
-                     "order_size_hist", "discount_profile"]
+                     "order_size_hist", "discount_profile",
+                     "dup_size_hist", "char_census"]
     E._warc_corpus(sf_dir)   # materialize the WARC shard cache untimed
     qs = E.queries()
     for name in bench_queries:
