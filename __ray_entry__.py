@@ -2777,6 +2777,40 @@ def q_dedup_exact(sf_dir: str):
             "n_dups": (None, "count")})
 
 
+def q_extract_toc(sf_dir: str):
+    """Per-document heading outline as rows
+    (stages/extract.extract_toc — the batch form of the reference's
+    get_toc traversal / toc CLI, document.py:520-559): (doc_id, level,
+    title, page_index, n_children) in pre-order over the synthesized
+    two-page corpus; error-injected payloads parse to an empty outline
+    and emit nothing on both engines. ZERO exchanges, pure streaming
+    map; the twin reconstructs the deterministic h1/h2 outline from the
+    synthesis predicates."""
+    from pypdfium2_ray.sources.cc_from_documents import \
+        read_cc_from_documents
+    from pypdfium2_ray.stages.extract import extract_toc
+    with _hint(sf_dir):
+        return extract_toc(read_cc_from_documents(sf_dir))
+
+
+def _extract_toc_sql() -> str:
+    from pypdfium2_ray.sources.cc_from_documents import (sql_is_bad,
+                                                         sql_is_enc)
+    return f"""
+        WITH ok AS (SELECT CAST(doc_id AS BIGINT) AS doc_id
+                    FROM documents
+                    WHERE NOT {sql_is_bad()} AND NOT {sql_is_enc()})
+        SELECT doc_id, CAST(0 AS BIGINT) AS level,
+               'Doc ' || doc_id AS title,
+               CAST(0 AS BIGINT) AS page_index,
+               CAST(1 AS BIGINT) AS n_children
+        FROM ok
+        UNION ALL
+        SELECT doc_id, CAST(1 AS BIGINT), 'Appendix ' || doc_id,
+               CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+        FROM ok"""
+
+
 def q_dup_size_hist(sf_dir: str):
     """Dedup-cluster-size spectrum: how many exact-duplicate clusters
     have exactly k members — the dedup IMPACT report (k=1 mass is the
@@ -7428,6 +7462,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_median": q_priority_median,
         "touches_to_convert": q_touches_to_convert,
         "dup_size_hist": q_dup_size_hist,
+        "extract_toc": q_extract_toc,
         "char_census": q_char_census,
         "order_size_hist": q_order_size_hist,
         "discount_profile": q_discount_profile,
@@ -8555,6 +8590,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN day > fd THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_returning
             FROM ud JOIN f USING (user_id) GROUP BY day""",
+        "extract_toc": _extract_toc_sql(),
         "dup_size_hist": """
             WITH c AS (SELECT md5(text) AS fp, count(*)::BIGINT
                            AS cluster_size

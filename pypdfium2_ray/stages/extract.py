@@ -226,3 +226,42 @@ def make_extract_fn(**opts):
     fn = warm_task(ExtractText, **opts)
     fn.__name__ = "extract_fn"
     return fn
+
+
+def extract_toc(ds, doc_col: str = "doc_id", html_col: str = "html",
+                password: str | None = None, max_depth: int = 15):
+    """Dataset[(doc_id, level, title, page_index, n_children)] — one row
+    per outline entry per document, pre-order (the batch form of the
+    reference's ``get_toc`` traversal, document.py:520-559 /
+    toc CLI). Error-typed payloads (decode/format/password) parse to an
+    empty outline and emit nothing — the error-rows discipline, so a
+    corrupted shard shrinks this index instead of poisoning it. Pure
+    streaming per-block map, ZERO exchanges; the per-doc Python loop is
+    inherent to parse-bound extraction (same shape as
+    linkgraph.extract_links)."""
+    from pypdfium2_ray.docmodel.htmldoc import parse_document
+
+    def scan(t: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        levels: list[int] = []
+        titles: list[str] = []
+        pages: list[int] = []
+        kids: list[int] = []
+        did = pc.cast(t[doc_col], pa.int64()).to_pylist()
+        for i, payload in zip(did, t[html_col].to_pylist()):
+            if payload is None:
+                continue
+            doc = parse_document(bytes(payload), password)
+            for e in doc.get_toc(max_depth):
+                ids.append(i)
+                levels.append(e.level)
+                titles.append(e.title)
+                pages.append(e.page_index)
+                kids.append(e.n_children)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "level": pa.array(levels, pa.int64()),
+                         "title": pa.array(titles, pa.string()),
+                         "page_index": pa.array(pages, pa.int64()),
+                         "n_children": pa.array(kids, pa.int64())})
+
+    return ds.map_batches(scan, batch_format="pyarrow")

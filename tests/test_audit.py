@@ -259,6 +259,7 @@ def test_query_pipeline_budgets(ray_session, tmp_path):
     assert count_exchanges(q["discount_profile"](sf)) == 0
     assert count_exchanges(q["dup_size_hist"](sf)) == 1
     assert count_exchanges(q["char_census"](sf)) == 0
+    assert count_exchanges(q["extract_toc"](sf)) == 0
 
 
 def test_flagship_is_shuffle_free(ray_session):
