@@ -2811,6 +2811,77 @@ def _extract_toc_sql() -> str:
         FROM ok"""
 
 
+def q_token_length_hist(sf_dir: str):
+    """Vocabulary-shape spectrum: corpus-wide token count per token
+    LENGTH — the tokenizer-budget fingerprint (length mass predicts
+    BPE fertility; a drift toward very long tokens flags concatenation
+    bugs or non-language spill). ZERO keyed exchanges and zero Python
+    per row: pc.split_pattern -> flatten -> pc.utf8_length per block
+    (all Arrow C++), one np.bincount, single-block enum combine.
+    Empty tokens (doubled separators) are excluded on both engines."""
+    import numpy as np
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import grouped_aggregate
+    ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/documents.parquet",
+                         columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"].combine_chunks(), " ")
+        lens = pc.utf8_length(toks.flatten()).to_numpy(
+            zero_copy_only=False)
+        lens = lens[lens > 0]
+        counts = np.bincount(lens)
+        nz = np.flatnonzero(counts)
+        return pa.table({"token_len": pa.array(nz.astype(np.int64)),
+                         "__n": pa.array(counts[nz].astype(np.int64))})
+
+    return grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["token_len"], {"n_tokens": ("__n", "sum")},
+        combine="single_block")
+
+
+def q_gap_hist(sf_dir: str):
+    """Corpus-wide inter-arrival spectrum: count of per-user
+    consecutive-event gaps per HOUR bucket — the cadence distribution
+    behind session-gap threshold tuning (where does the 30-min cut sit
+    relative to the mass?). ONE user exchange (gaps need the key's
+    events colocated); the kernel emits per-partition PARTIAL bucket
+    counts (lexsort + diff + boundary mask + bincount), folded in a
+    single block — bucket cardinality grows with the time range, not
+    the corpus."""
+    import numpy as np
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import grouped_aggregate
+    from pypdfium2_ray.stages.exchange import partition_map
+    hour_us = 3_600_000_000
+    ev = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def kernel(df):
+        import pandas as pd
+        if not len(df):
+            return pd.DataFrame({"gap_hours": pd.Series(dtype="int64"),
+                                 "__n": pd.Series(dtype="int64")})
+        k = df["user_id"].to_numpy()
+        us = df["ts"].to_numpy().astype("datetime64[us]").view("int64")
+        order = np.lexsort((us, k))
+        k, us = k[order], us[order]
+        same = k[1:] == k[:-1]
+        bucket = (np.diff(us)[same] // hour_us)
+        counts = np.bincount(bucket)
+        nz = np.flatnonzero(counts)
+        return pd.DataFrame({"gap_hours": nz.astype("int64"),
+                             "__n": counts[nz].astype("int64")})
+
+    with _hint(sf_dir, "events"):
+        partials = partition_map(ev, ["user_id"], kernel,
+                                 batch_format="pandas")
+    return grouped_aggregate(partials, ["gap_hours"],
+                             {"n_gaps": ("__n", "sum")},
+                             combine="single_block")
+
+
 def q_dup_size_hist(sf_dir: str):
     """Dedup-cluster-size spectrum: how many exact-duplicate clusters
     have exactly k members — the dedup IMPACT report (k=1 mass is the
@@ -7463,6 +7534,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "touches_to_convert": q_touches_to_convert,
         "dup_size_hist": q_dup_size_hist,
         "extract_toc": q_extract_toc,
+        "token_length_hist": q_token_length_hist,
+        "gap_hist": q_gap_hist,
         "char_census": q_char_census,
         "order_size_hist": q_order_size_hist,
         "discount_profile": q_discount_profile,
@@ -8591,6 +8664,21 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_returning
             FROM ud JOIN f USING (user_id) GROUP BY day""",
         "extract_toc": _extract_toc_sql(),
+        "token_length_hist": """
+            SELECT CAST(length(t) AS BIGINT) AS token_len,
+                   COUNT(*)::BIGINT AS n_tokens
+            FROM (SELECT unnest(string_split(text, ' ')) AS t
+                  FROM documents)
+            WHERE length(t) >= 1
+            GROUP BY length(t)""",
+        "gap_hist": """
+            WITH g AS (SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts) AS gap
+                       FROM events)
+            SELECT CAST(gap // 3600000000 AS BIGINT) AS gap_hours,
+                   COUNT(*)::BIGINT AS n_gaps
+            FROM g WHERE gap IS NOT NULL
+            GROUP BY gap // 3600000000""",
         "dup_size_hist": """
             WITH c AS (SELECT md5(text) AS fp, count(*)::BIGINT
                            AS cluster_size

@@ -260,6 +260,8 @@ def test_query_pipeline_budgets(ray_session, tmp_path):
     assert count_exchanges(q["dup_size_hist"](sf)) == 1
     assert count_exchanges(q["char_census"](sf)) == 0
     assert count_exchanges(q["extract_toc"](sf)) == 0
+    assert count_exchanges(q["token_length_hist"](sf)) == 0
+    assert count_exchanges(q["gap_hist"](sf)) == 1
 
 
 def test_flagship_is_shuffle_free(ray_session):
