@@ -2882,6 +2882,69 @@ def q_gap_hist(sf_dir: str):
                              combine="single_block")
 
 
+def q_entry_conversion(sf_dir: str):
+    """Per-entry-label conversion report
+    (stages/sessionize.entry_conversion): sessions vs
+    purchase-containing sessions per session ENTRY label — "which
+    landing flows convert", the conversion sibling of bounce_rate
+    (same fused ONE-exchange shape; the rate is the consumer's
+    division of two exact ints)."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.sessionize import entry_conversion
+    ev = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type"])
+    with _hint(sf_dir, "events"):
+        return entry_conversion(ev, target="purchase")
+
+
+def q_source_top_tokens(sf_dir: str, k: int = 5):
+    """Per-source top-k tokens by exact count (ties broken
+    alphabetically) — the per-slice vocabulary skim that catches
+    boilerplate and template drift one source at a time (heavy_bigrams
+    is the global view). ONE exchange, keyed on SOURCE only: per-block
+    (source, token) pre-combine (Arrow split/flatten + one Cython
+    groupby — the shuffle moves census rows, not text), then the
+    per-partition kernel folds counts and takes head(k) per source in
+    one vectorized sort."""
+    import numpy as np
+    import ray.data as rd
+    from pypdfium2_ray.stages.exchange import partition_map
+    ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/documents.parquet",
+                         columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        toks = pc.split_pattern(t["text"].combine_chunks(), " ")
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        src = t["source"].to_numpy(zero_copy_only=False)
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        rep = np.repeat(src, np.diff(offs))
+        g = pd.DataFrame({"source": rep, "token": flat}) \
+            .groupby(["source", "token"], sort=False, as_index=False) \
+            .size().rename(columns={"size": "cnt"})
+        return pa.Table.from_pandas(g.astype({"cnt": "int64"}),
+                                    preserve_index=False)
+
+    def kernel(df):
+        import pandas as pd
+        if not len(df):
+            return pd.DataFrame({"source": pd.Series(dtype="object"),
+                                 "token": pd.Series(dtype="object"),
+                                 "cnt": pd.Series(dtype="int64")})
+        g = df.groupby(["source", "token"], sort=False,
+                       as_index=False)["cnt"].sum()
+        g = g.sort_values(["cnt", "token"], ascending=[False, True],
+                          kind="mergesort")
+        out = g.groupby("source", sort=False).head(k)
+        return out.astype({"cnt": "int64"}).reset_index(drop=True)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    with _hint(sf_dir):
+        return partition_map(partials, ["source"], kernel,
+                             batch_format="pandas")
+
+
 def q_dup_size_hist(sf_dir: str):
     """Dedup-cluster-size spectrum: how many exact-duplicate clusters
     have exactly k members — the dedup IMPACT report (k=1 mass is the
@@ -7536,6 +7599,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_toc": q_extract_toc,
         "token_length_hist": q_token_length_hist,
         "gap_hist": q_gap_hist,
+        "entry_conversion": q_entry_conversion,
+        "source_top_tokens": q_source_top_tokens,
         "char_census": q_char_census,
         "order_size_hist": q_order_size_hist,
         "discount_profile": q_discount_profile,
@@ -8664,6 +8729,45 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_returning
             FROM ud JOIN f USING (user_id) GROUP BY day""",
         "extract_toc": _extract_toc_sql(),
+        "entry_conversion": """
+            WITH s AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN CAST(epoch_us(ts) AS BIGINT)
+                               - CAST(epoch_us(LAG(ts) OVER (
+                                   PARTITION BY user_id
+                                   ORDER BY ts, event_id)) AS BIGINT)
+                               > 1800000000
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events),
+            s2 AS (
+              SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+              FROM s),
+            s3 AS (
+              SELECT user_id, sid, event_type,
+                     FIRST_VALUE(event_type) OVER (
+                         PARTITION BY user_id, sid
+                         ORDER BY ts, event_id) AS ft
+              FROM s2),
+            sess AS (
+              SELECT user_id, sid, min(ft) AS first_touch,
+                     max(CASE WHEN event_type = 'purchase'
+                              THEN 1 ELSE 0 END) AS conv
+              FROM s3 GROUP BY user_id, sid)
+            SELECT first_touch, COUNT(*)::BIGINT AS n_sessions,
+                   CAST(SUM(conv) AS BIGINT) AS n_converting
+            FROM sess GROUP BY first_touch""",
+        "source_top_tokens": """
+            WITH c AS (SELECT source, t AS token, COUNT(*)::BIGINT
+                           AS cnt
+                       FROM (SELECT source,
+                               unnest(string_split(text, ' ')) AS t
+                             FROM documents)
+                       GROUP BY source, t)
+            SELECT source, token, cnt FROM c
+            QUALIFY row_number() OVER (PARTITION BY source
+                ORDER BY cnt DESC, token) <= 5""",
         "token_length_hist": """
             SELECT CAST(length(t) AS BIGINT) AS token_len,
                    COUNT(*)::BIGINT AS n_tokens

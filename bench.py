@@ -227,7 +227,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "local_clustering", "touches_to_convert",
                      "order_size_hist", "discount_profile",
                      "dup_size_hist", "char_census", "extract_toc",
-                     "token_length_hist", "gap_hist"]
+                     "token_length_hist", "gap_hist",
+                     "entry_conversion", "source_top_tokens"]
     E._warc_corpus(sf_dir)   # materialize the WARC shard cache untimed
     qs = E.queries()
     for name in bench_queries:

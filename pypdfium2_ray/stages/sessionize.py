@@ -972,6 +972,63 @@ def bounce_rate(ds, key: str = "user_id", ts_col: str = "ts",
                                             batch_size=None)
 
 
+def entry_conversion(ds, target: str = "purchase", key: str = "user_id",
+                     ts_col: str = "ts", tiebreak: str = "event_id",
+                     label: str = "event_type", gap_s: float = 1800.0):
+    """Per-entry-label conversion report: sessionize (gap cut), take
+    each session's FIRST label (the entry touchpoint), and count
+    sessions vs sessions containing at least one *target* event —
+    "which landing flows convert", the conversion sibling of
+    :func:`bounce_rate` (same fused one-exchange shape; counts stay
+    exact ints, the rate is the consumer's division).
+
+    The kernel reads both numbers off the session run-length geometry:
+    entry label = label at each session start, converted = any target
+    row in the run (one cumsum-difference over the target mask — no
+    per-session Python). Per-partition PARTIAL label counts, folded in
+    a single enum-sized block."""
+    import numpy as np
+    import pandas as pd
+
+    from pypdfium2_ray.stages.agg import grouped_aggregate
+    from pypdfium2_ray.stages.exchange import partition_map
+
+    gap_us = int(gap_s * 1_000_000)
+    empty = {"first_touch": pd.Series(dtype="object"),
+             "__s": pd.Series(dtype="int64"),
+             "__c": pd.Series(dtype="int64")}
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(empty)
+        k = df[key].to_numpy()
+        us = df[ts_col].to_numpy().astype("datetime64[us]").view("int64")
+        tb = df[tiebreak].to_numpy()
+        lab = df[label].to_numpy()
+        order = np.lexsort((tb, us, k))
+        k, us, lab = k[order], us[order], lab[order]
+        new_sess = np.concatenate([[True], k[1:] != k[:-1]]) \
+            | np.concatenate([[True], (us[1:] - us[:-1]) > gap_us])
+        starts = np.flatnonzero(new_sess)
+        hits = np.concatenate(([0], np.cumsum(lab == target)))
+        ends = np.append(starts[1:], len(k))
+        converted = (hits[ends] - hits[starts]) > 0
+        part = pd.DataFrame({
+            "first_touch": lab[starts],
+            "__s": np.ones(len(starts), np.int64),
+            "__c": converted.astype(np.int64)})
+        return part.groupby("first_touch", sort=False,
+                            as_index=False).sum()
+
+    partials = partition_map(
+        ds.select_columns([key, ts_col, tiebreak, label]),
+        [key], kernel, batch_format="pandas")
+    return grouped_aggregate(partials, ["first_touch"],
+                             {"n_sessions": ("__s", "sum"),
+                              "n_converting": ("__c", "sum")},
+                             combine="single_block")
+
+
 def burst_count(ds, window_s: float = 3600.0, key: str = "user_id",
                 ts_col: str = "ts", tiebreak: str = "event_id",
                 out: str = "n_burst"):
