@@ -2882,6 +2882,55 @@ def q_gap_hist(sf_dir: str):
                              combine="single_block")
 
 
+def q_type_cadence(sf_dir: str):
+    """Per-TYPE cadence report: over every user's same-type consecutive
+    event gaps, the per-type count/min/max/sum in integer microseconds —
+    "how often do users view vs purchase vs error", the enum-level
+    rollup of the per-user gap family (user_gap_stats is per user over
+    all types; purchase_gaps is one type per user; this is every type
+    across users). ONE user exchange; the kernel lexsorts (user, type,
+    ts), masks (user, type) run boundaries, and folds gaps per type
+    with one Cython groupby — partials are enum-sized, combined in a
+    single block."""
+    import numpy as np
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import grouped_aggregate
+    from pypdfium2_ray.stages.exchange import partition_map
+    ev = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["user_id", "event_type", "ts"])
+
+    def kernel(df):
+        import pandas as pd
+        if not len(df):
+            return pd.DataFrame({"event_type": pd.Series(dtype="object"),
+                                 "__n": pd.Series(dtype="int64"),
+                                 "__min": pd.Series(dtype="int64"),
+                                 "__max": pd.Series(dtype="int64"),
+                                 "__sum": pd.Series(dtype="int64")})
+        k = df["user_id"].to_numpy()
+        lab = df["event_type"].to_numpy()
+        us = df["ts"].to_numpy().astype("datetime64[us]").view("int64")
+        order = np.lexsort((us, lab, k))
+        k, lab, us = k[order], lab[order], us[order]
+        same = (k[1:] == k[:-1]) & (lab[1:] == lab[:-1])
+        g = pd.DataFrame({"event_type": lab[1:][same],
+                          "gap": np.diff(us)[same]})
+        agg = g.groupby("event_type", sort=False, as_index=False)["gap"] \
+            .agg(__n="count", __min="min", __max="max", __sum="sum")
+        return agg.astype({c: "int64" for c in
+                           ("__n", "__min", "__max", "__sum")})
+
+    with _hint(sf_dir, "events"):
+        partials = partition_map(ev, ["user_id"], kernel,
+                                 batch_format="pandas")
+    return grouped_aggregate(partials, ["event_type"],
+                             {"n_gaps": ("__n", "sum"),
+                              "min_gap_us": ("__min", "min"),
+                              "max_gap_us": ("__max", "max"),
+                              "sum_gap_us": ("__sum", "sum")},
+                             combine="single_block")
+
+
 def q_entry_conversion(sf_dir: str):
     """Per-entry-label conversion report
     (stages/sessionize.entry_conversion): sessions vs
@@ -7600,6 +7649,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_length_hist": q_token_length_hist,
         "gap_hist": q_gap_hist,
         "entry_conversion": q_entry_conversion,
+        "type_cadence": q_type_cadence,
         "source_top_tokens": q_source_top_tokens,
         "char_census": q_char_census,
         "order_size_hist": q_order_size_hist,
@@ -8729,6 +8779,17 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_returning
             FROM ud JOIN f USING (user_id) GROUP BY day""",
         "extract_toc": _extract_toc_sql(),
+        "type_cadence": """
+            WITH g AS (SELECT event_type,
+                         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                             PARTITION BY user_id, event_type
+                             ORDER BY ts) AS gap
+                       FROM events)
+            SELECT event_type, count(*)::BIGINT AS n_gaps,
+                   min(gap)::BIGINT AS min_gap_us,
+                   max(gap)::BIGINT AS max_gap_us,
+                   sum(gap)::BIGINT AS sum_gap_us
+            FROM g WHERE gap IS NOT NULL GROUP BY event_type""",
         "entry_conversion": """
             WITH s AS (
               SELECT user_id, ts, event_id, event_type,

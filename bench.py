@@ -228,7 +228,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "order_size_hist", "discount_profile",
                      "dup_size_hist", "char_census", "extract_toc",
                      "token_length_hist", "gap_hist",
-                     "entry_conversion", "source_top_tokens"]
+                     "entry_conversion", "source_top_tokens",
+                     "type_cadence"]
     E._warc_corpus(sf_dir)   # materialize the WARC shard cache untimed
     qs = E.queries()
     for name in bench_queries:
