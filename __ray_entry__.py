@@ -2882,6 +2882,88 @@ def q_gap_hist(sf_dir: str):
                              combine="single_block")
 
 
+def q_idle_users(sf_dir: str):
+    """Churn-risk recency list: every user with their last active day
+    and idle_days relative to the CORPUS max day — the dormancy
+    ranking feeding re-engagement campaigns. The global max day comes
+    from PARQUET FOOTER STATS (no extra scan — the taste_shift trick);
+    the per-user max rides ONE pre-combined exchange and the subtract
+    is a transform pass."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import grouped_aggregate
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    meta = pq.ParquetFile(path)
+    ts_idx = meta.schema_arrow.get_field_index("ts")
+    stats = [meta.metadata.row_group(i).column(ts_idx).statistics
+             for i in range(meta.metadata.num_row_groups)]
+    day = 86_400_000_000
+    mx = max(int(s.max.timestamp() * 1_000_000) for s in stats) // day
+    ev = rd.read_parquet(path, columns=["user_id", "ts"])
+
+    def to_day(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table({"user_id": t["user_id"],
+                         "day": pc.divide(us, day)})
+
+    with _hint(sf_dir, "events"):
+        lasts = grouped_aggregate(
+            ev.map_batches(to_day, batch_format="pyarrow"),
+            ["user_id"], {"last_day": ("day", "max")})
+
+    def finish(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "idle_days", pc.subtract(pa.scalar(mx, pa.int64()),
+                                     t["last_day"]))
+
+    return lasts.map_batches(finish, batch_format="pyarrow")
+
+
+def q_type_trigrams(sf_dir: str):
+    """Third-order sequence census: every adjacent (t1, t2, t3)
+    event-type TRIPLE across all user streams in (ts, event_id) order —
+    the next-action-model context table one order above
+    transition_counts (the pair space is |labels|^2; this is
+    |labels|^3, still enum-sized at any corpus scale). ONE user
+    exchange; the kernel is one lexsort + two shifted masks + a single
+    Cython groupby over the triple — partials fold in one block."""
+    import numpy as np
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import grouped_aggregate
+    from pypdfium2_ray.stages.exchange import partition_map
+    ev = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def kernel(df):
+        import pandas as pd
+        if not len(df):
+            return pd.DataFrame({"t1": pd.Series(dtype="object"),
+                                 "t2": pd.Series(dtype="object"),
+                                 "t3": pd.Series(dtype="object"),
+                                 "__n": pd.Series(dtype="int64")})
+        k = df["user_id"].to_numpy()
+        us = df["ts"].to_numpy().astype("datetime64[us]").view("int64")
+        tb = df["event_id"].to_numpy()
+        lab = df["event_type"].to_numpy()
+        order = np.lexsort((tb, us, k))
+        k, lab = k[order], lab[order]
+        same = k[1:] == k[:-1]
+        ok = same[1:] & same[:-1]
+        g = pd.DataFrame({"t1": lab[:-2][ok], "t2": lab[1:-1][ok],
+                          "t3": lab[2:][ok]})
+        out = g.groupby(["t1", "t2", "t3"], sort=False,
+                        as_index=False).size()
+        return out.rename(columns={"size": "__n"}).astype({"__n": "int64"})
+
+    with _hint(sf_dir, "events"):
+        partials = partition_map(ev, ["user_id"], kernel,
+                                 batch_format="pandas")
+    return grouped_aggregate(partials, ["t1", "t2", "t3"],
+                             {"n": ("__n", "sum")},
+                             combine="single_block")
+
+
 def q_type_cadence(sf_dir: str):
     """Per-TYPE cadence report: over every user's same-type consecutive
     event gaps, the per-type count/min/max/sum in integer microseconds —
@@ -7650,6 +7732,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gap_hist": q_gap_hist,
         "entry_conversion": q_entry_conversion,
         "type_cadence": q_type_cadence,
+        "idle_users": q_idle_users,
+        "type_trigrams": q_type_trigrams,
         "source_top_tokens": q_source_top_tokens,
         "char_census": q_char_census,
         "order_size_hist": q_order_size_hist,
@@ -8779,6 +8863,26 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_returning
             FROM ud JOIN f USING (user_id) GROUP BY day""",
         "extract_toc": _extract_toc_sql(),
+        "idle_users": """
+            WITH m AS (SELECT max(CAST(epoch_us(ts) AS BIGINT)
+                               // 86400000000) AS mx FROM events),
+            u AS (SELECT user_id,
+                    max(CAST(epoch_us(ts) AS BIGINT) // 86400000000)
+                        AS last_day
+                  FROM events GROUP BY user_id)
+            SELECT user_id, CAST(last_day AS BIGINT) AS last_day,
+                   CAST(mx - last_day AS BIGINT) AS idle_days
+            FROM u, m""",
+        "type_trigrams": """
+            WITH s AS (SELECT user_id, event_type,
+                         LAG(event_type, 2) OVER w AS a,
+                         LAG(event_type, 1) OVER w AS b
+                       FROM events
+                       WINDOW w AS (PARTITION BY user_id
+                                    ORDER BY ts, event_id))
+            SELECT a AS t1, b AS t2, event_type AS t3,
+                   COUNT(*)::BIGINT AS n
+            FROM s WHERE a IS NOT NULL GROUP BY a, b, event_type""",
         "type_cadence": """
             WITH g AS (SELECT event_type,
                          epoch_us(ts) - lag(epoch_us(ts)) OVER (

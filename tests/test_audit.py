@@ -265,6 +265,8 @@ def test_query_pipeline_budgets(ray_session, tmp_path):
     assert count_exchanges(q["entry_conversion"](sf)) == 1
     assert count_exchanges(q["source_top_tokens"](sf)) == 1
     assert count_exchanges(q["type_cadence"](sf)) == 1
+    assert count_exchanges(q["idle_users"](sf)) == 1
+    assert count_exchanges(q["type_trigrams"](sf)) == 1
 
 
 def test_flagship_is_shuffle_free(ray_session):
