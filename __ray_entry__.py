@@ -2882,6 +2882,82 @@ def q_gap_hist(sf_dir: str):
                              combine="single_block")
 
 
+def q_brand_return_rate(sf_dir: str):
+    """Return-rate report by brand: per p_brand, item count, returned
+    item count (l_returnflag = 'R') and the exact e4 revenue on each
+    side — the merchandising quality table (which brands come back).
+    TWO keyed exchanges, the promo_revenue shape with the conditional
+    on the FACT side: per-partkey partials carry (n, n_ret, rev,
+    rev_ret) so the exchange moves four ints per (block, partkey), then
+    one repartition join onto part (a scaling dimension — never
+    broadcast) and a single-block brand combine."""
+    import numpy as np
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import grouped_aggregate
+    from pypdfium2_ray.stages.exchange import lookup_join
+    line = rd.read_parquet(f"{sf_dir.rstrip('/')}/lineitem.parquet",
+                           columns=["l_partkey", "l_returnflag",
+                                    "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        p = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = t["l_discount"].to_numpy(zero_copy_only=False)
+        rev = (np.rint(p * 100.0).astype(np.int64)
+               * (100 - np.rint(d * 100.0).astype(np.int64)))
+        ret = (t["l_returnflag"].to_numpy(zero_copy_only=False)
+               == "R").astype(np.int64)
+        g = pd.DataFrame({
+            "l_partkey": t["l_partkey"].to_numpy(zero_copy_only=False),
+            "__n": np.ones(len(rev), np.int64), "__r": ret,
+            "__rev": rev, "__rrev": rev * ret}) \
+            .groupby("l_partkey", sort=False, as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_part = grouped_aggregate(
+        line.map_batches(partial, batch_format="pyarrow"),
+        ["l_partkey"], {"__n": ("__n", "sum"), "__r": ("__r", "sum"),
+                        "__rev": ("__rev", "sum"),
+                        "__rrev": ("__rrev", "sum")})
+    part = rd.read_parquet(f"{sf_dir.rstrip('/')}/part.parquet",
+                           columns=["p_partkey", "p_brand"])
+    j = lookup_join(
+        per_part, {"l_partkey": pa.int64(), "__n": pa.int64(),
+                   "__r": pa.int64(), "__rev": pa.int64(),
+                   "__rrev": pa.int64()},
+        part, source_key="p_partkey", key_col="l_partkey",
+        payload_cols={"p_brand": pa.string()})
+    return grouped_aggregate(
+        j, ["p_brand"],
+        {"n_items": ("__n", "sum"), "n_returned": ("__r", "sum"),
+         "revenue_e4": ("__rev", "sum"),
+         "returned_revenue_e4": ("__rrev", "sum")},
+        combine="single_block")
+
+
+def q_user_activity_hist(sf_dir: str):
+    """User-activity distribution: how many users produced exactly k
+    events — the engagement-depth histogram behind bot cuts and cohort
+    weighting (the Q13 two-level construction on the EVENTS table).
+    Per-block per-user partial counts pre-combine, ONE exchange, then
+    a single-block k census (k bounded by per-user activity, not
+    corpus size)."""
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import grouped_aggregate
+    ev = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["user_id"])
+    per_user = grouped_aggregate(ev, ["user_id"],
+                                 {"n_events": (None, "count")})
+
+    def census_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"n_events": t["n_events"]})
+
+    return grouped_aggregate(
+        per_user.map_batches(census_rows, batch_format="pyarrow"),
+        ["n_events"], {"n_users": (None, "count")},
+        combine="single_block")
+
+
 def q_idle_users(sf_dir: str):
     """Churn-risk recency list: every user with their last active day
     and idle_days relative to the CORPUS max day — the dormancy
@@ -7733,6 +7809,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entry_conversion": q_entry_conversion,
         "type_cadence": q_type_cadence,
         "idle_users": q_idle_users,
+        "brand_return_rate": q_brand_return_rate,
+        "user_activity_hist": q_user_activity_hist,
         "type_trigrams": q_type_trigrams,
         "source_top_tokens": q_source_top_tokens,
         "char_census": q_char_census,
@@ -8863,6 +8941,26 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_returning
             FROM ud JOIN f USING (user_id) GROUP BY day""",
         "extract_toc": _extract_toc_sql(),
+        "brand_return_rate": """
+            WITH l AS (SELECT l_partkey,
+                         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+                             AS ret,
+                         CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100)
+                                       AS BIGINT)) AS rev
+                       FROM lineitem)
+            SELECT p_brand, COUNT(*)::BIGINT AS n_items,
+                   CAST(SUM(ret) AS BIGINT) AS n_returned,
+                   CAST(SUM(rev) AS BIGINT) AS revenue_e4,
+                   CAST(SUM(ret * rev) AS BIGINT)
+                       AS returned_revenue_e4
+            FROM l JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand""",
+        "user_activity_hist": """
+            WITH u AS (SELECT user_id, count(*)::BIGINT AS n_events
+                       FROM events GROUP BY user_id)
+            SELECT n_events, COUNT(*)::BIGINT AS n_users
+            FROM u GROUP BY n_events""",
         "idle_users": """
             WITH m AS (SELECT max(CAST(epoch_us(ts) AS BIGINT)
                                // 86400000000) AS mx FROM events),

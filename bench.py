@@ -229,7 +229,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "dup_size_hist", "char_census", "extract_toc",
                      "token_length_hist", "gap_hist",
                      "entry_conversion", "source_top_tokens",
-                     "type_cadence", "idle_users", "type_trigrams"]
+                     "type_cadence", "idle_users", "type_trigrams",
+                     "brand_return_rate", "user_activity_hist"]
     E._warc_corpus(sf_dir)   # materialize the WARC shard cache untimed
     qs = E.queries()
     for name in bench_queries:

@@ -267,6 +267,9 @@ def test_query_pipeline_budgets(ray_session, tmp_path):
     assert count_exchanges(q["type_cadence"](sf)) == 1
     assert count_exchanges(q["idle_users"](sf)) == 1
     assert count_exchanges(q["type_trigrams"](sf)) == 1
+    # promo_revenue shape: per-partkey pre-combine + repartition join
+    assert count_exchanges(q["brand_return_rate"](sf)) == 2
+    assert count_exchanges(q["user_activity_hist"](sf)) == 1
 
 
 def test_flagship_is_shuffle_free(ray_session):
