@@ -2882,6 +2882,119 @@ def q_gap_hist(sf_dir: str):
                              combine="single_block")
 
 
+def q_order_status_matrix(sf_dir: str):
+    """Order lifecycle cross-tab: per (status, priority) cell, order
+    count and exact e2 total-price sum — the ops dashboard's backlog
+    grid (which priorities are stuck in which status). ZERO keyed
+    exchanges: the cell space is enum x enum, so per-block Cython
+    partials fold in one block."""
+    import numpy as np
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import grouped_aggregate
+    ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/orders.parquet",
+                         columns=["o_orderstatus", "o_orderpriority",
+                                  "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        cents = np.rint(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                        * 100.0).astype(np.int64)
+        g = pd.DataFrame({
+            "o_orderstatus": t["o_orderstatus"].to_numpy(
+                zero_copy_only=False),
+            "o_orderpriority": t["o_orderpriority"].to_numpy(
+                zero_copy_only=False),
+            "__n": np.ones(len(cents), np.int64), "__s": cents}) \
+            .groupby(["o_orderstatus", "o_orderpriority"], sort=False,
+                     as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["o_orderstatus", "o_orderpriority"],
+        {"n_orders": ("__n", "sum"), "total_price_e2": ("__s", "sum")},
+        combine="single_block")
+
+
+def q_bookend_types(sf_dir: str):
+    """Lifetime bookend matrix: per (first type ever, last type ever)
+    pair, how many users — the entry-vs-exit view at account
+    granularity (session_handoff is the per-boundary view; this is one
+    cell per user lifetime). ONE user exchange; the kernel reads both
+    bookends off the (user, ts, event_id) lexsort run geometry and
+    folds an enum^2 census per partition, combined in a single
+    block."""
+    import numpy as np
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import grouped_aggregate
+    from pypdfium2_ray.stages.exchange import partition_map
+    ev = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def kernel(df):
+        import pandas as pd
+        if not len(df):
+            return pd.DataFrame({"first_type": pd.Series(dtype="object"),
+                                 "last_type": pd.Series(dtype="object"),
+                                 "__n": pd.Series(dtype="int64")})
+        k = df["user_id"].to_numpy()
+        us = df["ts"].to_numpy().astype("datetime64[us]").view("int64")
+        tb = df["event_id"].to_numpy()
+        lab = df["event_type"].to_numpy()
+        order = np.lexsort((tb, us, k))
+        k, lab = k[order], lab[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], k[1:] != k[:-1]]))
+        ends = np.append(starts[1:], len(k)) - 1
+        g = pd.DataFrame({"first_type": lab[starts],
+                          "last_type": lab[ends]})
+        out = g.groupby(["first_type", "last_type"], sort=False,
+                        as_index=False).size()
+        return out.rename(columns={"size": "__n"}).astype({"__n": "int64"})
+
+    with _hint(sf_dir, "events"):
+        partials = partition_map(ev, ["user_id"], kernel,
+                                 batch_format="pandas")
+    return grouped_aggregate(partials, ["first_type", "last_type"],
+                             {"n_users": ("__n", "sum")},
+                             combine="single_block")
+
+
+def q_type_dow_profile(sf_dir: str):
+    """Type x day-of-week activity grid with exact value mass — which
+    behaviors are weekday vs weekend (time_profile is the dow x hour
+    grid; this adds the TYPE dimension and keeps the value sums). ZERO
+    keyed exchanges: enum x 7 cells, per-block Cython partials,
+    single-block combine."""
+    import numpy as np
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import grouped_aggregate
+    ev = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        us = t["ts"].combine_chunks().cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        dow = (us // 86_400_000_000 + 3) % 7
+        v = np.rint(t["value"].to_numpy(zero_copy_only=False)
+                    * 10_000.0).astype(np.int64)
+        g = pd.DataFrame({
+            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+            "dow": dow.astype(np.int64),
+            "__n": np.ones(len(v), np.int64), "__v": v}) \
+            .groupby(["event_type", "dow"], sort=False,
+                     as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return grouped_aggregate(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "dow"],
+        {"n_events": ("__n", "sum"), "sum_value_e4": ("__v", "sum")},
+        combine="single_block")
+
+
 def q_brand_return_rate(sf_dir: str):
     """Return-rate report by brand: per p_brand, item count, returned
     item count (l_returnflag = 'R') and the exact e4 revenue on each
@@ -7810,6 +7923,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_cadence": q_type_cadence,
         "idle_users": q_idle_users,
         "brand_return_rate": q_brand_return_rate,
+        "order_status_matrix": q_order_status_matrix,
+        "bookend_types": q_bookend_types,
+        "type_dow_profile": q_type_dow_profile,
         "user_activity_hist": q_user_activity_hist,
         "type_trigrams": q_type_trigrams,
         "source_top_tokens": q_source_top_tokens,
@@ -8941,6 +9057,35 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_returning
             FROM ud JOIN f USING (user_id) GROUP BY day""",
         "extract_toc": _extract_toc_sql(),
+        "order_status_matrix": """
+            SELECT o_orderstatus, o_orderpriority,
+                   COUNT(*)::BIGINT AS n_orders,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS total_price_e2
+            FROM orders GROUP BY o_orderstatus, o_orderpriority""",
+        "bookend_types": """
+            WITH s AS (SELECT user_id, event_type,
+                         row_number() OVER w AS rn,
+                         count(*) OVER (PARTITION BY user_id) AS c
+                       FROM events
+                       WINDOW w AS (PARTITION BY user_id
+                                    ORDER BY ts, event_id)),
+            b AS (SELECT f.user_id, f.event_type AS first_type,
+                         l.event_type AS last_type
+                  FROM s f JOIN s l ON f.user_id = l.user_id
+                  WHERE f.rn = 1 AND l.rn = l.c)
+            SELECT first_type, last_type, COUNT(*)::BIGINT AS n_users
+            FROM b GROUP BY first_type, last_type""",
+        "type_dow_profile": """
+            WITH x AS (SELECT event_type,
+                 (CAST(epoch_us(ts) AS BIGINT) // 86400000000 + 3) % 7
+                     AS dow,
+                 CAST(round(value * 10000) AS BIGINT) AS v
+               FROM events)
+            SELECT event_type, CAST(dow AS BIGINT) AS dow,
+                   COUNT(*)::BIGINT AS n_events,
+                   CAST(SUM(v) AS BIGINT) AS sum_value_e4
+            FROM x GROUP BY event_type, dow""",
         "brand_return_rate": """
             WITH l AS (SELECT l_partkey,
                          CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END

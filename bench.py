@@ -230,7 +230,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "token_length_hist", "gap_hist",
                      "entry_conversion", "source_top_tokens",
                      "type_cadence", "idle_users", "type_trigrams",
-                     "brand_return_rate", "user_activity_hist"]
+                     "brand_return_rate", "user_activity_hist",
+                     "order_status_matrix", "bookend_types",
+                     "type_dow_profile"]
     E._warc_corpus(sf_dir)   # materialize the WARC shard cache untimed
     qs = E.queries()
     for name in bench_queries:

@@ -270,6 +270,9 @@ def test_query_pipeline_budgets(ray_session, tmp_path):
     # promo_revenue shape: per-partkey pre-combine + repartition join
     assert count_exchanges(q["brand_return_rate"](sf)) == 2
     assert count_exchanges(q["user_activity_hist"](sf)) == 1
+    assert count_exchanges(q["order_status_matrix"](sf)) == 0
+    assert count_exchanges(q["bookend_types"](sf)) == 1
+    assert count_exchanges(q["type_dow_profile"](sf)) == 0
 
 
 def test_flagship_is_shuffle_free(ray_session):
