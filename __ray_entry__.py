@@ -2882,6 +2882,48 @@ def q_gap_hist(sf_dir: str):
                              combine="single_block")
 
 
+def q_ab_split_metrics(sf_dir: str):
+    """A/B experiment readout on a deterministic hash split: users are
+    assigned to arm md5(user_id) % 2 (stable across runs, cluster
+    sizes and shard layouts — the hash_sample discipline, so a user
+    can never switch arms between reruns), then per (arm, event_type)
+    the exact event count and e4 value sum — the experimentation
+    primitive every growth pipeline needs BEFORE any stats test. ZERO
+    keyed exchanges: arm assignment + enum-cell Cython partials per
+    block, single-block combine. The per-value md5 loop is inherent to
+    the hash (hash_sample note); arms hash the user id, not the row."""
+    import numpy as np
+    import ray.data as rd
+    from pypdfium2_ray.functions.sketch import md5_hash64
+    from pypdfium2_ray.stages.agg import grouped_aggregate
+    ev = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
+                         columns=["user_id", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        uids = t["user_id"].to_pylist()
+        # memoize within the block: ids repeat ~events-per-user times
+        cache: dict = {}
+        arm = np.fromiter(
+            (cache.setdefault(u, md5_hash64(str(u).encode()) % 2)
+             for u in uids), np.int64, len(uids))
+        v = np.rint(t["value"].to_numpy(zero_copy_only=False)
+                    * 10_000.0).astype(np.int64)
+        g = pd.DataFrame({
+            "arm": arm,
+            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+            "__n": np.ones(len(v), np.int64), "__v": v}) \
+            .groupby(["arm", "event_type"], sort=False,
+                     as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return grouped_aggregate(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["arm", "event_type"],
+        {"n_events": ("__n", "sum"), "sum_value_e4": ("__v", "sum")},
+        combine="single_block")
+
+
 def q_order_status_matrix(sf_dir: str):
     """Order lifecycle cross-tab: per (status, priority) cell, order
     count and exact e2 total-price sum — the ops dashboard's backlog
@@ -7924,6 +7966,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "idle_users": q_idle_users,
         "brand_return_rate": q_brand_return_rate,
         "order_status_matrix": q_order_status_matrix,
+        "ab_split_metrics": q_ab_split_metrics,
         "bookend_types": q_bookend_types,
         "type_dow_profile": q_type_dow_profile,
         "user_activity_hist": q_user_activity_hist,
@@ -9057,6 +9100,16 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_returning
             FROM ud JOIN f USING (user_id) GROUP BY day""",
         "extract_toc": _extract_toc_sql(),
+        "ab_split_metrics": """
+            WITH x AS (SELECT
+                 CAST(md5_number_upper(user_id::VARCHAR) % 2
+                      AS BIGINT) AS arm,
+                 event_type,
+                 CAST(round(value * 10000) AS BIGINT) AS v
+               FROM events)
+            SELECT arm, event_type, COUNT(*)::BIGINT AS n_events,
+                   CAST(SUM(v) AS BIGINT) AS sum_value_e4
+            FROM x GROUP BY arm, event_type""",
         "order_status_matrix": """
             SELECT o_orderstatus, o_orderpriority,
                    COUNT(*)::BIGINT AS n_orders,
