@@ -2103,6 +2103,43 @@ def q_embedding_norms(sf_dir: str):
         combine="single_block")
 
 
+def q_norm_hist(sf_dir: str):
+    """Embedding energy spectrum: vector count per integer bucket of
+    the fixed-point squared norm (sum_sq_e6 // 10^6) — the norm
+    distribution that catches un-normalized slices and dead vectors
+    before they skew cosine tiers (embedding_norms is the per-label
+    sum; this is the shape). ZERO keyed exchanges: the
+    q_embedding_norms offsets+reduceat kernel per block, one integer
+    floor-div bucket, single-block combine."""
+    import numpy as np
+    import ray.data as rd
+    from pypdfium2_ray.stages.agg import grouped_aggregate
+    ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/embeddings.parquet",
+                         columns=["embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        arr = t["embedding"].combine_chunks()
+        offs = arr.offsets.to_numpy(zero_copy_only=False)
+        vals = arr.values.to_numpy(zero_copy_only=False)
+        x = vals.astype(np.float64) * 1000.0
+        q = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+        sq = q * q
+        cs = np.concatenate(([0], np.cumsum(sq)))
+        per_row = cs[offs[1:]] - cs[offs[:-1]]
+        bucket = per_row // 1_000_000
+        g = pd.DataFrame({"norm_bucket": bucket}) \
+            .groupby("norm_bucket", as_index=False).size() \
+            .rename(columns={"size": "__n"})
+        return pa.Table.from_pandas(g.astype({"__n": "int64"}),
+                                    preserve_index=False)
+
+    return grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["norm_bucket"], {"n_vecs": ("__n", "sum")},
+        combine="single_block")
+
+
 def q_transition_probs(sf_dir: str):
     """Markov transition table WITH denominators: every adjacent
     (prev, next) pair count plus the prev-state row total, so
@@ -7967,6 +8004,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_return_rate": q_brand_return_rate,
         "order_status_matrix": q_order_status_matrix,
         "ab_split_metrics": q_ab_split_metrics,
+        "norm_hist": q_norm_hist,
         "bookend_types": q_bookend_types,
         "type_dow_profile": q_type_dow_profile,
         "user_activity_hist": q_user_activity_hist,
@@ -9100,6 +9138,16 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_returning
             FROM ud JOIN f USING (user_id) GROUP BY day""",
         "extract_toc": _extract_toc_sql(),
+        "norm_hist": """
+            WITH n AS (SELECT
+                CAST(list_sum(list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)
+                         * CAST(round(CAST(x AS DOUBLE)*1000)
+                                AS BIGINT))) AS BIGINT) AS ss
+              FROM embeddings)
+            SELECT CAST(ss // 1000000 AS BIGINT) AS norm_bucket,
+                   COUNT(*)::BIGINT AS n_vecs
+            FROM n GROUP BY ss // 1000000""",
         "ab_split_metrics": """
             WITH x AS (SELECT
                  CAST(md5_number_upper(user_id::VARCHAR) % 2
