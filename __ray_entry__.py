@@ -3344,6 +3344,54 @@ def q_source_top_tokens(sf_dir: str, k: int = 5):
                              batch_format="pandas")
 
 
+def q_dedup_keep_best(sf_dir: str):
+    """Quality-keep exact dedup: per md5-fingerprint cluster, keep the
+    doc with the MOST characters (ties to the lowest id) instead of
+    dedup_exact's min-id policy — the curation variant that preserves
+    the best copy when near-identical pages differ by truncation.
+    ONE fingerprint exchange; the kernel is one lexsort on
+    (fingerprint, -n_chars, doc_id) + a boundary-mask first-row gather
+    — no per-group Python."""
+    import numpy as np
+    import ray.data as rd
+    from pypdfium2_ray.stages.exchange import partition_map
+    from pypdfium2_ray.stages.textstats import add_fingerprint
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = add_fingerprint(t)
+        return pa.table({
+            "fingerprint": t["fingerprint"],
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_chars": pc.cast(pc.utf8_length(t["text"]), pa.int64())})
+
+    def kernel(df):
+        import pandas as pd
+        if not len(df):
+            return pd.DataFrame({
+                "fingerprint": pd.Series(dtype="object"),
+                "keep_doc_id": pd.Series(dtype="int64"),
+                "keep_chars": pd.Series(dtype="int64"),
+                "n_dups": pd.Series(dtype="int64")})
+        fp = df["fingerprint"].to_numpy()
+        did = df["doc_id"].to_numpy()
+        nc = df["n_chars"].to_numpy()
+        order = np.lexsort((did, -nc, fp))
+        fp, did, nc = fp[order], did[order], nc[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], fp[1:] != fp[:-1]]))
+        sizes = np.diff(np.append(starts, len(fp)))
+        return pd.DataFrame({"fingerprint": fp[starts],
+                             "keep_doc_id": did[starts].astype("int64"),
+                             "keep_chars": nc[starts].astype("int64"),
+                             "n_dups": sizes.astype("int64")})
+
+    with _hint(sf_dir):
+        return partition_map(
+            ds.map_batches(prep, batch_format="pyarrow"),
+            ["fingerprint"], kernel, batch_format="pandas")
+
+
 def q_dup_size_hist(sf_dir: str):
     """Dedup-cluster-size spectrum: how many exact-duplicate clusters
     have exactly k members — the dedup IMPACT report (k=1 mass is the
@@ -7995,6 +8043,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_median": q_priority_median,
         "touches_to_convert": q_touches_to_convert,
         "dup_size_hist": q_dup_size_hist,
+        "dedup_keep_best": q_dedup_keep_best,
         "extract_toc": q_extract_toc,
         "token_length_hist": q_token_length_hist,
         "gap_hist": q_gap_hist,
@@ -9292,6 +9341,15 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*)::BIGINT AS n_gaps
             FROM g WHERE gap IS NOT NULL
             GROUP BY gap // 3600000000""",
+        "dedup_keep_best": """
+            SELECT md5(text) AS fingerprint,
+                   doc_id AS keep_doc_id,
+                   CAST(length(text) AS BIGINT) AS keep_chars,
+                   CAST(count(*) OVER (PARTITION BY md5(text))
+                        AS BIGINT) AS n_dups
+            FROM documents
+            QUALIFY row_number() OVER (PARTITION BY md5(text)
+                ORDER BY length(text) DESC, doc_id) = 1""",
         "dup_size_hist": """
             WITH c AS (SELECT md5(text) AS fp, count(*)::BIGINT
                            AS cluster_size

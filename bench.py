@@ -233,7 +233,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "brand_return_rate", "user_activity_hist",
                      "order_status_matrix", "bookend_types",
                      "type_dow_profile", "ab_split_metrics",
-                     "norm_hist"]
+                     "norm_hist", "dedup_keep_best"]
     E._warc_corpus(sf_dir)   # materialize the WARC shard cache untimed
     qs = E.queries()
     for name in bench_queries:

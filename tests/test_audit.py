@@ -275,6 +275,7 @@ def test_query_pipeline_budgets(ray_session, tmp_path):
     assert count_exchanges(q["type_dow_profile"](sf)) == 0
     assert count_exchanges(q["ab_split_metrics"](sf)) == 0
     assert count_exchanges(q["norm_hist"](sf)) == 0
+    assert count_exchanges(q["dedup_keep_best"](sf)) == 1
 
 
 def test_flagship_is_shuffle_free(ray_session):
