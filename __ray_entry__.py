@@ -2791,10 +2791,15 @@ def q_dense_topk(sf_dir: str):
                          columns=["event_id", "event_type", "value"])
 
     def prep(t: pa.Table) -> pa.Table:
-        v = pc.cast(pc.round(pc.cast(t["value"], pa.float64())),
-                    pa.int64())
+        # HALF-AWAY-FROM-ZERO to match DuckDB round(): whole-unit (e0)
+        # rounding of 4-decimal values CAN land on exact halves (x.5000),
+        # where pc.round's default half-to-even diverges (2.5 -> 2 vs 3)
+        import numpy as np
+        x = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
         return pa.table({"event_id": t["event_id"],
-                         "event_type": t["event_type"], "value_e0": v})
+                         "event_type": t["event_type"],
+                         "value_e0": pa.array(v, pa.int64())})
 
     with _hint(sf_dir, "events"):
         return grouped_dense_topk(

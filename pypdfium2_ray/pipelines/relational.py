@@ -39,6 +39,95 @@ def _scale_cols(ds, cols: dict[str, int]):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+#: declared output schema per query — the oracle-facing contract. Pinned at
+#: each tail (``@_pinned``) so a legitimately-EMPTY result still reports a
+#: typed schema: Ray 2.49's all-to-all ops emit zero bundles on all-empty
+#: input, downstream UDFs never run, and ``schema()`` would be None (the
+#: round-3 red CORRECTNESS cell; see stages/exchange.with_output_schema).
+_OUT_SCHEMAS: dict[str, pa.Schema] = {
+    "lineitem_pricing_summary": pa.schema([
+        ("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+        ("sum_qty", pa.int64()), ("sum_price_cents", pa.int64()),
+        ("avg_disc_micro", pa.int64()), ("n_rows", pa.int64())]),
+    "orders_by_region": pa.schema([
+        ("r_name", pa.string()), ("n_orders", pa.int64()),
+        ("sum_price_cents", pa.int64())]),
+    "top_orders": pa.schema([
+        ("o_orderkey", pa.int64()), ("o_totalprice_cents", pa.int64())]),
+    "events_rollup": pa.schema([
+        ("event_type", pa.string()), ("n_events", pa.int64()),
+        ("sum_value_e4", pa.int64()), ("avg_value_micro", pa.int64()),
+        ("max_value_e4", pa.int64())]),
+    "latest_event_per_user": pa.schema([
+        ("user_id", pa.int64()), ("event_id", pa.int64()),
+        ("ts", pa.timestamp("us"))]),
+    "shipping_priority": pa.schema([
+        ("l_orderkey", pa.int64()), ("revenue_e4", pa.int64())]),
+    "late_orders": pa.schema([
+        ("o_orderpriority", pa.string()), ("n_late", pa.int64())]),
+    "local_supplier_volume": pa.schema([
+        ("n_name", pa.string()), ("revenue_e4", pa.int64())]),
+    "big_orders": pa.schema([
+        ("c_custkey", pa.int64()), ("c_name", pa.string()),
+        ("o_orderkey", pa.int64()), ("orderdate_us", pa.int64()),
+        ("total_cents", pa.int64()), ("qty_e2", pa.int64())]),
+    "brand_promo_revenue": pa.schema([
+        ("p_brand", pa.string()), ("promo_rev_e4", pa.int64()),
+        ("total_rev_e4", pa.int64())]),
+    "returned_revenue": pa.schema([
+        ("c_custkey", pa.int64()), ("c_name", pa.string()),
+        ("n_name", pa.string()), ("acctbal_cents", pa.int64()),
+        ("revenue_e4", pa.int64())]),
+    "order_priority_semi": pa.schema([
+        ("o_orderpriority", pa.string()), ("n_orders", pa.int64())]),
+    "top_supplier": pa.schema([
+        ("s_suppkey", pa.int64()), ("s_name", pa.string()),
+        ("total_rev_e4", pa.int64())]),
+    "small_qty_revenue": pa.schema([
+        ("sum_cents", pa.int64()), ("n_rows", pa.int64())]),
+    "idle_rich_customers": pa.schema([
+        ("c_nationkey", pa.int64()), ("n_cust", pa.int64()),
+        ("sum_acctbal_cents", pa.int64())]),
+    "nation_flow": pa.schema([
+        ("supp_nation", pa.string()), ("cust_nation", pa.string()),
+        ("year", pa.int64()), ("rev_e4", pa.int64())]),
+    "mkt_share": pa.schema([
+        ("year", pa.int64()), ("rev_nation_e4", pa.int64()),
+        ("rev_total_e4", pa.int64())]),
+    "part_supplier_census": pa.schema([
+        ("p_brand", pa.string()), ("p_type", pa.string()),
+        ("p_size", pa.int64()), ("supplier_cnt", pa.int64())]),
+    "blame_supplier": pa.schema([
+        ("s_suppkey", pa.int64()), ("n_blamed", pa.int64())]),
+    "important_parts": pa.schema([
+        ("l_partkey", pa.int64()), ("sum_cents", pa.int64())]),
+    "forecast_revenue": pa.schema([
+        ("revenue_e4", pa.int64()), ("n_rows", pa.int64())]),
+    "ship_delay": pa.schema([
+        ("o_orderpriority", pa.string()), ("n_items", pa.int64()),
+        ("sum_delay_days", pa.int64()), ("min_delay_days", pa.int64()),
+        ("max_delay_days", pa.int64())]),
+}
+
+
+def _pinned(fn):
+    """Pin *fn*'s declared output schema onto its result dataset (no-op
+    for materialized ``pa.Table`` results, which carry their own)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrap(sf_dir: str, *a, **kw):
+        out = fn(sf_dir, *a, **kw)
+        sch = _OUT_SCHEMAS.get(fn.__name__)
+        if sch is not None and not isinstance(out, pa.Table):
+            from pypdfium2_ray.stages.exchange import with_output_schema
+            out = with_output_schema(out, sch)
+        return out
+
+    return wrap
+
+
+@_pinned
 def lineitem_pricing_summary(sf_dir: str):
     """TPC-H Q1-shaped pricing summary: per (returnflag, linestatus) sums and
     means over lineitem. Partial per-block aggregation -> tiny final combine."""
@@ -56,6 +145,7 @@ def lineitem_pricing_summary(sf_dir: str):
                              "avg_disc_micro": 1_000_000})
 
 
+@_pinned
 def orders_by_region(sf_dir: str):
     """Orders rolled up to region name: broadcast the (pre-joined, tiny)
     customer->region dimension, then partial-aggregate. The fact table is
@@ -82,6 +172,7 @@ def orders_by_region(sf_dir: str):
     return _scale_cols(out, {"sum_price_cents": 100})
 
 
+@_pinned
 def top_orders(sf_dir: str, k: int = 10):
     """Top-k orders by totalprice (deterministic tie-break on orderkey) —
     the sort/limit surface (SURVEY §2.6), via shuffle-free partial top-k
@@ -96,6 +187,7 @@ def top_orders(sf_dir: str, k: int = 10):
     return _scale_cols(out, {"o_totalprice_cents": 100})
 
 
+@_pinned
 def events_rollup(sf_dir: str):
     """Per event_type counters — the run-metrics rollup shape
     (SURVEY §2.5 A-new: counters by code/status)."""
@@ -112,6 +204,7 @@ def events_rollup(sf_dir: str):
                              "max_value_e4": 10_000})
 
 
+@_pinned
 def latest_event_per_user(sf_dir: str):
     """Latest event per user (by ts, tie-break max event_id) — the
     keep-latest-snapshot dedup of the flagship (stages/dedup.dedup_by_url)
@@ -130,6 +223,7 @@ def latest_event_per_user(sf_dir: str):
     return partition_map(ds, ["user_id"], keep_latest, batch_format="pandas")
 
 
+@_pinned
 def shipping_priority(sf_dir: str, segment: str = "BUILDING", k: int = 10):
     """TPC-H Q3-shaped shipping priority: revenue per order for one
     market segment, top-k.
@@ -188,6 +282,7 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING", k: int = 10):
         batch_format="pyarrow")
 
 
+@_pinned
 def late_orders(sf_dir: str, days: int = 60):
     """TPC-H Q4-shaped EXISTS semi-join with a correlated date
     predicate: orders per priority having at least one lineitem shipped
@@ -233,6 +328,7 @@ def late_orders(sf_dir: str, days: int = 60):
                              combine="single_block")
 
 
+@_pinned
 def local_supplier_volume(sf_dir: str, region: str = "ASIA"):
     """TPC-H Q5-shaped local-supplier volume: revenue per nation from
     lineitems whose supplier and ordering customer sit in the SAME
@@ -331,6 +427,7 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA"):
     return rolled.map_batches(name_map, batch_format="pyarrow")
 
 
+@_pinned
 def big_orders(sf_dir: str, min_qty_e2: int = 30_000):
     """TPC-H Q18-shaped large-volume-customer report: orders whose total
     lineitem quantity exceeds a threshold, with the customer name and
@@ -390,6 +487,7 @@ def big_orders(sf_dir: str, min_qty_e2: int = 30_000):
     return j2.map_batches(finalize, batch_format="pyarrow")
 
 
+@_pinned
 def brand_promo_revenue(sf_dir: str, promo_type: str = "ECONOMY"):
     """TPC-H Q14-shaped conditional-revenue report per brand: for every
     ``p_brand``, the revenue from parts of one type next to the total —
@@ -442,6 +540,7 @@ def brand_promo_revenue(sf_dir: str, promo_type: str = "ECONOMY"):
         combine="single_block")   # fixed brand enum
 
 
+@_pinned
 def returned_revenue(sf_dir: str, k: int = 20):
     """TPC-H Q10-shaped returned-item report: top-k customers by
     revenue on returned lineitems, with name / nation / account
@@ -525,6 +624,7 @@ def returned_revenue(sf_dir: str, k: int = 20):
                 descending=[True, False])
 
 
+@_pinned
 def cust_order_dist(sf_dir: str):
     """TPC-H Q13-shaped customer order-count distribution INCLUDING the
     zero-order customers of a LEFT join — without ever joining: orders
@@ -548,8 +648,10 @@ def cust_order_dist(sf_dir: str):
         f"{sf_dir.rstrip('/')}/customer.parquet").metadata.num_rows
     # bounded driver collect: one row per DISTINCT per-customer order
     # count (tens of rows at any scale)
-    t = pa.concat_tables(list(dist.iter_batches(
-        batch_format="pyarrow", batch_size=None)))
+    tabs = list(dist.iter_batches(batch_format="pyarrow",
+                                  batch_size=None))
+    t = pa.concat_tables(tabs) if tabs else pa.schema(
+        [("c_count", pa.int64()), ("custdist", pa.int64())]).empty_table()
     n_zero = n_customers - (pc.sum(t["custdist"]).as_py() or 0)
     if n_zero:
         t = pa.concat_tables([t, pa.table(
@@ -558,6 +660,7 @@ def cust_order_dist(sf_dir: str):
     return t
 
 
+@_pinned
 def order_priority_semi(sf_dir: str):
     """TPC-H Q4-shaped priority census over orders that HAVE a returned
     lineitem — the EXISTS/semi-join shape. The lineitem side ships keys
@@ -582,6 +685,7 @@ def order_priority_semi(sf_dir: str):
 TOP_SUPPLIER_WINDOW = ("1996-01-01", "1996-04-01")
 
 
+@_pinned
 def top_supplier(sf_dir: str):
     """TPC-H Q15-shaped top supplier: max-revenue supplier(s) over a
     ship-date quarter. Per-supplier revenue is ONE pre-combined exchange
@@ -613,8 +717,17 @@ def top_supplier(sf_dir: str):
                   "l_shipdate"])
     per_supp = grouped_aggregate(
         line.map_batches(rev_rows, batch_format="pyarrow"),
-        ["l_suppkey"], {"total_rev_e4": ("rev", "sum")}).materialize()
+        ["l_suppkey"], {"total_rev_e4": ("rev", "sum")},
+        out_schema=pa.schema([("l_suppkey", pa.int64()),
+                              ("total_rev_e4", pa.int64())])).materialize()
     mx = per_supp.max("total_rev_e4")
+    if mx is None:
+        # no lineitem in the window: max() is None and the expr filter /
+        # pushdown-'in' below would crash — the oracle's answer is empty
+        import ray
+        return ray.data.from_arrow(pa.schema(
+            [("s_suppkey", pa.int64()), ("s_name", pa.string()),
+             ("total_rev_e4", pa.int64())]).empty_table())
     winners = per_supp.filter(expr=f"total_rev_e4 == {mx}")
     ids = [r["l_suppkey"] for r in winners.take_all()]  # ~1 row
     names = pq.read_table(f"{sf_dir.rstrip('/')}/supplier.parquet",
@@ -633,6 +746,7 @@ def top_supplier(sf_dir: str):
     return winners.map_batches(attach, batch_format="pyarrow")
 
 
+@_pinned
 def small_qty_revenue(sf_dir: str):
     """TPC-H Q17-shaped correlated-aggregate join: revenue of lineitems
     whose quantity is below 20% of their part's average quantity. The
@@ -685,6 +799,7 @@ def small_qty_revenue(sf_dir: str):
                                     batch_format="pyarrow")
 
 
+@_pinned
 def idle_rich_customers(sf_dir: str):
     """TPC-H Q22-shaped anti-join report: customers with above-average
     (positive) balance and NO orders, rolled up per nation. The global
@@ -715,12 +830,18 @@ def idle_rich_customers(sf_dir: str):
         return pa.table({"s": pa.array([int(c.sum())], pa.int64()),
                          "n": pa.array([len(c)], pa.int64())})
 
-    parts = pa.concat_tables(list(
+    part_tabs = list(
         cust.map_batches(pos_partial, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow", batch_size=None)))
-    sum_pos = pc.sum(parts["s"]).as_py() or 0
-    n_pos = pc.sum(parts["n"]).as_py() or 0
+        .iter_batches(batch_format="pyarrow", batch_size=None))
+    sum_pos = sum(pc.sum(t["s"]).as_py() or 0 for t in part_tabs)
+    n_pos = sum(pc.sum(t["n"]).as_py() or 0 for t in part_tabs)
 
+    # declared output schema: keeps a legitimately-empty report typed
+    # (sf0.01 yields zero idle-rich customers; without this the all-to-all
+    # emits no bundles and schema() is None — the r3 red CORRECTNESS cell)
+    out_schema = pa.schema([("c_nationkey", pa.int64()),
+                            ("n_cust", pa.int64()),
+                            ("sum_acctbal_cents", pa.int64())])
     if n_pos == 0:
         # oracle's ``cents * 0 > 0`` is false everywhere — empty report
         return grouped_aggregate(
@@ -728,7 +849,7 @@ def idle_rich_customers(sf_dir: str):
             ["c_nationkey"],
             {"n_cust": (None, "count"),
              "sum_acctbal_cents": ("acctbal_cents", "sum")},
-            combine="single_block")
+            combine="single_block", out_schema=out_schema)
     # integer equivalence: cents * n > s  <=>  cents > s // n (n > 0,
     # both nonneg) — folds the cross-multiply into a CONSTANT compare
     # Ray's expr parser accepts and can push down
@@ -739,7 +860,7 @@ def idle_rich_customers(sf_dir: str):
     return grouped_aggregate(idle, ["c_nationkey"],
                              {"n_cust": (None, "count"),
                               "sum_acctbal_cents": ("acctbal_cents", "sum")},
-                             combine="single_block")
+                             combine="single_block", out_schema=out_schema)
 
 
 def _rev_rows(t, extra: dict[str, "pa.DataType"] | None = None):
@@ -768,6 +889,7 @@ def _ship_year(t: pa.Table, col: str = "l_shipdate") -> "np.ndarray":
     return ts.astype("datetime64[Y]").astype(np.int64) + 1970
 
 
+@_pinned
 def nation_flow(sf_dir: str):
     """TPC-H Q7-shaped cross-border trade matrix: integer-exact revenue
     per (supplier nation, customer nation, ship year) over flows where
@@ -849,6 +971,7 @@ MKT_SHARE_NATION = "NATION_7"     # sits in ASIA (regionkey 7 % 5 == 2)
 MKT_SHARE_TYPE = "PROMO"
 
 
+@_pinned
 def mkt_share(sf_dir: str):
     """TPC-H Q8-shaped market share: per ORDER year, the revenue that
     suppliers of one nation captured among all *TYPE*-part purchases by
@@ -896,13 +1019,18 @@ def mkt_share(sf_dir: str):
 
     nation = pq.read_table(f"{sf_dir.rstrip('/')}/nation.parquet")
     region = pq.read_table(f"{sf_dir.rstrip('/')}/region.parquet")
-    rk = region.filter(
-        pc.equal(region["r_name"], MKT_SHARE_REGION))["r_regionkey"][0].as_py()
+    rk_rows = region.filter(pc.equal(region["r_name"], MKT_SHARE_REGION))
+    nat_rows = nation.filter(pc.equal(nation["n_name"], MKT_SHARE_NATION))
+    if not rk_rows.num_rows or not nat_rows.num_rows:
+        # dimension row absent (empty corpus): no qualifying purchase
+        # exists — the oracle's answer is empty
+        import ray
+        return ray.data.from_arrow(_OUT_SCHEMAS["mkt_share"].empty_table())
+    rk = rk_rows["r_regionkey"][0].as_py()
     region_nations = set(
         nation.filter(pc.equal(pc.cast(nation["n_regionkey"], pa.int64()),
                                rk))["n_nationkey"].to_pylist())
-    target_nat = nation.filter(
-        pc.equal(nation["n_name"], MKT_SHARE_NATION))["n_nationkey"][0].as_py()
+    target_nat = nat_rows["n_nationkey"][0].as_py()
 
     def split_rev(t: pa.Table) -> pa.Table:
         # numerator and denominator in ONE pass: rev_nat = rev where the
@@ -955,6 +1083,7 @@ def mkt_share(sf_dir: str):
                              combine="single_block")
 
 
+@_pinned
 def part_supplier_census(sf_dir: str):
     """TPC-H Q16-shaped supplier census: exact COUNT(DISTINCT supplier)
     per (brand, type, size) — over the suppliers OBSERVED in lineitem
@@ -994,6 +1123,7 @@ def part_supplier_census(sf_dir: str):
                              combine="single_block")
 
 
+@_pinned
 def blame_supplier(sf_dir: str):
     """TPC-H Q21-shaped blame report: for each supplier, the number of
     MULTI-supplier orders where that supplier alone shipped last — the
@@ -1033,6 +1163,7 @@ def blame_supplier(sf_dir: str):
                              {"n_blamed": (None, "count")})
 
 
+@_pinned
 def important_parts(sf_dir: str, num: int = 6, den: int = 5):
     """TPC-H Q11-shaped 'important stock' report: parts whose lineitem
     revenue exceeds *num/den* x THE MEAN PART REVENUE — the
@@ -1074,6 +1205,7 @@ FORECAST_DISC = (5, 7)       # discount hundredths, inclusive
 FORECAST_MAX_QTY = 24        # quantity strictly below
 
 
+@_pinned
 def forecast_revenue(sf_dir: str):
     """TPC-H Q6-shaped forecast-revenue change: SUM(price x discount)
     over lineitems in one ship-date year with discount in a band and
@@ -1118,6 +1250,7 @@ def forecast_revenue(sf_dir: str):
                                     batch_format="pyarrow")
 
 
+@_pinned
 def ship_delay(sf_dir: str):
     """Fulfilment-latency report: per order priority, the count / sum /
     min / max of (ship day − order day) across all lineitems — the

@@ -28,7 +28,8 @@ _KINDS = ("sum", "count", "min", "max", "mean")
 def grouped_aggregate(ds, keys: list[str], specs: dict[str, tuple[str | None, str]],
                       batch_format: str = "pyarrow",
                       num_partitions: int | None = None,
-                      combine: str = "exchange"):
+                      combine: str = "exchange",
+                      out_schema: "pa.Schema | None" = None):
     """Grouped aggregation with per-block partials.
 
     ``specs``: ``out_name -> (column, kind)`` with kind in
@@ -49,6 +50,14 @@ def grouped_aggregate(ds, keys: list[str], specs: dict[str, tuple[str | None, st
       value buckets): the coalesced input is ``n_partial_blocks x
       n_groups`` rows — a few hundred MB even at 100 TB for <=1k groups,
       but unbounded if groups scale with the data.
+
+    ``out_schema`` (optional) declares the output schema
+    (``keys + list(specs)`` columns) so a legitimately-empty result stays
+    typed — Ray 2.49's all-to-all ops emit zero bundles for all-empty
+    input and the downstream combine never runs, so without the
+    declaration ``schema()`` is None on empty results (see
+    ``stages/exchange.with_output_schema``). Pass it whenever the
+    aggregate's INPUT can be empty (post-filter, anti-join tails).
     """
     if combine not in ("exchange", "single_block"):
         raise ValueError(f"unknown combine tier {combine!r}")
@@ -70,11 +79,15 @@ def grouped_aggregate(ds, keys: list[str], specs: dict[str, tuple[str | None, st
         if kind == "mean" and (col, "count") not in partial_aggs:
             partial_aggs.append((col, "count"))   # valid (non-null) count
 
-    def partial(batch: pa.Table) -> pa.Table:
-        aggs = list(partial_aggs)
-        if need_count_all:
-            aggs.append(([], "count_all"))
-        return batch.group_by(keys, use_threads=False).aggregate(aggs)
+    def partial(batch: pa.Table):
+        # zero-COLUMN degenerate blocks (hash-shuffle aggregators emit
+        # them for empty partitions upstream) contribute nothing — yield
+        # no block rather than KeyError on the missing key columns
+        if batch.num_columns:
+            aggs = list(partial_aggs)
+            if need_count_all:
+                aggs.append(([], "count_all"))
+            yield batch.group_by(keys, use_threads=False).aggregate(aggs)
 
     partials = ds.map_batches(partial, batch_format=batch_format)
 
@@ -107,10 +120,17 @@ def grouped_aggregate(ds, keys: list[str], specs: dict[str, tuple[str | None, st
         return pa.table(cols)
 
     if combine == "single_block":
-        return partials.repartition(1).map_batches(
-            combine_fn, batch_size=None, batch_format="pyarrow")
+        from pypdfium2_ray.stages.exchange import (_schema_guarded,
+                                                   with_output_schema)
+        out = partials.repartition(1).map_batches(
+            _schema_guarded(combine_fn, out_schema), batch_size=None,
+            batch_format="pyarrow")
+        if out_schema is not None:
+            out = with_output_schema(out, out_schema)
+        return out
     return partition_map(partials, keys, combine_fn,
-                         num_partitions=num_partitions)
+                         num_partitions=num_partitions,
+                         out_schema=out_schema)
 
 
 def grouped_median(ds, keys: list[str], col: str, out: str = "median",
@@ -602,7 +622,13 @@ def grouped_ols_trend(ds, keys: list[str], ts_col: str, tiebreak: str,
         n = np.diff(np.append(starts, len(k))).astype(np.int64)
         nmax = int(n.max())
         ymax = int(np.abs(y).max()) if len(y) else 0
-        if nmax ** 3 * max(ymax, 1) >= 2 ** 63:
+        # num needs n³·max|y| < 2⁶³; den's largest INTERMEDIATE is
+        # n·Σxx = n²(n+1)(2n+1)/6 ≈ n⁴/3, which for small max|y| (e.g. 1)
+        # wraps long before the num guard trips (n ≳ 103k) — check both,
+        # with the den bound computed exactly in Python ints
+        if (nmax ** 3 * max(ymax, 1) >= 2 ** 63
+                or nmax * (nmax * (nmax + 1) * (2 * nmax + 1) // 6)
+                >= 2 ** 63):
             raise ValueError(
                 f"grouped_ols_trend int64 overflow risk: n={nmax}, "
                 f"max|y|={ymax} — pre-aggregate to a coarser grain")

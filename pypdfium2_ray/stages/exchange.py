@@ -127,9 +127,62 @@ def _enable_hash(ds, num_partitions: int | None) -> int:
     return n
 
 
+def with_output_schema(ds, schema: pa.Schema):
+    """Pin *ds*'s output schema so it survives an all-empty run.
+
+    Ray 2.49's all-to-all operators (plain ``repartition`` and the hash
+    shuffle) emit ZERO output bundles when every input block is empty —
+    downstream ``map_batches`` UDFs are never invoked (verified on this
+    Ray: a schema-restoring UDF after ``repartition(1)`` of an all-empty
+    dataset never runs), so a legitimately-empty pipeline result reports
+    ``schema() is None`` and the driver's schema gate fails even when
+    rows/values match the oracle. Unioning a zero-row seed block that
+    carries the declared schema AHEAD of the stream keeps the result
+    typed: the seed contributes no rows, ``union`` preserves block order,
+    and Ray's schema unification starts from the typed seed. Costs one
+    trivial input bundle.
+
+    The union snapshots the FIRST dataset's ``DataContext`` (verified on
+    this Ray 2.49), so the seed's plan context is swapped for *ds*'s
+    before unioning — otherwise the seed's default SORT_SHUFFLE snapshot
+    would mask the hash-shuffle strategy :func:`_enable_hash` scoped onto
+    the chain and any keyed repartition in the lineage would refuse to
+    run."""
+    import ray
+    seed = ray.data.from_arrow(schema.empty_table())
+    seed._plan._context = ds.context
+    return seed.union(ds)
+
+
+def _schema_guarded(fn: Callable[[pa.Table], pa.Table],
+                    out_schema: pa.Schema | None):
+    """Wrap a per-partition kernel so degenerate exchange blocks stay
+    typed: Ray's hash-shuffle aggregators emit zero-COLUMN empty blocks
+    for empty partitions (the "RefBundle with a different schema: <empty>"
+    warning class) which would KeyError inside a column-addressing kernel;
+    with a declared schema those become typed empties, and every kernel
+    output is aligned (column order + type cast) to the declaration so all
+    blocks of the stream agree."""
+    if out_schema is None:
+        return fn
+
+    def wrapped(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return out_schema.empty_table()
+        out = fn(t)
+        if out.schema != out_schema:
+            out = pa.table(
+                {name: pc.cast(out[name], out_schema.field(name).type)
+                 for name in out_schema.names})
+        return out
+
+    return wrapped
+
+
 def partition_map(ds, keys: list[str], fn: Callable[[pa.Table], pa.Table],
                   num_partitions: int | None = None,
-                  batch_format: str = "pyarrow", **mb_kwargs):
+                  batch_format: str = "pyarrow",
+                  out_schema: pa.Schema | None = None, **mb_kwargs):
     """Hash-partition ``ds`` on *keys*, then apply one vectorized ``fn``
     per partition (``batch_size=None`` => whole-block batches; every key's
     rows arrive complete in exactly one call).
@@ -138,11 +191,24 @@ def partition_map(ds, keys: list[str], fn: Callable[[pa.Table], pa.Table],
     ``groupby(keys).map_groups`` — ``fn`` must be a *per-partition* kernel
     (e.g. ``pandas sort_values + drop_duplicates`` or pyarrow ``group_by``),
     not a per-group one.
+
+    ``out_schema`` (optional) declares the kernel's output schema: kernel
+    outputs are aligned to it, zero-column degenerate blocks from empty
+    partitions become typed empties, and the returned dataset reports this
+    schema even when the whole exchange is empty (see
+    :func:`with_output_schema`). Pass it on any exchange whose result can
+    legitimately be empty.
     """
+    if out_schema is not None and batch_format != "pyarrow":
+        raise ValueError("out_schema requires batch_format='pyarrow' "
+                         "(the guard aligns Arrow tables)")
     n = _enable_hash(ds, num_partitions)
     out = ds.repartition(num_blocks=n, keys=keys)
-    return out.map_batches(fn, batch_size=None, batch_format=batch_format,
-                           **mb_kwargs)
+    out = out.map_batches(_schema_guarded(fn, out_schema), batch_size=None,
+                          batch_format=batch_format, **mb_kwargs)
+    if out_schema is not None:
+        out = with_output_schema(out, out_schema)
+    return out
 
 
 def lookup_join(target, target_cols: dict[str, pa.DataType],

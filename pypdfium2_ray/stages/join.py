@@ -93,6 +93,12 @@ def key_filter_join(ds, right, key_col: str, right_key: str | None = None,
     assert mode in ("semi", "anti")
     rk = right_key or key_col
     schema = ds.schema()                   # ray.data.Schema wrapper
+    if schema is None:
+        # schema-less left side == provably empty (Ray's all-to-all ops
+        # emit zero bundles on all-empty input): semi/anti of empty is
+        # empty — pass it through; callers pin typing at their tail
+        # (stages/exchange.with_output_schema)
+        return ds
     l_types = dict(zip(schema.names, schema.types))
     key_type = l_types[key_col]
 
