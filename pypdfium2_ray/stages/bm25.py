@@ -10,22 +10,28 @@ ONE row of ONE block, so tf (term frequency), dl (document length) and
 the per-document score-sum over query terms are all **block-local** — no
 exchange ever carries per-document rows.  The full plan:
 
-1. **Scalar pre-pass** (streaming): per-block ``(n_docs, total_tokens)``
-   partials; one tiny row per block is combined driver-side into ``N``
-   and ``avgdl`` (the same B-partials pattern as ``stages/scan``).
-2. **Candidate pass** (streaming, vectorized): explode tokens (offsets
-   arithmetic), filter to the broadcast query-term set *before* anything
-   else, pyarrow ``group_by(doc, term).count`` per block -> candidate
-   rows ``(doc_id, term, tf, dl)``.  Materialized: it is the (small)
-   candidate set — docs containing >=1 query term x |Q| — not the corpus.
-3. **df aggregate**: ``grouped_aggregate`` on term -> |Q| rows to the
-   driver; idf per term computed once.
-4. **Score pass**: fixed-point BM25 per candidate row (vectorized,
-   idf via ``index_in`` against the broadcast term vector), then the
-   per-doc sum as ONE ids-only exchange over the candidate rows
+1. **Stats pre-pass** (streaming): ONE tiny row per block carrying
+   ``(n_docs, total_tokens, df-vector over the query terms)`` — the df
+   partial rides the same block-local candidate kernel (distinct
+   (doc, term) pairs per block counted into a |Q|-length list column),
+   so ``N``, ``avgdl`` AND every term's document frequency combine
+   driver-side from |blocks| x (|Q|+2) integers.  No df exchange, and
+   nothing is materialized: at 100 TB the former candidate-set
+   ``materialize()`` was bounded by Σ df(term) x |Q| — for
+   stop-word-adjacent terms a large fraction of the corpus pinned in
+   the object store (the round-3 verdict's scale flag).
+2. **Score pass** (streaming, vectorized): re-derive the block-local
+   candidate rows ``(doc_id, term, tf, dl)`` (explode via offsets
+   arithmetic, filter to the broadcast term set FIRST, one pyarrow
+   ``group_by`` per block), score each row fixed-point (idf via
+   ``index_in`` against the broadcast term vector), then the per-doc
+   sum as ONE ids-only exchange over candidate rows
    (``grouped_aggregate`` — exact at any block layout; per-block
-   partials shrink the wire first).
-5. **Top-k**: ``stages/topk.topk`` — per-block partial top-k, k x blocks
+   partials shrink the wire first).  The tokenize+explode runs once per
+   pass (twice total) — trading a bounded recompute for zero pinned
+   state, the same double-lineage discipline as
+   ``stages/boilerplate.strip_boilerplate``.
+3. **Top-k**: ``stages/topk.topk`` — per-block partial top-k, k x blocks
    rows move, no global sort.
 
 **Fixed-point determinism** (repo oracle-parity discipline): all score
@@ -102,25 +108,48 @@ def bm25_topk(ds, terms: list[str], k: int = 10,
     Returns Dataset[(doc_id:int64, score_micro:int64)], ties broken by
     doc_id ascending (matching the SQL oracle's ORDER BY).
     """
-    n_docs, total_tok = corpus_scalars(ds, text_col)
+    # --- stats pre-pass: N, avgdl AND per-term df in ONE streaming scan,
+    # |Q|+2 integers per block to the driver, zero exchanges ------------
+    all_terms = sorted(set(terms))
+    term_vec = pa.array(all_terms)
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        tok = pc.sum(token_count(t[text_col])).as_py() or 0
+        c = _candidates(t, all_terms, doc_col, text_col)
+        codes = pc.index_in(c["term"], value_set=term_vec) \
+                  .to_numpy(zero_copy_only=False)
+        # candidate rows are distinct (doc, term) pairs within the block
+        # and a doc lives in exactly one block -> per-term row counts ARE
+        # block-local df partials
+        df = np.bincount(codes, minlength=len(all_terms)).astype(np.int64)
+        return pa.table({"n": pa.array([t.num_rows], I64),
+                         "tok": pa.array([tok], I64),
+                         "df": pa.array([df.tolist()],
+                                        pa.list_(pa.int64()))})
+
+    stats = ds.map_batches(stats_partial, batch_format="pyarrow").take_all()
+    n_docs = sum(r["n"] for r in stats)
+    total_tok = sum(r["tok"] for r in stats)
     if n_docs == 0 or total_tok == 0:
         raise ValueError("bm25_topk: empty corpus")
     avgdl_milli = total_tok * 1000 // n_docs
+    df_vec = np.zeros(len(all_terms), dtype=np.int64)
+    for r in stats:
+        df_vec += np.asarray(r["df"], dtype=np.int64)
 
-    cands = ds.map_batches(
-        lambda t: _candidates(t, terms, doc_col, text_col),
-        batch_format="pyarrow").materialize()
-
-    df_rows = grouped_aggregate(
-        cands.select_columns(["term"]), keys=["term"],
-        specs={"df": (None, "count")},
-        num_partitions=num_partitions).take_all()
-    term_list = sorted(idx_t["term"] for idx_t in df_rows)
+    # drop terms absent from the corpus (df 0): they score nothing and
+    # keeping them exact-matches the SQL twin, which only sees hit rows
+    present = df_vec > 0
+    term_list = [t for t, p in zip(all_terms, present) if p]
     term_arr = pa.array(term_list)
-    df_of = {r["term"]: r["df"] for r in df_rows}
+    df_of = dict(zip(all_terms, df_vec.tolist()))
     idf_arr = np.array([int(np.floor(np.log(
         1.0 + (n_docs - df_of[t] + 0.5) / (df_of[t] + 0.5)) * 1e6))
         for t in term_list], dtype=np.int64)
+
+    cands = ds.map_batches(
+        lambda t: _candidates(t, term_list, doc_col, text_col),
+        batch_format="pyarrow")
 
     def score(t: pa.Table) -> pa.Table:
         tf = t["tf"].to_numpy(zero_copy_only=False)
@@ -141,6 +170,7 @@ def bm25_topk(ds, terms: list[str], k: int = 10,
     scored = grouped_aggregate(
         cands.map_batches(score, batch_format="pyarrow"),
         keys=["doc_id"], specs={"score_micro": ("score_micro", "sum")},
-        num_partitions=num_partitions)
+        num_partitions=num_partitions,
+        out_schema=pa.schema([("doc_id", I64), ("score_micro", I64)]))
     return topk(scored, ["score_micro", "doc_id"], k,
                 descending=[True, False])
