@@ -117,6 +117,9 @@ def _enable_hash(ds, num_partitions: int | None) -> int:
     stages can raise but never exceed the cluster-derived ceiling.
     """
     from ray.data.context import ShuffleStrategy
+
+    from pypdfium2_ray.stages import warmpool
+    warmpool.install()   # reuse aggregator actors across exchanges
     n = num_partitions or default_partitions()
     ctx = ds.context
     ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
@@ -147,7 +150,18 @@ def with_output_schema(ds, schema: pa.Schema):
     before unioning — otherwise the seed's default SORT_SHUFFLE snapshot
     would mask the hash-shuffle strategy :func:`_enable_hash` scoped onto
     the chain and any keyed repartition in the lineage would refuse to
-    run."""
+    run.
+
+    Known residual (Ray 2.49, verified by probe): map UDFs are NEVER
+    invoked on zero-row blocks — the block-to-batch iterator yields no
+    batches — so zero-row blocks degrade to zero-COLUMN husks after any
+    map stage and no map-side guard can retype them. ``schema()`` stays
+    correct (the typed seed leads the stream and drives unification), but
+    ``Dataset.to_pandas()`` on an ALL-empty dataset returns a 0-column
+    frame on this Ray even for a fully-typed single block (probe:
+    ``from_arrow(schema.empty_table()).to_pandas()`` has no columns).
+    Consumers that need typed empty DataFrames must build them from
+    ``ds.schema()`` — which is what the driver's schema gate reads."""
     import ray
     seed = ray.data.from_arrow(schema.empty_table())
     seed._plan._context = ds.context

@@ -1,0 +1,107 @@
+"""Warm aggregator reuse: second exchange leases the first's actors.
+
+The graph tier stacks 7+ hash exchanges per query; stock Ray 2.49 kills
+the aggregator pool after every one (hash_shuffle._do_shutdown ->
+shutdown(force=True)), so each exchange re-pays actor spawn. warmpool
+leases them from a session cache instead — these tests pin the lease
+path, the correctness of reused actors, and the cache bounds."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from pypdfium2_ray.stages import warmpool
+from pypdfium2_ray.stages.exchange import partition_hint, partition_map
+
+
+def _table(seed, n=400, keys=23):
+    rng = np.random.RandomState(seed)
+    return pa.table({
+        "k": pa.array(rng.randint(0, keys, size=n), pa.int64()),
+        "v": pa.array(rng.randint(0, 1000, size=n), pa.int64()),
+    })
+
+
+def _run_groupmax(t: pa.Table) -> pd.DataFrame:
+    import ray.data as rd
+
+    def kernel(b: pa.Table) -> pa.Table:
+        g = b.group_by(["k"], use_threads=False).aggregate([("v", "max")])
+        return g.rename_columns(["k", "v_max"])
+
+    with partition_hint(4):
+        out = partition_map(rd.from_arrow(t), ["k"], kernel)
+    return (out.to_pandas().sort_values("k").reset_index(drop=True))
+
+
+def _expected(t: pa.Table) -> pd.DataFrame:
+    return (t.to_pandas().groupby("k")["v"].max().reset_index()
+            .rename(columns={"v": "v_max"})
+            .sort_values("k").reset_index(drop=True))
+
+
+def test_second_exchange_leases_warm_actors(ray_session):
+    """Back-to-back exchanges with identical remote args: the second
+    leases the first's actors (zero fresh spawns) and both are correct."""
+    warmpool.drain()
+    base = dict(warmpool.STATS)
+    t1, t2 = _table(3), _table(5)
+
+    out1 = _run_groupmax(t1)
+    spawned_cold = warmpool.STATS["spawned"] - base["spawned"]
+    assert spawned_cold > 0, "first exchange must spawn actors"
+    stashed = warmpool.STATS["stashed"] - base["stashed"]
+    assert stashed == spawned_cold, "clean completion stashes every actor"
+
+    mid = dict(warmpool.STATS)
+    out2 = _run_groupmax(t2)
+    assert warmpool.STATS["leased"] - mid["leased"] == spawned_cold
+    assert warmpool.STATS["spawned"] == mid["spawned"], \
+        "warm exchange must not spawn"
+    assert warmpool.STATS["reset_failed"] == mid["reset_failed"]
+
+    pd.testing.assert_frame_equal(out1, _expected(t1), check_dtype=False)
+    pd.testing.assert_frame_equal(out2, _expected(t2), check_dtype=False)
+
+
+def test_reused_actor_state_is_isolated(ray_session):
+    """A leased actor must not leak the previous exchange's rows: run the
+    SAME kernel over disjoint key ranges and check exact counts."""
+    warmpool.drain()
+    import ray.data as rd
+    a = pa.table({"k": pa.array([1] * 50, pa.int64()),
+                  "v": pa.array(range(50), pa.int64())})
+    b = pa.table({"k": pa.array([2] * 70, pa.int64()),
+                  "v": pa.array(range(70), pa.int64())})
+
+    def count_kernel(t: pa.Table) -> pa.Table:
+        g = t.group_by(["k"], use_threads=False).aggregate([("v", "count")])
+        return g.rename_columns(["k", "n"])
+
+    with partition_hint(4):
+        ra = partition_map(rd.from_arrow(a), ["k"], count_kernel).to_pandas()
+    with partition_hint(4):
+        rb = partition_map(rd.from_arrow(b), ["k"], count_kernel).to_pandas()
+    assert ra.set_index("k")["n"].to_dict() == {1: 50}
+    assert rb.set_index("k")["n"].to_dict() == {2: 70}, \
+        "reused actor leaked prior-exchange state"
+
+
+def test_cache_cpu_budget_bounded(ray_session):
+    """Idle cached reservation stays within 25% of cluster CPUs."""
+    warmpool.drain()
+    _run_groupmax(_table(9))
+    import ray
+    budget = float(ray.cluster_resources().get("CPU", 4)) / 4.0
+    assert warmpool._CACHED_CPUS <= budget + 1e-9
+
+
+def test_drain_empties_cache(ray_session):
+    _run_groupmax(_table(11))
+    assert warmpool.drain() >= 0
+    assert warmpool._CACHED_CPUS == 0.0
+    assert not warmpool._CACHE
+    # and the engine still works after a drain
+    out = _run_groupmax(_table(13))
+    pd.testing.assert_frame_equal(out, _expected(_table(13)),
+                                  check_dtype=False)
