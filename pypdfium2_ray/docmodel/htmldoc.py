@@ -516,9 +516,23 @@ class _HtmlToDoc(HTMLParser):
                 from pypdfium2_ray.docmodel.unsupported import (
                     KIND_ATTACHMENT_DECODE, notify_unsupported)
                 notify_unsupported(KIND_ATTACHMENT_DECODE, name)
+            params: dict[str, str] = {}
+            raw_params = attrd.get("data-params")
+            if raw_params:
+                # serialize.py emits explicitly-set attachment params
+                # (dates etc.) as a JSON data-params attribute; anything
+                # unparsable is dropped silently (derived Size/CheckSum
+                # re-compute from the data either way)
+                import json
+                try:
+                    loaded = json.loads(raw_params)
+                    if isinstance(loaded, dict):
+                        params = {str(k): str(v) for k, v in loaded.items()}
+                except Exception:
+                    pass
             self.attachments.append(Attachment(
                 name=name, data=data, mime=mime,
-                src="" if (is_data and data) else href))
+                src="" if (is_data and data) else href, params=params))
             # falls through: <a> otherwise behaves as a normal inline tag
 
         if tag == "pb":

@@ -98,6 +98,59 @@ class PageObject:
             return corners
         return tuple(matrix.on_point(x, y) for x, y in corners)
 
+    def set_bitmap(self, bitmap) -> None:
+        """In-place image replacement — the ``PdfImage.set_bitmap``
+        analogue (pageobjects.py:417-430 ``FPDFImageObj_SetBitmap``).
+        PDFium flate-compresses the pixel data; the docmodel losslessly
+        PNG-encodes it (``functions/png.encode_png`` — zlib inside, the
+        same codec family) into the object's ``data:`` URI, so a
+        serialize -> parse round trip decodes to the same pixels. The
+        reference's ``pages`` cache-invalidation parameter has no
+        analogue (no live page handles)."""
+        if self.type != "image":
+            raise RuntimeError(
+                "set_bitmap() only supported for image objects.")
+        import base64
+
+        from pypdfium2_ray.functions.png import encode_png
+        png = encode_png(bitmap.to_numpy(), pixel_format=bitmap.mode)
+        self.src = ("data:image/png;base64,"
+                    + base64.b64encode(png).decode("ascii"))
+        self.width, self.height = bitmap.width, bitmap.height
+
+    def load_jpeg(self, source, pages=None, inline: bool = False,
+                  autoclose: bool = True) -> None:
+        """Load a JPEG stream as the image object's content — the
+        ``PdfImage.load_jpeg`` analogue (pageobjects.py:360-412
+        ``FPDFImageObj_LoadJpegFile[Inline]``). *source* may be raw
+        bytes, a readable binary stream, or a filesystem path. The
+        docmodel always copies the bytes into the object (the reference's
+        ``inline=True`` mode); ``pages`` / ``inline`` are accepted for
+        signature parity, ``autoclose`` closes a stream source. Width /
+        height update from the JPEG SOF header; progressive (SOF2)
+        streams embed fine — only pixel DECODE refuses them
+        (functions/jpeg.py)."""
+        if self.type != "image":
+            raise RuntimeError(
+                "load_jpeg() only supported for image objects.")
+        import base64
+        if isinstance(source, (bytes, bytearray, memoryview)):
+            data = bytes(source)
+        elif hasattr(source, "read"):
+            data = source.read()
+            if autoclose:
+                source.close()
+        else:
+            with open(source, "rb") as f:
+                data = f.read()
+        from pypdfium2_ray.functions.imagemeta import _jpeg
+        info = _jpeg(data) if data[:2] == b"\xff\xd8" else None
+        if info is None:
+            raise ValueError("Failed to load JPEG into image object.")
+        _fmt, self.width, self.height = info
+        self.src = ("data:image/jpeg;base64,"
+                    + base64.b64encode(data).decode("ascii"))
+
 
 @dataclass
 class Attachment:
@@ -134,6 +187,34 @@ class Attachment:
         (the reference returns '' for non-string values and raises only on
         API failure, which has no analogue here)."""
         return self.standard_params().get(key, "")
+
+    def get_name(self) -> str:
+        """attachment.py:45-54 ``get_name``."""
+        return self.name
+
+    def get_data(self) -> bytes:
+        """attachment.py:57-78 ``get_data`` — raises on an empty buffer
+        exactly like the reference ("buffer length 0"): a new attachment
+        must receive :meth:`set_data` before its data can be read."""
+        if not self.data:
+            raise ValueError(
+                "Failed to extract attachment (buffer length 0).")
+        return self.data
+
+    def set_data(self, data: bytes) -> None:
+        """attachment.py:81-93 ``set_data`` (FPDFAttachment_SetFile).
+        PDFium rebuilds the embedded-file params dict around the new
+        stream: Size/CheckSum re-derive and previously-set date params
+        are dropped (reference tests/test_attachments.py — ``ModDate``
+        reads '' after ``set_data``). A by-reference ``src`` is cleared:
+        the attachment now embeds its bytes."""
+        self.data = bytes(data)
+        self.src = ""
+        self.params = {}   # Size/CheckSum re-derive in standard_params
+
+    def set_str_value(self, key: str, value: str) -> None:
+        """attachment.py:134-145 ``set_str_value`` (SetStringValue)."""
+        self.params[str(key)] = str(value)
 
 
 @dataclass
@@ -435,6 +516,22 @@ class Document:
     def get_attachment(self, index: int) -> Attachment:
         """document.py:348-356 ``get_attachment``."""
         return self.attachments[index]
+
+    def new_attachment(self, name: str) -> Attachment:
+        """document.py:359-374 ``new_attachment`` (FPDFDoc_AddAttachment):
+        a new, EMPTY attachment — ``get_data`` raises until
+        :meth:`Attachment.set_data` is called. The docmodel appends (the
+        reference notes PDFium may insert at an arbitrary index)."""
+        att = Attachment(name=name)
+        self.attachments.append(att)
+        return att
+
+    def del_attachment(self, index: int) -> None:
+        """document.py:377-388 ``del_attachment``
+        (FPDFDoc_DeleteAttachment): unlink at *index*; following
+        attachments shift one slot left. Handles from
+        :meth:`get_attachment` for that index must not be used after."""
+        del self.attachments[index]
 
     def get_toc(self, max_depth: int = 15) -> list[TocEntry]:
         """Pre-order TOC capped at max_depth (document.py:520-559). Cycle

@@ -68,16 +68,40 @@ def serialize_document(doc: Document) -> bytes:
             body.append("<pb>")
         for line in page.lines:
             body.append(f"<p>{escape(line)}</p>")
+        # image objects round-trip as trailing <img> elements: the object
+        # SET (src/alt/width/height per page, in order) is preserved;
+        # bounds / DOM level / position within the text flow re-derive at
+        # parse (view properties — see the module docstring)
+        for obj in page.objects:
+            if obj.type != "image":
+                continue
+            attrs = [f'src="{escape(obj.src, quote=True)}"']
+            if obj.alt:
+                attrs.append(f'alt="{escape(obj.alt, quote=True)}"')
+            if obj.width:
+                attrs.append(f'width="{int(obj.width)}"')
+            if obj.height:
+                attrs.append(f'height="{int(obj.height)}"')
+            body.append(f'<img {" ".join(attrs)}>')
     for att in doc.attachments:
         if att.data:
             payload = base64.b64encode(att.data).decode("ascii")
             href = f"data:{att.mime};base64,{payload}"
         else:
             href = att.src
+        # explicitly-set params (dates etc.) ride a JSON data-params
+        # attribute; the derived Size/CheckSum stay derived (re-computed
+        # from the data on both sides of the round trip)
+        extra = ""
+        if att.params:
+            import json
+            extra = (' data-params="'
+                     + escape(json.dumps(att.params, sort_keys=True),
+                              quote=True) + '"')
         # empty anchor text: the attachment records without touching the
         # text flow (htmldoc: anchor text flows into lines)
         body.append(f'<a download="{escape(att.name, quote=True)}" '
-                    f'href="{escape(href, quote=True)}"></a>')
+                    f'href="{escape(href, quote=True)}"{extra}></a>')
     tail = "</body></html>"
     return ("".join(head) + "".join(body) + tail).encode("utf-8")
 
