@@ -14,13 +14,21 @@ JPEG/JFIF: here). Implemented from the public ITU-T T.81 spec:
   2x2 chroma subsampling (4:2:0). Forward DCT is one ``einsum`` over all
   blocks; only the entropy coding is per-coefficient Python (inherently
   sequential bit output).
-- **Decoder**: baseline sequential (SOF0) with arbitrary 1-2 sampling
-  factors, multiple DQT/DHT segments, restart intervals, byte
+- **Decoder**: baseline sequential (SOF0/1) AND progressive (SOF2 —
+  T.81 Annex G spectral selection + successive approximation, EOBn
+  runs, interleaved/non-interleaved DC scans, AC refinement, restart
+  intervals; semantics cross-checked against the public libjpeg
+  jdphuff.c and verified on a real libjpeg-progressive file), with
+  arbitrary 1-2 sampling factors, multiple DQT/DHT segments, byte
   unstuffing. Entropy decoding is the per-symbol Python loop every JPEG
   decoder has; everything after it (dequant, inverse zigzag, IDCT,
   upsample, color convert) is vectorized over ALL blocks at once.
-  Progressive (SOF2) and arithmetic-coded streams are REFUSED loudly —
-  no silent wrong pixels.
+  Arithmetic-coded / lossless / hierarchical streams are REFUSED
+  loudly — no silent wrong pixels. ``encode_jpeg(progressive=True)``
+  emits a successive-approximation SOF2 stream whose quantized
+  coefficients are identical to the baseline encode, so
+  baseline-vs-progressive decodes must be bit-identical (the tests'
+  round-trip contract).
 
 Lossy by design: round-trip tests assert PSNR bounds and exact
 metadata, not byte equality (quantization is the format's contract).
@@ -236,15 +244,231 @@ def _dht_segment(tclass: int, tid: int, spec) -> bytes:
     return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
 
 
+# --------------------------------------------------------------------------
+# progressive (SOF2) scan emission — T.81 Annex G, cross-checked against
+# the public libjpeg jcphuff.c semantics (encode_mcu_DC/AC_first/refine).
+# Uses the Annex-K Huffman tables (EOB runs restricted to EOB0, which
+# every table codes); the decoder handles general EOBn for wild streams.
+
+def _sos_header(specs, ss: int, se: int, ah: int, al: int) -> bytes:
+    """*specs*: list of (component id, DC table id, AC table id)."""
+    sos = bytearray([len(specs)])
+    for cid, dcid, acid in specs:
+        sos += bytes([cid, (dcid << 4) | acid])
+    sos += bytes([ss, se, (ah << 4) | al])
+    return b"\xff\xda" + struct.pack(">H", len(sos) + 2) + bytes(sos)
+
+
+def _mcu_units(comps):
+    """Data-unit order for a DC scan: interleaved MCU order over the
+    padded grid (multi-component) or component raster (single)."""
+    if len(comps) == 1:
+        c = comps[0]
+        return [[(c, r * c["bw"] + col)]
+                for r in range(c["cbh"]) for col in range(c["cbw"])]
+    mcuy = comps[0]["bh"] // comps[0]["v"]
+    mcux = comps[0]["bw"] // comps[0]["h"]
+    units = []
+    for my in range(mcuy):
+        for mx in range(mcux):
+            mcu = []
+            for c in comps:
+                for dy in range(c["v"]):
+                    for dx in range(c["h"]):
+                        mcu.append((c, (my * c["v"] + dy) * c["bw"]
+                                    + mx * c["h"] + dx))
+            units.append(mcu)
+    return units
+
+
+class _ScanWriter(_BitWriter):
+    """BitWriter with RSTn emission between restart intervals."""
+
+    def __init__(self, restart: int):
+        super().__init__()
+        self.restart = restart
+        self._done = 0
+        self._rst = 0
+
+    def unit_boundary(self) -> bool:
+        """Call after each data unit; True if a restart was just emitted
+        (callers reset predictors / EOB state)."""
+        self._done += 1
+        if self.restart and self._done % self.restart == 0:
+            self.flush()
+            self.out += bytes([0xFF, 0xD0 + (self._rst & 7)])
+            self._rst += 1
+            return True
+        return False
+
+
+def _enc_ac_first_block(w, zzrow, ss, se, al, ac_codes):
+    band = zzrow[ss:se + 1]
+    vals = np.sign(band) * (np.abs(band) >> al)   # point transform
+    nz = np.flatnonzero(vals)
+    last = int(nz[-1]) + 1 if len(nz) else 0
+    run = 0
+    for i in range(last):
+        v = int(vals[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_codes[0xF0]
+            w.write(c, ln)
+            run -= 16
+        s, coded = _magnitude(v)
+        c, ln = ac_codes[(run << 4) | s]
+        w.write(c, ln)
+        w.write(coded, s)
+        run = 0
+    if last < len(band):
+        c, ln = ac_codes[0x00]                    # EOB0 (run of 1)
+        w.write(c, ln)
+
+
+def _enc_ac_refine_block(w, zzrow, ss, se, al, ac_codes):
+    """libjpeg encode_mcu_AC_refine: newly-nonzero coefficients (|v|>>Al
+    == 1) carry a sign bit; history-nonzero ones buffer a correction bit
+    that flushes with the next emitted symbol (ZRL / new coefficient /
+    EOB), preserving the decoder's position-order bit reads."""
+    band = zzrow[ss:se + 1]
+    t = np.abs(band) >> al
+    new_nz = np.flatnonzero(t == 1)
+    last = int(new_nz[-1]) + 1 if len(new_nz) else 0
+    run = 0
+    br: list[int] = []
+    for i in range(last):
+        ti = int(t[i])
+        if ti == 0:
+            run += 1
+            continue
+        while run > 15:                           # can't fold into EOB
+            c, ln = ac_codes[0xF0]
+            w.write(c, ln)
+            run -= 16
+            for b in br:
+                w.write(b, 1)
+            br = []
+        if ti > 1:                                # history-nonzero
+            br.append(ti & 1)
+            continue
+        c, ln = ac_codes[(run << 4) | 1]          # newly nonzero
+        w.write(c, ln)
+        w.write(1 if int(band[i]) > 0 else 0, 1)
+        for b in br:
+            w.write(b, 1)
+        br = []
+        run = 0
+    tail = [int(t[i]) & 1 for i in range(last, len(band)) if t[i] > 1]
+    if last < len(band) or br or tail:
+        c, ln = ac_codes[0x00]                    # EOB0 + tail corrections
+        w.write(c, ln)
+        for b in br + tail:
+            w.write(b, 1)
+
+
+def _emit_progressive_scans(out, planes, gray, subsample, ql, qc,
+                            dc_l, ac_l, dc_c, ac_c, restart):
+    # quantized zigzag coefficient planes, identical to the baseline path
+    comps = []
+    if gray or not subsample:
+        for ci, plane in enumerate(planes):
+            blocks, hb, wb = _to_blocks(plane - 128.0)
+            q = ql if ci == 0 else qc
+            zz = np.round(_fdct_blocks(blocks) / q).astype(np.int64) \
+                .reshape(-1, 64)[:, ZIGZAG]
+            comps.append(dict(
+                id=ci + 1, zz=zz, bw=wb, bh=hb, cbw=wb, cbh=hb, h=1, v=1,
+                dc=dc_l if ci == 0 else dc_c, ac=ac_l if ci == 0 else ac_c,
+                dcid=0 if ci == 0 else 1, acid=0 if ci == 0 else 1))
+    else:
+        yb, yhb, ywb = _to_blocks(planes[0] - 128.0)
+        cbh_y, cbw_y = yhb, ywb                   # pre-padding luma dims
+        if yhb % 2 or ywb % 2:
+            grid = yb.reshape(yhb, ywb, 8, 8)
+            grid = np.pad(grid, ((0, yhb % 2), (0, ywb % 2), (0, 0), (0, 0)),
+                          mode="edge")
+            yhb, ywb = grid.shape[:2]
+            yb = grid.reshape(-1, 8, 8)
+        zz_y = np.round(_fdct_blocks(yb) / ql).astype(np.int64) \
+            .reshape(-1, 64)[:, ZIGZAG]
+        comps.append(dict(id=1, zz=zz_y, bw=ywb, bh=yhb,
+                          cbw=cbw_y, cbh=cbh_y, h=2, v=2,
+                          dc=dc_l, ac=ac_l, dcid=0, acid=0))
+        for cid, plane in ((2, planes[1]), (3, planes[2])):
+            b, hb2, wb2 = _to_blocks(plane - 128.0)
+            zz = np.round(_fdct_blocks(b) / qc).astype(np.int64) \
+                .reshape(-1, 64)[:, ZIGZAG]
+            comps.append(dict(id=cid, zz=zz, bw=wb2, bh=hb2,
+                              cbw=wb2, cbh=hb2, h=1, v=1,
+                              dc=dc_c, ac=ac_c, dcid=1, acid=1))
+
+    units = _mcu_units(comps)
+
+    # scan 1: DC first, Al=1 (interleaved)
+    out += _sos_header([(c["id"], c["dcid"], 0) for c in comps], 0, 0, 0, 1)
+    w = _ScanWriter(restart)
+    preds = {c["id"]: 0 for c in comps}
+    for mcu in units:
+        for c, bi in mcu:
+            dc = int(c["zz"][bi, 0]) >> 1         # arithmetic point shift
+            s, coded = _magnitude(dc - preds[c["id"]])
+            preds[c["id"]] = dc
+            code, ln = c["dc"][s]
+            w.write(code, ln)
+            if s:
+                w.write(coded, s)
+        if w.unit_boundary():
+            preds = {cid: 0 for cid in preds}
+    w.flush()
+    out += w.out
+
+    # scan 2: DC refinement, Ah=1 -> Al=0 (raw bits, no Huffman)
+    out += _sos_header([(c["id"], c["dcid"], 0) for c in comps], 0, 0, 1, 0)
+    w = _ScanWriter(restart)
+    for mcu in units:
+        for c, bi in mcu:
+            w.write(int(c["zz"][bi, 0]) & 1, 1)
+        w.unit_boundary()
+    w.flush()
+    out += w.out
+
+    # scans 3..: per component, AC 1-63 first at Al=1 then refine to Al=0
+    for ah, al in ((0, 1), (1, 0)):
+        for c in comps:
+            out += _sos_header([(c["id"], 0, c["acid"])], 1, 63, ah, al)
+            w = _ScanWriter(restart)
+            for row in range(c["cbh"]):
+                for col in range(c["cbw"]):
+                    zzrow = c["zz"][row * c["bw"] + col]
+                    if ah == 0:
+                        _enc_ac_first_block(w, zzrow, 1, 63, al, c["ac"])
+                    else:
+                        _enc_ac_refine_block(w, zzrow, 1, 63, al, c["ac"])
+                    w.unit_boundary()
+            w.flush()
+            out += w.out
+
+
 def encode_jpeg(img: np.ndarray, quality: int = 85,
                 subsample: bool = False,
-                restart_interval: int = 0) -> bytes:
+                restart_interval: int = 0,
+                progressive: bool = False) -> bytes:
     """Baseline JFIF bytes for a (h, w) grayscale or (h, w, 3) RGB uint8
     array. ``subsample=True`` emits 4:2:0 (2x2 luma sampling);
     ``restart_interval`` > 0 emits DRI + RSTn markers every that many
     MCUs (crash-isolation in real encoders; here also the fixture
     generator for the decoder's restart path). Both are also decoder
-    fixtures for the general-MCU and RST paths."""
+    fixtures for the general-MCU and RST paths.
+
+    ``progressive=True`` emits SOF2 with a successive-approximation
+    progression (DC first at Al=1 + DC refinement, then per-component
+    AC 1-63 at Al=1 + AC refinement — T.81 Annex G), exercising every
+    progressive decode path. The quantized coefficients are IDENTICAL to
+    the baseline encoding of the same input, so baseline and progressive
+    encodes of one image must decode to bit-identical pixels — the
+    round-trip contract the tests pin."""
     img = np.asarray(img, dtype=np.uint8)
     gray = img.ndim == 2
     h, w = img.shape[:2]
@@ -291,19 +515,25 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
         zz_c = qc.reshape(-1)[ZIGZAG]
         out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" + \
             bytes(int(v) for v in zz_c)
-    # SOF0
+    # SOF0 (baseline) / SOF2 (progressive)
     ncomp = 1 if gray else 3
     sof = bytearray(b"\x08" + struct.pack(">HH", h, w) + bytes([ncomp]))
     samp_y = 0x22 if subsample else 0x11
     sof += bytes([1, samp_y if not gray else 0x11, 0])
     if not gray:
         sof += bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
-    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + bytes(sof)
+    out += (b"\xff\xc2" if progressive else b"\xff\xc0") \
+        + struct.pack(">H", len(sof) + 2) + bytes(sof)
     out += _dht_segment(0, 0, _DC_LUMA) + _dht_segment(1, 0, _AC_LUMA)
     if not gray:
         out += _dht_segment(0, 1, _DC_CHROMA) + _dht_segment(1, 1, _AC_CHROMA)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    if progressive:
+        _emit_progressive_scans(out, planes, gray, subsample, ql, qc,
+                                dc_l, ac_l, dc_c, ac_c, restart_interval)
+        out += b"\xff\xd9"                                    # EOI
+        return bytes(out)
     # SOS
     sos = bytearray(bytes([ncomp]))
     sos += bytes([1, 0x00])
@@ -424,8 +654,10 @@ def _extend(v: int, s: int) -> int:
 
 def decode_jpeg(data: bytes) -> np.ndarray:
     """(h, w) uint8 for grayscale streams, (h, w, 3) RGB otherwise.
-    Baseline sequential only — SOF2/arithmetic/hierarchical raise
-    :class:`JpegFormatError`, as do torn/corrupt streams."""
+    Baseline sequential (SOF0/1) AND progressive (SOF2, spectral
+    selection + successive approximation, T.81 Annex G) — arithmetic /
+    lossless / hierarchical raise :class:`JpegFormatError`, as do
+    torn/corrupt streams."""
     try:
         return _decode_jpeg(data)
     except (IndexError, struct.error) as exc:
@@ -440,6 +672,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     dc_tables: dict[int, dict] = {}
     ac_tables: dict[int, dict] = {}
     frame = None
+    progressive = False
     restart = 0
     n = len(data)
     while pos < n:
@@ -474,19 +707,21 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 table = _build_decode(bits, values)
                 (ac_tables if tc else dc_tables)[th] = table
                 p += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):      # SOF0/1 baseline, SOF2 prog
             prec, fh, fw, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise JpegFormatError("only 8-bit precision supported")
+            progressive = marker == 0xC2
             comps = []
             for i in range(nc):
                 cid, samp, tq = seg[6 + 3 * i:9 + 3 * i]
                 comps.append(dict(id=cid, h=samp >> 4, v=samp & 0x0F, tq=tq))
             frame = dict(h=fh, w=fw, comps=comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise JpegFormatError(
-                f"non-baseline JPEG (SOF marker 0x{marker:02x}) unsupported")
+                f"unsupported JPEG coding (SOF marker 0x{marker:02x}): "
+                "only baseline (SOF0/1) and progressive (SOF2)")
         elif marker == 0xDD:                   # DRI
             restart = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:                   # SOS -> entropy data follows
@@ -494,17 +729,55 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 raise JpegFormatError("SOS before SOF")
             ns = seg[0]
             sel = {}
+            scan_comps = []
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
                 sel[cs] = (tt >> 4, tt & 0x0F)
-            return _decode_scan(data, pos, frame, sel, quant,
-                                dc_tables, ac_tables, restart)
+                scan_comps.append(cs)
+            if not progressive:
+                return _decode_scan(data, pos, frame, sel, quant,
+                                    dc_tables, ac_tables, restart)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            _alloc_coefs(frame)
+            stream, pos = _entropy_stream(data, pos)
+            _decode_prog_scan(stream, frame, scan_comps, sel,
+                              ss, se, ahal >> 4, ahal & 0x0F,
+                              dc_tables, ac_tables, restart)
+    if progressive and frame is not None and "coef" in frame["comps"][0]:
+        return _finish(frame, quant)
     raise JpegFormatError("no scan data")
 
 
-def _decode_scan(data, pos, frame, sel, quant, dc_tables, ac_tables,
-                 restart):
-    # entropy segment: up to the next non-RST marker; unstuff 0xFF00
+def _alloc_coefs(frame) -> None:
+    """Per-component coefficient planes (zigzag order), sized once at the
+    first scan: MCU-padded grid (interleaved scans) with the component's
+    OWN block dims alongside (T.81 A.1.1: non-interleaved scans cover
+    ceil(dim * sampling/max_sampling / 8) blocks, not the padded grid)."""
+    comps = frame["comps"]
+    if "coef" in comps[0]:
+        return
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if not (1 <= hmax <= 2 and 1 <= vmax <= 2):
+        raise JpegFormatError("sampling factors beyond 2 unsupported")
+    frame["hmax"], frame["vmax"] = hmax, vmax
+    frame["mcux"] = mcux = -(-frame["w"] // (8 * hmax))
+    frame["mcuy"] = mcuy = -(-frame["h"] // (8 * vmax))
+    for c in comps:
+        c["bw"] = mcux * c["h"]
+        c["bh"] = mcuy * c["v"]
+        cw = -(-frame["w"] * c["h"] // hmax)   # ceil(w * Hi / Hmax)
+        ch = -(-frame["h"] * c["v"] // vmax)
+        c["cbw"] = -(-cw // 8)
+        c["cbh"] = -(-ch // 8)
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
+
+
+def _entropy_stream(data, pos) -> tuple[bytes, int]:
+    """Entropy segment starting at *pos*: up to the next non-RST marker,
+    0xFF00 unstuffed, RSTn kept inline for the reader. Returns the stream
+    and the offset of the next marker's 0xFF (or len(data))."""
     chunks = []
     p = pos
     n = len(data)
@@ -523,20 +796,26 @@ def _decode_scan(data, pos, frame, sel, quant, dc_tables, ac_tables,
             chunks.append(b"\xff" + bytes([nxt]))   # keep RST for reader
             p = b + 2
         else:
+            p = b
             break
-    stream = b"".join(chunks)
+    return b"".join(chunks), p
 
+
+def _skip_rst(reader: _BitReader) -> None:
+    """Byte-align and consume an RSTn marker if one is next."""
+    reader.align()
+    if (reader.pos + 1 < len(reader.data)
+            and reader.data[reader.pos] == 0xFF
+            and 0xD0 <= reader.data[reader.pos + 1] <= 0xD7):
+        reader.pos += 2
+
+
+def _decode_scan(data, pos, frame, sel, quant, dc_tables, ac_tables,
+                 restart):
+    stream, _ = _entropy_stream(data, pos)
+    _alloc_coefs(frame)
     comps = frame["comps"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    if not (1 <= hmax <= 2 and 1 <= vmax <= 2):
-        raise JpegFormatError("sampling factors beyond 2 unsupported")
-    mcux = -(-frame["w"] // (8 * hmax))
-    mcuy = -(-frame["h"] // (8 * vmax))
-    for c in comps:
-        c["bw"] = mcux * c["h"]                # blocks per row
-        c["bh"] = mcuy * c["v"]
-        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
+    mcux, mcuy = frame["mcux"], frame["mcuy"]
 
     reader = _BitReader(stream)
     preds = {c["id"]: 0 for c in comps}
@@ -544,11 +823,7 @@ def _decode_scan(data, pos, frame, sel, quant, dc_tables, ac_tables,
     for my in range(mcuy):
         for mx in range(mcux):
             if restart and mcu_count and mcu_count % restart == 0:
-                reader.align()
-                if (reader.pos + 1 < len(reader.data)
-                        and reader.data[reader.pos] == 0xFF
-                        and 0xD0 <= reader.data[reader.pos + 1] <= 0xD7):
-                    reader.pos += 2
+                _skip_rst(reader)
                 preds = {c["id"]: 0 for c in comps}
             for c in comps:
                 dct, act = sel[c["id"]]
@@ -577,8 +852,14 @@ def _decode_scan(data, pos, frame, sel, quant, dc_tables, ac_tables,
                         bi = (my * c["v"] + dy) * c["bw"] + mx * c["h"] + dx
                         c["coef"][bi] = row
             mcu_count += 1
+    return _finish(frame, quant)
 
-    # vectorized tail: dequant + unzigzag + IDCT all blocks per component
+
+def _finish(frame, quant) -> np.ndarray:
+    """Shared vectorized tail: dequant + unzigzag + IDCT all blocks per
+    component, upsample, color-convert."""
+    comps = frame["comps"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
     planes = []
     for c in comps:
         q = quant[c["tq"]].reshape(-1)[ZIGZAG]      # zigzag-order quant
@@ -602,3 +883,168 @@ def _decode_scan(data, pos, frame, sel, quant, dc_tables, ac_tables,
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
+# progressive (SOF2) scan decoding — T.81 Annex G.2, cross-checked against
+# the public libjpeg jdphuff.c semantics (decode_mcu_DC_first/refine,
+# decode_mcu_AC_first/refine)
+
+def _decode_prog_scan(stream, frame, scan_comps, sel, ss, se, ah, al,
+                      dc_tables, ac_tables, restart):
+    """One progressive scan into the frame's coefficient planes.
+
+    DC scans (Ss=0, Se=0) may interleave all components (MCU order over
+    the padded grid); AC scans (Ss>=1) are single-component by spec and
+    walk the component's OWN block grid in raster order. First scans
+    (Ah=0) entropy-decode values at precision Al; refinement scans
+    (Ah=Al+1) add one bit of precision per coefficient."""
+    comps = {c["id"]: c for c in frame["comps"]}
+    reader = _BitReader(stream)
+    if ss == 0:
+        if se != 0:
+            raise JpegFormatError(
+                "progressive DC scan must have Se=0 (got "
+                f"Ss={ss}, Se={se})")
+        _prog_dc_scan(reader, frame, scan_comps, comps, sel, ah, al,
+                      dc_tables, restart)
+    else:
+        if len(scan_comps) != 1:
+            raise JpegFormatError(
+                "progressive AC scans are single-component by spec")
+        if not (1 <= ss <= se <= 63):
+            raise JpegFormatError(f"bad spectral band {ss}..{se}")
+        c = comps[scan_comps[0]]
+        ac_t = ac_tables[sel[c["id"]][1]]
+        _prog_ac_scan(reader, c, ss, se, ah, al, ac_t, restart)
+
+
+def _prog_dc_scan(reader, frame, scan_comps, comps, sel, ah, al,
+                  dc_tables, restart):
+    preds = {cid: 0 for cid in scan_comps}
+    if len(scan_comps) > 1:
+        # interleaved: MCU order over the padded grid, like baseline
+        units = []
+        for my in range(frame["mcuy"]):
+            for mx in range(frame["mcux"]):
+                mcu = []
+                for cid in scan_comps:
+                    c = comps[cid]
+                    for dy in range(c["v"]):
+                        for dx in range(c["h"]):
+                            bi = (my * c["v"] + dy) * c["bw"] \
+                                + mx * c["h"] + dx
+                            mcu.append((c, bi))
+                units.append(mcu)
+    else:
+        # non-interleaved: raster over the component's own blocks,
+        # one data unit per "MCU" for restart accounting
+        c = comps[scan_comps[0]]
+        units = [[(c, row * c["bw"] + col)]
+                 for row in range(c["cbh"]) for col in range(c["cbw"])]
+
+    for i, mcu in enumerate(units):
+        if restart and i and i % restart == 0:
+            _skip_rst(reader)
+            preds = {cid: 0 for cid in preds}
+        for c, bi in mcu:
+            if ah == 0:
+                dc_t = dc_tables[sel[c["id"]][0]]
+                s = _huff_decode(reader, dc_t)
+                diff = _extend(reader.bits(s), s) if s else 0
+                preds[c["id"]] += diff
+                c["coef"][bi, 0] = preds[c["id"]] << al
+            else:
+                if reader.bit():
+                    c["coef"][bi, 0] |= 1 << al
+
+
+def _prog_ac_scan(reader, c, ss, se, ah, al, ac_t, restart):
+    eobrun = 0
+    blocks = ((row * c["bw"] + col)
+              for row in range(c["cbh"]) for col in range(c["cbw"]))
+    for i, bi in enumerate(blocks):
+        if restart and i and i % restart == 0:
+            _skip_rst(reader)
+            eobrun = 0
+        coef = c["coef"][bi]
+        if ah == 0:
+            eobrun = _ac_first_block(reader, coef, ss, se, al, ac_t, eobrun)
+        else:
+            eobrun = _ac_refine_block(reader, coef, ss, se, al, ac_t, eobrun)
+
+
+def _ac_first_block(reader, coef, ss, se, al, ac_t, eobrun) -> int:
+    if eobrun:
+        return eobrun - 1           # whole band stays zero this block
+    k = ss
+    while k <= se:
+        rs = _huff_decode(reader, ac_t)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:             # ZRL
+                k += 16
+                continue
+            eobrun = 1 << r         # EOBn: this block + (eobrun-1) more
+            if r:
+                eobrun += reader.bits(r)
+            return eobrun - 1
+        k += r
+        if k > se:
+            raise JpegFormatError("AC index overflow")
+        coef[k] = _extend(reader.bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(reader, coef, ss, se, al, ac_t, eobrun) -> int:
+    """T.81 G.1.2.3 / libjpeg decode_mcu_AC_refine: newly-nonzero
+    coefficients arrive as +-1<<Al; every history-nonzero coefficient
+    passed over (and the whole tail under an EOB run) receives one
+    correction bit."""
+    p1, m1 = 1 << al, -1 << al
+
+    def correct(k_):
+        if reader.bit() and not (coef[k_] & p1):
+            coef[k_] += p1 if coef[k_] >= 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(reader, ac_t)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.bits(r)
+                    break           # tail handled below under the EOB run
+                # ZRL: skip 16 zero-HISTORY positions
+            else:
+                if s != 1:
+                    raise JpegFormatError(
+                        "AC refinement magnitude must be 1")
+                val = p1 if reader.bit() else m1
+            # advance r zero-history positions (16 for ZRL), correcting
+            # history-nonzero coefficients along the way
+            while k <= se:
+                if coef[k]:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val:
+                if k > se:
+                    raise JpegFormatError("AC refine overflow")
+                coef[k] = val
+            k += 1
+    if eobrun:
+        while k <= se:              # correction bits for the band tail
+            if coef[k]:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun

@@ -61,14 +61,73 @@ def test_refusals_loud():
         decode_jpeg(b"\x89PNG not a jpeg")
     img = _gradient(16, 16)
     data = bytearray(encode_jpeg(img))
-    # flip SOF0 -> SOF2 (progressive): refuse, never wrong pixels
+    # flip SOF0 -> SOF2 while keeping the BASELINE scan header: now a
+    # MALFORMED progressive stream (a progressive DC scan must have
+    # Se=0) — refuse, never wrong pixels
     i = data.find(b"\xff\xc0")
     data[i + 1] = 0xC2
+    with pytest.raises(JpegFormatError):
+        decode_jpeg(bytes(data))
+    # lossless (SOF3) stays refused
+    data[i + 1] = 0xC3
     with pytest.raises(JpegFormatError):
         decode_jpeg(bytes(data))
     # truncated entropy stream
     with pytest.raises(JpegFormatError):
         decode_jpeg(encode_jpeg(img)[:60])
+
+
+# --- progressive (SOF2) ---------------------------------------------------
+
+def test_progressive_identical_to_baseline():
+    """The progressive encode carries the SAME quantized coefficients as
+    the baseline encode, so both decodes must be bit-identical — pins
+    every progressive path: DC first Al=1, DC refine, AC first with EOB
+    runs, AC refinement correction bits."""
+    rng = np.random.RandomState(7)
+    cases = [
+        (_gradient(24, 40), {}),
+        (_gradient(33, 50), {"subsample": True}),
+        (rng.randint(0, 256, (17, 19, 3)).astype(np.uint8), {}),
+        (rng.randint(0, 256, (24, 31)).astype(np.uint8), {}),   # gray
+        (np.full((8, 8), 128, np.uint8), {}),                   # flat
+        (_gradient(33, 50), {"restart_interval": 3}),
+        (_gradient(33, 50), {"subsample": True, "restart_interval": 2}),
+        (_gradient(40, 40), {"quality": 10}),
+        (_gradient(40, 40), {"quality": 98}),
+    ]
+    for img, kw in cases:
+        prog_bytes = encode_jpeg(img, progressive=True, **kw)
+        assert b"\xff\xc2" in prog_bytes
+        base = decode_jpeg(encode_jpeg(img, **kw))
+        prog = decode_jpeg(prog_bytes)
+        assert np.array_equal(base, prog), kw
+
+
+def test_progressive_real_libjpeg_file():
+    """A real libjpeg-progressive photo (full successive-approximation
+    script: DC Al=1->0, AC bands at Al=2->1->0, EOBn runs, 2x1 luma
+    sampling) — shipped in the container's rust docs. Decodes to
+    plausible photo statistics; refusing it was round-3's documented
+    gap."""
+    import os
+    path = ("/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/"
+            "share/doc/rust/html/embedded-book/assets/f3.jpg")
+    if not os.path.exists(path):
+        pytest.skip("fixture file not present on this host")
+    data = open(path, "rb").read()
+    img = decode_jpeg(data)
+    assert img.shape == (477, 720, 3)
+    std = img.reshape(-1, 3).std(axis=0)
+    assert (std > 20).all(), "structured photo, not noise or flat output"
+
+
+def test_progressive_metadata_parses():
+    from pypdfium2_ray.functions.imagemeta import parse_image_meta_full
+    img = _gradient(20, 30)
+    meta = parse_image_meta_full(encode_jpeg(img, progressive=True))
+    assert meta["format"] == "jpeg"
+    assert (meta["width"], meta["height"]) == (30, 20)
 
 
 def test_resize_stage_handles_jpeg(ray_session):
