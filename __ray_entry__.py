@@ -4064,15 +4064,19 @@ WHERE js.j < a.c"""
 
 
 def q_semantic_dedup(sf_dir: str):
-    """SemDeDup (Abbas et al. 2023): k-means the embedding space, drop
-    rows whose in-cluster cosine to a lower-id member exceeds tau
-    (stages/ann.semantic_dedup). Iterative (kmeans-dependent) — no SQL
-    oracle; determinism and keep-min-id semantics are pytest-verified."""
-    from pypdfium2_ray.stages.ann import semantic_dedup
+    """SemDeDup (Abbas et al. 2023) in the INTEGER-EXACT regime
+    (stages/ann.semantic_dedup_exact): kmeans_exact clusters + the
+    in-cluster cosine threshold cross-multiplied to integers
+    (cos > 0.95  <=>  ab > 0 AND 400*ab^2 > 361*aa*bb over e3-quantized
+    vectors) — no float in any keep decision, so the unrolled SQL twin
+    matches row-for-row (previously rows-only). Keep-min-id semantics,
+    ONE cluster exchange, int64-exact Gram matrix per cluster."""
+    from pypdfium2_ray.stages.ann import semantic_dedup_exact
     import ray.data as rd
     ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
-    return semantic_dedup(ds, k=8, n_iter=5, tau=0.95)
+    return semantic_dedup_exact(ds, k=8, n_iter=5, tau_sq=(361, 400),
+                                scale=1000)
 
 
 def q_collocations(sf_dir: str):
@@ -4088,18 +4092,97 @@ def q_collocations(sf_dir: str):
 
 
 def q_kmeans_assign(sf_dir: str):
-    """Distributed spherical k-means over the embeddings corpus
-    (stages/ann.kmeans): hash-deterministic init, broadcast centroids,
-    integer-scaled update sums so assignments are byte-identical at any
-    partitioning/cluster size. Iterative — no SQL oracle (the driver
-    records the rows-only check); exactness is pytest-verified against
-    a single-process replica and across partitionings."""
-    from pypdfium2_ray.stages.ann import kmeans
+    """Distributed k-means over the embeddings corpus in the
+    INTEGER-EXACT regime (stages/ann.kmeans_exact): e3-quantized
+    vectors, integer squared-Euclidean assignment (ties to the lowest
+    cluster), floor-division centroid updates, md5-ordered seeds —
+    the pagerank fixed-point discipline applied to clustering, so the
+    iterative algorithm has a TRUE unrolled-CTE SQL twin (previously
+    rows-only). Broadcast centroids + one vectorized pass per block +
+    k x d integer partials in a single-block combine; the spherical
+    float variant (stages/ann.kmeans) stays the ANN-tier default."""
+    from pypdfium2_ray.stages.ann import kmeans_exact
     import ray.data as rd
     ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
-    _, assign = kmeans(ds, k=8, n_iter=5)
+    _, assign = kmeans_exact(ds, k=8, n_iter=5, scale=1000)
     return assign
+
+
+def _kmeans_sql(n_iter: int = 5, k: int = 8, scale: int = 1000,
+                tail: str = "SELECT vec_id, cluster FROM afin") -> str:
+    """Unrolled-CTE integer Lloyd k-means twin (stages/ann.kmeans_exact):
+    the same trick as the pagerank/hits oracles — an iterative algorithm
+    whose state is integers is just n_iter CTE pairs. Seeds via
+    md5_number_upper (== functions/sketch.md5_hash64), assignment via
+    integer squared-Euclidean + (dist, cluster) row_number, update via
+    floor(sum/count) double division (exact under the engine's 2^53
+    guard), empty clusters COALESCE to the previous centroid."""
+    def assign(name, cents):
+        return f"""{name} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cluster) AS rn
+    FROM (SELECT v.vec_id, c.cluster,
+                 sum((v.val - c.val) * (v.val - c.val)) AS dist
+          FROM v JOIN {cents} c USING (dim)
+          GROUP BY 1, 2))
+  WHERE rn = 1)"""
+
+    ctes = [f"""v AS (
+  SELECT vec_id::BIGINT AS vec_id,
+         (generate_subscripts(embedding, 1) - 1)::BIGINT AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {scale})
+              AS BIGINT) AS val
+  FROM embeddings)""", f"""seeds AS (
+  SELECT vec_id::BIGINT AS vec_id,
+         row_number() OVER (
+             ORDER BY md5_number_upper(vec_id::VARCHAR) >> 1, vec_id)
+           - 1 AS cluster
+  FROM embeddings
+  QUALIFY cluster < {k})""", """c0 AS (
+  SELECT s.cluster, v.dim, v.val FROM seeds s JOIN v USING (vec_id))"""]
+    for i in range(1, n_iter + 1):
+        ctes.append(assign(f"a{i}", f"c{i - 1}"))
+        ctes.append(f"""u{i} AS (
+  SELECT a.cluster, v.dim,
+         CAST(floor(CAST(sum(v.val) AS DOUBLE) / count(*)) AS BIGINT)
+           AS val
+  FROM a{i} a JOIN v USING (vec_id)
+  GROUP BY 1, 2)""")
+        ctes.append(f"""c{i} AS (
+  SELECT c.cluster, c.dim, COALESCE(u.val, c.val) AS val
+  FROM c{i - 1} c LEFT JOIN u{i} u USING (cluster, dim))""")
+    ctes.append(assign("afin", f"c{n_iter}"))
+    return "WITH " + ",\n".join(ctes) + "\n" + tail
+
+
+def _semantic_dedup_sql(n_iter: int = 5, k: int = 8, scale: int = 1000,
+                        p: int = 361, q: int = 400) -> str:
+    """SemDeDup twin on top of :func:`_kmeans_sql`: in-cluster pair
+    cosine threshold cross-multiplied to integers
+    (ab > 0 AND q*ab^2 > p*aa*bb over the same e-quantized vectors);
+    a row drops when ANY lower-id cluster member clears the threshold."""
+    tail = f""", norms AS (
+  SELECT vec_id, sum(val * val) AS nn FROM v GROUP BY 1),
+sims AS (
+  SELECT a.vec_id AS ka, b.vec_id AS kb,
+         sum(va.val * vb.val) AS ab
+  FROM afin a
+  JOIN afin b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  JOIN v va ON va.vec_id = a.vec_id
+  JOIN v vb ON vb.vec_id = b.vec_id AND vb.dim = va.dim
+  GROUP BY 1, 2),
+dups AS (
+  SELECT DISTINCT s.kb AS vec_id
+  FROM sims s
+  JOIN norms na ON na.vec_id = s.ka
+  JOIN norms nb ON nb.vec_id = s.kb
+  WHERE s.ab > 0 AND {q} * s.ab * s.ab > {p} * na.nn * nb.nn)
+SELECT a.vec_id, a.cluster FROM afin a
+WHERE a.vec_id NOT IN (SELECT vec_id FROM dups)"""
+    return _kmeans_sql(n_iter=n_iter, k=k, scale=scale, tail=tail)
 
 
 def q_embedding_centroids(sf_dir: str):
@@ -9746,6 +9829,11 @@ def oracle_sql() -> dict[str, str]:
             FROM top
             JOIN ucnt u1 ON u1.w = split_part(bg, ' ', 1)
             JOIN ucnt u2 ON u2.w = split_part(bg, ' ', 2)""",
+        # the integer-exact iterative tier: unrolled-CTE twins (the
+        # pagerank discipline applied to clustering — see _kmeans_sql)
+        "kmeans_assign": _kmeans_sql(n_iter=5, k=8, scale=1000),
+        "semantic_dedup": _semantic_dedup_sql(n_iter=5, k=8, scale=1000,
+                                              p=361, q=400),
         # scaled-int sums: CAST to DOUBLE before the multiply so both
         # sides compute floor over the same float64 product
         "embedding_centroids": """

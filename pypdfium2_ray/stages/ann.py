@@ -736,3 +736,193 @@ def semantic_dedup(ds, id_col: str = "vec_id", vec_col: str = "embedding",
 
     return partition_map(joined, ["cluster"], prune,
                          num_partitions=num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# integer-exact k-means / SemDeDup — the hash-exact oracle regime
+
+def _int_embeddings(col, scale: int) -> np.ndarray:
+    """e = floor(float64(v) * scale) per dim, int64 — the same
+    quantization the SQL twin computes as
+    ``floor(CAST(v AS DOUBLE) * scale)`` (float32 -> float64 is exact,
+    so both sides floor the identical product)."""
+    X = stack_embeddings(col)                 # float64 already
+    return np.floor(X * float(scale)).astype(np.int64)
+
+
+def _exact_assign(E: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """argmin of integer squared-Euclidean distance, ties to the LOWEST
+    cluster index (np.argmin first-occurrence == SQL ORDER BY dist,
+    cluster). Loud int64 overflow guard: d * (2*maxabs)^2 per term."""
+    if not len(E):
+        return np.zeros(0, np.int64)
+    d = E.shape[1]
+    maxabs = max(int(np.abs(E).max(initial=0)),
+                 int(np.abs(C).max(initial=0)))
+    if d * (2 * maxabs) ** 2 >= 2 ** 63:
+        raise ValueError(
+            f"kmeans_exact int64 overflow risk: dim={d}, max|e|={maxabs} "
+            "— lower the quantization scale")
+    diff = E[:, None, :] - C[None, :, :]
+    dist = (diff * diff).sum(axis=2)
+    return np.argmin(dist, axis=1).astype(np.int64)
+
+
+def kmeans_exact(ds, id_col: str = "vec_id", vec_col: str = "embedding",
+                 k: int = 8, n_iter: int = 5, scale: int = 1000,
+                 num_partitions: int | None = None):
+    """Integer Lloyd k-means — the HASH-EXACT regime: every quantity the
+    cluster decision touches is int64, so the assignment is not just
+    partitioning-invariant (like the spherical :func:`kmeans`) but
+    replicable row-for-row by an unrolled SQL oracle, the same
+    fixed-point discipline that made pagerank/trustrank/hits exact.
+
+    - vectors quantize ONCE: ``e = floor(float64(v) * scale)`` (e3 by
+      default — clustering a quantized embedding is still clustering);
+    - distance: squared Euclidean over int64, summation-order-free;
+    - assignment ties break to the lowest cluster index;
+    - update: elementwise ``floor(sum / count)`` (exact floor division;
+      the per-cluster |sum| < 2^53 guard keeps the oracle's
+      ``floor(CAST(s AS DOUBLE)/n)`` double division exact too);
+    - empty clusters keep their previous centroid;
+    - seeds: the k rows with the smallest
+      ``(md5_number_upper(id::VARCHAR) >> 1, id)`` — cluster j is the
+      j-th smallest (functions/sketch.md5_hash64 == DuckDB
+      md5_number_upper, verified).
+
+    Same distributed shape as :func:`kmeans`: broadcast centroids, one
+    vectorized pass per block, k x d integer partials combined in a
+    single block. Returns ``(centroids int64 (k, d), assignments
+    Dataset (id_col, cluster))``.
+    """
+    import ray
+
+    from pypdfium2_ray.functions.sketch import md5_hash64
+    from pypdfium2_ray.stages.agg import grouped_aggregate
+    from pypdfium2_ray.stages.topk import topk
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        h = [md5_hash64(str(v).encode()) >> 1
+             for v in t[id_col].to_pylist()]
+        return t.append_column("__h", pa.array(h, pa.int64()))
+
+    seeds = topk(ds.map_batches(add_hash, batch_format="pyarrow"),
+                 ["__h", id_col], k=k, descending=False) \
+        .to_pandas()                          # k rows — driver-side tiny
+    C = np.stack([_int_embeddings(pa.array([list(v)], pa.list_(
+        pa.float32())), scale)[0] for v in seeds[vec_col]])
+    d = C.shape[1]
+
+    def partial(ref):
+        def fn(t: pa.Table) -> pa.Table:
+            Cc = ray.get(ref)
+            E = _int_embeddings(t[vec_col], scale)
+            a = _exact_assign(E, Cc)
+            S = np.zeros((k, d), np.int64)
+            np.add.at(S, a, E)
+            n = np.bincount(a, minlength=k).astype(np.int64)
+            return pa.table({
+                "cluster": np.repeat(np.arange(k, dtype=np.int64), d),
+                "dim": np.tile(np.arange(d, dtype=np.int64), k),
+                "s": S.reshape(-1),
+                "n": np.repeat(n, d)})
+        return fn
+
+    for _ in range(n_iter):
+        ref = ray.put(C)
+        tot = grouped_aggregate(
+            ds.map_batches(partial(ref), batch_format="pyarrow"),
+            ["cluster", "dim"], {"s": ("s", "sum"), "n": ("n", "sum")},
+            combine="single_block").to_pandas()
+        newC = C.copy()
+        for cl, grp in tot.groupby("cluster"):
+            g = grp.sort_values("dim")
+            n_vec = int(g["n"].iloc[0])
+            if n_vec > 0:
+                s = g["s"].to_numpy()
+                if int(np.abs(s).max(initial=0)) >= 2 ** 53:
+                    raise ValueError(
+                        "kmeans_exact: per-cluster |sum| >= 2^53 — the "
+                        "oracle's double floor-division would round; "
+                        "lower scale or raise k")
+                newC[int(cl)] = np.floor_divide(s, n_vec)
+        C = newC
+
+    ref = ray.put(C)
+
+    def assign_final(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        Cf = ray.get(ref)
+        E = _int_embeddings(t[vec_col], scale)
+        return pa.table({
+            id_col: pc.cast(t[id_col], pa.int64()),
+            "cluster": _exact_assign(E, Cf)})
+
+    return C, ds.map_batches(assign_final, batch_format="pyarrow")
+
+
+def semantic_dedup_exact(ds, id_col: str = "vec_id",
+                         vec_col: str = "embedding", k: int = 8,
+                         n_iter: int = 5, tau_sq: tuple[int, int] = (361, 400),
+                         scale: int = 1000, max_cluster: int = 100_000,
+                         num_partitions: int | None = None):
+    """SemDeDup in the integer-exact regime: :func:`kmeans_exact`
+    clusters, then the in-cluster cosine threshold is cross-multiplied
+    to integers over the SAME e-quantized vectors —
+
+        cos(a, b) > tau   <=>   ab > 0  AND  q*ab^2 > p*aa*bb
+
+    with ``tau_sq = (p, q)`` the exact rational tau^2 (0.95^2 = 361/400).
+    No float enters any keep decision, so the unrolled SQL twin matches
+    row-for-row. Keep-min-id semantics and the distributed shape (join
+    vectors back, ONE cluster exchange, vectorized in-cluster pass) are
+    identical to :func:`semantic_dedup`; the integer Gram matrix is an
+    exact int64 matmul (guarded: q * (max aa)^2 < 2^63)."""
+    from pypdfium2_ray.stages.exchange import lookup_join, partition_map
+    p, q = tau_sq
+
+    _, assign = kmeans_exact(ds, id_col=id_col, vec_col=vec_col, k=k,
+                             n_iter=n_iter, scale=scale,
+                             num_partitions=num_partitions)
+    joined = lookup_join(
+        assign, {id_col: pa.int64(), "cluster": pa.int64()},
+        ds, source_key=id_col, key_col=id_col,
+        payload_cols={"__vec": pa.list_(pa.float32())},
+        source_payload={"__vec": vec_col},
+        num_partitions=num_partitions)
+
+    def prune(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        cl = t["cluster"].to_numpy(zero_copy_only=False)
+        E = _int_embeddings(t["__vec"], scale)
+        order = np.lexsort((ids, cl))
+        ids, cl, E = ids[order], cl[order], E[order]
+        starts = np.flatnonzero(np.concatenate(([True], cl[1:] != cl[:-1])))
+        ends = np.append(starts[1:], len(cl))
+        keep_ids, keep_cl = [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m > max_cluster:
+                raise RuntimeError(
+                    f"semantic_dedup_exact: cluster {cl[s]} has {m} "
+                    f"members > max_cluster={max_cluster}")
+            G = E[s:e] @ E[s:e].T             # int64-exact Gram
+            diag = np.diagonal(G)
+            mx = int(diag.max(initial=0))     # |ab| <= max aa (C-S)
+            if max(p, q) * mx * mx >= 2 ** 63:
+                raise ValueError(
+                    "semantic_dedup_exact int64 overflow risk: "
+                    f"max|e|^2 sum {mx} with tau_sq=({p},{q}) — lower "
+                    "the quantization scale")
+            cond = (G > 0) & (q * G * G > p * np.outer(diag, diag))
+            dup = np.triu(cond, 1).any(axis=0)
+            keep_ids.append(ids[s:e][~dup])
+            keep_cl.append(cl[s:e][~dup])
+        if not keep_ids:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64())})
+        return pa.table({id_col: np.concatenate(keep_ids),
+                         "cluster": np.concatenate(keep_cl)})
+
+    return partition_map(joined, ["cluster"], prune,
+                         num_partitions=num_partitions)

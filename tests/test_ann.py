@@ -288,3 +288,85 @@ def test_semantic_dedup_cluster_cap_raises(ray_session):
     with pytest.raises(Exception, match="max_cluster"):
         semantic_dedup(rd.from_arrow(t), k=1, n_iter=1,
                        max_cluster=10).to_pandas()
+
+
+# --- integer-exact regime (the hash-exact oracle twins) --------------------
+
+def _blob_table(n=90, seed=9):
+    import numpy as np
+    import pyarrow as pa
+    rng = np.random.default_rng(seed)
+    centers = np.array([[5, 0, 0, 0], [0, 5, 0, 0], [0, 0, 5, 0]],
+                       np.float64)
+    X = np.vstack([centers[i % 3] + rng.standard_normal(4) * 0.3
+                   for i in range(n)]).astype(np.float32)
+    return pa.table({"vec_id": list(range(n)),
+                     "embedding": pa.array(X.tolist(),
+                                           pa.list_(pa.float32()))}), X
+
+
+def test_kmeans_exact_partition_invariant_and_matches_replica(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pypdfium2_ray.functions.sketch import md5_hash64
+    from pypdfium2_ray.stages.ann import kmeans_exact
+
+    t, X = _blob_table()
+    scale = 1000
+
+    def run(n_parts):
+        C, assign = kmeans_exact(rd.from_arrow(t).repartition(n_parts),
+                                 k=3, n_iter=4, scale=scale)
+        return C, assign.to_pandas().sort_values("vec_id") \
+                        .cluster.to_numpy()
+
+    C2, a2 = run(2)
+    C8, a8 = run(8)
+    np.testing.assert_array_equal(a2, a8)
+    np.testing.assert_array_equal(C2, C8)
+
+    # single-process integer Lloyd replica
+    E = np.floor(X.astype(np.float64) * scale).astype(np.int64)
+    seeds = sorted(range(len(E)),
+                   key=lambda i: (md5_hash64(str(i).encode()) >> 1, i))[:3]
+    C = E[seeds].copy()
+    for _ in range(4):
+        d2 = ((E[:, None, :] - C[None]) ** 2).sum(axis=2)
+        a = np.argmin(d2, axis=1)
+        for j in range(3):
+            m = a == j
+            if m.any():
+                C[j] = np.floor_divide(E[m].sum(axis=0), int(m.sum()))
+    d2 = ((E[:, None, :] - C[None]) ** 2).sum(axis=2)
+    np.testing.assert_array_equal(a2, np.argmin(d2, axis=1))
+    np.testing.assert_array_equal(C2, C)
+
+
+def test_semantic_dedup_exact_keeps_min_id(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pypdfium2_ray.stages.ann import semantic_dedup_exact
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((40, 8)).astype(np.float32)
+    # ids 100+ are exact copies of ids 0..19 -> must drop, min id kept
+    X = np.vstack([base, base[:20]])
+    ids = list(range(40)) + list(range(100, 120))
+    t = pa.table({"vec_id": ids,
+                  "embedding": pa.array(X.tolist(),
+                                        pa.list_(pa.float32()))})
+    out = semantic_dedup_exact(rd.from_arrow(t).repartition(4),
+                               k=2, n_iter=3, tau_sq=(361, 400),
+                               scale=1000).to_pandas()
+    kept = sorted(out.vec_id.tolist())
+    assert kept == list(range(40)), kept   # every copy dropped, originals kept
+
+    # partition-invariance
+    out2 = semantic_dedup_exact(rd.from_arrow(t).repartition(9),
+                                k=2, n_iter=3, tau_sq=(361, 400),
+                                scale=1000).to_pandas()
+    assert sorted(out2.vec_id.tolist()) == kept
