@@ -1,0 +1,71 @@
+"""Shared board constants + tiny helpers (read/hint/cast).
+
+Carved out of the original single-file ``__ray_entry__.py`` board
+(round-4 housekeeping; content unchanged). See
+``pypdfium2_ray/queries/__init__.py`` for the layout.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from functools import partial
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+from collections.abc import Callable
+from functools import partial
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+SF0001 = "/root/testdata/sf0.001"
+
+#: literal search term for the corpus-search query (textpage.py:255-292 analogue)
+SEARCH_TERM = "data"
+#: cosine near-dup threshold (probed: no pair within 1e-4 of it at sf<=0.1)
+DUP_TAU = 0.45
+#: ANN query ids
+ANN_QUERY_IDS = (0, 1, 2)
+ANN_K = 10
+
+
+# ---------------------------------------------------------------------------
+# helpers
+
+def _docs(sf_dir: str, columns=None):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir.rstrip('/')}/documents.parquet",
+                           columns=columns)
+
+
+def _hint(sf_dir: str, table: str = "documents"):
+    """Size the query's hash-exchange partitions from its input bytes
+    (exchange.partitions_for_bytes) — at test/bench scale this keeps
+    exchanges small (the per-partition fixed cost dominates tiny inputs);
+    at 100 TB the same rule yields ~64 MB partitions."""
+    import os
+    from pypdfium2_ray.stages.exchange import partition_hint, partitions_for_bytes
+    try:
+        sz = os.path.getsize(f"{sf_dir.rstrip('/')}/{table}.parquet")
+    except OSError:
+        sz = 0
+    return partition_hint(partitions_for_bytes(sz))
+
+
+def _cast_i64(ds, cols: list[str]):
+    """Cast int32-ish columns to int64 so schemas match DuckDB's BIGINT."""
+    def f(t: pa.Table) -> pa.Table:
+        for c in cols:
+            i = t.schema.get_field_index(c)
+            t = t.set_column(i, c, pc.cast(t[c], pa.int64()))
+        return t
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+
+
+__all__ = [_n for _n in dict(globals()) if not _n.startswith('__')]

@@ -108,10 +108,9 @@ def test_apply_changelog(ray_session):
 def test_docs_v2_mutation_rules(ray_session, tmp_path):
     """The synthetic second crawl behind incremental_extract: gone rows
     dropped, update marker on %6==1, re-publications keyed +1e7."""
-    import importlib
-
     import pandas as pd
-    E = importlib.import_module("__ray_entry__")
+
+    from pypdfium2_ray.queries import relational as E
     df = pd.DataFrame({
         "doc_id": list(range(20)),
         "text": [f"t{i}" for i in range(20)],
