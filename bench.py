@@ -234,7 +234,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "order_status_matrix", "bookend_types",
                      "type_dow_profile", "ab_split_metrics",
                      "norm_hist", "dedup_keep_best"]
-    E._warc_corpus(sf_dir)   # materialize the WARC shard cache untimed
+    from pypdfium2_ray.queries.extraction import _warc_corpus
+    _warc_corpus(sf_dir)     # materialize the WARC shard cache untimed
     qs = E.queries()
     for name in bench_queries:
         t0 = time.perf_counter()

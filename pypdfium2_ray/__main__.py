@@ -20,14 +20,32 @@ import argparse
 import sys
 
 
-def _init_ray():
+class _RaySession:
+    """Guarded Ray handle: ``shutdown()`` only tears down a session THIS
+    command created. When a session already exists (tests invoking
+    ``main()`` in-process, a long-lived driver), the CLI must not kill
+    it — shutting a shared session down orphans every live actor handle
+    (the warmpool cache, other pipelines' lineage) and the next auto-init
+    silently starts a fresh cluster."""
+
+    def __init__(self, ray, owns: bool):
+        self._ray = ray
+        self._owns = owns
+
+    def shutdown(self):
+        if self._owns:
+            self._ray.shutdown()
+
+
+def _init_ray() -> _RaySession:
     import ray
-    if not ray.is_initialized():
+    owns = not ray.is_initialized()
+    if owns:
         ray.init(address="local", include_dashboard=False,
                  logging_level="ERROR")
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
-    return ray
+    return _RaySession(ray, owns)
 
 
 def _read(path: str):

@@ -34,8 +34,11 @@ from a session-level cache**:
 
 Safety rails:
 
-- the cache is keyed by Ray job id — a new ``ray.init`` session silently
-  drops stale handles instead of calling into a dead cluster;
+- the cache is keyed by the cluster's unique session name (job ids are
+  per-cluster sequential, so a shutdown/init cycle reuses '01000000') —
+  a new cluster silently drops stale handles instead of calling into a
+  dead one, and a lease whose submit still fails falls back to a fresh
+  spawn;
 - cached-idle actors keep their logical num_cpus / memory reservations
   (that is what makes the next lease instant), so the cache is bounded:
   at most ``_MAX_CACHED`` actors and at most 25% of cluster CPUs of
@@ -82,12 +85,27 @@ def enabled() -> bool:
 
 
 def _cpu_budget() -> float:
+    """Idle-reservation ceiling for the cache. On SMALL clusters the
+    budget is ZERO (stock kill-on-shutdown behavior): cached-idle actors
+    hold logical CPUs that Ray Data's admission control cannot see, and
+    on a 4-CPU test cluster ~1 reserved CPU plus a multi-exchange plan's
+    own live pools was observed to wedge the whole node (monitor log:
+    "{'CPU': 1.0}: 2+ pending tasks/actors", 0.18 CPUs available, 57
+    alive aggregators). At >=16 CPUs an eighth of the cluster buys the
+    graph-tier exchange reuse with a wide margin left for 1-CPU map
+    tasks."""
+    if _BUDGET_OVERRIDE is not None:
+        return _BUDGET_OVERRIDE
     import ray
     try:
         cpus = float(ray.cluster_resources().get("CPU", 4))
     except Exception:
         cpus = 4.0
-    return cpus / 4.0
+    return cpus / 8.0 if cpus >= 16 else 0.0
+
+
+#: tests only: force a budget despite the small fixture cluster
+_BUDGET_OVERRIDE: float | None = None
 
 
 def _args_key(args: dict) -> tuple:
@@ -99,8 +117,22 @@ def _args_key(args: dict) -> tuple:
     )
 
 
-def _current_job_id() -> str | None:
+def _current_session() -> str | None:
+    """Cluster identity for cache invalidation. Job ids are NOT enough:
+    they are sequential PER CLUSTER, so after a ray.shutdown/init cycle
+    the new cluster's first job is also '01000000' and stale handles
+    would pass a job-id guard (observed: the in-process CLI shuts the
+    shared test session down, and the next auto-init produced the same
+    job id — leasing the dead actors failed at submit). The node session
+    name is unique per cluster; job id is the fallback."""
     import ray
+    try:
+        import ray._private.worker as _w
+        name = getattr(_w._global_node, "session_name", None)
+        if name:
+            return name
+    except Exception:
+        pass
     try:
         return ray.get_runtime_context().get_job_id()
     except Exception:
@@ -112,7 +144,7 @@ def _lease(key: tuple):
     session changed (stale handles are dropped, not killed — the old
     cluster is gone)."""
     global _JOB_ID, _CACHED_CPUS
-    job = _current_job_id()
+    job = _current_session()
     with _LOCK:
         if job != _JOB_ID:
             _CACHE.clear()
@@ -132,7 +164,7 @@ def _stash(key: tuple, actors: list) -> None:
     count budgets (stock-Ray behavior for the overflow)."""
     global _CACHED_CPUS
     import ray
-    job = _current_job_id()
+    job = _current_session()
     with _LOCK:
         if job != _JOB_ID:
             return  # session changed under us; handles already stale
@@ -227,9 +259,16 @@ def _patched_pool_start(self):
         assert len(target_ids) > 0
         actor = _lease(key)
         if actor is not None:
-            pending.append((aggregator_id, target_ids, actor.reset.remote(
-                aggregator_id, target_ids, self._aggregation_factory_ref)))
-        else:
+            try:
+                # .remote() itself raises on a dead / prior-cluster handle
+                pending.append((aggregator_id, target_ids,
+                                actor.reset.remote(
+                                    aggregator_id, target_ids,
+                                    self._aggregation_factory_ref)))
+            except Exception:
+                STATS["reset_failed"] += 1
+                actor = None
+        if actor is None:
             actor = cls.options(**args).remote(
                 aggregator_id, target_ids, self._aggregation_factory_ref)
             STATS["spawned"] += 1

@@ -344,3 +344,15 @@ def test_kwic_first(ray_session, nparts):
         .astype({"doc_id": "int64", "pos": "int64"})
     pd.testing.assert_frame_equal(got, exp)
     assert got.pos.iloc[0] == 1 and got.left_ctx.iloc[0] == ""
+
+
+def test_engine_info_flags():
+    """version.py surface (reference version.py PDFIUM_INFO.flags): this
+    build provides every codec family + progressive JPEG + forms."""
+    from pypdfium2_ray.version import ENGINE_INFO
+    for f in ("PNG", "BMP", "GIF", "JPEG", "JPEG_PROGRESSIVE", "WAV",
+              "FORMS", "RAY_DATA"):
+        assert f in ENGINE_INFO.flags, f
+    assert ENGINE_INFO.api_tag == (0, 1, 0)
+    assert ENGINE_INFO.tag in ENGINE_INFO.version
+    assert str(ENGINE_INFO) == ENGINE_INFO.version

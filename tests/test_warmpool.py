@@ -4,14 +4,29 @@ The graph tier stacks 7+ hash exchanges per query; stock Ray 2.49 kills
 the aggregator pool after every one (hash_shuffle._do_shutdown ->
 shutdown(force=True)), so each exchange re-pays actor spawn. warmpool
 leases them from a session cache instead — these tests pin the lease
-path, the correctness of reused actors, and the cache bounds."""
+path, the correctness of reused actors, and the cache bounds.
+
+The cache budget is ZERO on clusters under 16 CPUs (cached-idle actors
+hold logical CPUs Ray Data's admission control cannot see — observed to
+wedge the 4-CPU fixture), so these tests force a small budget through
+``warmpool._BUDGET_OVERRIDE`` and drain afterwards."""
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
+import pytest
 
 from pypdfium2_ray.stages import warmpool
 from pypdfium2_ray.stages.exchange import partition_hint, partition_map
+
+
+@pytest.fixture()
+def warm_budget():
+    """Force a 1-CPU cache budget for the duration of one test."""
+    warmpool.drain()
+    warmpool._BUDGET_OVERRIDE = 1.0
+    yield
+    warmpool._BUDGET_OVERRIDE = None
+    warmpool.drain()
 
 
 def _table(seed, n=400, keys=23):
@@ -20,6 +35,9 @@ def _table(seed, n=400, keys=23):
         "k": pa.array(rng.randint(0, keys, size=n), pa.int64()),
         "v": pa.array(rng.randint(0, 1000, size=n), pa.int64()),
     })
+
+
+import pyarrow as pa  # noqa: E402
 
 
 def _run_groupmax(t: pa.Table) -> pd.DataFrame:
@@ -40,10 +58,9 @@ def _expected(t: pa.Table) -> pd.DataFrame:
             .sort_values("k").reset_index(drop=True))
 
 
-def test_second_exchange_leases_warm_actors(ray_session):
+def test_second_exchange_leases_warm_actors(ray_session, warm_budget):
     """Back-to-back exchanges with identical remote args: the second
     leases the first's actors (zero fresh spawns) and both are correct."""
-    warmpool.drain()
     base = dict(warmpool.STATS)
     t1, t2 = _table(3), _table(5)
 
@@ -51,23 +68,23 @@ def test_second_exchange_leases_warm_actors(ray_session):
     spawned_cold = warmpool.STATS["spawned"] - base["spawned"]
     assert spawned_cold > 0, "first exchange must spawn actors"
     stashed = warmpool.STATS["stashed"] - base["stashed"]
-    assert stashed == spawned_cold, "clean completion stashes every actor"
+    assert stashed > 0, "clean completion stashes actors under the budget"
 
     mid = dict(warmpool.STATS)
     out2 = _run_groupmax(t2)
-    assert warmpool.STATS["leased"] - mid["leased"] == spawned_cold
-    assert warmpool.STATS["spawned"] == mid["spawned"], \
-        "warm exchange must not spawn"
+    assert warmpool.STATS["leased"] - mid["leased"] > 0
+    assert warmpool.STATS["spawned"] - mid["spawned"] <= \
+        max(0, spawned_cold - stashed), "warm exchange re-spawns at most " \
+        "the uncached remainder"
     assert warmpool.STATS["reset_failed"] == mid["reset_failed"]
 
     pd.testing.assert_frame_equal(out1, _expected(t1), check_dtype=False)
     pd.testing.assert_frame_equal(out2, _expected(t2), check_dtype=False)
 
 
-def test_reused_actor_state_is_isolated(ray_session):
+def test_reused_actor_state_is_isolated(ray_session, warm_budget):
     """A leased actor must not leak the previous exchange's rows: run the
     SAME kernel over disjoint key ranges and check exact counts."""
-    warmpool.drain()
     import ray.data as rd
     a = pa.table({"k": pa.array([1] * 50, pa.int64()),
                   "v": pa.array(range(50), pa.int64())})
@@ -87,16 +104,25 @@ def test_reused_actor_state_is_isolated(ray_session):
         "reused actor leaked prior-exchange state"
 
 
-def test_cache_cpu_budget_bounded(ray_session):
-    """Idle cached reservation stays within 25% of cluster CPUs."""
+def test_small_cluster_budget_is_zero(ray_session):
+    """On the 4-CPU fixture the budget is 0: nothing is cached, stock
+    kill-on-shutdown behavior (the anti-wedge rail)."""
     warmpool.drain()
+    assert warmpool._cpu_budget() == 0.0
+    base = dict(warmpool.STATS)
     _run_groupmax(_table(9))
-    import ray
-    budget = float(ray.cluster_resources().get("CPU", 4)) / 4.0
-    assert warmpool._CACHED_CPUS <= budget + 1e-9
+    assert warmpool.STATS["stashed"] == base["stashed"]
+    assert not warmpool._CACHE
+    assert warmpool._CACHED_CPUS == 0.0
 
 
-def test_drain_empties_cache(ray_session):
+def test_cache_cpu_budget_bounded(ray_session, warm_budget):
+    """Idle cached reservation stays within the forced 1-CPU budget."""
+    _run_groupmax(_table(9))
+    assert warmpool._CACHED_CPUS <= 1.0 + 1e-9
+
+
+def test_drain_empties_cache(ray_session, warm_budget):
     _run_groupmax(_table(11))
     assert warmpool.drain() >= 0
     assert warmpool._CACHED_CPUS == 0.0
