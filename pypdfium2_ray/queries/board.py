@@ -33,6 +33,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": q_extract_text,
+        "split_extract": q_split_extract,
         "extract_bounded": q_extract_bounded,
         "warc_extract": q_warc_extract,
         "density_extract": q_density_extract,
@@ -338,6 +339,16 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "extract_text": f"""
+            SELECT 'doc://' || source || '/' || doc_id AS url,
+                   lang,
+                   {status_sql} AS status,
+                   {errc_sql} AS err_code,
+                   {npages_sql} AS n_pages,
+                   {nchars_err} AS n_chars,
+                   {ext_err} AS extracted_text
+            FROM documents""",
+        # two-pool skew-split variant: identical per-url contract
+        "split_extract": f"""
             SELECT 'doc://' || source || '/' || doc_id AS url,
                    lang,
                    {status_sql} AS status,

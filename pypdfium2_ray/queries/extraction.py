@@ -19,7 +19,8 @@ from pypdfium2_ray.queries.common import *  # noqa: F401,F403,E501
 # ---------------------------------------------------------------------------
 # flagship extraction (reference semantics; SURVEY §3.1)
 
-def _extract(sf_dir: str, strategy: str = "range"):
+def _extract(sf_dir: str, strategy: str = "range",
+             skew_split: bool | str = "blocks"):
     from pypdfium2_ray.docmodel.layout import LayoutParams
     from pypdfium2_ray.pipelines.extract_text import extract_pipeline
     from pypdfium2_ray.sources.cc_from_documents import read_cc_from_documents
@@ -29,8 +30,12 @@ def _extract(sf_dir: str, strategy: str = "range"):
     # textpage.py:52-85 — with the default 595pt page a >74-char line
     # would be truncated)
     layout = LayoutParams(page_width=1e9)
+    # skew_split="blocks" = the scale shape: ONE ReadParquet scan,
+    # byte-bounded dynamic block splitting isolates oversized blobs
+    # (pipelines/extract_text.py:52-58). q_split_extract keeps the
+    # explicit two-pool variant under its own query id.
     out = extract_pipeline(
-        ds=ds, skew_split=True,
+        ds=ds, skew_split=skew_split,
         extract_opts=dict(strategy=strategy, include_pages=False,
                           include_rects=False, layout=layout))
     out = out.select_columns(["url", "lang", "status", "err_code",
@@ -40,6 +45,15 @@ def _extract(sf_dir: str, strategy: str = "range"):
 
 def q_extract_text(sf_dir: str):
     return _extract(sf_dir, "range")
+
+
+def q_split_extract(sf_dir: str):
+    """The explicit two-pool skew split (light/heavy on html_len,
+    stages/skew.split_extract) — same per-url contract as the flagship,
+    kept as its own query for coverage of the two-pool routing path.
+    Reads the upstream once per branch by construction, so the flagship
+    itself uses the single-scan "blocks" shape instead."""
+    return _extract(sf_dir, "range", skew_split=True)
 
 
 def q_extract_bounded(sf_dir: str):
