@@ -78,6 +78,10 @@ def serialize_document(doc: Document) -> bytes:
             attrs = [f'src="{escape(obj.src, quote=True)}"']
             if obj.alt:
                 attrs.append(f'alt="{escape(obj.alt, quote=True)}"')
+            # dims are integral view properties (PageObject.width/height
+            # are ``int`` like the HTML width/height attributes they come
+            # from, model.py:76-77), so int() is a no-op and an omitted
+            # zero parses back to the 0 default — exact round-trip
             if obj.width:
                 attrs.append(f'width="{int(obj.width)}"')
             if obj.height:

@@ -1,7 +1,11 @@
 """TPC-H-shaped relational query surface.
 
 Carved out of the original single-file ``__ray_entry__.py`` board
-(round-4 housekeeping; content unchanged). See
+(round-4 housekeeping). One deliberate behavior change rode the split
+(everything else is a pure move): ``q_merge_snapshot``'s inner builders
+gained explicit ``pa.string()`` types on the op/text arrays —
+``pa.array([])`` is NULL-typed, so a small block with no matching ids
+used to break the delta concat on zero-row inputs. See
 ``pypdfium2_ray/queries/__init__.py`` for the layout.
 """
 

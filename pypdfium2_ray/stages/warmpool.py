@@ -84,6 +84,67 @@ def enabled() -> bool:
     return os.environ.get("GRAFT_NO_WARMPOOL", "") != "1"
 
 
+#: Ray minor versions whose hash_shuffle internals this module mirrors.
+#: Anything else must pass the structural probe below or we fall back to
+#: stock behavior — a silent patch of drifted internals would corrupt
+#: exchanges, which is strictly worse than losing the warm floor.
+_PINNED_RAY = ("2.49",)
+
+
+def _ray_compatible() -> bool:
+    """True when it is safe to install the monkeypatch on this Ray.
+
+    A pinned version is trusted outright. An unpinned one is accepted
+    only if every internal we patch or call still has the exact shape we
+    mirrored from hash_shuffle.py (method presence + signatures +
+    aggregator contract); any drift -> False, and ``install()`` keeps
+    stock behavior with a visible warning.
+    """
+    import inspect
+
+    import ray
+
+    def _meth_params(cls, name):
+        sig = inspect.signature(getattr(cls, name))
+        return tuple(p for p in sig.parameters
+                     if p not in ("self", "_ray_trace_ctx"))
+
+    ver = getattr(ray, "__version__", "")
+    if any(ver == p or ver.startswith(p + ".") for p in _PINNED_RAY):
+        return True
+    try:
+        from ray.data._internal.execution.operators import hash_shuffle as _hs
+        probes = (
+            # methods we REPLACE: signatures must match our replacements
+            tuple(inspect.signature(_hs.AggregatorPool.start).parameters)
+            == ("self",),
+            tuple(inspect.signature(_hs.AggregatorPool.shutdown).parameters)
+            == ("self", "force"),
+            tuple(inspect.signature(
+                _hs.HashShufflingOperatorBase._do_shutdown).parameters)
+            == ("self", "force"),
+            # internals our replacements CALL
+            callable(getattr(_hs.AggregatorPool, "_check_cluster_resources",
+                             None)),
+            callable(getattr(_hs.AggregatorPool, "start_health_monitoring",
+                             None)),
+            callable(getattr(_hs.HashShufflingOperatorBase, "_is_finalized",
+                             None)),
+            callable(getattr(_hs.HashShufflingOperatorBase,
+                             "_get_active_shuffling_tasks", None)),
+            # the aggregator contract _ReusableAggregator mirrors
+            # (HashShuffleAggregator is a ray.remote ActorClass: no
+            # ``self``, and Ray appends ``_ray_trace_ctx``)
+            _meth_params(_hs.HashShuffleAggregator, "submit")
+            == ("input_seq_id", "partition_id", "partition_shard"),
+            _meth_params(_hs.HashShuffleAggregator, "finalize")
+            == ("partition_id",),
+        )
+        return all(probes)
+    except Exception:
+        return False
+
+
 def _cpu_budget() -> float:
     """Idle-reservation ceiling for the cache. On SMALL clusters the
     budget is ZERO (stock kill-on-shutdown behavior): cached-idle actors
@@ -266,7 +327,14 @@ def _patched_pool_start(self):
                                     aggregator_id, target_ids,
                                     self._aggregation_factory_ref)))
             except Exception:
+                # a synchronously-failing reset may still leave an ALIVE
+                # actor holding its logical CPU/memory reservation —
+                # kill it (best-effort; dead handles just no-op)
                 STATS["reset_failed"] += 1
+                try:
+                    ray.kill(actor)
+                except Exception:
+                    pass
                 actor = None
         if actor is None:
             actor = cls.options(**args).remote(
@@ -335,6 +403,16 @@ def install() -> None:
     reuse. Idempotent; no-op under ``GRAFT_NO_WARMPOOL=1``."""
     global _INSTALLED
     if _INSTALLED or not enabled():
+        return
+    if not _ray_compatible():
+        import ray
+        logger.warning(
+            "warmpool: Ray %s does not match the pinned hash_shuffle "
+            "internals (%s.x) and failed the structural probe — keeping "
+            "stock aggregator lifecycle (exchanges pay the cold-spawn "
+            "floor). Set GRAFT_NO_WARMPOOL=1 to silence.",
+            getattr(ray, "__version__", "?"), "/".join(_PINNED_RAY))
+        _INSTALLED = True  # don't re-probe/re-warn on every exchange
         return
     from ray.data._internal.execution.operators import hash_shuffle as _hs
     _hs.AggregatorPool.start = _patched_pool_start

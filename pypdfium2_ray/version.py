@@ -16,7 +16,8 @@ the reference does::
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
+from functools import cached_property
 
 
 def _probe_flags() -> tuple[str, ...]:
@@ -65,7 +66,14 @@ class _EngineInfo:
     major: int = 0
     minor: int = 1
     patch: int = 0
-    flags: tuple[str, ...] = field(default_factory=_probe_flags)
+
+    @cached_property
+    def flags(self) -> tuple[str, ...]:
+        # lazily probed on first access (NOT at module import): the RAY_DATA
+        # probe imports ray.data, which is multi-second — callers that only
+        # want the version tag must not pay for it. cached_property writes
+        # the result into __dict__ directly, bypassing the frozen guard.
+        return _probe_flags()
 
     @property
     def api_tag(self) -> tuple[int, int, int]:

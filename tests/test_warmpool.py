@@ -131,3 +131,45 @@ def test_drain_empties_cache(ray_session, warm_budget):
     out = _run_groupmax(_table(13))
     pd.testing.assert_frame_equal(out, _expected(_table(13)),
                                   check_dtype=False)
+
+
+def test_version_gate_pinned_ray_is_compatible():
+    """The sandbox Ray is the pinned 2.49 -> compatible outright."""
+    import ray
+    assert ray.__version__.startswith("2.49")
+    assert warmpool._ray_compatible()
+
+
+def test_version_gate_structural_probe_passes_on_pinned(monkeypatch):
+    """Force the version past the pin: the structural probe must still
+    accept THIS Ray (the internals are exactly the mirrored ones), so an
+    upgrade that keeps the hash_shuffle shape keeps the warm floor."""
+    monkeypatch.setattr(warmpool, "_PINNED_RAY", ("0.0",))
+    assert warmpool._ray_compatible()
+
+
+def test_version_gate_falls_back_to_stock_on_drift(monkeypatch, caplog):
+    """Simulated drift (unpinned version + a patched-method signature
+    change): install() must keep stock behavior and warn, not patch."""
+    import logging
+
+    from ray.data._internal.execution.operators import hash_shuffle as _hs
+
+    monkeypatch.setattr(warmpool, "_PINNED_RAY", ("0.0",))
+    # drift the signature of a method we replace
+    monkeypatch.setattr(_hs.AggregatorPool, "start",
+                        lambda self, extra_arg: None)
+    assert not warmpool._ray_compatible()
+
+    monkeypatch.setattr(warmpool, "_INSTALLED", False)
+    before = (_hs.AggregatorPool.shutdown,
+              _hs.HashShufflingOperatorBase._do_shutdown)
+    with caplog.at_level(logging.WARNING, logger=warmpool.logger.name):
+        warmpool.install()
+    assert (_hs.AggregatorPool.shutdown,
+            _hs.HashShufflingOperatorBase._do_shutdown) == before, \
+        "install() patched stock methods despite incompatible Ray"
+    assert any("stock aggregator lifecycle" in r.message for r in
+               caplog.records)
+    # flag is latched so the warning fires once, not per exchange
+    assert warmpool._INSTALLED
