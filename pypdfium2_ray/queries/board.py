@@ -2057,6 +2057,10 @@ def oracle_sql() -> dict[str, str]:
         # full-probe IVF == brute force (tests/test_ann.py equivalence), so
         # the exact top-k SQL is a true oracle for the IVF code path too
         "ann_ivf_topk": _ANN_TOPK_SQL,
+        # integer-exact PQ chain (train/encode/ADC all int64 — the
+        # kmeans_assign discipline per subspace; see _pq_topk_sql)
+        "pq_topk": _pq_topk_sql(m=8, k=8, n_iter=3, scale=1000,
+                                topk=ANN_K, qids=ANN_QUERY_IDS),
         "embedding_dups": _EMB_DUPS_SQL,
         # the LSH-bucketed variant reaches recall 1.0 on this corpus
         # (q_embedding_lsh_dups note), so the exact-pairs SQL is its oracle

@@ -911,12 +911,88 @@ def q_pq_topk(sf_dir: str):
     partitioning. Approximate by construction (quantization error) —
     rows-only driver check like kmeans_assign; exactness regime and
     recall are unit-tested (tests/test_pq.py)."""
-    from pypdfium2_ray.stages.pq import pq_encode, pq_topk, train_pq
+    from pypdfium2_ray.stages.pq import (
+        pq_encode_exact, pq_topk_exact, train_pq_exact)
     queries = _query_vectors(sf_dir, ANN_QUERY_IDS)
-    books = train_pq(_train_sample(sf_dir), m=8, k=64)
+    books = train_pq_exact(_embeddings(sf_dir), m=8, k=8, n_iter=3,
+                           scale=1000)
     with _hint(sf_dir, "embeddings"):
-        codes = pq_encode(_embeddings(sf_dir), books)
-        return pq_topk(codes, queries, books, k=ANN_K)
+        codes = pq_encode_exact(_embeddings(sf_dir), books, scale=1000)
+        return pq_topk_exact(codes, queries, books, k=ANN_K, scale=1000)
+
+
+def _pq_topk_sql(m: int = 8, k: int = 8, n_iter: int = 3,
+                 scale: int = 1000, topk: int = 10,
+                 qids=(0, 1, 2)) -> str:
+    """Unrolled-CTE twin of the integer-exact PQ chain — the per-subspace
+    generalization of dedup._kmeans_sql: every CTE carries a ``sub``
+    column; training is n_iter (assign, update, coalesce) triples over
+    (sub, cluster, dim); codes are the final per-(vec_id, sub)
+    assignment; the ADC score is the exact integer sum over subspaces of
+    the query-subvector x assigned-centroid inner products; top-k breaks
+    ties (sim DESC, neighbor_id)."""
+    def assign(name, cents):
+        return f"""{name} AS (
+  SELECT vec_id, sub, cluster FROM (
+    SELECT vec_id, sub, cluster,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY dist, cluster) AS rn
+    FROM (SELECT v.vec_id, v.sub, c.cluster,
+                 sum((v.val - c.val) * (v.val - c.val)) AS dist
+          FROM v JOIN {cents} c ON c.sub = v.sub AND c.dim = v.dim
+          GROUP BY 1, 2, 3))
+  WHERE rn = 1)"""
+
+    ctes = [f"""v AS (
+  SELECT vec_id::BIGINT AS vec_id,
+         ((generate_subscripts(embedding, 1) - 1) // (len(embedding) // {m}))
+           ::BIGINT AS sub,
+         ((generate_subscripts(embedding, 1) - 1) % (len(embedding) // {m}))
+           ::BIGINT AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {scale})
+              AS BIGINT) AS val
+  FROM embeddings)""", f"""seeds AS (
+  SELECT vec_id::BIGINT AS vec_id,
+         row_number() OVER (
+             ORDER BY md5_number_upper(vec_id::VARCHAR) >> 1, vec_id)
+           - 1 AS cluster
+  FROM embeddings
+  QUALIFY cluster < {k})""", """c0 AS (
+  SELECT s.cluster, v.sub, v.dim, v.val
+  FROM seeds s JOIN v USING (vec_id))"""]
+    for i in range(1, n_iter + 1):
+        ctes.append(assign(f"a{i}", f"c{i - 1}"))
+        ctes.append(f"""u{i} AS (
+  SELECT a.sub, a.cluster, v.dim,
+         CAST(floor(CAST(sum(v.val) AS DOUBLE) / count(DISTINCT v.vec_id))
+              AS BIGINT) AS val
+  FROM a{i} a JOIN v ON v.vec_id = a.vec_id AND v.sub = a.sub
+  GROUP BY 1, 2, 3)""")
+        ctes.append(f"""c{i} AS (
+  SELECT c.sub, c.cluster, c.dim, COALESCE(u.val, c.val) AS val
+  FROM c{i - 1} c LEFT JOIN u{i} u
+    ON u.sub = c.sub AND u.cluster = c.cluster AND u.dim = c.dim)""")
+    ctes.append(assign("afin", f"c{n_iter}"))
+    ctes.append(f"""qv AS (
+  SELECT * FROM v WHERE vec_id IN ({', '.join(str(q) for q in qids)}))""")
+    ctes.append(f"""lut AS (
+  SELECT q.vec_id AS query_id, c.sub, c.cluster,
+         sum(q.val * c.val) AS d
+  FROM qv q JOIN c{n_iter} c ON c.sub = q.sub AND c.dim = q.dim
+  GROUP BY 1, 2, 3)""")
+    ctes.append("""scores AS (
+  SELECT l.query_id, a.vec_id AS neighbor_id,
+         CAST(sum(l.d) AS BIGINT) AS sim
+  FROM afin a JOIN lut l ON l.sub = a.sub AND l.cluster = a.cluster
+  WHERE a.vec_id <> l.query_id
+  GROUP BY 1, 2)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT query_id, neighbor_id, sim FROM (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rn
+  FROM scores)
+WHERE rn <= {topk}""")
 
 
 def q_embedding_dups(sf_dir: str):

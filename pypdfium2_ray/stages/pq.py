@@ -197,3 +197,172 @@ def pq_topk(codes_ds, queries: pa.Table, books, k: int = 10,
         batch_format="pyarrow", **mb_kwargs)
     return _finalize_topk(partials, k, scale=None, round_digits=None,
                           num_partitions=num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# integer-exact PQ — the hash-exact oracle regime (same fixed-point
+# discipline as ann.kmeans_exact: every quantity any decision touches is
+# int64, so training + encoding + ADC scoring are replicable row-for-row
+# by an unrolled SQL twin; the float tier above stays the recall-tuned
+# ANN default)
+
+def train_pq_exact(ds, id_col: str = "vec_id", vec_col: str = "embedding",
+                   m: int = 8, k: int = 8, n_iter: int = 3,
+                   scale: int = 1000) -> np.ndarray:
+    """Distributed integer Lloyd per subspace over the WHOLE corpus.
+
+    Identical discipline to :func:`ann.kmeans_exact`, run for all ``m``
+    subspaces in the same passes:
+
+    - vectors quantize once: ``e = floor(float64(v) * scale)``;
+    - seeds: the k rows with the smallest ``(md5_hash64(id) >> 1, id)``
+      seed EVERY subspace (book ``s``'s centroid ``j`` is seed row
+      ``j``'s ``s``-th subvector) — one global seed pick, not one per
+      subspace;
+    - assign: integer squared-Euclidean per subspace, ties to the lowest
+      centroid index; update: elementwise ``floor(sum / count)``; empty
+      centroids keep their previous value (all inherited via
+      ``ann._exact_assign`` + the 2^53 sum guard).
+
+    One broadcast + one vectorized pass per iteration emitting
+    ``m * k * dsub`` integer partial rows per block; single-block
+    combine. Returns int64 codebooks ``(m, k, dsub)``.
+    """
+    import ray
+
+    from pypdfium2_ray.functions.sketch import md5_hash64
+    from pypdfium2_ray.stages.agg import grouped_aggregate
+    from pypdfium2_ray.stages.ann import _exact_assign, _int_embeddings
+    from pypdfium2_ray.stages.topk import topk
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        h = [md5_hash64(str(v).encode()) >> 1
+             for v in t[id_col].to_pylist()]
+        return t.append_column("__h", pa.array(h, pa.int64()))
+
+    seeds = topk(ds.map_batches(add_hash, batch_format="pyarrow"),
+                 ["__h", id_col], k=k, descending=False) \
+        .to_pandas()                          # k rows — driver-side tiny
+    S0 = np.stack([_int_embeddings(pa.array([list(v)], pa.list_(
+        pa.float32())), scale)[0] for v in seeds[vec_col]])   # (k, dim)
+    dim = S0.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = np.ascontiguousarray(
+        S0.reshape(k, m, dsub).transpose(1, 0, 2))            # (m, k, dsub)
+
+    def partial(ref):
+        def fn(t: pa.Table) -> pa.Table:
+            B = ray.get(ref)
+            E = _int_embeddings(t[vec_col], scale)
+            S = np.zeros((m, k, dsub), np.int64)
+            n = np.zeros((m, k), np.int64)
+            for s in range(m):
+                Es = E[:, s * dsub:(s + 1) * dsub]
+                a = _exact_assign(Es, B[s])
+                np.add.at(S[s], a, Es)
+                n[s] += np.bincount(a, minlength=k).astype(np.int64)
+            return pa.table({
+                "sub": np.repeat(np.arange(m, dtype=np.int64), k * dsub),
+                "cluster": np.tile(
+                    np.repeat(np.arange(k, dtype=np.int64), dsub), m),
+                "dim": np.tile(np.arange(dsub, dtype=np.int64), m * k),
+                "s": S.reshape(-1),
+                "n": np.repeat(n.reshape(-1), dsub)})
+        return fn
+
+    for _ in range(n_iter):
+        ref = ray.put(books)
+        tot = grouped_aggregate(
+            ds.map_batches(partial(ref), batch_format="pyarrow"),
+            ["sub", "cluster", "dim"], {"s": ("s", "sum"), "n": ("n", "sum")},
+            combine="single_block").to_pandas()
+        newB = books.copy()
+        for (sb, cl), grp in tot.groupby(["sub", "cluster"]):
+            g = grp.sort_values("dim")
+            n_vec = int(g["n"].iloc[0])
+            if n_vec > 0:
+                sums = g["s"].to_numpy()
+                if int(np.abs(sums).max(initial=0)) >= 2 ** 53:
+                    raise ValueError(
+                        "train_pq_exact: per-centroid |sum| >= 2^53 — "
+                        "the oracle's double floor-division would round; "
+                        "lower scale or raise k")
+                newB[int(sb), int(cl)] = np.floor_divide(sums, n_vec)
+        books = newB
+    return books
+
+
+class _PqEncodeExact:
+    """Per-block integer nearest-centroid encoder (ties to the lowest
+    centroid index, matching the SQL twin's ``ORDER BY dist, cluster``)."""
+
+    def __init__(self, books_ref, id_col: str, vec_col: str, scale: int):
+        import ray
+        self.books = (ray.get(books_ref)
+                      if isinstance(books_ref, ray.ObjectRef) else books_ref)
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.scale = scale
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from pypdfium2_ray.stages.ann import _exact_assign, _int_embeddings
+        E = _int_embeddings(batch[self.vec_col], self.scale)
+        m, k, dsub = self.books.shape
+        codes = np.empty((len(E), m), dtype=np.uint8)
+        for s in range(m):
+            codes[:, s] = _exact_assign(
+                E[:, s * dsub:(s + 1) * dsub], self.books[s])
+        flat = pa.array(codes.reshape(-1), pa.uint8())
+        return pa.table({
+            self.id_col: batch[self.id_col].cast(pa.int64()),
+            "codes": pa.FixedSizeListArray.from_arrays(flat, m),
+        })
+
+
+def pq_encode_exact(ds, books, scale: int = 1000, id_col: str = "vec_id",
+                    vec_col: str = "embedding", **mb_kwargs):
+    """Distributed integer encode against int64 codebooks."""
+    import ray
+    from pypdfium2_ray.stages.warm import warm_task
+    ref = ray.put(np.ascontiguousarray(books))
+    return ds.map_batches(
+        warm_task(_PqEncodeExact, books_ref=ref, id_col=id_col,
+                  vec_col=vec_col, scale=scale),
+        batch_format="pyarrow", **mb_kwargs)
+
+
+def pq_topk_exact(codes_ds, queries: pa.Table, books, k: int = 10,
+                  scale: int = 1000, id_col: str = "vec_id",
+                  vec_col: str = "embedding", exclude_self: bool = True,
+                  num_partitions: int | None = None, **mb_kwargs):
+    """ADC top-k in the integer-exact regime: LUT[q][s][c] is the EXACT
+    int64 inner product of the e-quantized query subvector with centroid
+    ``c`` (no normalization, no rounding — unlike the float tier's
+    ``round(ADC_SCALE * ...)``), so every row score is an exact integer
+    and the unrolled SQL twin reproduces the result row-for-row.
+    Same per-block gather+sum partials and one-exchange finalize."""
+    import ray
+    from pypdfium2_ray.stages.ann import _int_embeddings
+    from pypdfium2_ray.stages.warm import warm_task
+    books = np.ascontiguousarray(books)
+    m, kc, dsub = books.shape
+    Eq = _int_embeddings(queries[vec_col], scale)
+    qids = queries[id_col].to_numpy().astype(np.int64)
+    maxabs = max(int(np.abs(Eq).max(initial=0)),
+                 int(np.abs(books).max(initial=0)))
+    if dsub * kc and m * dsub * maxabs * maxabs >= 2 ** 62:
+        raise ValueError(
+            f"pq_topk_exact int64 overflow risk: max|e|={maxabs} — "
+            "lower the quantization scale")
+    luts = np.empty((len(qids), m, kc), dtype=np.int64)
+    for s in range(m):
+        luts[:, s, :] = Eq[:, s * dsub:(s + 1) * dsub] @ books[s].T
+    partials = codes_ds.map_batches(
+        warm_task(_PqPartialTopK, luts_ref=ray.put(luts),
+                  qids_ref=ray.put(qids), k=k, id_col=id_col,
+                  exclude_self=exclude_self),
+        batch_format="pyarrow", **mb_kwargs)
+    return _finalize_topk(partials, k, scale=None, round_digits=None,
+                          num_partitions=num_partitions)

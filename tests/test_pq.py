@@ -102,3 +102,88 @@ def test_train_pq_rejects_bad_dim():
     X, _ = _alphabet_corpus(n=10, dim=16, m=4)
     with pytest.raises(ValueError):
         train_pq(_table(X), m=5)
+
+
+# ---------------------------------------------------------------------------
+# integer-exact tier (train_pq_exact / pq_encode_exact / pq_topk_exact)
+
+def _exact_replica(X, ids, qids, m, k, n_iter, scale, topk):
+    """Pure-numpy single-process replica of the integer-exact PQ chain."""
+    from pypdfium2_ray.functions.sketch import md5_hash64
+    from pypdfium2_ray.stages.ann import _exact_assign
+
+    E = np.floor(np.asarray(X, np.float64) * scale).astype(np.int64)
+    dim = E.shape[1]
+    dsub = dim // m
+    hs = np.array([md5_hash64(str(int(v)).encode()) >> 1 for v in ids])
+    seed_rows = np.lexsort((ids, hs))[:k]
+    books = E[seed_rows].reshape(k, m, dsub).transpose(1, 0, 2).copy()
+    for _ in range(n_iter):
+        newB = books.copy()
+        for s in range(m):
+            Es = E[:, s * dsub:(s + 1) * dsub]
+            a = _exact_assign(Es, books[s])
+            for j in range(k):
+                mem = Es[a == j]
+                if len(mem):
+                    newB[s][j] = np.floor_divide(mem.sum(axis=0), len(mem))
+        books = newB
+    codes = np.stack([
+        _exact_assign(E[:, s * dsub:(s + 1) * dsub], books[s])
+        for s in range(m)], axis=1)
+    out = {}
+    for qi in qids:
+        q = E[list(ids).index(qi)]
+        sims = np.zeros(len(E), np.int64)
+        for s in range(m):
+            lut = books[s] @ q[s * dsub:(s + 1) * dsub]
+            sims += lut[codes[:, s]]
+        keep = np.array([i for i in range(len(E)) if ids[i] != qi])
+        order = keep[np.lexsort((ids[keep], -sims[keep]))][:topk]
+        out[qi] = (ids[order].tolist(), sims[order].tolist())
+    return out
+
+
+def test_exact_tier_matches_replica(ray_session):
+    import ray.data as rd
+    from pypdfium2_ray.stages.pq import (
+        pq_encode_exact, pq_topk_exact, train_pq_exact)
+    rng = np.random.RandomState(7)
+    X = rng.randn(90, 16)
+    ids = np.arange(90, dtype=np.int64)
+    t = _table(X, ids)
+    ds = rd.from_arrow(t)
+    books = train_pq_exact(ds, m=4, k=5, n_iter=2, scale=1000)
+    queries = _table(X[:2], ids=ids[:2])
+    got = pq_topk_exact(pq_encode_exact(ds, books, scale=1000),
+                        queries, books, k=6, scale=1000).to_pandas()
+    got = got.sort_values(["query_id", "sim", "neighbor_id"],
+                          ascending=[True, False, True])
+    want = _exact_replica(X, ids, [0, 1], m=4, k=5, n_iter=2,
+                          scale=1000, topk=6)
+    for qi in (0, 1):
+        g = got[got["query_id"] == qi]
+        assert g["neighbor_id"].tolist() == want[qi][0]
+        assert g["sim"].tolist() == want[qi][1]
+
+
+def test_exact_tier_partition_invariant(ray_session):
+    import ray.data as rd
+    from pypdfium2_ray.stages.pq import (
+        pq_encode_exact, pq_topk_exact, train_pq_exact)
+    rng = np.random.RandomState(11)
+    X = rng.randn(80, 16)
+    t = _table(X)
+    queries = _table(X[:2], ids=np.array([0, 1], np.int64))
+
+    def run(nparts):
+        ds = rd.from_arrow(t).repartition(nparts)
+        books = train_pq_exact(ds, m=4, k=4, n_iter=2, scale=1000)
+        out = pq_topk_exact(pq_encode_exact(ds, books, scale=1000),
+                            queries, books, k=5, scale=1000).to_pandas()
+        return out.sort_values(["query_id", "sim", "neighbor_id"],
+                               ascending=[True, False, True]) \
+                  .reset_index(drop=True)
+
+    a, b = run(1), run(7)
+    assert a.equals(b)
