@@ -2140,6 +2140,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(median(value) * 10000) AS BIGINT)
                      AS median_value_e4
             FROM events GROUP BY event_type""",
+        # deterministic log-bucket histogram sketch (fixed power-of-2
+        # boundaries -> integer-exact twin; see _events_median_sketch_sql)
+        "events_median_sketch": _events_median_sketch_sql(
+            sub_bits=5, scale=100, qnum=1, qden=2),
         "funnel": _funnel_sql(),
         "interval_coverage": _interval_coverage_sql(),
         "vocab_coverage": _vocab_coverage_sql(),

@@ -1022,22 +1022,62 @@ _HLL_ORACLE = """
 
 
 def q_events_median_sketch(sf_dir: str):
-    """Approximate per-type median via the t-digest sketch tier
-    (stages/agg.grouped_quantile_sketch): each block compresses to
-    <= ~delta/2 weighted centroids per group, so only centroid rows move —
-    the whole-corpus quantile path where the exact grouped_median's
-    full-projection exchange is no longer affordable. No SQL oracle:
-    estimates are approximate (rank error ~ 1/delta, layout-dependent in
-    those digits — inherent to mergeable sketches); correctness is the
-    rank-error-bound tests in tests/test_tdigest.py, which also pin this
-    query against the exact median on the same table."""
+    """Approximate per-type median via the DETERMINISTIC log-bucket
+    histogram sketch (stages/digest.grouped_quantile_hist — HdrHistogram
+    power-of-2 bucketing): fixed bucket boundaries mean the merge is
+    plain count addition, so unlike the t-digest tier the estimate is
+    bit-identical at any block layout AND has an exact SQL twin
+    (previously rows-only; guaranteed rel. error <= 2^-5 vs the true
+    median). The t-digest tier (agg.grouped_quantile_sketch) remains the
+    adaptive-precision default with its rank-error-bound tests
+    (tests/test_tdigest.py); this is the whole-corpus quantile path
+    where exact grouped_median's full-projection exchange is no longer
+    affordable — only (type, bucket, count) rows ever move."""
     import ray.data as rd
-    from pypdfium2_ray.stages.agg import grouped_quantile_sketch
+    from pypdfium2_ray.stages.digest import grouped_quantile_hist
     ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/events.parquet",
                          columns=["event_type", "value"])
-    return grouped_quantile_sketch(ds, ["event_type"], "value", q=0.5,
-                                   out="median_est",
-                                   combine="single_block")  # fixed enum
+    return grouped_quantile_hist(ds, ["event_type"], "value", q=(1, 2),
+                                 sub_bits=5, scale=100,
+                                 out="median_est_micro",
+                                 combine="single_block")  # fixed enum
+
+
+def _events_median_sketch_sql(sub_bits: int = 5, scale: int = 100,
+                              qnum: int = 1, qden: int = 2) -> str:
+    """Twin of grouped_quantile_hist: the bucketing is pure integer
+    arithmetic (bitlength via length(bin(x)) — the HLL oracle's trick),
+    so cumulative-count rank selection reproduces the engine exactly."""
+    return f"""
+        WITH x AS (
+          SELECT event_type,
+                 CAST(floor(value * {scale}) AS BIGINT) AS x
+          FROM events WHERE value IS NOT NULL),
+        b AS (
+          SELECT event_type, x,
+                 CASE WHEN length(bin(x)) - 1 - {sub_bits} > 0
+                      THEN length(bin(x)) - 1 - {sub_bits} ELSE 0
+                 END AS e
+          FROM x),
+        bk AS (
+          SELECT event_type, e, x >> e AS m, count(*)::BIGINT AS c
+          FROM b GROUP BY 1, 2, 3),
+        r AS (
+          SELECT event_type, c, (m << e) AS lo,
+                 ((m << e) + (((m + 1) << e) - 1)) // 2 AS rep,
+                 sum(c) OVER (PARTITION BY event_type
+                              ORDER BY (m << e)) AS cum,
+                 sum(c) OVER (PARTITION BY event_type) AS w
+          FROM bk),
+        sel AS (
+          SELECT event_type, rep,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY lo) AS rn
+          FROM r WHERE cum >= ((w - 1) * {qnum}) // {qden} + 1)
+        SELECT event_type,
+               CAST(rep * 1000000 // {scale} AS BIGINT)
+                 AS median_est_micro
+        FROM sel WHERE rn = 1"""
 
 
 def q_path_census(sf_dir: str):

@@ -82,3 +82,104 @@ def table_digest(ds, cols: list[str], n_buckets: int = 64,
         partial, batch_format="pyarrow")
     return parts.repartition(1).map_batches(combine, batch_size=None,
                                             batch_format="pyarrow")
+
+
+def grouped_quantile_hist(ds, keys: list[str], col: str,
+                          q: tuple[int, int] = (1, 2), sub_bits: int = 5,
+                          scale: int = 100, out: str = "median_est_micro",
+                          num_partitions: int | None = None,
+                          combine: str = "exchange"):
+    """Deterministic mergeable per-group quantile via a base-2 log-bucket
+    histogram (the HdrHistogram / DDSketch bucketing idea — public — with
+    power-of-2 boundaries so EVERY quantity is integer arithmetic).
+
+    Unlike the t-digest tier (:func:`agg.grouped_quantile_sketch`, whose
+    estimates move in the last error digits with block layout — inherent
+    to centroid sketches), this sketch's buckets have FIXED boundaries,
+    so the merge is plain count addition: the result is bit-identical at
+    any partitioning, block size or cluster shape, and an exact SQL twin
+    exists. Guaranteed relative error <= 2^-sub_bits on the estimate.
+
+    Semantics (all int64; both engines compute exactly this):
+
+    - ``x = floor(v * scale)`` per row; v must be >= 0 (loud guard —
+      truncation vs floor diverges on negatives across engines);
+    - bucket of x: ``e = max(bitlength(x) - 1 - sub_bits, 0)``,
+      ``m = x >> e`` — values below ``2^(sub_bits+1)`` are EXACT
+      (e == 0), larger ones keep their top ``sub_bits+1`` bits;
+    - per-group weight W; 0-based target rank ``r = ((W-1) * qnum) //
+      qden`` with ``q = (qnum, qden)`` the exact rational quantile
+      (median = (1, 2) -> the lower median's bucket);
+    - the answer is the representative ``rep = (lo + hi) // 2`` of the
+      first bucket (ascending ``lo = m << e``) whose cumulative count
+      exceeds r, reported as ``rep * 1_000_000 // scale`` micro-units.
+
+    Shape: per-block partial = (keys, e, m, count) rows — bounded by
+    ``n_groups x ~(64 - sub_bits) x 2^sub_bits`` whatever the block holds
+    — then ONE keyed exchange (or ``combine="single_block"`` for
+    enum-like keys) and a vectorized cumsum kernel per partition.
+    """
+    import pandas as pd
+
+    from pypdfium2_ray.stages.exchange import partition_map
+
+    qnum, qden = q
+    sub = int(sub_bits)
+
+    def _xbuckets(x: np.ndarray):
+        if (x < 0).any():
+            raise ValueError(
+                "grouped_quantile_hist requires nonnegative values "
+                "(bitlength bucketing; floor vs truncation diverges "
+                "on negatives)")
+        if (x >= 2 ** 53).any():
+            raise ValueError(
+                "grouped_quantile_hist: x >= 2^53 — frexp bitlength "
+                "would round; lower scale")
+        # exact bitlength via frexp: x = mant * 2^exp, 0.5 <= mant < 1
+        # => bitlength(x) == exp (exact for x < 2^53)
+        _, ex = np.frexp(x.astype(np.float64))
+        e = np.maximum(ex - 1 - sub, 0).astype(np.int64)
+        return e, x >> e
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=[col])
+        x = np.floor(df[col].to_numpy(np.float64) * scale).astype(np.int64)
+        e, m = _xbuckets(x)
+        g = df[keys].copy()
+        g["__e"], g["__m"] = e, m
+        res = g.groupby(keys + ["__e", "__m"], sort=False, dropna=False) \
+               .size().rename("__c").reset_index()
+        return res
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            res = df[keys].iloc[:0].copy()
+            res[out] = pd.Series([], dtype="int64")
+            return res
+        g = df.groupby(keys + ["__e", "__m"], sort=False, dropna=False) \
+              ["__c"].sum().reset_index()
+        e = g["__e"].to_numpy(np.int64)
+        m = g["__m"].to_numpy(np.int64)
+        lo = m << e
+        hi = ((m + 1) << e) - 1
+        g["__lo"], g["__rep"] = lo, (lo + hi) // 2
+        g = g.sort_values(keys + ["__lo"], kind="mergesort")
+        grp = g.groupby(keys, sort=False, dropna=False)
+        cum = grp["__c"].cumsum().to_numpy(np.int64)
+        w = grp["__c"].transform("sum").to_numpy(np.int64)
+        r = (w - 1) * qnum // qden
+        sel = g.loc[cum >= r + 1].groupby(keys, sort=False,
+                                          dropna=False).head(1)
+        res = sel[keys].reset_index(drop=True)
+        res[out] = (sel["__rep"].to_numpy(np.int64) * 1_000_000 // scale)
+        return res
+
+    proj = ds.select_columns(keys + [col])
+    partials = proj.map_batches(partial, batch_size=None,
+                                batch_format="pandas")
+    if combine == "single_block":
+        return partials.repartition(1).map_batches(
+            finalize, batch_size=None, batch_format="pandas")
+    return partition_map(partials, keys, finalize, batch_format="pandas",
+                         num_partitions=num_partitions)

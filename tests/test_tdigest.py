@@ -114,8 +114,10 @@ def test_dataset_sketch_vs_exact_median(ray_session, tmp_path):
 
 
 def test_query_entry_runs(ray_session):
-    """events_median_sketch query entry: sane rows, and each estimate
-    within 1% rank error of that type's exact value distribution."""
+    """events_median_sketch query entry (now the deterministic log-bucket
+    histogram tier, stages/digest.grouped_quantile_hist): sane rows, and
+    each estimate within its guaranteed 2^-5 relative error of the
+    type's exact median."""
     import __ray_entry__ as E
 
     sf = "/root/testdata/sf0.001"
@@ -126,4 +128,7 @@ def test_query_entry_runs(ray_session):
     for _, row in got.iterrows():
         grp = ev.loc[ev["event_type"] == row["event_type"],
                      "value"].to_numpy(float)
-        assert _rank_err(grp, row["median_est"], 0.5) < 0.01
+        exact = np.quantile(grp, 0.5, method="inverted_cdf")
+        est = row["median_est_micro"] / 1e6
+        assert abs(est - exact) <= exact * 2 ** -5 + 0.01, \
+            (row["event_type"], est, exact)
