@@ -164,7 +164,22 @@ class _NavNode:
     #: by at most +1, which a heading outline (h2 before any h1) violates.
     #: The serializer (docmodel/serialize) emits this for exact round-trips.
     level_attr: int | None = None
+    #: collapsed initial state (``data-closed``) — signs get_count()
+    closed: bool = False
+    #: raw ``data-color`` attribute ("#rrggbb"); validated at flatten
+    color_attr: str | None = None
     children: list["_NavNode"] = field(default_factory=list)
+
+
+def _parse_bookmark_color(raw: str | None):
+    """``#rrggbb`` -> float RGB triple in [0, 1]; None on anything else
+    (the FPDFBookmark_GetColor not-ok path, document.py:703-714)."""
+    if not raw or len(raw) != 7 or not raw.startswith("#"):
+        return None
+    try:
+        return tuple(int(raw[i:i + 2], 16) / 255.0 for i in (1, 3, 5))
+    except ValueError:
+        return None
 
 
 def _flatten_outline(roots: list[_NavNode], max_depth: int,
@@ -205,7 +220,8 @@ def _flatten_outline(roots: list[_NavNode], max_depth: int,
         n_children = 1 if (n.ref and target is not n) else len(target.children)
         out.append(TocEntry(
             level=n.level_attr if n.level_attr is not None else level,
-            title=n.title, page_index=n.page, n_children=n_children))
+            title=n.title, page_index=n.page, n_children=n_children,
+            closed=n.closed, color=_parse_bookmark_color(n.color_attr)))
         if n.ref and target is not n:
             walk(target, level + 1)
             return
@@ -684,6 +700,13 @@ class _HtmlToDoc(HTMLParser):
                     node.level_attr = max(0, int(attrd["data-level"]))
                 except ValueError:
                     pass
+            # bookmark view state (document.py:693-714 analogues): a bare
+            # or truthy data-closed collapses (html.parser reports a bare
+            # attribute as value None, so presence is the in-test);
+            # data-color carries #rrggbb
+            node.closed = ("data-closed" in attrd
+                           and attrd["data-closed"] != "0")
+            node.color_attr = attrd.get("data-color")
             if self._nav_stack:
                 self._nav_stack[-1].children.append(node)
             else:

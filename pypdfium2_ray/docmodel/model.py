@@ -67,8 +67,8 @@ class Span:
 @dataclass
 class PageObject:
     """Typed page object (pageobjects.py:24-62): type in
-    {"text", "image"}; level = nesting depth (page.py:274-325 max_depth
-    analogue — for HTML, DOM depth of the source element)."""
+    {"text", "image", "form"}; level = nesting depth (page.py:274-325
+    max_depth analogue — for HTML, DOM depth of the source element)."""
     type: str
     level: int
     bounds: tuple[float, float, float, float]
@@ -77,6 +77,11 @@ class PageObject:
     height: int = 0
     alt: str = ""
     src: str = ""
+    #: form objects only (XObject.as_pageobject): the captured page,
+    #: SHARED between all pageobjects of one XObject (document.py:653-662
+    #: shared-resources contract). Never serialized — form content is a
+    #: placement-time resource, like a PDF form XObject stream.
+    form_page: "Page | None" = None
 
     def get_quad_points(self, matrix=None):
         """Corner positions counter-clockwise from the origin corner —
@@ -221,12 +226,50 @@ class Attachment:
 class TocEntry:
     """Flattened pre-order TOC node (document.py:520-559 ``get_toc``).
     ``n_children`` mirrors ``PdfBookmark.get_count()`` magnitude
-    (document.py:686-699: immediate child count; HTML outlines are always
-    'open', so the reference's sign bit is always +)."""
+    (document.py:686-699: immediate child count; HTML outlines default to
+    'open', so the reference's sign bit is + unless ``closed``).
+
+    ``closed`` / ``color`` carry the reference's bookmark view state
+    (document.py:693-714): ``closed`` is the collapsed initial state that
+    signs ``get_count()`` (parsed from ``<li data-closed>``), ``color``
+    the optional RGB triple as floats in [0, 1] (``data-color="#rrggbb"``
+    — None when absent/invalid, like ``FPDFBookmark_GetColor``'s failure
+    path)."""
     level: int
     title: str
     page_index: int
     n_children: int = 0
+    closed: bool = False
+    color: "tuple[float, float, float] | None" = None
+
+    def get_color(self):
+        """document.py:703-714 ``PdfBookmark.get_color`` — the RGB float
+        triple, or None if the bookmark does not define a valid color."""
+        return self.color
+
+
+def toc_get_count(toc: "list[TocEntry]", i: int) -> int:
+    """Signed bookmark count over a flattened TOC — the semantics of
+    ``PdfBookmark.get_count`` (document.py:693-701): magnitude is the
+    number of descendant bookmarks that would be VISIBLE if entry *i*
+    were open (immediate children, plus recursively the children of each
+    OPEN child), sign is + for an open entry and - for a closed one,
+    and 0 for a leaf. Computed from the pre-order ``level`` sequence the
+    flattener guarantees."""
+    def visible(j: int) -> int:
+        total = 0
+        lvl = toc[j].level
+        k = j + 1
+        while k < len(toc) and toc[k].level > lvl:
+            if toc[k].level == lvl + 1:
+                total += 1
+                if not toc[k].closed:
+                    total += visible(k)
+            k += 1
+        return total
+
+    n = visible(i)
+    return -n if (toc[i].closed and n) else n
 
 
 @dataclass
@@ -434,6 +477,9 @@ class Document:
     form_fields: list[FormField] = field(default_factory=list)
     #: live form env (document.py:159-207); None until init_forms()
     formenv: "FormEnv | None" = None
+    #: XObjects captured into this document's resources
+    #: (page_as_xobject; the reference's _add_kid tracking)
+    xobjects: list = field(default_factory=list)
 
     @classmethod
     def new(cls) -> "Document":
@@ -479,6 +525,23 @@ class Document:
         self.pages[at:at] = new_pages
         for i, p in enumerate(self.pages):
             p.index = i
+
+    def page_as_xobject(self, index: int, dest_doc: "Document") -> "XObject":
+        """Capture page *index* as an XObject attached to *dest_doc*'s
+        resources (``PdfDocument.page_as_xobject``, document.py:500-517
+        ``FPDF_NewXObjectFromPage``): the captured content is a deep copy
+        (like PDFium, later edits to the source page don't retroactively
+        change the XObject), registered on the destination the way the
+        reference ``_add_kid``-tracks it. Raises on a bad index exactly
+        where PDFium returns a null handle."""
+        import copy
+        if not 0 <= index < len(self.pages):
+            raise ValueError(
+                f"Failed to capture page at index {index} as XObject.")
+        xobject = XObject(page=copy.deepcopy(self.pages[index]),
+                          doc=dest_doc)
+        dest_doc.xobjects.append(xobject)
+        return xobject
 
     @property
     def status(self) -> str:
@@ -605,3 +668,45 @@ class Document:
             for k in METADATA_KEYS:
                 h.update(self.metadata.get(k, "").encode("utf-8", "surrogatepass"))
         return h.digest()[:16]
+
+
+class XObject:
+    """A page captured into a destination document's resources — the
+    ``PdfXObject`` analogue (document.py:635-662): created by
+    :meth:`Document.page_as_xobject` (``FPDF_NewXObjectFromPage``,
+    document.py:500-517), turned into placeable pageobjects with
+    :meth:`as_pageobject` (``FPDF_NewFormObjectFromXObject``).
+
+    Every pageobject created from the same XObject SHARES the captured
+    page (the reference's shared-resources contract) and remains valid
+    after :meth:`close` — the form objects hold their own reference,
+    exactly like PDFium's form objects outliving the FPDF_XOBJECT
+    handle."""
+
+    def __init__(self, page: Page, doc: "Document"):
+        self.page = page
+        self.doc = doc
+        self._closed = False
+
+    @property
+    def parent(self) -> "Document":
+        """The owning document (the reference's AutoCloseable hook,
+        document.py:649-651)."""
+        return self.doc
+
+    def close(self) -> None:
+        """``FPDF_CloseXObject`` — idempotent; already-created
+        pageobjects stay valid."""
+        self._closed = True
+
+    def as_pageobject(self) -> PageObject:
+        """An independent ``type="form"`` pageobject wrapping the
+        captured page (document.py:653-662): bounds are the captured
+        page's bbox; repeated calls return DISTINCT objects sharing the
+        same resources (``form_page`` is the same Page instance)."""
+        if self._closed:
+            raise RuntimeError("XObject is closed")
+        obj = PageObject(type="form", level=0,
+                         bounds=self.page.get_bbox())
+        obj.form_page = self.page
+        return obj

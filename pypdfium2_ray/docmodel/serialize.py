@@ -39,8 +39,18 @@ def _toc_nav(entries: list[TocEntry]) -> str:
         return ""
     parts = ["<nav data-toc><ul>"]
     for e in entries:
+        extra = ""
+        if e.closed:
+            extra += ' data-closed="1"'
+        if e.color is not None:
+            # floats quantize to the 8-bit hex channel they were parsed
+            # from — exact round-trip for any color that originated as
+            # #rrggbb (the only way the parser produces one)
+            extra += (' data-color="#'
+                      + "".join(f"{round(c * 255):02x}" for c in e.color)
+                      + '"')
         parts.append(f'<li data-page="{e.page_index}" '
-                     f'data-level="{e.level}">{escape(e.title)}</li>')
+                     f'data-level="{e.level}"{extra}>{escape(e.title)}</li>')
     parts.append("</ul></nav>")
     return "".join(parts)
 
