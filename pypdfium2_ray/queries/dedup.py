@@ -4300,19 +4300,20 @@ HITS_INIT = 10**6
 
 def q_hits(sf_dir: str):
     """HITS hubs & authorities over the same synthetic skewed link graph
-    as q_pagerank (stages/hits): two lookup_join + grouped-sum exchanges
-    per half-step, integer max-rescale normalization (scale = max(1,
-    max(raw)//init)) so the whole trajectory is bit-identical at any
-    partitioning and unrollable as exact integer SQL."""
-    from pypdfium2_ray.stages.hits import hits
+    as q_pagerank, on the BSP actor-pool engine (stages/bsp.hits_bsp):
+    edges partition into worker actors ONCE, then each half-step is one
+    round of destination-hashed partial-sum shard transfers instead of
+    two hash exchanges — same int64 max-rescale trajectory as
+    stages/hits.hits (bit-equality pinned in tests/test_hits.py), so the
+    unrolled integer SQL twin is unchanged."""
+    from pypdfium2_ray.stages.bsp import hits_bsp
     docs = _docs(sf_dir, ["doc_id"])
     n = docs.count()
     edges = _synth_link_edges(n)
     nodes = docs.map_batches(
         lambda t: pa.table({"node": pc.cast(t["doc_id"], pa.int64())}),
         batch_format="pyarrow")
-    with _hint(sf_dir):
-        out = hits(docs.map_batches(edges, batch_format="pyarrow"),
+    out = hits_bsp(docs.map_batches(edges, batch_format="pyarrow"),
                    nodes, iters=HITS_ITERS, init=HITS_INIT)
     return out.map_batches(
         lambda t: pa.table({"doc_id": t["node"], "auth": t["auth"],

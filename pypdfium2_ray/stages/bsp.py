@@ -1,0 +1,287 @@
+"""BSP (Pregel-style) actor-pool engine for iterative graph fixed points.
+
+Why this exists: the graph tier's iterative queries (HITS here; the same
+shape fits pagerank/labelprop) run 2 hash exchanges per half-step in the
+pure Ray Data formulation (``stages/hits.py``). The exchanges are the
+right primitive for one-shot data-parallel transforms, but a fixed-point
+loop pays the full operator-launch + shuffle floor EVERY hop while its
+per-hop state is only (node, score) rows — measured at sf0.1/32 CPUs,
+~1.2 s of machinery per half-step around microseconds of integer math.
+This is the case the design brief's custom-operator ladder resolves to
+"(b) an actor-pool stage holding the needed state": partition the graph
+ONCE into worker actors, then iterate with direct actor-to-actor shard
+transfers (Valiant's BSP model / Malewicz et al., "Pregel", SIGMOD 2010
+— public methods).
+
+Shape:
+
+- **Scatter** (once): the edge Dataset is materialized; a plain Ray task
+  per block splits it into P hash shards per direction
+  (``num_returns=P`` — a shard travels object-store-direct to exactly
+  one worker, blocks never touch the driver). Workers hold their edges
+  as concatenated numpy columns for the whole run: src-hashed edges
+  serve the auth half-step, dst-hashed edges the hub half-step (the
+  standard 2x edge memory of by-direction graph partitioning — the
+  partitioning assumption this operator relies on: edges/P and nodes/P
+  must fit a worker's heap).
+- **Superstep**: each worker maps its LOCAL node scores onto its edges
+  (sorted-array ``searchsorted`` — vectorized, no Python rows), partial-
+  sums contributions by destination (int64 ``np.add.at`` — exact,
+  order-free), and emits P destination-hashed shards (``num_returns=P``
+  again). Each worker then sums the shards addressed to it over its
+  local node list (missing nodes keep 0 — the ``_zero_rows`` semantics)
+  and reports its local max; the driver reduces P maxes to the global
+  integer rescale ``scale = max(1, max(raw) // init)`` and the next
+  superstep applies it lazily. All arithmetic is the same int64
+  trajectory as ``stages/hits.hits`` — bit-identical results (pinned by
+  tests), so the unrolled SQL oracle is untouched.
+- **Gather**: workers return their (node, score...) Arrow tables as
+  object refs; ``ray.data.from_arrow_refs`` re-enters Ray Data without
+  driver materialization.
+
+Per-superstep cost is one round of P x P object transfers of node-scale
+partials — no operator graphs, no aggregator leases, no re-shuffle of
+the edge table (the win that matters at 10^12 edges: the pure-Dataset
+formulation re-ships every edge byte through an exchange per half-step;
+here edge bytes move exactly once at scatter).
+
+No reference analogue (pypdfium2 is single-document); the reference's mp
+worker pool keeping PDFium state warm across pages (cli/render.py) is
+the same reuse idea one level up.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+I64 = pa.int64()
+
+#: multiplicative hash for node -> worker sharding (Knuth). Correctness
+#: never depends on the hash (results are partitioning-invariant); it
+#: only balances load for non-dense id spaces.
+_H = np.int64(-1640531527)   # 2654435761 as int64 (golden-ratio hash)
+
+
+def _shard_of(ids: np.ndarray, P: int) -> np.ndarray:
+    return ((ids * _H) >> np.int64(33)).astype(np.int64) % P
+
+
+def _split_by_shard(t: pa.Table, key: str, P: int) -> list[pa.Table]:
+    ids = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+    s = _shard_of(ids, P)
+    order = np.argsort(s, kind="stable")
+    bounds = np.searchsorted(s[order], np.arange(P + 1))
+    tt = t.take(pa.array(order))
+    return [tt.slice(bounds[j], bounds[j + 1] - bounds[j])
+            for j in range(P)]
+
+
+def _scatter_task(P: int, key: str, cols: list[str]):
+    import ray
+
+    @ray.remote(num_returns=P)
+    def scatter(block: pa.Table):
+        block = block.select(cols)
+        shards = _split_by_shard(block, key, P)
+        return shards if P > 1 else shards[0]
+
+    return scatter
+
+
+class _GraphWorker:
+    """One BSP worker: holds this shard's edges (both directions) and the
+    scores of its node shard across all supersteps."""
+
+    def __init__(self, wid: int, P: int):
+        self.wid, self.P = wid, P
+        self._esrc: list[pa.Table] = []
+        self._edst: list[pa.Table] = []
+        self.nodes = np.zeros(0, np.int64)     # sorted local node ids
+        self.vals: dict[str, np.ndarray] = {}  # per-state-name scores
+
+    # -- scatter ----------------------------------------------------------
+    def add_edges(self, by: str, *shards) -> int:
+        buf = self._esrc if by == "src" else self._edst
+        buf.extend(s for s in shards if s is not None and s.num_rows)
+        return sum(s.num_rows for s in shards if s is not None)
+
+    def add_nodes(self, *shards) -> int:
+        parts = [s["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+                 for s in shards if s is not None and s.num_rows]
+        cur = np.concatenate([self.nodes] + parts) if parts else self.nodes
+        self.nodes = np.unique(cur)            # sorted + deduped
+        return len(self.nodes)
+
+    def seal(self) -> int:
+        """Concatenate edge shards into flat numpy columns once."""
+        def flat(bufs, a, b):
+            if not bufs:
+                return (np.zeros(0, np.int64), np.zeros(0, np.int64))
+            t = pa.concat_tables(bufs)
+            return (t[a].to_numpy(zero_copy_only=False).astype(np.int64),
+                    t[b].to_numpy(zero_copy_only=False).astype(np.int64))
+        # auth step reads hub[src] and sums into dst; hub step reads
+        # auth[dst] and sums into src
+        self.src_from, self.src_to = flat(self._esrc, "src", "dst")
+        self.dst_from, self.dst_to = flat(self._edst, "dst", "src")
+        self._esrc = self._edst = []
+        return len(self.src_from) + len(self.dst_from)
+
+    def init_state(self, name: str, init: int) -> None:
+        self.vals[name] = np.full(len(self.nodes), init, np.int64)
+
+    # -- superstep --------------------------------------------------------
+    def emit(self, state: str, by: str, scale: int):
+        """Apply the pending rescale to *state*, then emit P destination-
+        hashed partial-sum shards (returned via num_returns=P)."""
+        if scale > 1:
+            self.vals[state] //= scale
+        frm, to = ((self.src_from, self.src_to) if by == "src"
+                   else (self.dst_from, self.dst_to))
+        idx = np.searchsorted(self.nodes, frm)
+        # every edge endpoint hashed here is in this worker's node set by
+        # construction (same hash); loud guard for malformed input
+        if len(idx):
+            if not len(self.nodes):
+                raise ValueError("edges reference an empty node set")
+            clip = np.minimum(idx, len(self.nodes) - 1)
+            if (self.nodes[clip] != frm).any():
+                raise ValueError("edge endpoint outside node set")
+            idx = clip
+        v = self.vals[state][idx] if len(idx) else np.zeros(0, np.int64)
+        s = _shard_of(to, self.P)
+        order = np.argsort(s, kind="stable")
+        to_s, v_s = to[order], v[order]
+        bounds = np.searchsorted(s[order], np.arange(self.P + 1))
+        out = []
+        for j in range(self.P):
+            dst = to_s[bounds[j]:bounds[j + 1]]
+            val = v_s[bounds[j]:bounds[j + 1]]
+            if len(dst):
+                # pre-combine within the shard (exact int64, order-free)
+                uniq, inv = np.unique(dst, return_inverse=True)
+                acc = np.zeros(len(uniq), np.int64)
+                np.add.at(acc, inv, val)
+                out.append((uniq, acc))
+            else:
+                out.append(None)
+        return out if self.P > 1 else out[0]
+
+    def combine(self, state: str, *shards) -> int:
+        """Sum incoming partials over the local node list; store as the
+        new *state*; return the local max (for the global rescale)."""
+        acc = np.zeros(len(self.nodes), np.int64)
+        for sh in shards:
+            if sh is None:
+                continue
+            uniq, val = sh
+            pos = np.searchsorted(self.nodes, uniq)
+            if len(pos):
+                clip = np.minimum(pos, max(len(self.nodes) - 1, 0))
+                if not len(self.nodes) or (self.nodes[clip] != uniq).any():
+                    raise ValueError("contribution to unknown node")
+                # uniq is deduped per shard, so fancy += is collision-free
+                acc[clip] += val
+        self.vals[state] = acc
+        return int(acc.max(initial=0))
+
+    def finish(self, state: str, scale: int) -> None:
+        if scale > 1:
+            self.vals[state] //= scale
+
+    def gather(self, names: list[str]) -> pa.Table:
+        cols = {"node": pa.array(self.nodes, I64)}
+        for n in names:
+            cols[n] = pa.array(self.vals[n], I64)
+        return pa.table(cols)
+
+
+def _block_refs(ds):
+    """Materialized Dataset -> list of Arrow block ObjectRefs (blocks
+    never touch the driver)."""
+    import ray
+    refs = []
+    for bundle in ds.iter_internal_ref_bundles():
+        refs.extend(bundle.block_refs)
+    return refs
+
+
+def _default_workers() -> int:
+    import ray
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(2, min(16, cpus // 2))
+
+
+def hits_bsp(edges, nodes, iters: int = 4, init: int = 10**6,
+             num_workers: int | None = None):
+    """HITS on the BSP engine — same int64 trajectory as
+    :func:`stages.hits.hits` (bit-equality pinned in tests/test_hits.py),
+    at one actor round per half-step instead of two hash exchanges.
+
+    ``edges``: Dataset[(src:int64, dst:int64)]; ``nodes``:
+    Dataset[(node:int64,)]. Returns Dataset[(node, auth, hub)].
+    """
+    import ray
+    import ray.data as rd
+
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    P = num_workers or _default_workers()
+    Worker = ray.remote(_GraphWorker)
+    workers = [Worker.remote(i, P) for i in range(P)]
+
+    # -- scatter (edge bytes move exactly once) ---------------------------
+    edges_m = edges.materialize()
+    nodes_m = nodes.materialize()
+    pend = []
+    for by, key in (("src", "src"), ("dst", "dst")):
+        scat = _scatter_task(P, key, ["src", "dst"])
+        for ref in _block_refs(edges_m):
+            shards = scat.remote(ref)
+            if P == 1:
+                shards = [shards]
+            pend.extend(workers[j].add_edges.remote(by, shards[j])
+                        for j in range(P))
+    nscat = _scatter_task(P, "node", ["node"])
+    for ref in _block_refs(nodes_m):
+        shards = nscat.remote(ref)
+        if P == 1:
+            shards = [shards]
+        pend.extend(workers[j].add_nodes.remote(shards[j])
+                    for j in range(P))
+    ray.get(pend)
+    ray.get([w.seal.remote() for w in workers])
+    ray.get([w.init_state.remote("hub", init) for w in workers])
+
+    # -- supersteps -------------------------------------------------------
+    def half_step(src_state: str, dst_state: str, by: str,
+                  pending_scale: int) -> int:
+        opts = {"num_returns": P} if P > 1 else {}
+        emitted = [w.emit.options(**opts).remote(src_state, by,
+                                                 pending_scale)
+                   for w in workers]
+        if P == 1:
+            emitted = [[e] for e in emitted]
+        maxes = ray.get([
+            workers[j].combine.remote(dst_state,
+                                      *[emitted[i][j] for i in range(P)])
+            for j in range(P)])
+        return max(1, max(maxes) // init)
+
+    hub_scale = 1
+    auth_scale = 1
+    for _ in range(iters):
+        auth_scale = half_step("hub", "auth", "src", hub_scale)
+        hub_scale = half_step("auth", "hub", "dst", auth_scale)
+    ray.get([w.finish.remote("hub", hub_scale) for w in workers])
+
+    # -- gather -----------------------------------------------------------
+    tables = [w.gather.remote(["auth", "hub"]) for w in workers]
+    out = rd.from_arrow_refs(tables)
+    for w in workers:
+        ray.kill(w)
+    return out

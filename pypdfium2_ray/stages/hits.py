@@ -71,7 +71,11 @@ def _half_step(edges_ds, state, from_key: str, to_key: str, zeros,
         return pa.table({"node": t["node"],
                          "val": pc.divide(t["v_sum"], scale)})
 
-    return sums.map_batches(rescale, batch_format="pyarrow").materialize()
+    # LAZY on top of the materialized sums: the rescaled state is
+    # consumed exactly once (the next half-step's join, or the final
+    # combine), so materializing it again would only add a pipeline
+    # launch per half-step — the lineage is already severed at `sums`.
+    return sums.map_batches(rescale, batch_format="pyarrow")
 
 
 def hits(edges, nodes, iters: int = 4, init: int = 10**6,

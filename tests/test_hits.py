@@ -97,3 +97,57 @@ def test_hits_query_matches_oracle(ray_session):
     # the skewed graph must actually separate scores
     assert got["auth"].nunique() > 5
     assert got["hub"].nunique() > 5
+
+
+# ---------------------------------------------------------------------------
+# BSP actor-pool engine (stages/bsp.hits_bsp) — must be bit-identical to
+# the pure Ray Data formulation at any worker count
+
+def _run_bsp(edges, n_nodes, num_workers, n_parts=None, **kw):
+    from pypdfium2_ray.stages.bsp import hits_bsp
+    e = rd.from_arrow(pa.table({
+        "src": pa.array([x for x, _ in edges], pa.int64()),
+        "dst": pa.array([y for _, y in edges], pa.int64())}))
+    nodes = rd.from_arrow(pa.table({
+        "node": pa.array(range(n_nodes), pa.int64())}))
+    if n_parts:
+        e = e.repartition(n_parts)
+        nodes = nodes.repartition(n_parts)
+    out = hits_bsp(e, nodes, num_workers=num_workers, **kw).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("num_workers", [1, 3])
+def test_bsp_matches_integer_replica(ray_session, num_workers):
+    rng = np.random.RandomState(7)
+    n = 50
+    edges = [(int(a), int(b))
+             for a, b in zip(rng.randint(0, n, 200), rng.randint(0, n, 200))]
+    out = _run_bsp(edges, n, num_workers, n_parts=5)
+    a, h = _ref_hits(edges, n)
+    assert out["node"].tolist() == list(range(n))
+    assert out["auth"].to_numpy().tolist() == a.tolist()
+    assert out["hub"].to_numpy().tolist() == h.tolist()
+
+
+def test_bsp_equals_ray_data_engine(ray_session):
+    """The two engines must agree row-for-row (q_hits switched to BSP;
+    the SQL oracle was derived from the Ray Data trajectory)."""
+    rng = np.random.RandomState(11)
+    n = 60
+    edges = [(int(a), int(b))
+             for a, b in zip(rng.randint(0, n, 240), rng.randint(0, n, 240))]
+    bsp = _run_bsp(edges, n, num_workers=4, n_parts=3)
+    ref = _run(edges, n, n_parts=3)
+    assert bsp.equals(ref[["node", "auth", "hub"]])
+
+
+def test_bsp_isolates_and_parallel_edges(ray_session):
+    """Isolated nodes keep zero scores (the _zero_rows semantics);
+    parallel edges contribute once per copy."""
+    edges = [(0, 1), (0, 1), (2, 1)]         # node 3 isolated
+    out = _run_bsp(edges, 4, num_workers=2)
+    a, h = _ref_hits(edges, 4)
+    assert out["auth"].to_numpy().tolist() == a.tolist()
+    assert out["hub"].to_numpy().tolist() == h.tolist()
+    assert out.loc[3, "auth"] == 0 and out.loc[3, "hub"] == 0
