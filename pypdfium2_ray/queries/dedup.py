@@ -3600,15 +3600,14 @@ def q_pagerank(sf_dir: str):
     per-dst sum). Integer-scaled arithmetic makes the result bit-identical
     at any partitioning; the oracle unrolls the same update rule as
     chained CTEs."""
-    from pypdfium2_ray.stages.pagerank import pagerank
+    from pypdfium2_ray.stages.bsp import pagerank_bsp
     docs = _docs(sf_dir, ["doc_id"])
     n = docs.count()
     edges = _synth_link_edges(n)
     nodes = docs.map_batches(
         lambda t: pa.table({"node": pc.cast(t["doc_id"], pa.int64())}),
         batch_format="pyarrow")
-    with _hint(sf_dir):
-        out = pagerank(docs.map_batches(edges, batch_format="pyarrow"),
+    out = pagerank_bsp(docs.map_batches(edges, batch_format="pyarrow"),
                        nodes, iters=PR_ITERS, damping_pct=PR_DAMPING,
                        init=PR_INIT)
     return out.map_batches(
@@ -3738,7 +3737,7 @@ def q_trustrank(sf_dir: str):
     pagerank — the static seed base folds into the sum exchange as a
     max aggregate; integer fixed-point, bit-identical at any
     partitioning, unrolled by the twin as chained CTEs."""
-    from pypdfium2_ray.stages.pagerank import personalized_pagerank
+    from pypdfium2_ray.stages.bsp import pagerank_bsp
     docs = _docs(sf_dir, ["doc_id"])
     n = docs.count()
     edges = _synth_link_edges(n)
@@ -3751,10 +3750,9 @@ def q_trustrank(sf_dir: str):
             node[node % BFS_SEED_MOD == BFS_SEED_RESIDUE], pa.int64())})
 
     seeds = docs.map_batches(seed_rows, batch_format="pyarrow")
-    with _hint(sf_dir):
-        out = personalized_pagerank(
-            docs.map_batches(edges, batch_format="pyarrow"), nodes, seeds,
-            iters=PR_ITERS, damping_pct=PR_DAMPING, init=PR_INIT)
+    out = pagerank_bsp(
+        docs.map_batches(edges, batch_format="pyarrow"), nodes,
+        seeds=seeds, iters=PR_ITERS, damping_pct=PR_DAMPING, init=PR_INIT)
     return out.map_batches(
         lambda t: pa.table({"doc_id": t["node"], "trust_scaled": t["rank"]}),
         batch_format="pyarrow")
@@ -4172,7 +4170,7 @@ def q_link_pagerank(sf_dir: str):
     list."""
     from pypdfium2_ray.sources.cc_from_documents import read_cc_from_documents
     from pypdfium2_ray.stages.linkgraph import extract_links, links_to_edges
-    from pypdfium2_ray.stages.pagerank import pagerank
+    from pypdfium2_ray.stages.bsp import pagerank_bsp
     docs = _docs(sf_dir, ["doc_id"])
     n = docs.count()
     links = extract_links(read_cc_from_documents(sf_dir))
@@ -4180,8 +4178,7 @@ def q_link_pagerank(sf_dir: str):
     nodes = docs.map_batches(
         lambda t: pa.table({"node": pc.cast(t["doc_id"], pa.int64())}),
         batch_format="pyarrow")
-    with _hint(sf_dir):
-        out = pagerank(edges, nodes, iters=PR_ITERS,
+    out = pagerank_bsp(edges, nodes, iters=PR_ITERS,
                        damping_pct=PR_DAMPING, init=PR_INIT)
     return out.map_batches(
         lambda t: pa.table({"doc_id": t["node"], "rank_scaled": t["rank"]}),

@@ -285,3 +285,169 @@ def hits_bsp(edges, nodes, iters: int = 4, init: int = 10**6,
     for w in workers:
         ray.kill(w)
     return out
+
+
+class _RankWorker(_GraphWorker):
+    """PageRank/TrustRank worker: src-hashed edges only (contributions
+    always flow src -> dst), out-degrees computed LOCALLY at seal (every
+    edge with src = n lives on n's worker by construction — the degree
+    pre-pass costs zero exchanges here), per-node static teleport base.
+    """
+
+    def seal_rank(self) -> int:
+        n_edges = self.seal()
+        # local out-degree per local node (src-hashed edges only)
+        self.outdeg = np.zeros(len(self.nodes), np.int64)
+        if len(self.src_from):
+            idx = np.searchsorted(self.nodes, self.src_from)
+            clip = np.minimum(idx, max(len(self.nodes) - 1, 0))
+            if not len(self.nodes) or (self.nodes[clip] != self.src_from).any():
+                raise ValueError("edge src outside node set")
+            np.add.at(self.outdeg, clip, 1)
+        return n_edges
+
+    def init_rank(self, init: int, base: int, uniform: bool,
+                  *seed_shards) -> None:
+        """``uniform`` -> plain PageRank (rank0 = init and teleport base
+        everywhere); else TrustRank (init/base only on the seed nodes —
+        rows must be within the node set). Seed shards ride varargs so
+        Ray resolves the ObjectRefs (refs nested in a list would arrive
+        unresolved)."""
+        n = len(self.nodes)
+        if uniform:
+            self.rank = np.full(n, init, np.int64)
+            self.base = np.full(n, base, np.int64)
+            return
+        self.rank = np.zeros(n, np.int64)
+        self.base = np.zeros(n, np.int64)
+        for sh in seed_shards:
+            if sh is None or not sh.num_rows:
+                continue
+            ids = sh["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(self.nodes, ids)
+            clip = np.minimum(pos, max(n - 1, 0))
+            if not n or (self.nodes[clip] != ids).any():
+                raise ValueError("seed outside node set")
+            self.rank[clip] = init
+            self.base[clip] = base
+
+    def rank_emit(self):
+        """v = rank[src] // outdeg[src] per local edge, partial-summed by
+        dst, emitted as P dst-hashed shards."""
+        frm, to = self.src_from, self.src_to
+        idx = (np.searchsorted(self.nodes, frm) if len(frm)
+               else np.zeros(0, np.int64))
+        v = (self.rank[idx] // self.outdeg[idx] if len(idx)
+             else np.zeros(0, np.int64))
+        s = _shard_of(to, self.P)
+        order = np.argsort(s, kind="stable")
+        to_s, v_s = to[order], v[order]
+        bounds = np.searchsorted(s[order], np.arange(self.P + 1))
+        out = []
+        for j in range(self.P):
+            dst = to_s[bounds[j]:bounds[j + 1]]
+            val = v_s[bounds[j]:bounds[j + 1]]
+            if len(dst):
+                uniq, inv = np.unique(dst, return_inverse=True)
+                acc = np.zeros(len(uniq), np.int64)
+                np.add.at(acc, inv, val)
+                out.append((uniq, acc))
+            else:
+                out.append(None)
+        return out if self.P > 1 else out[0]
+
+    def rank_combine(self, damping_pct: int, *shards) -> None:
+        acc = np.zeros(len(self.nodes), np.int64)
+        for sh in shards:
+            if sh is None:
+                continue
+            uniq, val = sh
+            pos = np.searchsorted(self.nodes, uniq)
+            clip = np.minimum(pos, max(len(self.nodes) - 1, 0))
+            if not len(self.nodes) or (self.nodes[clip] != uniq).any():
+                raise ValueError("contribution to unknown node")
+            acc[clip] += val
+        self.rank = self.base + (acc * damping_pct) // 100
+
+    def rank_gather(self) -> pa.Table:
+        return pa.table({"node": pa.array(self.nodes, I64),
+                         "rank": pa.array(self.rank, I64)})
+
+
+def pagerank_bsp(edges, nodes, seeds=None, iters: int = 5,
+                 damping_pct: int = 85, init: int = 10**9,
+                 num_workers: int | None = None):
+    """PageRank (``seeds=None``) / TrustRank-personalized PageRank on
+    the BSP engine — the exact integer trajectory of
+    :func:`stages.pagerank.pagerank` / ``personalized_pagerank``
+    (bit-equality pinned in tests), at one actor round per iteration
+    instead of two hash exchanges::
+
+        rank'(v) = b(v) + damping_pct * SUM(rank // outdeg) // 100
+
+    Unlike the exchange formulation there is no degree-attach join at
+    all: src-hashed edges mean each worker derives its out-degrees
+    locally at seal. ``seeds`` (TrustRank) must lie within ``nodes``
+    (loud guard; the exchange-tier ``personalized_pagerank`` remains for
+    out-of-node seed sets). Returns Dataset[(node, rank)].
+    """
+    import ray
+    import ray.data as rd
+
+    if not (0 <= damping_pct <= 100):
+        raise ValueError("damping_pct must be in [0, 100]")
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    base = ((100 - damping_pct) * init) // 100
+    P = num_workers or _default_workers()
+    Worker = ray.remote(_RankWorker)
+    workers = [Worker.remote(i, P) for i in range(P)]
+
+    edges_m = edges.materialize()
+    nodes_m = nodes.materialize()
+    pend = []
+    scat = _scatter_task(P, "src", ["src", "dst"])
+    for ref in _block_refs(edges_m):
+        shards = scat.remote(ref)
+        if P == 1:
+            shards = [shards]
+        pend.extend(workers[j].add_edges.remote("src", shards[j])
+                    for j in range(P))
+    nscat = _scatter_task(P, "node", ["node"])
+    for ref in _block_refs(nodes_m):
+        shards = nscat.remote(ref)
+        if P == 1:
+            shards = [shards]
+        pend.extend(workers[j].add_nodes.remote(shards[j])
+                    for j in range(P))
+    ray.get(pend)
+    ray.get([w.seal_rank.remote() for w in workers])
+
+    if seeds is None:
+        ray.get([w.init_rank.remote(init, base, True) for w in workers])
+    else:
+        seed_shards = [[] for _ in range(P)]
+        for ref in _block_refs(seeds.materialize()):
+            shards = nscat.remote(ref)
+            if P == 1:
+                shards = [shards]
+            for j in range(P):
+                seed_shards[j].append(shards[j])
+        ray.get([w.init_rank.remote(init, base, False, *seed_shards[j])
+                 for j, w in enumerate(workers)])
+
+    opts = {"num_returns": P} if P > 1 else {}
+    for _ in range(iters):
+        emitted = [w.rank_emit.options(**opts).remote() for w in workers]
+        if P == 1:
+            emitted = [[e] for e in emitted]
+        ray.get([
+            workers[j].rank_combine.remote(
+                damping_pct, *[emitted[i][j] for i in range(P)])
+            for j in range(P)])
+
+    tables = [w.rank_gather.remote() for w in workers]
+    out = rd.from_arrow_refs(tables)
+    for w in workers:
+        ray.kill(w)
+    return out

@@ -249,9 +249,17 @@ def _und_deg(edges, src_col: str, dst_col: str,
         return pa.concat_tables([pa.table({"node": t["u"]}),
                                  pa.table({"node": t["v"]})])
 
+    # MATERIALIZE the shared front half: Ray Data re-executes a lazy
+    # subtree once PER CONSUMER, and downstream `und` feeds a join chain
+    # while `deg` is consumed up to three times (two degree-attach joins
+    # + the wedge-count projection) — without this the canon/degree
+    # exchanges run ~5x per query (measured: clustering_parts 15s -> 5s
+    # at sf0.1/32 CPUs). Both are ids-only tables (2-3 int64 columns),
+    # object-store-resident and spillable at any scale.
+    und = und.materialize()
     deg = grouped_aggregate(und.map_batches(explode, batch_format="pyarrow"),
                             ["node"], {"deg": (None, "count")},
-                            num_partitions=num_partitions)
+                            num_partitions=num_partitions).materialize()
     return und, deg
 
 
@@ -278,7 +286,11 @@ def _tri_counts(und, deg, num_partitions: int | None):
                     source_payload={"deg_v": "deg"},
                     num_partitions=num_partitions)
 
-    oriented = j.map_batches(_orient_block, batch_format="pyarrow")
+    # oriented feeds BOTH the wedge generator and the edge side of the
+    # tagged union — materialize so the two degree-attach joins run once
+    # (ids-only rows, same rationale as _und_deg)
+    oriented = j.map_batches(_orient_block,
+                             batch_format="pyarrow").materialize()
     wedges = partition_map(oriented, ["lo"], _wedge_kernel,
                            num_partitions=num_partitions)
 

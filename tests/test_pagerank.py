@@ -81,3 +81,71 @@ def test_pagerank_parallel_edges_count_twice(ray_session):
 def test_pagerank_bad_damping(ray_session):
     with pytest.raises(ValueError):
         _run([(0, 1)], 2, damping_pct=101)
+
+
+# ---------------------------------------------------------------------------
+# BSP actor-pool engine (stages/bsp.pagerank_bsp) — bit-identical to the
+# exchange-tier pagerank / personalized_pagerank
+
+def _run_bsp(edges, n_nodes, num_workers, seeds=None, **kw):
+    from pypdfium2_ray.stages.bsp import pagerank_bsp
+    e = rd.from_arrow(pa.table({
+        "src": pa.array([x for x, _ in edges], pa.int64()),
+        "dst": pa.array([y for _, y in edges], pa.int64())}))
+    nodes = rd.from_arrow(pa.table({
+        "node": pa.array(range(n_nodes), pa.int64())}))
+    sd = None
+    if seeds is not None:
+        sd = rd.from_arrow(pa.table({
+            "node": pa.array(seeds, pa.int64())}))
+    out = pagerank_bsp(e, nodes, seeds=sd, num_workers=num_workers,
+                       **kw).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("num_workers", [1, 4])
+def test_bsp_pagerank_matches_replica(ray_session, num_workers):
+    rng = np.random.RandomState(5)
+    n = 45
+    edges = [(int(a), int(b))
+             for a, b in zip(rng.randint(0, n, 180), rng.randint(0, n, 180))]
+    out = _run_bsp(edges, n, num_workers)
+    want = _ref_pagerank(edges, n)
+    assert out["node"].tolist() == list(range(n))
+    assert out["rank"].to_numpy().tolist() == want.tolist()
+
+
+def test_bsp_equals_exchange_engine(ray_session):
+    rng = np.random.RandomState(9)
+    n = 50
+    edges = [(int(a), int(b))
+             for a, b in zip(rng.randint(0, n, 200), rng.randint(0, n, 200))]
+    bsp = _run_bsp(edges, n, num_workers=3)
+    ref = _run(edges, n, n_parts=4)
+    assert bsp.equals(ref)
+
+
+def test_bsp_trustrank_equals_personalized(ray_session):
+    from pypdfium2_ray.stages.pagerank import personalized_pagerank
+    rng = np.random.RandomState(13)
+    n = 40
+    edges = [(int(a), int(b))
+             for a, b in zip(rng.randint(0, n, 160), rng.randint(0, n, 160))]
+    seeds = [3, 17, 29]
+    bsp = _run_bsp(edges, n, num_workers=3, seeds=seeds)
+    e = rd.from_arrow(pa.table({
+        "src": pa.array([x for x, _ in edges], pa.int64()),
+        "dst": pa.array([y for _, y in edges], pa.int64())}))
+    nodes = rd.from_arrow(pa.table({
+        "node": pa.array(range(n), pa.int64())}))
+    sd = rd.from_arrow(pa.table({"node": pa.array(seeds, pa.int64())}))
+    ref = personalized_pagerank(e, nodes, sd).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    assert bsp.equals(ref)
+    # unreachable non-seeds hold 0
+    assert (bsp.loc[~bsp["node"].isin(seeds), "rank"] >= 0).all()
+
+
+def test_bsp_seed_outside_nodes_raises(ray_session):
+    with pytest.raises(Exception, match="seed outside node set"):
+        _run_bsp([(0, 1)], 2, num_workers=2, seeds=[7])
