@@ -4540,14 +4540,15 @@ BFS_HOPS = 6
 
 
 def q_crawl_depth(sf_dir: str):
-    """Crawl depth from the seed list (stages/bfs — Pregel-style frontier
-    BFS over the synthetic link graph): min directed hops from any seed,
-    clipped at BFS_HOPS; per hop ONE frontier-onto-edges repartition join
-    + ONE grouped min, rows are (node, depth) int64 pairs only. The min
-    semilattice makes the result bit-identical at any partitioning and
-    the fixed hop count unrolls to exact integer SQL."""
-    import ray.data as rd
-    from pypdfium2_ray.stages.bfs import bfs_depths
+    """Crawl depth from the seed list, on the BSP actor-pool engine
+    (stages/bsp.bfs_bsp): min directed hops from any seed, clipped at
+    BFS_HOPS — one actor round per hop (frontier neighbors as dst-hashed
+    id shards, driver-side newly-settled convergence) instead of a
+    join + grouped-min exchange pair. The min semilattice makes the
+    result bit-identical to stages/bfs.bfs_depths at any partitioning
+    (pinned in tests) and the fixed hop count unrolls to exact integer
+    SQL."""
+    from pypdfium2_ray.stages.bsp import bfs_bsp
     docs = _docs(sf_dir, ["doc_id"])
     n = docs.count()
     edges = docs.map_batches(_synth_link_edges(n), batch_format="pyarrow")
@@ -4559,8 +4560,7 @@ def q_crawl_depth(sf_dir: str):
             node[node % BFS_SEED_MOD == BFS_SEED_RESIDUE], pa.int64())})
 
     seeds = docs.map_batches(seed_rows, batch_format="pyarrow")
-    with _hint(sf_dir):
-        out = bfs_depths(edges, seeds, hops=BFS_HOPS)
+    out = bfs_bsp(edges, seeds, hops=BFS_HOPS)
     return out.map_batches(
         lambda t: pa.table({"doc_id": t["node"], "depth": t["depth"]}),
         batch_format="pyarrow")

@@ -82,6 +82,12 @@ def _scatter_task(P: int, key: str, cols: list[str]):
 
     @ray.remote(num_returns=P)
     def scatter(block: pa.Table):
+        # Ray 2.49 quirk: zero-row blocks SKIP upstream map UDFs, so an
+        # empty block can arrive with the pre-map schema — treat any
+        # empty/column-less block as contributing nothing
+        if block.num_rows == 0 or any(c not in block.column_names
+                                      for c in cols):
+            return [None] * P if P > 1 else None
         block = block.select(cols)
         shards = _split_by_shard(block, key, P)
         return shards if P > 1 else shards[0]
@@ -447,6 +453,142 @@ def pagerank_bsp(edges, nodes, seeds=None, iters: int = 5,
             for j in range(P)])
 
     tables = [w.rank_gather.remote() for w in workers]
+    out = rd.from_arrow_refs(tables)
+    for w in workers:
+        ray.kill(w)
+    return out
+
+
+class _BfsWorker(_GraphWorker):
+    """Multi-source BFS worker: node universe = local edge endpoints +
+    scattered seed rows; depth = -1 until settled (min-semilattice, so
+    settling on first touch IS the min)."""
+
+    def seal_bfs(self) -> int:
+        n_edges = self.seal()
+        self.nodes = np.unique(np.concatenate(
+            [self.nodes, self.src_from, self.dst_from]))
+        self.depth = np.full(len(self.nodes), -1, np.int64)
+        return n_edges
+
+    def init_seeds(self, *seed_shards) -> None:
+        for sh in seed_shards:
+            if sh is None or not sh.num_rows:
+                continue
+            ids = sh["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(self.nodes, ids)
+            clip = np.minimum(pos, max(len(self.nodes) - 1, 0))
+            if not len(self.nodes) or (self.nodes[clip] != ids).any():
+                raise ValueError("seed outside node set")
+            self.depth[clip] = 0
+
+    def bfs_emit(self, k: int):
+        """Neighbors of the local depth-k frontier, as P dst-hashed
+        shards of unique candidate ids (depth k+1 is implied)."""
+        if len(self.src_from):
+            idx = np.searchsorted(self.nodes, self.src_from)
+            on_frontier = self.depth[idx] == k
+            to = self.src_to[on_frontier]
+        else:
+            to = np.zeros(0, np.int64)
+        s = _shard_of(to, self.P)
+        order = np.argsort(s, kind="stable")
+        to_s = to[order]
+        bounds = np.searchsorted(s[order], np.arange(self.P + 1))
+        out = []
+        for j in range(self.P):
+            dst = np.unique(to_s[bounds[j]:bounds[j + 1]])
+            out.append(dst if len(dst) else None)
+        return out if self.P > 1 else out[0]
+
+    def bfs_combine(self, k: int, *shards) -> int:
+        """Settle unseen candidates at depth k+1; return how many were
+        newly settled (the driver's convergence signal)."""
+        newly = 0
+        for sh in shards:
+            if sh is None or not len(sh):
+                continue
+            pos = np.searchsorted(self.nodes, sh)
+            clip = np.minimum(pos, max(len(self.nodes) - 1, 0))
+            if not len(self.nodes) or (self.nodes[clip] != sh).any():
+                raise ValueError("candidate outside node set")
+            fresh = clip[self.depth[clip] == -1]
+            self.depth[fresh] = k + 1
+            newly += len(fresh)
+        return newly
+
+    def bfs_gather(self) -> pa.Table:
+        keep = self.depth >= 0
+        return pa.table({"node": pa.array(self.nodes[keep], I64),
+                         "depth": pa.array(self.depth[keep], I64)})
+
+
+def bfs_bsp(edges, seeds, hops: int, src_col: str = "src",
+            dst_col: str = "dst", seed_col: str = "node",
+            num_workers: int | None = None):
+    """Multi-source BFS on the BSP engine — identical fixed point to
+    :func:`stages.bfs.bfs_depths` (min directed hops from any seed,
+    clipped at ``hops``; unreachable nodes emit no row), at one actor
+    round per hop with driver-side convergence (sum of newly-settled
+    counts) instead of a join + grouped-min exchange pair per hop."""
+    import pyarrow.compute as pc
+
+    import ray
+    import ray.data as rd
+
+    if hops < 0:
+        raise ValueError("hops must be >= 0")
+    P = num_workers or _default_workers()
+    Worker = ray.remote(_BfsWorker)
+    workers = [Worker.remote(i, P) for i in range(P)]
+
+    def canon_edges(t: pa.Table) -> pa.Table:
+        return pa.table({"src": pc.cast(t[src_col], pa.int64()),
+                         "dst": pc.cast(t[dst_col], pa.int64())})
+
+    def canon_seeds(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pc.cast(t[seed_col], pa.int64())})
+
+    edges_m = edges.map_batches(canon_edges,
+                                batch_format="pyarrow").materialize()
+    seeds_m = seeds.map_batches(canon_seeds,
+                                batch_format="pyarrow").materialize()
+    pend = []
+    for by, key in (("src", "src"), ("dst", "dst")):
+        scat = _scatter_task(P, key, ["src", "dst"])
+        for ref in _block_refs(edges_m):
+            shards = scat.remote(ref)
+            if P == 1:
+                shards = [shards]
+            pend.extend(workers[j].add_edges.remote(by, shards[j])
+                        for j in range(P))
+    nscat = _scatter_task(P, "node", ["node"])
+    seed_shards = [[] for _ in range(P)]
+    for ref in _block_refs(seeds_m):
+        shards = nscat.remote(ref)
+        if P == 1:
+            shards = [shards]
+        for j in range(P):
+            seed_shards[j].append(shards[j])
+            pend.append(workers[j].add_nodes.remote(shards[j]))
+    ray.get(pend)
+    ray.get([w.seal_bfs.remote() for w in workers])
+    ray.get([w.init_seeds.remote(*seed_shards[j])
+             for j, w in enumerate(workers)])
+
+    opts = {"num_returns": P} if P > 1 else {}
+    for k in range(hops):
+        emitted = [w.bfs_emit.options(**opts).remote(k) for w in workers]
+        if P == 1:
+            emitted = [[e] for e in emitted]
+        newly = ray.get([
+            workers[j].bfs_combine.remote(
+                k, *[emitted[i][j] for i in range(P)])
+            for j in range(P)])
+        if sum(newly) == 0:
+            break
+
+    tables = [w.bfs_gather.remote() for w in workers]
     out = rd.from_arrow_refs(tables)
     for w in workers:
         ray.kill(w)

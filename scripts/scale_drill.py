@@ -1,0 +1,168 @@
+#!/usr/bin/env python
+"""10x scale drill — the round-3/4 verdict's exchange-floor amortization
+evidence (task: show with DATA, not argument, that the keyed-exchange
+fixed cost decays as the corpus grows).
+
+Protocol: the four headline shapes run at three corpus sizes on the same
+32 CPUs —
+
+- **flagship extraction** over the bench html corpus at 72 / 216 / 720
+  replicas (0.36M / 1.08M / 3.6M docs, ~1.8 / 5.4 / 18 GB html),
+  via ``bench._headline`` (same code path as the recorded bench);
+- **dedup_exact**, **minhash_dups** and **pagerank** over drill
+  ``documents`` corpora of the same row counts, built by replicating
+  sf0.1's 5,000-doc table with per-replica word shuffles. The shuffle is
+  seeded by (replica, md5(text)), so exact-duplicate groups inside each
+  replica survive byte-identically (same text -> same shuffle) while
+  texts across replicas share no shingle structure — duplicate DENSITY
+  stays constant as the corpus scales instead of multiplying, which is
+  what keeps minhash bucket sizes realistic. Near-dup (non-equal) pairs
+  do not survive the shuffle; this is a throughput instrument, not a
+  recall benchmark (the oracle sweeps cover recall at sf scales).
+
+Outputs one JSON line per (op, size) plus a least-squares fit
+``wall = floor + per_doc * n`` per op, whose floor-share column is the
+amortization evidence for BASELINE.md.
+
+Run AFTER the machine is quiet (it assumes all 32 CPUs).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import random
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SIZES = [72, 216, 720]                 # replicas of the 5,000-doc base
+DRILL_DIR = "/tmp/pypdfium2_ray_drill"
+OPS = ["dedup_exact", "minhash_dups", "pagerank"]
+
+
+def build_drill_corpus(reps: int) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = f"{DRILL_DIR}/r{reps}/documents.parquet"
+    if os.path.isdir(out) and os.path.exists(f"{out}/.done"):
+        return f"{DRILL_DIR}/r{reps}"
+    os.makedirs(out, exist_ok=True)
+    base = pq.read_table(f"{SF}/documents.parquet")
+    n = base.num_rows
+    texts = base["text"].to_pylist()
+    langs = base["lang"]
+    sources = base["source"]
+    thash = [hashlib.md5(t.encode()).digest() for t in texts]
+    for r in range(reps):
+        shuffled = []
+        for d in range(n):
+            words = texts[d].split(" ")
+            rng = random.Random(thash[d] + r.to_bytes(4, "little"))
+            rng.shuffle(words)
+            shuffled.append(" ".join(words))
+        t = pa.table({
+            "doc_id": pa.array([r * n + d for d in range(n)], pa.int64()),
+            "text": pa.array(shuffled, pa.string()),
+            "lang": langs,
+            "source": sources,
+            "n_chars": pa.array([len(s) for s in shuffled], pa.int64()),
+        })
+        pq.write_table(t, f"{out}/part-{r:03d}.parquet")
+    open(f"{out}/.done", "w").write("ok")
+    return f"{DRILL_DIR}/r{reps}"
+
+
+def run_ops(results: list) -> None:
+    import ray
+    ray.init(address="local", num_cpus=32, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    import __ray_entry__ as E
+    qs = E.queries()
+    for reps in SIZES:
+        drill = build_drill_corpus(reps)
+        n_docs = reps * 5000
+        for op in OPS:
+            # one untimed warm lap at the smallest size only (worker pool
+            # + aggregator spawn), then best-of-2 timed
+            wall = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                res = qs[op](drill)
+                n_out = res.count() if hasattr(res, "count") else len(res)
+                wall = min(wall, time.perf_counter() - t0)
+            rec = dict(op=op, replicas=reps, docs=n_docs,
+                       wall_s=round(wall, 2),
+                       docs_per_s=round(n_docs / wall, 1), rows_out=n_out)
+            results.append(rec)
+            print(json.dumps(rec), flush=True)
+    ray.shutdown()
+
+
+def run_flagship(results: list) -> None:
+    """Each size in a fresh pinned child (the bench protocol)."""
+    import subprocess
+    for reps in SIZES:
+        code = (
+            "import json,sys,os,ray; sys.path.insert(0, %r);"
+            "ray.init(address='local', num_cpus=32,"
+            " include_dashboard=False, logging_level='ERROR');"
+            "from ray.data import DataContext;"
+            "DataContext.get_current().enable_progress_bars = False;"
+            "import bench;"
+            "print('RESULT::'+json.dumps(bench._headline(%r, 32)));"
+            "ray.shutdown()" % (REPO, SF))
+        env = dict(os.environ)
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        env["GRAFT_BENCH_REPLICAS"] = str(reps)
+        out = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True, env=env,
+                             timeout=3600, cwd=REPO)
+        line = next((ln for ln in out.stdout.splitlines()
+                     if ln.startswith("RESULT::")), None)
+        if line is None:
+            raise RuntimeError(out.stderr[-2000:])
+        h = json.loads(line[len("RESULT::"):])
+        rec = dict(op="extract_text", replicas=reps, docs=h["rows_in"],
+                   wall_s=round(h["wall_s"], 2),
+                   docs_per_s=round(h["docs_per_s"], 1),
+                   mb_per_s=round(h["mb_per_s"], 1))
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+
+def fit_floors(results: list) -> None:
+    """wall = floor + per_doc * n least squares per op; floor share."""
+    import numpy as np
+    by_op: dict[str, list] = {}
+    for r in results:
+        by_op.setdefault(r["op"], []).append(r)
+    print("\nop                 floor_s  per_Mdoc_s  " +
+          "  ".join(f"share@{s*5000//1000}k" for s in SIZES))
+    for op, rows in by_op.items():
+        rows = sorted(rows, key=lambda r: r["docs"])
+        n = np.array([r["docs"] for r in rows], float)
+        w = np.array([r["wall_s"] for r in rows], float)
+        A = np.vstack([np.ones_like(n), n]).T
+        (floor, slope), *_ = np.linalg.lstsq(A, w, rcond=None)
+        floor = max(floor, 0.0)
+        shares = [max(floor, 0) / r["wall_s"] for r in rows]
+        print(f"{op:18s} {floor:7.2f}  {slope*1e6:9.2f}   " +
+              "  ".join(f"{s:5.0%}" for s in shares))
+
+
+if __name__ == "__main__":
+    results: list = []
+    run_ops(results)
+    run_flagship(results)
+    fit_floors(results)
+    with open("/tmp/scale_drill_r5.json", "w") as f:
+        json.dump(results, f, indent=1)
+    print("wrote /tmp/scale_drill_r5.json")

@@ -2,6 +2,7 @@
 
 import collections
 
+import numpy as np
 import pyarrow as pa
 import pytest
 import ray.data as rd
@@ -80,3 +81,43 @@ def test_matches_brute_force_and_partition_invariant():
 
 def test_zero_hops_is_seed_set():
     assert _bfs([(0, 1)], [5, 0], 0) == {0: 0, 5: 0}
+
+
+# ---------------------------------------------------------------------------
+# BSP engine (stages/bsp.bfs_bsp) — identical fixed point to bfs_depths
+
+@pytest.mark.parametrize("num_workers", [1, 3])
+def test_bsp_bfs_equals_exchange_engine(ray_session, num_workers):
+    import ray.data as rd
+
+    from pypdfium2_ray.stages.bfs import bfs_depths
+    from pypdfium2_ray.stages.bsp import bfs_bsp
+    rng = np.random.RandomState(3)
+    n = 60
+    edges_t = pa.table({
+        "src": pa.array(rng.randint(0, n, 240), pa.int64()),
+        "dst": pa.array(rng.randint(0, n, 240), pa.int64())})
+    seeds_t = pa.table({"node": pa.array([0, 7, 7, 31], pa.int64())})
+    for hops in (0, 2, 5):
+        bsp = bfs_bsp(rd.from_arrow(edges_t), rd.from_arrow(seeds_t),
+                      hops=hops, num_workers=num_workers).to_pandas() \
+            .sort_values("node").reset_index(drop=True)
+        ref = bfs_depths(rd.from_arrow(edges_t), rd.from_arrow(seeds_t),
+                         hops=hops).to_pandas() \
+            .sort_values("node").reset_index(drop=True)
+        assert bsp.equals(ref), hops
+
+
+def test_bsp_bfs_early_exit_and_unreachable(ray_session):
+    import ray.data as rd
+
+    from pypdfium2_ray.stages.bsp import bfs_bsp
+    # 0 -> 1 -> 2; 5 -> 6 disconnected from the seed
+    edges_t = pa.table({"src": pa.array([0, 1, 5], pa.int64()),
+                        "dst": pa.array([1, 2, 6], pa.int64())})
+    seeds_t = pa.table({"node": pa.array([0], pa.int64())})
+    out = bfs_bsp(rd.from_arrow(edges_t), rd.from_arrow(seeds_t),
+                  hops=10, num_workers=2).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    assert out["node"].tolist() == [0, 1, 2]
+    assert out["depth"].tolist() == [0, 1, 2]
