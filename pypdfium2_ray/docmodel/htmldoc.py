@@ -918,6 +918,19 @@ def parse_document(data: bytes, password: str | None = None,
     if text is None:
         return Document(err_code=err)
 
+    # trailer-ends introspection (FPDF_GetTrailerEnds analogue — the raw
+    # PDFium API reports the in-file byte offset where each incremental
+    # update's trailer ends; the HTML analogue is the byte offset just
+    # past each document end marker `</html>`, one per concatenated
+    # snapshot). Computed over the RAW bytes, case-insensitive.
+    trailer_ends: list[int] = []
+    if isinstance(data, (bytes, bytearray, memoryview)):
+        raw = bytes(data).lower()
+        pos = raw.find(b"</html>")
+        while pos != -1:
+            trailer_ends.append(pos + len(b"</html>"))
+            pos = raw.find(b"</html>", pos + 1)
+
     parser = _HtmlToDoc()
     try:
         if not _fast_feed(parser, text):
@@ -1041,7 +1054,8 @@ def parse_document(data: bytes, password: str | None = None,
                    formtype=FORMTYPE_ACRO_FORM if parser.saw_form
                             else FORMTYPE_NONE,
                    form_fields=form_fields,
-                   pagemode=pagemode)
+                   pagemode=pagemode,
+                   trailer_ends=trailer_ends)
     return doc
 
 

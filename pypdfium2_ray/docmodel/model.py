@@ -480,6 +480,10 @@ class Document:
     #: XObjects captured into this document's resources
     #: (page_as_xobject; the reference's _add_kid tracking)
     xobjects: list = field(default_factory=list)
+    #: byte offsets just past each document end marker in the raw
+    #: payload (FPDF_GetTrailerEnds analogue, bindings.py:486-489 — one
+    #: entry per incremental update/concatenated snapshot)
+    trailer_ends: list[int] = field(default_factory=list)
 
     @classmethod
     def new(cls) -> "Document":
@@ -654,6 +658,16 @@ class Document:
     def get_page_size(self, index: int) -> tuple[float, float]:
         """document.py:470-485 ``get_page_size`` by index."""
         return self.pages[index].get_size()
+
+    def get_trailer_ends(self) -> list[int]:
+        """Low-level trailer introspection — the ``FPDF_GetTrailerEnds``
+        analogue (raw bindings.py:486-489; no helpers-layer wrapper in
+        the reference either): the byte offset just past each document
+        end marker (``</html>``) in the raw payload, one per
+        concatenated/incrementally-updated snapshot. Empty for documents
+        built in memory or payloads with no end marker (PDFium likewise
+        reports 0 entries when the scan fails)."""
+        return list(self.trailer_ends)
 
     def get_identifier(self, permanent: bool = True) -> bytes:
         """document.py:278-292 analogue: permanent id = stable content hash;

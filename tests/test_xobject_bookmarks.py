@@ -142,3 +142,25 @@ def test_bookmark_state_round_trips():
     reparsed = parse_document(serialize_document(doc))
     assert [(e.title, e.closed, e.color) for e in reparsed.toc] == \
            [(e.title, e.closed, e.color) for e in doc.toc]
+
+
+# ---------------------------------------------------------------------------
+# trailer-ends introspection (FPDF_GetTrailerEnds analogue)
+
+def test_trailer_ends_single_document():
+    html = b"<html><body><main><p>x</p></main></body></html>"
+    doc = parse_document(html)
+    assert doc.get_trailer_ends() == [len(html)]
+
+
+def test_trailer_ends_concatenated_snapshots():
+    one = b"<html><body><main><p>a</p></main></body></html>"
+    two = b"<html><body><main><p>b</p></main></body></HTML>"
+    doc = parse_document(one + two)           # case-insensitive scan
+    assert doc.get_trailer_ends() == [len(one), len(one) + len(two)]
+
+
+def test_trailer_ends_absent_marker_and_new_doc():
+    doc = parse_document(b"<html><body><main><p>x</p></main></body>")
+    assert doc.get_trailer_ends() == []
+    assert Document.new().get_trailer_ends() == []
