@@ -2887,21 +2887,23 @@ WALK_LEN = 4
 
 
 def q_graph_walks(sf_dir: str):
-    """Deterministic DeepWalk-style walk corpus (stages/walks): the next
-    edge at step s of walk w from node u is md5_64(f\"{w}|{s}|{u}\") %
-    outdeg(u) — run/shard/cluster-invariant training sequences with an
-    exact md5_number_upper SQL twin. One edge-ranking exchange, then two
-    ids-only joins per step; sinks end walks via the inner join."""
-    from pypdfium2_ray.stages.walks import graph_walks
+    """Deterministic DeepWalk-style walk corpus on the BSP engine
+    (stages/bsp.walks_bsp): the next edge at step s of walk w from node
+    u is md5_64(f\"{w}|{s}|{u}\") % outdeg(u) — run/shard/cluster-
+    invariant training sequences with an exact md5_number_upper SQL
+    twin. One actor round per step (frontier rows live on their current
+    node's worker, whose sorted out-edges are local) instead of two
+    ids-only joins; identical corpus to stages/walks.graph_walks
+    (pinned in tests)."""
+    from pypdfium2_ray.stages.bsp import walks_bsp
     docs = _docs(sf_dir, ["doc_id"])
     n = docs.count()
     edges = docs.map_batches(_synth_link_edges(n), batch_format="pyarrow")
     nodes = docs.map_batches(
         lambda t: pa.table({"node": pc.cast(t["doc_id"], pa.int64())}),
         batch_format="pyarrow")
-    with _hint(sf_dir):
-        return graph_walks(edges, nodes, walks_per_node=WALKS_PER_NODE,
-                           length=WALK_LEN)
+    return walks_bsp(edges, nodes, walks_per_node=WALKS_PER_NODE,
+                     length=WALK_LEN)
 
 
 def _graph_walks_sql() -> str:

@@ -1,8 +1,14 @@
 """BSP (Pregel-style) actor-pool engine for iterative graph fixed points.
 
-Why this exists: the graph tier's iterative queries (HITS here; the same
-shape fits pagerank/labelprop) run 2 hash exchanges per half-step in the
-pure Ray Data formulation (``stages/hits.py``). The exchanges are the
+Four algorithms run on it: HITS (:func:`hits_bsp`), PageRank /
+TrustRank (:func:`pagerank_bsp`), multi-source BFS (:func:`bfs_bsp`)
+and deterministic walks (:func:`walks_bsp`) — each bit-identical to its
+exchange-tier twin in ``stages/{hits,pagerank,bfs,walks}.py`` (pinned
+by tests), so every unrolled SQL oracle is untouched.
+
+Why this exists: the graph tier's iterative queries run 2 hash
+exchanges per half-step in the pure Ray Data formulation
+(``stages/hits.py`` et al.). The exchanges are the
 right primitive for one-shot data-parallel transforms, but a fixed-point
 loop pays the full operator-launch + shuffle floor EVERY hop while its
 per-hop state is only (node, score) rows — measured at sf0.1/32 CPUs,
@@ -589,6 +595,164 @@ def bfs_bsp(edges, seeds, hops: int, src_col: str = "src",
             break
 
     tables = [w.bfs_gather.remote() for w in workers]
+    out = rd.from_arrow_refs(tables)
+    for w in workers:
+        ray.kill(w)
+    return out
+
+
+class _WalkWorker(_GraphWorker):
+    """Deterministic-walk worker (stages/walks semantics): holds its
+    src-hashed out-edges sorted by (src, dst) — rank r within a node's
+    run IS the edge index the md5 choice selects — plus the walk rows it
+    has recorded. Frontier rows live on the owner of their current node,
+    whose out-edges are local by construction."""
+
+    def seal_walks(self) -> int:
+        n = self.seal()
+        order = np.lexsort((self.src_to, self.src_from))
+        self.esrc = self.src_from[order]
+        self.edst = self.src_to[order]
+        self._out_wid: list[np.ndarray] = []
+        self._out_pos: list[np.ndarray] = []
+        self._out_node: list[np.ndarray] = []
+        self._wid = np.zeros(0, np.int64)
+        self._node = np.zeros(0, np.int64)
+        return n
+
+    def _record(self, wid, pos: int, node) -> None:
+        self._out_wid.append(wid)
+        self._out_pos.append(np.full(len(wid), pos, np.int64))
+        self._out_node.append(node)
+
+    def walk_seed(self, walks_per_node: int, *node_shards) -> int:
+        ids = [sh["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+               for sh in node_shards if sh is not None and sh.num_rows]
+        n = np.unique(np.concatenate(ids)) if ids else np.zeros(0, np.int64)
+        T = walks_per_node
+        wid = (np.repeat(n, T) * T
+               + np.tile(np.arange(T, dtype=np.int64), len(n)))
+        self._wid, self._node = wid, np.repeat(n, T)
+        self._record(self._wid, 0, self._node)
+        return len(wid)
+
+    def walk_step(self, s: int):
+        """Advance the local frontier one step: md5-choose the next edge
+        per walk (sinks drop), emit (walk_id, next) shards by the next
+        node's hash."""
+        from pypdfium2_ray.functions.sketch import md5_hash64
+        wid, node = self._wid, self._node
+        start = np.searchsorted(self.esrc, node, side="left")
+        end = np.searchsorted(self.esrc, node, side="right")
+        deg = end - start
+        alive = deg > 0
+        wid, node, start, deg = (wid[alive], node[alive], start[alive],
+                                 deg[alive])
+        if len(wid):
+            choice = np.fromiter(
+                (md5_hash64(f"{w}|{s}|{u}".encode()) % int(d)
+                 for w, u, d in zip(wid, node, deg)),
+                dtype=np.int64, count=len(wid))
+            nxt = self.edst[start + choice]
+        else:
+            nxt = np.zeros(0, np.int64)
+        sh = _shard_of(nxt, self.P)
+        order = np.argsort(sh, kind="stable")
+        wid_s, nxt_s = wid[order], nxt[order]
+        bounds = np.searchsorted(sh[order], np.arange(self.P + 1))
+        out = []
+        for j in range(self.P):
+            a, b = bounds[j], bounds[j + 1]
+            out.append((wid_s[a:b], nxt_s[a:b]) if b > a else None)
+        return out if self.P > 1 else out[0]
+
+    def walk_receive(self, pos: int, *shards) -> int:
+        wids, nodes = [], []
+        for sh in shards:
+            if sh is None:
+                continue
+            wids.append(sh[0])
+            nodes.append(sh[1])
+        self._wid = (np.concatenate(wids) if wids
+                     else np.zeros(0, np.int64))
+        self._node = (np.concatenate(nodes) if nodes
+                      else np.zeros(0, np.int64))
+        if len(self._wid):
+            self._record(self._wid, pos, self._node)
+        return len(self._wid)
+
+    def walk_gather(self) -> pa.Table:
+        cat = (lambda xs: np.concatenate(xs) if xs
+               else np.zeros(0, np.int64))
+        return pa.table({"walk_id": pa.array(cat(self._out_wid), I64),
+                         "pos": pa.array(cat(self._out_pos), I64),
+                         "node": pa.array(cat(self._out_node), I64)})
+
+
+def walks_bsp(edges, nodes, walks_per_node: int, length: int,
+              src_col: str = "src", dst_col: str = "dst",
+              node_col: str = "node", num_workers: int | None = None):
+    """Deterministic graph walks on the BSP engine — identical walk
+    corpus to :func:`stages.walks.graph_walks` (the md5 hash-choice
+    contract; pinned in tests), at one actor round per step instead of
+    two repartition joins. The per-walk-step md5 stays inherent to the
+    contract (hash_sample cost class)."""
+    import pyarrow.compute as pc
+
+    import ray
+    import ray.data as rd
+
+    if walks_per_node < 1 or length < 0:
+        raise ValueError("need walks_per_node >= 1 and length >= 0")
+    P = num_workers or _default_workers()
+    Worker = ray.remote(_WalkWorker)
+    workers = [Worker.remote(i, P) for i in range(P)]
+
+    def canon(t: pa.Table) -> pa.Table:
+        return pa.table({"src": pc.cast(t[src_col], pa.int64()),
+                         "dst": pc.cast(t[dst_col], pa.int64())})
+
+    def canon_nodes(t: pa.Table) -> pa.Table:
+        n = pc.cast(t[node_col], pa.int64())
+        return pa.table({"node": n})
+
+    edges_m = edges.map_batches(canon, batch_format="pyarrow").materialize()
+    nodes_m = nodes.map_batches(canon_nodes,
+                                batch_format="pyarrow").materialize()
+    pend = []
+    scat = _scatter_task(P, "src", ["src", "dst"])
+    for ref in _block_refs(edges_m):
+        shards = scat.remote(ref)
+        if P == 1:
+            shards = [shards]
+        pend.extend(workers[j].add_edges.remote("src", shards[j])
+                    for j in range(P))
+    nscat = _scatter_task(P, "node", ["node"])
+    node_shards = [[] for _ in range(P)]
+    for ref in _block_refs(nodes_m):
+        shards = nscat.remote(ref)
+        if P == 1:
+            shards = [shards]
+        for j in range(P):
+            node_shards[j].append(shards[j])
+    ray.get(pend)
+    ray.get([w.seal_walks.remote() for w in workers])
+    ray.get([w.walk_seed.remote(walks_per_node, *node_shards[j])
+             for j, w in enumerate(workers)])
+
+    opts = {"num_returns": P} if P > 1 else {}
+    for s in range(length):
+        emitted = [w.walk_step.options(**opts).remote(s) for w in workers]
+        if P == 1:
+            emitted = [[e] for e in emitted]
+        alive = ray.get([
+            workers[j].walk_receive.remote(
+                s + 1, *[emitted[i][j] for i in range(P)])
+            for j in range(P)])
+        if sum(alive) == 0:
+            break
+
+    tables = [w.walk_gather.remote() for w in workers]
     out = rd.from_arrow_refs(tables)
     for w in workers:
         ray.kill(w)

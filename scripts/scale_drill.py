@@ -90,10 +90,12 @@ def run_ops(results: list) -> None:
         drill = build_drill_corpus(reps)
         n_docs = reps * 5000
         for op in OPS:
-            # one untimed warm lap at the smallest size only (worker pool
-            # + aggregator spawn), then best-of-2 timed
+            # best-of-2 at the smallest size (absorbs the cold worker
+            # pool), single sample above it — the drill reads the 10x
+            # TREND, where single samples are decisive and a second
+            # 20-minute minhash lap buys nothing
             wall = float("inf")
-            for _ in range(2):
+            for _ in range(2 if reps == SIZES[0] else 1):
                 t0 = time.perf_counter()
                 res = qs[op](drill)
                 n_out = res.count() if hasattr(res, "count") else len(res)

@@ -90,3 +90,44 @@ def test_partition_invariance():
 def test_id_bound_is_loud():
     with pytest.raises(Exception, match="2\\^31"):
         _walks([(1 << 31, 1)], [1 << 31], 1, 1)
+
+
+# ---------------------------------------------------------------------------
+# BSP engine (stages/bsp.walks_bsp) — identical walk corpus
+
+@pytest.mark.parametrize("num_workers", [1, 3])
+def test_bsp_walks_equal_exchange_engine(ray_session, num_workers):
+    import ray.data as rd
+
+    from pypdfium2_ray.stages.bsp import walks_bsp
+    rng = np.random.RandomState(5)
+    n = 30
+    edges_t = pa.table({
+        "src": pa.array(rng.randint(0, n, 120), pa.int64()),
+        "dst": pa.array(rng.randint(0, n, 120), pa.int64())})
+    nodes_t = pa.table({"node": pa.array(range(n), pa.int64())})
+    bsp = walks_bsp(rd.from_arrow(edges_t), rd.from_arrow(nodes_t),
+                    walks_per_node=2, length=4,
+                    num_workers=num_workers).to_pandas() \
+        .sort_values(["walk_id", "pos"]).reset_index(drop=True)
+    ref = graph_walks(rd.from_arrow(edges_t), rd.from_arrow(nodes_t),
+                      walks_per_node=2, length=4).to_pandas() \
+        .sort_values(["walk_id", "pos"]).reset_index(drop=True)
+    assert bsp.equals(ref)
+
+
+def test_bsp_walks_sinks_stop_early(ray_session):
+    import ray.data as rd
+
+    from pypdfium2_ray.stages.bsp import walks_bsp
+    # 0 -> 1 (1 is a sink): every walk from 0 is exactly 2 rows, from 1
+    # exactly 1 row
+    edges_t = pa.table({"src": pa.array([0], pa.int64()),
+                        "dst": pa.array([1], pa.int64())})
+    nodes_t = pa.table({"node": pa.array([0, 1], pa.int64())})
+    out = walks_bsp(rd.from_arrow(edges_t), rd.from_arrow(nodes_t),
+                    walks_per_node=1, length=5,
+                    num_workers=2).to_pandas() \
+        .sort_values(["walk_id", "pos"]).reset_index(drop=True)
+    assert out[out["walk_id"] == 0]["node"].tolist() == [0, 1]
+    assert out[out["walk_id"] == 1]["node"].tolist() == [1]
