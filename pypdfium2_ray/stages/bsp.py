@@ -293,6 +293,9 @@ def hits_bsp(edges, nodes, iters: int = 4, init: int = 10**6,
 
     # -- gather -----------------------------------------------------------
     tables = [w.gather.remote(["auth", "hub"]) for w in workers]
+    # the gather results must EXIST before the actors die: ray.kill
+    # fails still-queued tasks, and from_arrow_refs is consumed lazily
+    ray.wait(tables, num_returns=len(tables))
     out = rd.from_arrow_refs(tables)
     for w in workers:
         ray.kill(w)
@@ -459,6 +462,7 @@ def pagerank_bsp(edges, nodes, seeds=None, iters: int = 5,
             for j in range(P)])
 
     tables = [w.rank_gather.remote() for w in workers]
+    ray.wait(tables, num_returns=len(tables))   # see hits_bsp gather note
     out = rd.from_arrow_refs(tables)
     for w in workers:
         ray.kill(w)
@@ -595,6 +599,7 @@ def bfs_bsp(edges, seeds, hops: int, src_col: str = "src",
             break
 
     tables = [w.bfs_gather.remote() for w in workers]
+    ray.wait(tables, num_returns=len(tables))   # see hits_bsp gather note
     out = rd.from_arrow_refs(tables)
     for w in workers:
         ray.kill(w)
@@ -753,6 +758,7 @@ def walks_bsp(edges, nodes, walks_per_node: int, length: int,
             break
 
     tables = [w.walk_gather.remote() for w in workers]
+    ray.wait(tables, num_returns=len(tables))   # see hits_bsp gather note
     out = rd.from_arrow_refs(tables)
     for w in workers:
         ray.kill(w)
