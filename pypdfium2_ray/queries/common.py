@@ -55,11 +55,25 @@ def _hint(sf_dir: str, table: str = "documents"):
     """Size the query's hash-exchange partitions from its input bytes
     (exchange.partitions_for_bytes) — at test/bench scale this keeps
     exchanges small (the per-partition fixed cost dominates tiny inputs);
-    at 100 TB the same rule yields ~64 MB partitions."""
+    at 100 TB the same rule yields ~64 MB partitions.
+
+    The table path may be a single parquet FILE or a DIRECTORY of shard
+    files (the at-scale layout): a directory's size is the sum of its
+    files — ``getsize`` on the directory inode itself (~4 KB) would
+    collapse a multi-GB input to the minimum partition count, which
+    OOMs the per-partition kernels (observed on the 1M-doc drill
+    corpora)."""
     import os
     from pypdfium2_ray.stages.exchange import partition_hint, partitions_for_bytes
+    path = f"{sf_dir.rstrip('/')}/{table}.parquet"
+    sz = 0
     try:
-        sz = os.path.getsize(f"{sf_dir.rstrip('/')}/{table}.parquet")
+        if os.path.isdir(path):
+            for root, _dirs, files in os.walk(path):
+                sz += sum(os.path.getsize(os.path.join(root, f))
+                          for f in files)
+        else:
+            sz = os.path.getsize(path)
     except OSError:
         sz = 0
     return partition_hint(partitions_for_bytes(sz))

@@ -57,6 +57,13 @@ def partition_hint(n: int | None):
         _PARTITION_HINT.reset(tok)
 
 
+#: candidate-join guards (lookup_join prefilter path): above this many
+#: target rows the fused pair-distinct becomes its own ids-only exchange
+_PREDISTINCT_ROWS = 1_000_000
+#: per-candidate payload estimate for sizing the join exchange
+_EST_PAYLOAD_BYTES = 1024
+
+
 def partitions_for_bytes(n_bytes: int, target_bytes: int = 64 << 20,
                          floor: int = 2, cap: int = 200) -> int:
     """Shuffle-partition count from input size: ~one partition per
@@ -295,6 +302,41 @@ def lookup_join(target, target_cols: dict[str, pa.DataType],
         import ray
         target = target.materialize()
         n_target = target.count()               # cheap on materialized data
+        # -- big-candidate guards (the LSH/ppjoin candidate-join shape) --
+        # (1) above _PREDISTINCT_ROWS, run the pair-distinct as its OWN
+        # ids-only exchange instead of fusing it into the join: fused
+        # distinct means every band-duplicated candidate row (up to
+        # `bands` copies) rides the text-payload exchange and join
+        # kernel. Only valid when the distinct key IS the whole target
+        # row set (true for candidate pairs); results are identical
+        # either way.
+        if (distinct_target_on is not None
+                and n_target > _PREDISTINCT_ROWS
+                and set(distinct_target_on) == set(t_names)):
+            dk = list(distinct_target_on)
+
+            def _distinct_kernel(t: pa.Table) -> pa.Table:
+                return t.group_by(dk, use_threads=False).aggregate([])
+
+            target = partition_map(
+                target, [key_col], _distinct_kernel,
+                num_partitions=max(num_partitions or 0,
+                                   partitions_for_bytes(
+                                       target.size_bytes() or 0)) or None
+            ).materialize()
+            n_target = target.count()
+            distinct_target_on = None
+        # (2) size the JOIN exchange by the candidate volume, not the raw
+        # input hint: each surviving target row gathers a payload row, so
+        # the join output is ~n_target x payload bytes — a 2-partition
+        # hint from a small input OOMs (or overflows pyarrow's 2^31
+        # string offsets in) the kernel when candidates are millions of
+        # pairs. Payload estimated at _EST_PAYLOAD_BYTES/row (web-text
+        # class); partitions only ever RAISE, never drop below the
+        # caller's count.
+        est_bytes = (target.size_bytes() or 0) + n_target * _EST_PAYLOAD_BYTES
+        num_partitions = max(num_partitions or 0,
+                             partitions_for_bytes(est_bytes)) or None
         if n_target <= prefilter_keys:
             key_vals = pc.unique(pa.chunked_array([
                 pc.cast(b[key_col], key_type)

@@ -11,14 +11,18 @@ Protocol: the four headline shapes run at three corpus sizes on the same
   via ``bench._headline`` (same code path as the recorded bench);
 - **dedup_exact**, **minhash_dups** and **pagerank** over drill
   ``documents`` corpora of the same row counts, built by replicating
-  sf0.1's 5,000-doc table with per-replica word shuffles. The shuffle is
-  seeded by (replica, md5(text)), so exact-duplicate groups inside each
-  replica survive byte-identically (same text -> same shuffle) while
-  texts across replicas share no shingle structure — duplicate DENSITY
-  stays constant as the corpus scales instead of multiplying, which is
-  what keeps minhash bucket sizes realistic. Near-dup (non-equal) pairs
-  do not survive the shuffle; this is a throughput instrument, not a
-  recall benchmark (the oracle sweeps cover recall at sf scales).
+  sf0.1's 5,000-doc table under DISJOINT PER-REPLICA VOCABULARIES:
+  every word is tagged with its replica id, so within a replica the
+  corpus is the base corpus under a bijective word rename (exact-dup
+  groups byte-identical, near-dup similarity preserved) while across
+  replicas shingle overlap is ~zero — duplicate DENSITY stays constant
+  as the corpus scales and candidate mass grows linearly. (Designs
+  that reuse the base vocabulary are minhash-degenerate: the synthetic
+  base has a ~50-word vocabulary, so any two long docs saturate the
+  5-char shingle universe and cross-replica candidates grow
+  quadratically — observed as 2000-member LSH buckets and a >2GB
+  string partition at 3.6M docs.) This is a throughput instrument, not
+  a recall benchmark (the oracle sweeps cover recall at sf scales).
 
 Outputs one JSON line per (op, size) plus a least-squares fit
 ``wall = floor + per_doc * n`` per op, whose floor-share column is the
@@ -29,10 +33,8 @@ Run AFTER the machine is quiet (it assumes all 32 CPUs).
 
 from __future__ import annotations
 
-import hashlib
 import json
 import os
-import random
 import sys
 import time
 
@@ -58,14 +60,28 @@ def build_drill_corpus(reps: int) -> str:
     texts = base["text"].to_pylist()
     langs = base["lang"]
     sources = base["source"]
-    thash = [hashlib.md5(t.encode()).digest() for t in texts]
+    # Disjoint per-replica vocabularies via an md5 word rename: replica
+    # r maps word w to base32(md5(w|r))[:8] — within a replica the
+    # corpus IS the base corpus under a bijective rename (exact-dup
+    # groups byte-identical, similarity structure preserved), across
+    # replicas the rename images share no shingle structure, so
+    # clusters can never span replicas and candidate mass grows
+    # LINEARLY with size (probed: ~9k pre-distinct pairs per replica,
+    # top bucket ~63). Tag-suffix or same-vocab-cipher designs are NOT
+    # enough: the synthetic base has a ~31-word vocabulary, so word-
+    # interior shingles are corpus-universal and cross-replica
+    # candidates go quadratic (observed: 99.8M candidate pairs and a
+    # 230 GB object-store spill at a mere 360k docs).
+    import base64
+    import hashlib as _hl
+    vocab = sorted({w for t in texts for w in t.split(" ") if w})
+    tokenized = [t.split(" ") for t in texts]
     for r in range(reps):
-        shuffled = []
-        for d in range(n):
-            words = texts[d].split(" ")
-            rng = random.Random(thash[d] + r.to_bytes(4, "little"))
-            rng.shuffle(words)
-            shuffled.append(" ".join(words))
+        cip = {w: base64.b32encode(_hl.md5(f"{w}|{r}".encode())
+                                   .digest()[:5]).decode().lower()
+               for w in vocab}
+        cip[""] = ""
+        shuffled = [" ".join(cip[w] for w in words) for words in tokenized]
         t = pa.table({
             "doc_id": pa.array([r * n + d for d in range(n)], pa.int64()),
             "text": pa.array(shuffled, pa.string()),
