@@ -4415,19 +4415,19 @@ KCORE_ROUNDS = 3
 
 def q_kcore(sf_dir: str):
     """Bounded-round k-core peel over the synthetic link graph
-    (stages/kcore — synchronous distributed peeling, Montresor PODC'11
-    lineage): per round ONE pre-combined degree exchange + TWO ids-only
-    repartition semi-joins remove every node with degree < k from the
-    undirected simple graph; output (doc_id, deg) is each survivor's
-    degree within the final induced subgraph. Deterministic at any
-    partitioning (synchronous removal), unrolled by the SQL twin as
-    chained MATERIALIZED CTEs."""
-    from pypdfium2_ray.stages.kcore import kcore
+    on the BSP engine (stages/bsp.kcore_bsp — Montresor PODC'11
+    decrement peeling): one mark/emit/apply actor round per peel round,
+    degrees maintained by decrements along just-killed nodes' edges
+    (invariant: deg[] == degree within the alive-induced subgraph), so
+    each round is bit-equal to the exchange tier's degree-exchange +
+    two-semi-join recompute (pinned in tests). Output (doc_id, deg) is
+    each survivor's degree within the final induced subgraph; the SQL
+    twin unrolls the same R rounds as chained MATERIALIZED CTEs."""
+    from pypdfium2_ray.stages.bsp import kcore_bsp
     docs = _docs(sf_dir, ["doc_id"])
     n = docs.count()
     edges = docs.map_batches(_synth_tri_edges(n), batch_format="pyarrow")
-    with _hint(sf_dir):
-        out = kcore(edges, k=KCORE_K, rounds=KCORE_ROUNDS)
+    out = kcore_bsp(edges, k=KCORE_K, rounds=KCORE_ROUNDS)
     return out.map_batches(
         lambda t: pa.table({"doc_id": t["node"], "deg": t["deg"]}),
         batch_format="pyarrow")
@@ -4481,18 +4481,20 @@ def q_communities(sf_dir: str):
     link graph (stages/labelprop — Raghavan Phys.Rev.E'07 with the
     deterministic synchronous/min-label-tie-break contract): label(v,0)
     = v, each round every node takes its neighbors' modal label (ties
-    to the smallest). Per round: ONE ids-only label-fetch join + ONE
-    src exchange with a vectorized count/argmax kernel — bit-identical
-    at any partitioning; the twin unrolls the same R rounds."""
-    from pypdfium2_ray.stages.labelprop import label_propagation
+    to the smallest), on the BSP engine (stages/bsp
+    .label_propagation_bsp): one emit/combine actor round per round —
+    neighbor labels travel as (node, label, count) pre-combined shards
+    — instead of a label-fetch join plus an argmax exchange;
+    bit-identical to stages/labelprop at any worker count (pinned in
+    tests); the twin unrolls the same R rounds."""
+    from pypdfium2_ray.stages.bsp import label_propagation_bsp
     docs = _docs(sf_dir, ["doc_id"])
     n = docs.count()
     edges = docs.map_batches(_synth_tri_edges(n), batch_format="pyarrow")
-    with _hint(sf_dir):
-        out = label_propagation(edges, rounds=LPA_ROUNDS)
+    out = label_propagation_bsp(edges, rounds=LPA_ROUNDS)
     return out.map_batches(
         lambda t: pa.table({"doc_id": t["node"],
-                            "community": t["community"]}),
+                            "community": t["lbl"]}),
         batch_format="pyarrow")
 
 

@@ -763,3 +763,273 @@ def walks_bsp(edges, nodes, walks_per_node: int, length: int,
     for w in workers:
         ray.kill(w)
     return out
+
+
+def _canon_expand(src_col: str, dst_col: str):
+    """Per-block canonicalize to the undirected SIMPLE graph and emit
+    BOTH directions: (lo, hi) + (hi, lo), self-loops dropped, block-
+    local distinct. Global distinct happens at the worker: every copy of
+    a directed pair (u, v) hashes to worker hash(u), which dedups at
+    seal — the same multiset the exchange-tier distinct produces."""
+    import pyarrow.compute as pc
+
+    def fn(t: pa.Table) -> pa.Table:
+        s = pc.cast(t[src_col], pa.int64())
+        d = pc.cast(t[dst_col], pa.int64())
+        lo = pc.min_element_wise(s, d)
+        hi = pc.max_element_wise(s, d)
+        g = pa.table({"lo": lo, "hi": hi}).filter(pc.not_equal(lo, hi))
+        g = g.group_by(["lo", "hi"], use_threads=False).aggregate([])
+        return pa.table({
+            "src": pa.concat_arrays([g["lo"].combine_chunks(),
+                                     g["hi"].combine_chunks()]),
+            "dst": pa.concat_arrays([g["hi"].combine_chunks(),
+                                     g["lo"].combine_chunks()])})
+    return fn
+
+
+class _UndirectedWorker(_GraphWorker):
+    """Shared base for kcore / label propagation: src-hashed directed
+    pairs of the expanded simple graph, globally deduped at seal (all
+    copies of (u, v) are local by construction)."""
+
+    def seal_simple(self) -> int:
+        self.seal()
+        u, v = self.src_from, self.src_to
+        if len(u):
+            order = np.lexsort((v, u))
+            u, v = u[order], v[order]
+            keep = np.ones(len(u), bool)
+            keep[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
+            u, v = u[keep], v[keep]
+        self.eu, self.ev = u, v
+        self.nodes = np.unique(u)             # every node has >= 1 edge
+        self.edge_upos = (np.searchsorted(self.nodes, u)
+                          if len(u) else np.zeros(0, np.int64))
+        self.deg = np.bincount(self.edge_upos,
+                               minlength=len(self.nodes)).astype(np.int64)
+        return len(u)
+
+    def _shard_pairs(self, dst: np.ndarray, val: np.ndarray):
+        """(dst, val) rows pre-combined per (dst, val)=count? No — the
+        callers pre-combine differently; this shards raw aligned arrays
+        by hash(dst)."""
+        s = _shard_of(dst, self.P)
+        order = np.argsort(s, kind="stable")
+        d_s, v_s = dst[order], val[order]
+        bounds = np.searchsorted(s[order], np.arange(self.P + 1))
+        out = []
+        for j in range(self.P):
+            a, b = bounds[j], bounds[j + 1]
+            out.append((d_s[a:b], v_s[a:b]) if b > a else None)
+        return out if self.P > 1 else out[0]
+
+
+class _KcoreWorker(_UndirectedWorker):
+    """Montresor-style decrement peeling: deg[] always equals each alive
+    node's degree within the alive-induced subgraph (the invariant that
+    makes one decrement round == the exchange tier's full recompute)."""
+
+    def init_kcore(self) -> None:
+        self.alive = np.ones(len(self.nodes), bool)
+
+    def mark(self, k: int) -> int:
+        """Kill every alive node with deg < k (synchronous); remember
+        them for the emit phase; return how many died here."""
+        newly = self.alive & (self.deg < k)
+        self.alive[newly] = False
+        self._newly = newly
+        return int(newly.sum())
+
+    def peel_emit(self):
+        """Decrements along the just-killed nodes' edges, sharded by the
+        neighbor's worker (pre-combined per neighbor)."""
+        mask = self._newly[self.edge_upos] if len(self.eu) \
+            else np.zeros(0, bool)
+        targets = self.ev[mask]
+        if len(targets):
+            uniq, cnt = np.unique(targets, return_counts=True)
+        else:
+            uniq = cnt = np.zeros(0, np.int64)
+        return self._shard_pairs(uniq, cnt.astype(np.int64))
+
+    def peel_apply(self, *shards) -> None:
+        for sh in shards:
+            if sh is None:
+                continue
+            dst, cnt = sh
+            pos = np.searchsorted(self.nodes, dst)
+            clip = np.minimum(pos, max(len(self.nodes) - 1, 0))
+            if not len(self.nodes) or (self.nodes[clip] != dst).any():
+                raise ValueError("decrement for unknown node")
+            ok = self.alive[clip]               # dead receivers ignore
+            np.subtract.at(self.deg, clip[ok], cnt[ok])
+
+    def kcore_gather(self) -> pa.Table:
+        keep = self.alive & (self.deg >= 1)
+        return pa.table({"node": pa.array(self.nodes[keep], I64),
+                         "deg": pa.array(self.deg[keep], I64)})
+
+
+class _LpaWorker(_UndirectedWorker):
+    """Synchronous label propagation: each round every node takes its
+    neighbors' modal label, ties to the SMALLEST label — the exchange
+    tier's exact count/argmax contract."""
+
+    def init_lpa(self) -> None:
+        self.lbl = self.nodes.copy()
+
+    def lpa_emit(self):
+        """(neighbor, my-label) pairs pre-combined per (neighbor, label)
+        and sharded by the neighbor's worker."""
+        if len(self.eu):
+            lab = self.lbl[self.edge_upos]
+            # combine per (dst, label): lexsort + run-length counts
+            order = np.lexsort((lab, self.ev))
+            d_s, l_s = self.ev[order], lab[order]
+            new = np.ones(len(d_s), bool)
+            new[1:] = (d_s[1:] != d_s[:-1]) | (l_s[1:] != l_s[:-1])
+            starts = np.flatnonzero(new)
+            cnt = np.diff(np.append(starts, len(d_s)))
+            d_u, l_u = d_s[starts], l_s[starts]
+        else:
+            d_u = l_u = cnt = np.zeros(0, np.int64)
+        s = _shard_of(d_u, self.P)
+        order = np.argsort(s, kind="stable")
+        d_o, l_o, c_o = d_u[order], l_u[order], cnt[order]
+        bounds = np.searchsorted(s[order], np.arange(self.P + 1))
+        out = []
+        for j in range(self.P):
+            a, b = bounds[j], bounds[j + 1]
+            out.append((d_o[a:b], l_o[a:b], c_o[a:b].astype(np.int64))
+                       if b > a else None)
+        return out if self.P > 1 else out[0]
+
+    def lpa_combine(self, *shards) -> None:
+        ns, ls, cs = [], [], []
+        for sh in shards:
+            if sh is None:
+                continue
+            ns.append(sh[0]); ls.append(sh[1]); cs.append(sh[2])
+        if not ns:
+            return
+        n = np.concatenate(ns); l = np.concatenate(ls)
+        c = np.concatenate(cs)
+        # sum partial counts per (node, label)
+        order = np.lexsort((l, n))
+        n, l, c = n[order], l[order], c[order]
+        new = np.ones(len(n), bool)
+        new[1:] = (n[1:] != n[:-1]) | (l[1:] != l[:-1])
+        grp = np.cumsum(new) - 1
+        tot = np.zeros(grp[-1] + 1, np.int64)
+        np.add.at(tot, grp, c)
+        n_u, l_u = n[new], l[new]
+        # modal label per node, ties to smallest label: sort by
+        # (node, -count, label) and take the first per node
+        order2 = np.lexsort((l_u, -tot, n_u))
+        n_o, l_o = n_u[order2], l_u[order2]
+        first = np.ones(len(n_o), bool)
+        first[1:] = n_o[1:] != n_o[:-1]
+        pos = np.searchsorted(self.nodes, n_o[first])
+        clip = np.minimum(pos, max(len(self.nodes) - 1, 0))
+        if not len(self.nodes) or (self.nodes[clip] != n_o[first]).any():
+            raise ValueError("label for unknown node")
+        self.lbl[clip] = l_o[first]
+
+    def lpa_gather(self) -> pa.Table:
+        return pa.table({"node": pa.array(self.nodes, I64),
+                         "lbl": pa.array(self.lbl, I64)})
+
+
+def _scatter_simple(workers, edges, src_col, dst_col, P):
+    import ray
+    expand = _canon_expand(src_col, dst_col)
+    edges_m = edges.map_batches(expand,
+                                batch_format="pyarrow").materialize()
+    pend = []
+    scat = _scatter_task(P, "src", ["src", "dst"])
+    for ref in _block_refs(edges_m):
+        shards = scat.remote(ref)
+        if P == 1:
+            shards = [shards]
+        pend.extend(workers[j].add_edges.remote("src", shards[j])
+                    for j in range(P))
+    ray.get(pend)
+    ray.get([w.seal_simple.remote() for w in workers])
+
+
+def kcore_bsp(edges, k: int, rounds: int, src_col: str = "src",
+              dst_col: str = "dst", num_workers: int | None = None):
+    """k-core peeling on the BSP engine — identical bounded-round
+    semantics to :func:`stages.kcore.kcore` (synchronous peel, output =
+    survivor degrees in the final induced subgraph; pinned in tests).
+    One mark/emit/apply actor round per peel round via Montresor-style
+    degree decrements (PODC'11) instead of a degree exchange plus two
+    semi-joins; the decrement invariant (deg[] == degree within the
+    alive-induced subgraph) makes each round bit-equal to the exchange
+    tier's full recompute."""
+    import ray
+    import ray.data as rd
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if rounds < 0:
+        raise ValueError("rounds must be >= 0")
+    P = num_workers or _default_workers()
+    Worker = ray.remote(_KcoreWorker)
+    workers = [Worker.remote(i, P) for i in range(P)]
+    _scatter_simple(workers, edges, src_col, dst_col, P)
+    ray.get([w.init_kcore.remote() for w in workers])
+
+    opts = {"num_returns": P} if P > 1 else {}
+    for _ in range(rounds):
+        newly = ray.get([w.mark.remote(k) for w in workers])
+        if sum(newly) == 0:
+            break
+        emitted = [w.peel_emit.options(**opts).remote() for w in workers]
+        if P == 1:
+            emitted = [[e] for e in emitted]
+        ray.get([workers[j].peel_apply.remote(
+            *[emitted[i][j] for i in range(P)]) for j in range(P)])
+
+    tables = [w.kcore_gather.remote() for w in workers]
+    ray.wait(tables, num_returns=len(tables))   # see hits_bsp gather note
+    out = rd.from_arrow_refs(tables)
+    for w in workers:
+        ray.kill(w)
+    return out
+
+
+def label_propagation_bsp(edges, rounds: int, src_col: str = "src",
+                          dst_col: str = "dst",
+                          num_workers: int | None = None):
+    """Synchronous label propagation on the BSP engine — identical
+    bounded-round map to :func:`stages.labelprop.label_propagation`
+    (modal neighbor label, ties to the smallest; pinned in tests), at
+    one emit/combine actor round per round instead of a label-fetch
+    join plus an argmax exchange."""
+    import ray
+    import ray.data as rd
+
+    if rounds < 0:
+        raise ValueError("rounds must be >= 0")
+    P = num_workers or _default_workers()
+    Worker = ray.remote(_LpaWorker)
+    workers = [Worker.remote(i, P) for i in range(P)]
+    _scatter_simple(workers, edges, src_col, dst_col, P)
+    ray.get([w.init_lpa.remote() for w in workers])
+
+    opts = {"num_returns": P} if P > 1 else {}
+    for _ in range(rounds):
+        emitted = [w.lpa_emit.options(**opts).remote() for w in workers]
+        if P == 1:
+            emitted = [[e] for e in emitted]
+        ray.get([workers[j].lpa_combine.remote(
+            *[emitted[i][j] for i in range(P)]) for j in range(P)])
+
+    tables = [w.lpa_gather.remote() for w in workers]
+    ray.wait(tables, num_returns=len(tables))   # see hits_bsp gather note
+    out = rd.from_arrow_refs(tables)
+    for w in workers:
+        ray.kill(w)
+    return out

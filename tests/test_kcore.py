@@ -97,3 +97,38 @@ def test_validation():
         kcore(rd.from_arrow(et), k=0, rounds=1)
     with pytest.raises(ValueError):
         kcore(rd.from_arrow(et), k=2, rounds=-1)
+
+
+# ---------------------------------------------------------------------------
+# BSP engine (stages/bsp.kcore_bsp) — identical bounded-round peel
+
+@pytest.mark.parametrize("num_workers", [1, 3])
+def test_bsp_kcore_equals_exchange_engine(ray_session, num_workers):
+    import numpy as np
+    import ray.data as rd
+
+    from pypdfium2_ray.stages.bsp import kcore_bsp
+    rng = np.random.RandomState(3)
+    n = 60
+    edges_t = pa.table({
+        "src": pa.array(rng.randint(0, n, 300), pa.int64()),
+        "dst": pa.array(rng.randint(0, n, 300), pa.int64())})
+    for k, rounds in ((2, 0), (2, 3), (3, 10), (5, 10)):
+        bsp = kcore_bsp(rd.from_arrow(edges_t), k=k, rounds=rounds,
+                        num_workers=num_workers).to_pandas() \
+            .sort_values("node").reset_index(drop=True)
+        ref = kcore(rd.from_arrow(edges_t), k=k, rounds=rounds) \
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        assert bsp.equals(ref), (k, rounds)
+
+
+def test_bsp_kcore_empty_core(ray_session):
+    import ray.data as rd
+
+    from pypdfium2_ray.stages.bsp import kcore_bsp
+    # a path graph has no 3-core
+    edges_t = pa.table({"src": pa.array([0, 1, 2], pa.int64()),
+                        "dst": pa.array([1, 2, 3], pa.int64())})
+    out = kcore_bsp(rd.from_arrow(edges_t), k=3, rounds=10,
+                    num_workers=2).to_pandas()
+    assert len(out) == 0

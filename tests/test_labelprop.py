@@ -82,3 +82,27 @@ def test_isolated_nodes_absent_and_validation():
     assert 9 not in lbl and set(lbl) == {1, 2}
     with pytest.raises(ValueError):
         _run([(1, 2)], rounds=-1)
+
+
+# ---------------------------------------------------------------------------
+# BSP engine (stages/bsp.label_propagation_bsp) — identical R-round map
+
+@pytest.mark.parametrize("num_workers", [1, 3])
+def test_bsp_lpa_equals_exchange_engine(ray_session, num_workers):
+    import numpy as np
+    import ray.data as rd
+
+    from pypdfium2_ray.stages.bsp import label_propagation_bsp
+    rng = np.random.RandomState(7)
+    n = 50
+    edges_t = pa.table({
+        "src": pa.array(rng.randint(0, n, 250), pa.int64()),
+        "dst": pa.array(rng.randint(0, n, 250), pa.int64())})
+    for rounds in (0, 1, 4):
+        bsp = label_propagation_bsp(rd.from_arrow(edges_t), rounds=rounds,
+                                    num_workers=num_workers).to_pandas()
+        bsp = bsp.rename(columns={"lbl": "community"}) \
+            .sort_values("node").reset_index(drop=True)
+        ref = label_propagation(rd.from_arrow(edges_t), rounds=rounds) \
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        assert bsp.equals(ref), rounds
