@@ -230,3 +230,74 @@ def test_lookup_join_left_outer(ray_session):
         lookup_join(rd.from_arrow(target), {"id": pa.int64()},
                     rd.from_arrow(source), source_key="sid", key_col="id",
                     payload_cols={"payload": pa.string()}, how="full")
+
+
+# ---------------------------------------------------------------------------
+# big-candidate guards in lookup_join's prefilter path (round-5: the
+# 10x drill's OOM/2GB-offset findings hardened into the engine)
+
+def test_predistinct_tier_equals_fused(ray_session, monkeypatch):
+    """Above _PREDISTINCT_ROWS the pair-distinct runs as its own
+    exchange; results must equal the fused path row-for-row."""
+    import numpy as np
+
+    from pypdfium2_ray.stages import exchange as ex
+
+    rng = np.random.RandomState(5)
+    n_pairs, n_src = 600, 40
+    pairs = pa.table({
+        "id_a": pa.array(rng.randint(0, n_src, n_pairs), pa.int64()),
+        "id_b": pa.array(rng.randint(0, n_src, n_pairs), pa.int64())})
+    src = pa.table({
+        "doc_id": pa.array(np.arange(n_src), pa.int64()),
+        "text": pa.array([f"t{i}" for i in range(n_src)])})
+
+    def run():
+        import ray.data as rd
+        j = ex.lookup_join(
+            rd.from_arrow(pairs), {"id_a": pa.int64(), "id_b": pa.int64()},
+            rd.from_arrow(src), source_key="doc_id", key_col="id_a",
+            payload_cols={"text": pa.string()},
+            distinct_target_on=["id_a", "id_b"], prefilter_keys=10_000)
+        return j.to_pandas().sort_values(["id_a", "id_b"]) \
+                .reset_index(drop=True)
+
+    fused = run()                                   # below the ceiling
+    monkeypatch.setattr(ex, "_PREDISTINCT_ROWS", 10)
+    dedicated = run()                               # dedicated tier
+    assert dedicated.equals(fused)
+    # distinct applied: no duplicate (id_a, id_b) rows
+    assert not dedicated.duplicated(["id_a", "id_b"]).any()
+
+
+def test_candidate_volume_raises_partitions(ray_session, monkeypatch):
+    """The join exchange must scale with the candidate volume even when
+    the ambient hint is tiny (the 2-partition OOM shape)."""
+    import numpy as np
+
+    from pypdfium2_ray.stages import exchange as ex
+
+    seen = {}
+    orig = ex.partition_map
+
+    def spy(ds, keys, kernel, num_partitions=None, **kw):
+        seen["n"] = num_partitions
+        return orig(ds, keys, kernel, num_partitions=num_partitions, **kw)
+
+    monkeypatch.setattr(ex, "partition_map", spy)
+    # pretend each candidate carries a huge payload so even this small
+    # table crosses a partition boundary
+    monkeypatch.setattr(ex, "_EST_PAYLOAD_BYTES", 64 << 20)
+
+    import ray.data as rd
+    pairs = pa.table({"id_a": pa.array(np.arange(40), pa.int64()),
+                      "id_b": pa.array(np.arange(40) + 1, pa.int64())})
+    src = pa.table({"doc_id": pa.array(np.arange(50), pa.int64()),
+                    "text": pa.array(["x"] * 50)})
+    with ex.partition_hint(2):
+        ex.lookup_join(
+            rd.from_arrow(pairs), {"id_a": pa.int64(), "id_b": pa.int64()},
+            rd.from_arrow(src), source_key="doc_id", key_col="id_a",
+            payload_cols={"text": pa.string()},
+            prefilter_keys=10_000).to_pandas()
+    assert seen["n"] is not None and seen["n"] >= 40, seen
