@@ -121,14 +121,23 @@ def _extract_corpus(path: str):
 
 def _warmup():
     """Spin the Ray worker pool (map tasks AND one hash exchange, so the
-    hash-shuffle aggregator worker processes exist) — the timed runs then
-    measure steady state, which is what a long-running corpus job sees."""
+    hash-shuffle aggregator worker processes exist, AND one trivial BSP
+    run so the graph-tier actor processes are warm) — the timed runs
+    then measure steady state, which is what a long-running corpus job
+    sees."""
+    import pyarrow as pa
+
     import ray.data as rd
     rd.range(100_000, override_num_blocks=64).map_batches(
         lambda b: b, batch_format="pyarrow").count()
     from pypdfium2_ray.stages.exchange import partition_map
     ds = rd.range(1_000).map_batches(lambda b: b, batch_format="pyarrow")
     partition_map(ds, ["id"], lambda t: t).count()
+    from pypdfium2_ray.stages.bsp import hits_bsp
+    e = rd.from_arrow(pa.table({"src": pa.array([0], pa.int64()),
+                                "dst": pa.array([1], pa.int64())}))
+    n = rd.from_arrow(pa.table({"node": pa.array([0, 1], pa.int64())}))
+    hits_bsp(e, n, iters=1).count()
 
 
 def _headline(sf_dir: str, num_cpus: int, repeats: int = 2) -> dict:
